@@ -1,0 +1,25 @@
+"""Top-K per group (SURVEY §2.10 O5 / §2.7 A6).
+
+Reference: automated_analysis.py:102-106 caps sample messages at 100
+per code. Expressed as a rank window — one shuffle on the group key;
+at scale Spark's WindowGroupLimit pushes the limit below the sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(df: DataFrame, group_cols: Sequence[str],
+                    order_by: Sequence[Column], k: int,
+                    rank_col: str | None = None) -> DataFrame:
+    """Keep the top `k` rows per group under a *total* order
+    (include a unique tiebreaker in `order_by` for determinism)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    out = df.withColumn("__rank", F.row_number().over(w)).where(F.col("__rank") <= k)
+    if rank_col:
+        return out.withColumnRenamed("__rank", rank_col)
+    return out.drop("__rank")

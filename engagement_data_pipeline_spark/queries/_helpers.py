@@ -1,0 +1,58 @@
+"""Cross-engine exactness helpers.
+
+The driver compares Spark output against DuckDB by value hash, so
+results must match EXACTLY, not approximately. Rules used by every
+query in this package:
+
+1. Money/metric aggregation happens in DECIMAL, never double: decimal
+   arithmetic is exact and associative, so Spark's parallel partial
+   aggregation and DuckDB's sequential sum produce identical values.
+   The final value is cast to double (same exact decimal in → same
+   double out).
+2. Products of decimals are kept within 38 digits of precision: inputs
+   are DECIMAL(18,4); one product yields (37,8); before a further
+   multiply we cast back down to (18,6), which is exact for these 2dp
+   inputs.
+3. Timestamps are output as epoch microseconds (Spark unix_micros /
+   DuckDB epoch_us) — avoids string-formatting differences.
+4. Ratios of exact integers/decimals are computed double/double from
+   identical operands, then rounded — identical doubles in, identical
+   out.
+5. Every result set is deterministic: any top-k has a total order with
+   a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_conf
+from ..tables import load
+
+MONEY = "decimal(18,4)"
+MONEY_NARROW = "decimal(18,6)"  # re-narrowing target after one product
+
+
+def money(col) -> Column:
+    """Exact decimal view of a 2dp double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def dsum(col, alias: str) -> Column:
+    """Exact decimal sum, exported as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(MONEY)).cast("double").alias(alias)
+
+
+def micros(col) -> Column:
+    """Timestamp -> epoch microseconds (bigint)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table with harness-safe session conf applied."""
+    apply_runtime_conf(spark)
+    return load(spark, sf_dir, name)

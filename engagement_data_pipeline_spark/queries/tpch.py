@@ -1,0 +1,147 @@
+"""TPC-H-style headline queries over the synthetic star schema.
+
+These exercise the scan → filter → join → aggregate core at bench
+scale. All plans are declarative: filters push into the parquet scan,
+small dimensions broadcast, aggregation is partially applied map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._helpers import MONEY, MONEY_NARROW, dsum, micros, money, t
+
+
+def _disc_price(ext="l_extendedprice", disc="l_discount"):
+    """ext*(1-disc) as exact decimal(37,8)."""
+    return money(ext) * (F.lit(1).cast(MONEY) - money(disc))
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report (scan + 8-agg groupBy)."""
+    li = t(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    charge = _disc_price().cast(MONEY_NARROW) * (
+        F.lit(1).cast(MONEY_NARROW) + F.col("l_tax").cast(MONEY_NARROW)
+    )
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(money("l_quantity")).cast("double") / cnt.cast("double"), 6).alias("avg_qty"),
+            F.round(F.sum(money("l_extendedprice")).cast("double") / cnt.cast("double"), 6).alias("avg_price"),
+            F.round(F.sum(money("l_discount")).cast("double") / cnt.cast("double"), 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 orders by revenue for one segment.
+
+    customer is broadcast (small dim); the orders⋈lineitem join is the
+    only shuffle; top-k has a total order (revenue desc, orderkey)."""
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+        .orderBy(F.col("__rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("__rev").cast("double").alias("revenue"),
+            micros("o_orderdate").alias("o_orderdate_us"),
+        )
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       epoch_us(o_orderdate) AS o_orderdate_us
+FROM (
+  SELECT l.l_orderkey, o.o_orderdate,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l.l_orderkey, o.o_orderdate
+)
+ORDER BY rev DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue by customer nation within one region.
+
+    All four dimension tables broadcast; lineitem⋈orders is the single
+    big join."""
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q05_SQL = """
+SELECT n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AFRICA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n.n_name
+"""

@@ -1,0 +1,68 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The engine targets large clusters (100 TB inputs, ~1000 executors) but
+tests on local[N]. All settings below are safe in both worlds; the
+local-only knobs (driver memory) are applied only when we create the
+session ourselves.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf applied to sessions we build AND (where runtime-settable) to
+# sessions handed to us by a host harness.
+_RUNTIME_CONF = {
+    # Deterministic timestamp semantics; required for oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning (partition coalescing, skew-join splitting,
+    # broadcast conversion) — essential at scale, harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_conf(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime-settable conf to an existing session (e.g. the
+    driver harness's). Never raises if a conf is not settable."""
+    conf = dict(_RUNTIME_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "engagement-data-pipeline-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    Local mode: one JVM; shuffle partitions default to core count, not
+    Spark's 200 (over-parallelised for small local data, and AQE
+    coalesces anyway).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

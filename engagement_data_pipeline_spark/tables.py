@@ -1,0 +1,33 @@
+"""Testdata / warehouse table access.
+
+All demo queries read the driver-generated synthetic parquet tables
+(TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings. Reads are plain `spark.read.parquet`
+scans so Catalyst can push filters and prune columns into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table. Filters applied by callers are pushed
+    into this parquet scan by Catalyst (check: PushedFilters in
+    `.explain("formatted")`)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql queries."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
