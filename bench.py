@@ -1,0 +1,61 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    from __spark_entry__ import queries
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("bench")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = queries()
+    timings = {}
+    t_all = time.perf_counter()
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            timings[name] = None
+            print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Query registry — the single source of truth wiring every runnable
+query to its DuckDB oracle SQL.
+
+The driver harness imports this (via ``__spark_entry__``) to run each
+query at sf0.01 and hash-compare it against the oracle. Every operator
+claimed as implemented in SURVEY §2 gets one entry here; queries whose
+semantics are not ANSI-SQL-expressible have no oracle entry and get a
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import tpch
+
+# name -> callable(spark, sf_dir) -> DataFrame
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": tpch.q01_pricing_summary,
+    "q03_shipping_priority": tpch.q03_shipping_priority,
+    "q05_local_supplier": tpch.q05_local_supplier,
+}
+
+# name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": tpch.Q01_SQL,
+    "q03_shipping_priority": tpch.Q03_SQL,
+    "q05_local_supplier": tpch.Q05_SQL,
+}
+
+FLAGSHIP = "q01_pricing_summary"
+
+
+def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
+             oracle: str | None = None) -> None:
+    """Add a query (and optionally its oracle) to the registry."""
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    return dict(ORACLES)
