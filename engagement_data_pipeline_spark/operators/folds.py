@@ -19,15 +19,18 @@ from pyspark.sql import functions as F
 
 def fold_concat(df: DataFrame, group_cols: Sequence[str], value_col: str,
                 sort_cols: Sequence[str], sep: str = "; ",
-                out_col: str = "folded") -> DataFrame:
-    """Concatenate `value_col` per group in (sort_cols, value) order."""
+                out_col: str = "folded", extra_aggs: Sequence = ()) -> DataFrame:
+    """Concatenate `value_col` per group in (sort_cols, value) order.
+
+    `extra_aggs` lets callers compute sibling aggregates (counts,
+    mins, …) in the same single shuffle instead of a second groupBy +
+    join."""
     pair = F.struct(*[F.col(c) for c in sort_cols], F.col(value_col).alias("__v"))
-    return df.groupBy(*group_cols).agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["__v"]),
-            sep,
-        ).alias(out_col)
-    )
+    concat_agg = F.array_join(
+        F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["__v"]),
+        sep,
+    ).alias(out_col)
+    return df.groupBy(*group_cols).agg(concat_agg, *extra_aggs)
 
 
 def fold_distinct_concat(df: DataFrame, group_cols: Sequence[str],

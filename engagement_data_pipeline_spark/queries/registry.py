@@ -14,13 +14,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import tpch
+from . import engagement, tpch
 
 # name -> callable(spark, sf_dir) -> DataFrame
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": tpch.q01_pricing_summary,
     "q03_shipping_priority": tpch.q03_shipping_priority,
     "q05_local_supplier": tpch.q05_local_supplier,
+    "messages_latest": engagement.messages_latest,
+    "messages_resolved": engagement.messages_resolved,
+    "messages_filtered": engagement.messages_filtered,
+    "participants_fold_text": engagement.participants_fold_text,
 }
 
 # name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
@@ -28,6 +32,10 @@ ORACLES: dict[str, str] = {
     "q01_pricing_summary": tpch.Q01_SQL,
     "q03_shipping_priority": tpch.Q03_SQL,
     "q05_local_supplier": tpch.Q05_SQL,
+    "messages_latest": engagement.MESSAGES_LATEST_SQL,
+    "messages_resolved": engagement.MESSAGES_RESOLVED_SQL,
+    "messages_filtered": engagement.MESSAGES_FILTERED_SQL,
+    "participants_fold_text": engagement.PARTICIPANTS_FOLD_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"

@@ -24,6 +24,10 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The testdata events table stores TIMESTAMP(NANOS), which Spark
+    # rejects by default; read as long and convert in the loader
+    # (DuckDB truncates nanos→micros the same way).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

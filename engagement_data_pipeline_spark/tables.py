@@ -23,8 +23,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Filters applied by callers are pushed
     into this parquet scan by Catalyst (check: PushedFilters in
-    `.explain("formatted")`)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    `.explain("formatted")`).
+
+    The events table stores TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it reads as a bigint of
+    epoch-nanos, which we floor-divide to micros — identical to
+    DuckDB's nanos→micros truncation, so oracle comparisons agree."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div`, not `/`: epoch-nanos (~1.7e18) overflows double
+        # precision and would round the microsecond.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
