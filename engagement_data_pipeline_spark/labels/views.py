@@ -1,0 +1,203 @@
+"""Column views (SURVEY §1.5, G1/G2/J3/F7) and column-grain
+imputation (M6 TRUE_MISSING, M7 NIC, M8 consent cascade, G3/G4).
+
+Reference: src/engagement_db_to_analysis/column_view_conversion.py
+(views) and code_imputation_functions.py:555-755 (column-grain rules,
+order fixed at :844-863: TM → NIC → consent-last).
+
+Both views are built in ONE aggregation over the imputed messages
+(per-column conditional aggregates), so the whole conversion is a
+single hash shuffle on participant_uuid; the label-list fold
+(FoldStrategies.list_of_labels, column_view_conversion.py:244-251) is
+realised as collect-distinct of each message's latest per-scheme code
+— exact because message-grain imputation guarantees one latest label
+per configured scheme per message.
+
+Fold determinism: the reference relies on Python list order; a
+distributed engine must pick a total order, so raw-text concatenation
+is ordered by (timestamp, message_id) and code lists are sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .config import (
+    AnalysisConfig,
+    CONTROL_CODES,
+    NOT_INTERNALLY_CONSISTENT,
+    STOP,
+    TRUE_MISSING,
+    DEMOGRAPHIC,
+)
+from .imputation import latest_label_code
+
+
+def consent_withdrawn_uuids(imputed: DataFrame) -> DataFrame:
+    """G4: participants with any STOP-labelled message (reference
+    code_imputation_functions.py:684-708)."""
+    return (
+        imputed.where(F.exists(F.col("labels"), lambda l: l["code_id"] == STOP))
+        .select("participant_uuid")
+        .distinct()
+    )
+
+
+def _fold_text_agg(cond: Column, alias: str) -> Column:
+    """'; '-concatenation of text in (timestamp, message_id) order."""
+    pair = F.when(cond, F.struct(
+        F.col("timestamp"), F.col("message_id"), F.col("text").alias("__v")))
+    return F.array_join(
+        F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["__v"]), "; "
+    ).alias(alias)
+
+
+def _codes_agg(cond: Column, scheme_id: str, alias: str) -> Column:
+    """Sorted-distinct latest codes under a scheme (label-list fold)."""
+    code = latest_label_code(F.col("labels"), scheme_id)
+    return F.array_sort(F.array_distinct(F.collect_list(F.when(cond, code)))).alias(alias)
+
+
+def _impute_tm(codes: Column) -> Column:
+    """M6: no messages contributed → [TRUE_MISSING]."""
+    return F.when(F.size(codes) == 0, F.array(F.lit(TRUE_MISSING))).otherwise(codes)
+
+
+def _impute_nic(codes: Column) -> Column:
+    """M7: ≥2 distinct Normal codes → replace normals with NIC, keep
+    control codes (reference :595-681)."""
+    normals = F.filter(codes, lambda c: ~c.isin(CONTROL_CODES))
+    controls = F.filter(codes, lambda c: c.isin(CONTROL_CODES))
+    return F.when(
+        F.size(normals) >= 2,
+        F.array_sort(F.array_distinct(F.concat(controls, F.array(F.lit(NOT_INTERNALLY_CONSISTENT))))),
+    ).otherwise(codes)
+
+
+def participants_by_column(imputed: DataFrame, config: AnalysisConfig) -> DataFrame:
+    """G1: one row per participant; texts concatenated, label lists
+    merged per scheme; M6/M7/M8 applied in reference order; F7
+    demogs-only filter; G3 operators column."""
+    rqa = config.rqa_datasets
+    is_rqa = F.col("dataset").isin(rqa)
+
+    # F7: only participants with ≥1 RQA message
+    senders = imputed.where(is_rqa).select("participant_uuid").distinct()
+    msgs = imputed.join(senders, "participant_uuid", "left_semi")
+
+    aggs: list[Column] = []
+    coded_fields: list[tuple[str, str]] = []  # (field, dataset_type)
+    for d in config.datasets:
+        is_d = F.col("dataset") == d.name
+        aggs.append(_fold_text_agg(is_d, d.raw_field))
+        for cc in d.coding_configs:
+            aggs.append(_codes_agg(is_d, cc.scheme_id, "__" + cc.coded_field))
+            coded_fields.append((cc.coded_field, d.dataset_type))
+    aggs.append(F.array_sort(
+        F.collect_set(F.when(is_rqa, F.col("channel_operator")))).alias("__operators"))
+
+    g = msgs.groupBy("participant_uuid").agg(*aggs)
+
+    # M6 then M7 (demog columns only), reference order :844-863
+    for field, ds_type in coded_fields:
+        arr = _impute_tm(F.col("__" + field))
+        if ds_type == DEMOGRAPHIC:
+            arr = _impute_nic(arr)
+        g = g.withColumn("__" + field, arr)
+
+    # M8 consent cascade — deliberately last
+    withdrawn = None
+    for field, _ in coded_fields:
+        c = F.array_contains(F.col("__" + field), STOP)
+        withdrawn = c if withdrawn is None else (withdrawn | c)
+    g = g.withColumn("__withdrawn", withdrawn)
+
+    out_cols: list[Column] = [F.col("participant_uuid"),
+                              F.when(F.col("__withdrawn"), "true").otherwise("false")
+                              .alias("consent_withdrawn")]
+    stop_lit = F.lit(STOP)
+    for d in config.datasets:
+        out_cols.append(
+            F.when(F.col("__withdrawn"), stop_lit).otherwise(F.col(d.raw_field))
+            .alias(d.raw_field))
+        for cc in d.coding_configs:
+            out_cols.append(
+                F.when(F.col("__withdrawn"), stop_lit)
+                .otherwise(F.array_join(F.col("__" + cc.coded_field), ";"))
+                .alias(cc.coded_field))
+    out_cols.append(
+        F.when(F.col("__withdrawn"), stop_lit)
+        .otherwise(F.array_join(F.col("__operators"), ";")).alias("operators"))
+    return g.select(*out_cols)
+
+
+def messages_by_column(imputed: DataFrame, config: AnalysisConfig) -> DataFrame:
+    """G2/J3: one row per RQA message, with the participant's folded
+    demographic columns joined on; M6/M7/M8 applied as in the
+    participants view (reference column_view_conversion.py:291-358)."""
+    rqa = config.rqa_datasets
+    is_rqa = F.col("dataset").isin(rqa)
+
+    demogs = [d for d in config.datasets if d.dataset_type == DEMOGRAPHIC]
+    aggs: list[Column] = []
+    for d in demogs:
+        is_d = F.col("dataset") == d.name
+        aggs.append(_fold_text_agg(is_d, d.raw_field))
+        for cc in d.coding_configs:
+            aggs.append(_codes_agg(is_d, cc.scheme_id, "__" + cc.coded_field))
+    demog_view = (
+        imputed.where(~is_rqa).groupBy("participant_uuid").agg(*aggs)
+    )
+
+    rqa_rows = imputed.where(is_rqa)
+    joined = rqa_rows.join(demog_view, "participant_uuid", "left")
+
+    # Left-join misses → empty text / empty code lists, then M6/M7.
+    for d in demogs:
+        joined = joined.withColumn(d.raw_field, F.coalesce(F.col(d.raw_field), F.lit("")))
+        for cc in d.coding_configs:
+            col = "__" + cc.coded_field
+            arr = F.coalesce(F.col(col), F.array().cast("array<string>"))
+            joined = joined.withColumn(col, _impute_nic(_impute_tm(arr)))
+
+    withdrawn_flag = consent_withdrawn_uuids(imputed).withColumn("__withdrawn", F.lit(True))
+    joined = joined.join(F.broadcast(withdrawn_flag), "participant_uuid", "left")
+    joined = joined.withColumn("__withdrawn", F.coalesce(F.col("__withdrawn"), F.lit(False)))
+
+    stop_lit = F.lit(STOP)
+    out_cols: list[Column] = [
+        F.col("participant_uuid"),
+        F.col("message_id"),
+        F.unix_micros(F.col("timestamp")).alias("timestamp_us"),
+        F.col("dataset"),
+        F.when(F.col("__withdrawn"), "true").otherwise("false").alias("consent_withdrawn"),
+    ]
+    for d in config.datasets:
+        if d.dataset_type == DEMOGRAPHIC:
+            out_cols.append(
+                F.when(F.col("__withdrawn"), stop_lit).otherwise(F.col(d.raw_field))
+                .alias(d.raw_field))
+            for cc in d.coding_configs:
+                out_cols.append(
+                    F.when(F.col("__withdrawn"), stop_lit)
+                    .otherwise(F.array_join(F.col("__" + cc.coded_field), ";"))
+                    .alias(cc.coded_field))
+        else:
+            # The message's own RQA dataset fills its column; the other
+            # RQA columns are TRUE_MISSING (M6).
+            own = F.col("dataset") == d.name
+            out_cols.append(
+                F.when(F.col("__withdrawn"), stop_lit)
+                .when(own, F.coalesce(F.col("text"), F.lit("")))
+                .otherwise(F.lit("")).alias(d.raw_field))
+            for cc in d.coding_configs:
+                code = latest_label_code(F.col("labels"), cc.scheme_id)
+                out_cols.append(
+                    F.when(F.col("__withdrawn"), stop_lit)
+                    .when(own, code)
+                    .otherwise(F.lit(TRUE_MISSING)).alias(cc.coded_field))
+    out_cols.append(
+        F.when(F.col("__withdrawn"), stop_lit)
+        .otherwise(F.col("channel_operator")).alias("operators"))
+    return joined.select(*out_cols)

@@ -1,9 +1,12 @@
-"""Engagement-pipeline spine queries (SURVEY §2.3/§2.5) with DuckDB
+"""Engagement-pipeline queries (SURVEY §2.3/§2.5/§2.6) with DuckDB
 oracles over the same events parquet.
 
 Each query runs the real nested-schema pipeline (synthetic messages →
-operators) and projects scalar columns for the driver's hash compare;
-the oracle re-derives a flattened mirror in SQL.
+operators → imputation → views) and projects scalar columns for the
+driver's hash compare. The oracle SQL re-derives a flattened mirror —
+and everything config-shaped (scheme names, columns, buckets, control
+codes) is *generated from the same AnalysisConfig*, so the two engines
+cannot drift on configuration.
 """
 
 from __future__ import annotations
@@ -12,20 +15,127 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis.spine import fetch_messages, filter_messages
+from ..labels.config import (
+    AGE_BUCKETS,
+    CONTROL_CODES,
+    DEMOGRAPHIC,
+    SYNTHETIC_CONFIG,
+)
+from ..labels.imputation import impute_message_grain, latest_label_code
+from ..labels.views import messages_by_column, participants_by_column
 from ..operators.folds import fold_concat
 from ..sources.synthetic import RQA_DATASETS, latest_cte, synthetic_messages
-from ._helpers import micros, t  # noqa: F401  (t applies runtime conf)
-from ._helpers import apply_runtime_conf
+from ._helpers import apply_runtime_conf, micros
 
-TEST_PARTICIPANTS = ["avf-participant-uuid-0", "avf-participant-uuid-1"]
-RQA_START = "2024-01-05 00:00:00"
-RQA_END = "2024-01-25 00:00:00"
+CONFIG = SYNTHETIC_CONFIG
 
 
 def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     return synthetic_messages(spark, sf_dir)
 
+
+def _resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fetch_messages(_messages(spark, sf_dir))
+
+
+def _filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filter_messages(_resolved(spark, sf_dir), CONFIG.rqa_datasets,
+                           CONFIG.rqa_start, CONFIG.rqa_end,
+                           CONFIG.test_participants)
+
+
+def _imputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return impute_message_grain(_filtered(spark, sf_dir), CONFIG)
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE fragments (DuckDB). The flattened mirror of the
+# message-grain pipeline: latest → resolved (F4) → filtered (F5/F6) →
+# imp (M1/M3/M4 final codes per scheme).
+# ---------------------------------------------------------------------------
+
+def _sql_quoted(vals) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+_RQA_IN = f"({_sql_quoted(CONFIG.rqa_datasets)})"
+_CONTROL_IN = f"({_sql_quoted(CONTROL_CODES)})"
+
+
+def _bucket_sql(expr: str) -> str:
+    cases = "".join(
+        f" WHEN {expr} BETWEEN {lo} AND {hi} THEN '{code}'"
+        for lo, hi, code in AGE_BUCKETS
+    )
+    return f"CASE{cases} END"
+
+
+_RESOLVED_CTE = latest_cte() + """,
+live AS (SELECT * FROM latest WHERE status = 'live'),
+stale AS (SELECT * FROM latest WHERE status = 'stale'),
+resolved AS (
+  SELECT * FROM live
+  UNION ALL
+  SELECT s.* FROM stale s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM live l
+    WHERE l.dataset = s.dataset AND l.participant_uuid = s.participant_uuid)
+)
+"""
+
+_FILTERED_CTE = _RESOLVED_CTE + f""",
+filtered AS (
+  SELECT * FROM resolved
+  WHERE (dataset NOT IN {_RQA_IN}
+         OR (timestamp >= TIMESTAMP '{CONFIG.rqa_start}'
+             AND timestamp <= TIMESTAMP '{CONFIG.rqa_end}'))
+    AND participant_uuid NOT IN ({_sql_quoted(CONFIG.test_participants)})
+)
+"""
+
+_IMPUTED_CTE = _FILTERED_CTE + f""",
+flags AS (
+  SELECT *,
+    (label_checked IS TRUE OR label2_checked IS TRUE) AS has_checked,
+    (label_checked IS FALSE OR label2_checked IS FALSE) AS has_unchecked,
+    (text IS NULL OR text = '') AS text_empty
+  FROM filtered
+),
+imp AS (
+  SELECT message_id, participant_uuid, dataset, timestamp, text,
+         channel_operator, user_id, message_id AS mid,
+    CASE WHEN text_empty THEN 'NC'
+         WHEN has_checked AND NOT has_unchecked THEN label_code
+         WHEN has_checked AND has_unchecked THEN 'CE'
+         ELSE 'NR' END AS primary_code,
+    CASE WHEN dataset NOT IN {_RQA_IN} THEN NULL
+         WHEN text_empty THEN 'NC'
+         WHEN has_checked AND NOT has_unchecked THEN label2_code
+         WHEN has_checked AND has_unchecked THEN 'CE'
+         ELSE 'NR' END AS sent_code,
+    CASE WHEN dataset <> 'age' THEN NULL
+         WHEN text_empty THEN 'NC'
+         WHEN has_checked AND NOT has_unchecked THEN {_bucket_sql("(10 + user_id % 75)")}
+         WHEN has_checked AND has_unchecked THEN 'CE'
+         ELSE 'NR' END AS age_cat_code
+  FROM flags
+)
+"""
+
+
+def _scheme_code_sql(dataset: str, scheme_id: str) -> str:
+    """Which flattened `imp` column mirrors a given scheme's code."""
+    if scheme_id == "age_category_scheme":
+        return "age_cat_code"
+    if scheme_id.endswith("_sentiment_scheme"):
+        return "sent_code"
+    return "primary_code"
+
+
+# ---------------------------------------------------------------------------
+# F1 latest-snapshot dedup
+# ---------------------------------------------------------------------------
 
 def messages_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 latest-snapshot dedup over the versioned messages table."""
@@ -46,68 +156,55 @@ def messages_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MESSAGES_LATEST_SQL = "WITH " + latest_cte() + """
 SELECT message_id, participant_uuid, dataset, status,
-       previous_dataset, label_code,
+       previous_dataset,
+       COALESCE(label2_code, label_code) AS label_code,
        epoch_us(last_updated) AS last_updated_us
 FROM latest
 """
 
 
+# ---------------------------------------------------------------------------
+# F1+F4 fetch stage
+# ---------------------------------------------------------------------------
+
 def messages_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 + F4: full fetch stage (dedup then live/stale resolution)."""
-    resolved = fetch_messages(_messages(spark, sf_dir))
-    return resolved.select("message_id", "participant_uuid", "dataset", "status")
+    return _resolved(spark, sf_dir).select(
+        "message_id", "participant_uuid", "dataset", "status")
 
 
-MESSAGES_RESOLVED_SQL = "WITH " + latest_cte() + """,
-live AS (SELECT * FROM latest WHERE status = 'live'),
-stale AS (SELECT * FROM latest WHERE status = 'stale')
-SELECT message_id, participant_uuid, dataset, status FROM live
-UNION ALL
-SELECT s.message_id, s.participant_uuid, s.dataset, s.status
-FROM stale s
-WHERE NOT EXISTS (
-  SELECT 1 FROM live l
-  WHERE l.dataset = s.dataset AND l.participant_uuid = s.participant_uuid)
+MESSAGES_RESOLVED_SQL = "WITH " + _RESOLVED_CTE + """
+SELECT message_id, participant_uuid, dataset, status FROM resolved
 """
 
 
+# ---------------------------------------------------------------------------
+# F5+F6 filter stage
+# ---------------------------------------------------------------------------
+
 def messages_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fetch + F5 RQA time-range (inclusive) + F6 test participants."""
-    resolved = fetch_messages(_messages(spark, sf_dir))
-    filtered = filter_messages(resolved, RQA_DATASETS, RQA_START, RQA_END,
-                               TEST_PARTICIPANTS)
-    return filtered.select(
+    return _filtered(spark, sf_dir).select(
         "message_id", "participant_uuid", "dataset",
         micros("timestamp").alias("timestamp_us"),
     )
 
 
-MESSAGES_FILTERED_SQL = "WITH " + latest_cte() + """,
-live AS (SELECT * FROM latest WHERE status = 'live'),
-stale AS (SELECT * FROM latest WHERE status = 'stale'),
-resolved AS (
-  SELECT * FROM live
-  UNION ALL
-  SELECT s.* FROM stale s
-  WHERE NOT EXISTS (
-    SELECT 1 FROM live l
-    WHERE l.dataset = s.dataset AND l.participant_uuid = s.participant_uuid)
-)
+MESSAGES_FILTERED_SQL = "WITH " + _FILTERED_CTE + """
 SELECT message_id, participant_uuid, dataset,
        epoch_us(timestamp) AS timestamp_us
-FROM resolved
-WHERE (dataset NOT IN ('s01e01','s01e02')
-       OR (timestamp >= TIMESTAMP '2024-01-05 00:00:00'
-           AND timestamp <= TIMESTAMP '2024-01-25 00:00:00'))
-  AND participant_uuid NOT IN ('avf-participant-uuid-0', 'avf-participant-uuid-1')
+FROM filtered
 """
 
+
+# ---------------------------------------------------------------------------
+# G1 text fold
+# ---------------------------------------------------------------------------
 
 def participants_fold_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 (text half): fold each participant's RQA messages per dataset
     into one '; '-joined string in (timestamp, message_id) order."""
-    resolved = fetch_messages(_messages(spark, sf_dir))
-    rqa = resolved.where(F.col("dataset").isin(RQA_DATASETS))
+    rqa = _resolved(spark, sf_dir).where(F.col("dataset").isin(RQA_DATASETS))
     return fold_concat(
         rqa, ["participant_uuid", "dataset"], "text",
         ["timestamp", "message_id"], sep="; ", out_col="folded_text",
@@ -115,21 +212,206 @@ def participants_fold_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PARTICIPANTS_FOLD_SQL = "WITH " + latest_cte() + """,
-live AS (SELECT * FROM latest WHERE status = 'live'),
-stale AS (SELECT * FROM latest WHERE status = 'stale'),
-resolved AS (
-  SELECT * FROM live
-  UNION ALL
-  SELECT s.* FROM stale s
-  WHERE NOT EXISTS (
-    SELECT 1 FROM live l
-    WHERE l.dataset = s.dataset AND l.participant_uuid = s.participant_uuid)
-)
+PARTICIPANTS_FOLD_SQL = "WITH " + _RESOLVED_CTE + f"""
 SELECT participant_uuid, dataset,
        string_agg(text, '; ' ORDER BY timestamp, message_id) AS folded_text,
        COUNT(*) AS n_messages
 FROM resolved
-WHERE dataset IN ('s01e01','s01e02')
+WHERE dataset IN {_RQA_IN}
 GROUP BY participant_uuid, dataset
 """
+
+
+# ---------------------------------------------------------------------------
+# M1/M3/M4 message-grain imputation (long format: one row per latest
+# label per configured scheme)
+# ---------------------------------------------------------------------------
+
+def messages_imputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Imputed latest codes per (message, scheme)."""
+    imp = _imputed(spark, sf_dir)
+    pairs = None
+    for ds in CONFIG.datasets:
+        arr = F.array(*[
+            F.struct(F.lit(s).alias("scheme"),
+                     latest_label_code(F.col("labels"), s).alias("code"))
+            for s in ds.scheme_ids
+        ])
+        cond = F.col("dataset") == ds.name
+        pairs = F.when(cond, arr) if pairs is None else pairs.when(cond, arr)
+    return (
+        imp.select("message_id", "participant_uuid", "dataset",
+                   F.explode(pairs).alias("sc"))
+        .select("message_id", "participant_uuid", "dataset",
+                F.col("sc.scheme").alias("scheme"), F.col("sc.code").alias("code"))
+    )
+
+
+def _messages_imputed_sql() -> str:
+    parts = []
+    for ds in CONFIG.datasets:
+        for cc in ds.coding_configs:
+            col = _scheme_code_sql(ds.name, cc.scheme_id)
+            parts.append(
+                f"SELECT message_id, participant_uuid, dataset, "
+                f"'{cc.scheme_id}' AS scheme, {col} AS code "
+                f"FROM imp WHERE dataset = '{ds.name}'"
+            )
+    return "WITH " + _IMPUTED_CTE + "\n" + "\nUNION ALL\n".join(parts)
+
+
+MESSAGES_IMPUTED_SQL = _messages_imputed_sql()
+
+
+# ---------------------------------------------------------------------------
+# G1/G2 column views with M6/M7/M8
+# ---------------------------------------------------------------------------
+
+def participants_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """participants_by_column: G1 folds + F7 + M6/M7/M8 + G3."""
+    return participants_by_column(_imputed(spark, sf_dir), CONFIG)
+
+
+def messages_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """messages_by_column: G2/J3 + M6/M7/M8."""
+    return messages_by_column(_imputed(spark, sf_dir), CONFIG)
+
+
+_NIC_SQL = (
+    "CASE WHEN len(list_filter({col}, c -> c NOT IN " + _CONTROL_IN + ")) >= 2 "
+    "THEN list_sort(list_distinct(list_append(list_filter({col}, c -> c IN "
+    + _CONTROL_IN + "), 'NIC'))) ELSE {col} END"
+)
+
+
+def _participants_view_sql() -> str:
+    # grouped: per-participant raw folds + code lists from `imp`
+    selects = []
+    coded = []  # (field, is_demog)
+    for d in CONFIG.datasets:
+        selects.append(
+            f"COALESCE(string_agg(text, '; ' ORDER BY timestamp, message_id) "
+            f"FILTER (WHERE dataset = '{d.name}'), '') AS {d.raw_field}"
+        )
+        for cc in d.coding_configs:
+            col = _scheme_code_sql(d.name, cc.scheme_id)
+            selects.append(
+                f"COALESCE(list_sort(list_distinct(list({col}) "
+                f"FILTER (WHERE dataset = '{d.name}'))), CAST([] AS VARCHAR[])) "
+                f"AS {cc.coded_field}"
+            )
+            coded.append((cc.coded_field, d.dataset_type == DEMOGRAPHIC))
+    selects.append(
+        f"COALESCE(list_sort(list_distinct(list(channel_operator) "
+        f"FILTER (WHERE dataset IN {_RQA_IN}))), CAST([] AS VARCHAR[])) AS operators"
+    )
+
+    tm_cols = []
+    for field, is_demog in coded:
+        expr = f"CASE WHEN len({field}) = 0 THEN ['TM'] ELSE {field} END"
+        if is_demog:
+            expr = _NIC_SQL.format(col=f"({expr})")
+        tm_cols.append(f"{expr} AS {field}")
+
+    withdrawn = " OR ".join(f"list_contains({f}, 'STOP')" for f, _ in coded)
+
+    out = ["participant_uuid",
+           "CASE WHEN __w THEN 'true' ELSE 'false' END AS consent_withdrawn"]
+    for d in CONFIG.datasets:
+        out.append(f"CASE WHEN __w THEN 'STOP' ELSE {d.raw_field} END AS {d.raw_field}")
+        for cc in d.coding_configs:
+            out.append(
+                f"CASE WHEN __w THEN 'STOP' ELSE array_to_string({cc.coded_field}, ';') END "
+                f"AS {cc.coded_field}")
+    out.append("CASE WHEN __w THEN 'STOP' ELSE array_to_string(operators, ';') END AS operators")
+
+    raw_fields = ", ".join(d.raw_field for d in CONFIG.datasets)
+    return (
+        "WITH " + _IMPUTED_CTE + f""",
+senders AS (SELECT DISTINCT participant_uuid FROM imp WHERE dataset IN {_RQA_IN}),
+grouped AS (
+  SELECT imp.participant_uuid, {', '.join(selects)}
+  FROM imp JOIN senders USING (participant_uuid)
+  GROUP BY imp.participant_uuid
+),
+tmv AS (
+  SELECT participant_uuid, {raw_fields}, operators, {', '.join(tm_cols)}
+  FROM grouped
+),
+cw AS (SELECT *, ({withdrawn}) AS __w FROM tmv)
+SELECT {', '.join(out)} FROM cw"""
+    )
+
+
+PARTICIPANTS_VIEW_SQL = _participants_view_sql()
+
+
+def _messages_view_sql() -> str:
+    demogs = [d for d in CONFIG.datasets if d.dataset_type == DEMOGRAPHIC]
+    dsel = []
+    for d in demogs:
+        dsel.append(
+            f"COALESCE(string_agg(text, '; ' ORDER BY timestamp, message_id) "
+            f"FILTER (WHERE dataset = '{d.name}'), '') AS {d.raw_field}"
+        )
+        for cc in d.coding_configs:
+            col = _scheme_code_sql(d.name, cc.scheme_id)
+            dsel.append(
+                f"COALESCE(list_sort(list_distinct(list({col}) "
+                f"FILTER (WHERE dataset = '{d.name}'))), CAST([] AS VARCHAR[])) "
+                f"AS {cc.coded_field}"
+            )
+
+    # post-join TM/NIC per demog coded field
+    fixes = []
+    for d in demogs:
+        fixes.append(f"COALESCE({d.raw_field}, '') AS {d.raw_field}")
+        for cc in d.coding_configs:
+            base = f"COALESCE({cc.coded_field}, CAST([] AS VARCHAR[]))"
+            expr = f"CASE WHEN len({base}) = 0 THEN ['TM'] ELSE {base} END"
+            expr = _NIC_SQL.format(col=f"({expr})")
+            fixes.append(f"{expr} AS {cc.coded_field}")
+
+    out = [
+        "participant_uuid", "message_id", "epoch_us(timestamp) AS timestamp_us",
+        "dataset",
+        "CASE WHEN __w THEN 'true' ELSE 'false' END AS consent_withdrawn",
+    ]
+    for d in CONFIG.datasets:
+        if d.dataset_type == DEMOGRAPHIC:
+            out.append(f"CASE WHEN __w THEN 'STOP' ELSE {d.raw_field} END AS {d.raw_field}")
+            for cc in d.coding_configs:
+                out.append(
+                    f"CASE WHEN __w THEN 'STOP' ELSE array_to_string({cc.coded_field}, ';') END "
+                    f"AS {cc.coded_field}")
+        else:
+            out.append(
+                f"CASE WHEN __w THEN 'STOP' WHEN dataset = '{d.name}' "
+                f"THEN COALESCE(text, '') ELSE '' END AS {d.raw_field}")
+            for cc in d.coding_configs:
+                col = _scheme_code_sql(d.name, cc.scheme_id)
+                out.append(
+                    f"CASE WHEN __w THEN 'STOP' WHEN dataset = '{d.name}' "
+                    f"THEN {col} ELSE 'TM' END AS {cc.coded_field}")
+    out.append("CASE WHEN __w THEN 'STOP' ELSE channel_operator END AS operators")
+
+    return (
+        "WITH " + _IMPUTED_CTE + f""",
+demog_g AS (
+  SELECT participant_uuid, {', '.join(dsel)}
+  FROM imp WHERE dataset NOT IN {_RQA_IN}
+  GROUP BY participant_uuid
+),
+withdrawn AS (SELECT DISTINCT participant_uuid FROM imp WHERE primary_code = 'STOP'),
+mj AS (
+  SELECT r.*, {', '.join(fixes)},
+         (w.participant_uuid IS NOT NULL) AS __w
+  FROM (SELECT * FROM imp WHERE dataset IN {_RQA_IN}) r
+  LEFT JOIN demog_g d USING (participant_uuid)
+  LEFT JOIN withdrawn w USING (participant_uuid)
+)
+SELECT {', '.join(out)} FROM mj"""
+    )
+
+
+MESSAGES_VIEW_SQL = _messages_view_sql()

@@ -25,6 +25,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "messages_resolved": engagement.messages_resolved,
     "messages_filtered": engagement.messages_filtered,
     "participants_fold_text": engagement.participants_fold_text,
+    "messages_imputed": engagement.messages_imputed,
+    "participants_view": engagement.participants_view,
+    "messages_view": engagement.messages_view,
 }
 
 # name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
@@ -36,6 +39,9 @@ ORACLES: dict[str, str] = {
     "messages_resolved": engagement.MESSAGES_RESOLVED_SQL,
     "messages_filtered": engagement.MESSAGES_FILTERED_SQL,
     "participants_fold_text": engagement.PARTICIPANTS_FOLD_SQL,
+    "messages_imputed": engagement.MESSAGES_IMPUTED_SQL,
+    "participants_view": engagement.PARTICIPANTS_VIEW_SQL,
+    "messages_view": engagement.MESSAGES_VIEW_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"

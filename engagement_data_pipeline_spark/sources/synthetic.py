@@ -19,8 +19,17 @@ Mapping (all arithmetic on event_id/user_id so both engines agree):
   *moved* to the other episode (WS correction, M10): dataset swaps,
   previous_datasets records the old one, labels are cleared
   (reference lib.py:413-425).
-* One initial label per un-moved snapshot: scheme `<dataset>_scheme`,
-  code `code_<k>`, checked = event_id%3!=0.
+* Labels (newest-first):
+  - demographic datasets: one label in `<ds>_scheme`; the age scheme's
+    codes carry the age in the code id (`age_<n>`, n = 10+user_id%75)
+    so M4 bucketing has a numeric source; checked = event_id%3!=0.
+  - RQA datasets: two schemes like real coding configs —
+    `<ds>_theme_scheme` (code `code_<k>`, or STOP when
+    event_id%100==13 to feed the consent cascade; checked =
+    event_id%3!=0) and `<ds>_sentiment_scheme` (code `scode_<k>`,
+    checked = event_id%4!=0, 1 minute newer so it sorts first).
+    Differing checked rules produce genuine all/mix/none cases for M1.
+  - v2 snapshots shift code indices by +1 (a relabelling).
 
 Scale: this is a single narrow projection over the events scan plus a
 filtered second projection union — no shuffle at all; Catalyst plans
@@ -90,12 +99,12 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _snapshot(df: DataFrame, version: int) -> DataFrame:
     """Project one snapshot (v1 = original, v2 = updated 1h later)."""
     eid = F.col("event_id")
+    v = version - 1  # code-index shift for relabelled v2 snapshots
     if version == 1:
         dataset = F.col("dataset0")
         prev = F.array().cast("array<string>")
         last_updated = F.col("ts")
         moved = F.lit(False)
-        code = F.concat(F.lit("code_"), (eid % 7).cast("string"))
     else:
         moved = (eid % 20 == 0) & F.col("dataset0").isin(RQA_DATASETS)
         dataset = (
@@ -105,16 +114,44 @@ def _snapshot(df: DataFrame, version: int) -> DataFrame:
         )
         prev = F.when(moved, F.array(F.col("dataset0"))).otherwise(F.array().cast("array<string>"))
         last_updated = F.col("ts") + F.expr("INTERVAL 1 HOUR")
-        code = F.concat(F.lit("code_"), ((eid + 1) % 7).cast("string"))
 
-    label = make_label(
+    is_rqa = F.col("dataset0").isin(RQA_DATASETS)
+    origin_id = F.concat(F.lit("label-origin-"), F.col("message_id"))
+
+    demog_code = F.when(
+        F.col("dataset0") == "age",
+        F.concat(F.lit("age_"), (F.lit(10) + F.col("user_id") % 75).cast("string")),
+    ).otherwise(F.concat(F.lit("code_"), ((eid + v) % 7).cast("string")))
+    demog_label = make_label(
         scheme_id=F.concat(F.col("dataset0"), F.lit("_scheme")),
-        code_id=code,
+        code_id=demog_code,
         date_time_utc=last_updated,
         checked=(eid % 3) != 0,
-        origin_id=F.concat(F.lit("label-origin-"), F.col("message_id")),
+        origin_id=origin_id,
     )
-    labels = F.when(moved, F.array().cast(LABELS_TYPE)).otherwise(F.array(label))
+
+    theme_code = F.when(eid % 100 == 13, F.lit("STOP")).otherwise(
+        F.concat(F.lit("code_"), ((eid + v) % 7).cast("string")))
+    theme_label = make_label(
+        scheme_id=F.concat(F.col("dataset0"), F.lit("_theme_scheme")),
+        code_id=theme_code,
+        date_time_utc=last_updated,
+        checked=(eid % 3) != 0,
+        origin_id=origin_id,
+    )
+    sentiment_label = make_label(
+        scheme_id=F.concat(F.col("dataset0"), F.lit("_sentiment_scheme")),
+        code_id=F.concat(F.lit("scode_"), ((eid + v) % 5).cast("string")),
+        date_time_utc=last_updated + F.expr("INTERVAL 1 MINUTE"),
+        checked=(eid % 4) != 0,
+        origin_id=origin_id,
+    )
+
+    labels = (
+        F.when(moved, F.array().cast(LABELS_TYPE))
+        .when(is_rqa, F.array(sentiment_label, theme_label))  # newest-first
+        .otherwise(F.array(demog_label))
+    )
 
     return df.select(
         F.col("message_id"),
@@ -147,8 +184,11 @@ def synthetic_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # DuckDB mirror: flattened versioned messages. Columns: message_id,
 # participant_uuid, text, timestamp, channel_operator, status, dataset,
-# previous_dataset (NULL unless moved), label_scheme, label_code,
-# label_checked (NULL when labels cleared), coda_id, last_updated.
+# previous_dataset (NULL unless moved), and the flattened labels:
+#   label_scheme/label_code/label_checked       — demog label or RQA theme
+#   label2_scheme/label2_code/label2_checked    — RQA sentiment (NULL else)
+# (all NULL when the snapshot's labels were cleared by a move),
+# plus coda_id, last_updated, event_id, user_id.
 # ---------------------------------------------------------------------------
 MESSAGES_CTE = """
 enriched AS (
@@ -166,6 +206,7 @@ enriched AS (
 ),
 with_text AS (
   SELECT *,
+    dataset0 IN ('s01e01','s01e02') AS is_rqa,
     CASE dataset0
       WHEN 'gender' THEN CASE user_id % 4 WHEN 0 THEN 'male' WHEN 1 THEN 'female'
                           WHEN 2 THEN 'man' ELSE NULL END
@@ -175,33 +216,39 @@ with_text AS (
       ELSE 'reply ' || CAST(event_id % 100 AS VARCHAR) END AS text
   FROM enriched
 ),
+versioned AS (
+  SELECT *, 0 AS v, FALSE AS moved, ts AS last_updated FROM with_text
+  UNION ALL
+  SELECT *, 1 AS v,
+         (event_id % 20 = 0 AND is_rqa) AS moved,
+         ts + INTERVAL 1 HOUR AS last_updated
+  FROM with_text WHERE event_id % 5 = 0
+),
 messages AS (
   SELECT message_id, participant_uuid, text, ts AS timestamp, channel_operator,
-         status, dataset0 AS dataset, CAST(NULL AS VARCHAR) AS previous_dataset,
-         dataset0 || '_scheme' AS label_scheme,
-         'code_' || CAST(event_id % 7 AS VARCHAR) AS label_code,
-         (event_id % 3) <> 0 AS label_checked,
-         sha256(text) AS coda_id, ts AS last_updated,
-         event_id, user_id
-  FROM with_text
-  UNION ALL
-  SELECT message_id, participant_uuid, text, ts AS timestamp, channel_operator,
          status,
-         CASE WHEN event_id % 20 = 0 AND dataset0 = 's01e01' THEN 's01e02'
-              WHEN event_id % 20 = 0 AND dataset0 = 's01e02' THEN 's01e01'
+         CASE WHEN moved AND dataset0 = 's01e01' THEN 's01e02'
+              WHEN moved AND dataset0 = 's01e02' THEN 's01e01'
               ELSE dataset0 END AS dataset,
-         CASE WHEN event_id % 20 = 0 AND dataset0 IN ('s01e01','s01e02')
-              THEN dataset0 ELSE NULL END AS previous_dataset,
-         CASE WHEN event_id % 20 = 0 AND dataset0 IN ('s01e01','s01e02')
-              THEN NULL ELSE dataset0 || '_scheme' END AS label_scheme,
-         CASE WHEN event_id % 20 = 0 AND dataset0 IN ('s01e01','s01e02')
-              THEN NULL ELSE 'code_' || CAST((event_id + 1) % 7 AS VARCHAR) END AS label_code,
-         CASE WHEN event_id % 20 = 0 AND dataset0 IN ('s01e01','s01e02')
-              THEN NULL ELSE (event_id % 3) <> 0 END AS label_checked,
-         sha256(text) AS coda_id, ts + INTERVAL 1 HOUR AS last_updated,
+         CASE WHEN moved THEN dataset0 ELSE NULL END AS previous_dataset,
+         CASE WHEN moved THEN NULL
+              WHEN is_rqa THEN dataset0 || '_theme_scheme'
+              ELSE dataset0 || '_scheme' END AS label_scheme,
+         CASE WHEN moved THEN NULL
+              WHEN is_rqa THEN (CASE WHEN event_id % 100 = 13 THEN 'STOP'
+                                ELSE 'code_' || CAST((event_id + v) % 7 AS VARCHAR) END)
+              WHEN dataset0 = 'age' THEN 'age_' || CAST(10 + user_id % 75 AS VARCHAR)
+              ELSE 'code_' || CAST((event_id + v) % 7 AS VARCHAR) END AS label_code,
+         CASE WHEN moved THEN NULL ELSE (event_id % 3) <> 0 END AS label_checked,
+         CASE WHEN moved OR NOT is_rqa THEN NULL
+              ELSE dataset0 || '_sentiment_scheme' END AS label2_scheme,
+         CASE WHEN moved OR NOT is_rqa THEN NULL
+              ELSE 'scode_' || CAST((event_id + v) % 5 AS VARCHAR) END AS label2_code,
+         CASE WHEN moved OR NOT is_rqa THEN NULL
+              ELSE (event_id % 4) <> 0 END AS label2_checked,
+         sha256(text) AS coda_id, last_updated,
          event_id, user_id
-  FROM with_text
-  WHERE event_id % 5 = 0
+  FROM versioned
 )
 """
 
