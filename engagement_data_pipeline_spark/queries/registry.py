@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import engagement, tpch
+from . import analysis, engagement, tpch
 
 # name -> callable(spark, sf_dir) -> DataFrame
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -28,6 +28,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "messages_imputed": engagement.messages_imputed,
     "participants_view": engagement.participants_view,
     "messages_view": engagement.messages_view,
+    "a1_engagement_counts": analysis.engagement_counts,
+    "a2_repeat_participations": analysis.repeat_participations,
+    "a3_theme_distributions": analysis.theme_distributions,
+    "a4_demographic_distributions": analysis.demographic_distributions,
+    "a5_cross_tabs": analysis.cross_tabs,
+    "a6_sample_messages": analysis.sample_messages,
+    "a7_traffic_analysis": analysis.traffic_analysis,
+    "a8_participation_map": analysis.participation_map,
+    "a9_relevance_uuids": analysis.relevance_uuids,
 }
 
 # name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
@@ -42,6 +51,15 @@ ORACLES: dict[str, str] = {
     "messages_imputed": engagement.MESSAGES_IMPUTED_SQL,
     "participants_view": engagement.PARTICIPANTS_VIEW_SQL,
     "messages_view": engagement.MESSAGES_VIEW_SQL,
+    "a1_engagement_counts": analysis.ENGAGEMENT_COUNTS_SQL,
+    "a2_repeat_participations": analysis.REPEAT_PARTICIPATIONS_SQL,
+    "a3_theme_distributions": analysis.THEME_DISTRIBUTIONS_SQL,
+    "a4_demographic_distributions": analysis.DEMOGRAPHIC_DISTRIBUTIONS_SQL,
+    "a5_cross_tabs": analysis.CROSS_TABS_SQL,
+    "a6_sample_messages": analysis.SAMPLE_MESSAGES_SQL,
+    "a7_traffic_analysis": analysis.TRAFFIC_ANALYSIS_SQL,
+    "a8_participation_map": analysis.PARTICIPATION_MAP_SQL,
+    "a9_relevance_uuids": analysis.RELEVANCE_UUIDS_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"
