@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analysis, engagement, tpch
+from . import analysis, engagement, tpch, training
 
 # name -> callable(spark, sf_dir) -> DataFrame
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -37,6 +37,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_traffic_analysis": analysis.traffic_analysis,
     "a8_participation_map": analysis.participation_map,
     "a9_relevance_uuids": analysis.relevance_uuids,
+    "doc_exact_dedup": training.doc_exact_dedup,
+    "doc_minhash_pairs": training.doc_minhash_pairs,
+    "doc_simhash": training.doc_simhash,
+    "doc_profile": training.doc_profile,
+    "doc_fingerprint": training.doc_fingerprint,
 }
 
 # name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
@@ -60,6 +65,11 @@ ORACLES: dict[str, str] = {
     "a7_traffic_analysis": analysis.TRAFFIC_ANALYSIS_SQL,
     "a8_participation_map": analysis.PARTICIPATION_MAP_SQL,
     "a9_relevance_uuids": analysis.RELEVANCE_UUIDS_SQL,
+    "doc_exact_dedup": training.DOC_EXACT_DEDUP_SQL,
+    "doc_minhash_pairs": training.DOC_MINHASH_PAIRS_SQL,
+    "doc_simhash": training.DOC_SIMHASH_SQL,
+    "doc_profile": training.DOC_PROFILE_SQL,
+    "doc_fingerprint": training.DOC_FINGERPRINT_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"

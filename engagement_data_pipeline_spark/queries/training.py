@@ -1,0 +1,178 @@
+"""Registry queries for the training-data operators over the
+`documents` table, each with an exact DuckDB oracle that mirrors the
+same md5-based deterministic algorithms (see training/dedup.py,
+training/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from ..training import dedup as D
+from ..training import text as T
+from ._helpers import apply_runtime_conf
+
+_K = D.NUM_HASHES
+_B = D.BANDS
+_R = D.ROWS_PER_BAND
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return load(spark, sf_dir, "documents")
+
+
+# Shared oracle fragments -------------------------------------------------
+
+_NORM_CTE = r"""
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+)
+"""
+
+_SHINGLES_CTE = _NORM_CTE + """,
+shw AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM norm),
+sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(generate_series(1, len(w)-2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [norm] END) AS shingles
+  FROM shw
+)
+"""
+
+
+# --- exact dedup ---------------------------------------------------------
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+DOC_EXACT_DEDUP_SQL = "WITH " + _NORM_CTE + """
+SELECT sha256(norm) AS text_sha, COUNT(*) AS n_docs,
+       MIN(doc_id) AS representative_id
+FROM norm GROUP BY sha256(norm)
+"""
+
+
+# --- MinHash-LSH near-dup pairs -----------------------------------------
+
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
+def _minhash_sql() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
+        for i in range(_K))
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"sig[{b * _R + r + 1}]" for r in range(_R)))
+        for b in range(_B))
+    return ("WITH " + _SHINGLES_CTE + f""",
+sig AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) AS jaccard
+FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) >= 0.5
+""")
+
+
+DOC_MINHASH_PAIRS_SQL = _minhash_sql()
+
+
+# --- SimHash -------------------------------------------------------------
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> 2*((x >> {b}) & 1) - 1)) > 0 "
+        f"THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS))
+    return ("WITH " + _NORM_CTE + """,
+words AS (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS w FROM norm),
+hashes AS (
+  SELECT doc_id, list_transform(
+      w, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS h
+  FROM words
+)
+SELECT doc_id, CAST(""" + bit_terms + " AS BIGINT) AS simhash FROM hashes")
+
+
+DOC_SIMHASH_SQL = _simhash_sql()
+
+
+# --- token counts + quality + language ID -------------------------------
+
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.document_profile(_docs(spark, sf_dir))
+
+
+def _profile_sql() -> str:
+    stop_list = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
+    langs = sorted(T.LANG_MARKERS)
+    scores = {
+        lang: ("len(list_filter(w, x -> list_contains(["
+               + ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+               + "], x)))")
+        for lang in langs
+    }
+    max_score = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    winner = "CASE WHEN " + max_score + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {max_score} THEN '{lang}'" for lang in langs) + " END"
+    score_cols = ", ".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())
+    return ("WITH " + _NORM_CTE + f""",
+base AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM norm),
+scored AS (SELECT *, {score_cols} FROM base)
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(norm) AS BIGINT) AS n_chars,
+  CAST(len(w) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+  CAST(length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      / CAST(length(norm) AS DOUBLE) AS punct_ratio,
+  CAST(len(list_filter(w, x -> list_contains({stop_list}, x))) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+  {winner} AS lang_guess
+FROM scored""")
+
+
+DOC_PROFILE_SQL = _profile_sql()
+
+
+# --- fingerprint ---------------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+DOC_FINGERPRINT_SQL = "WITH " + _NORM_CTE + """
+SELECT doc_id, list_sort(list_distinct(list_filter(
+    list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+                   i -> md5(substr(norm, i, 8))),
+    h -> h LIKE '%0'))) AS fp
+FROM norm
+"""

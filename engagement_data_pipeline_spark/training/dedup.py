@@ -1,0 +1,151 @@
+"""Document deduplication: exact, MinHash-LSH (banded), SimHash.
+
+The scale story (the whole point of these operators):
+
+* Exact dedup is a hash aggregation on sha256(normalized text) — one
+  shuffle, arbitrarily parallel, no memory hotspots unless one text
+  value dominates (then AQE skew handling splits it).
+* MinHash-LSH NEVER materializes all pairs. Each doc computes a
+  k-hash signature over its word-3-gram shingle set (k independent
+  md5 min-hashes), the signature is cut into b bands of r rows, and
+  docs join only within (band_index, band_key) buckets. For docs with
+  Jaccard j, P(candidate) = 1-(1-j^r)^b — with k=12, b=4, r=3 the
+  curve crosses 50% near j≈0.6. Candidate pairs are then verified
+  with the true shingle Jaccard. Cost: O(n·k) signature work + a
+  shuffle on band keys + bucket-local pairing.
+* SimHash computes one 16-bit signature per doc from per-word hash
+  bit votes — pure projection, no shuffle at all; grouping equal
+  signatures afterwards is one aggregation.
+
+All hashing is md5-hex (byte-identical in DuckDB), so each operator
+has an exact oracle (see queries/training.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = 3
+SHINGLE_WORDS = 3
+SIMHASH_BITS = 16
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, trim, collapse whitespace — the canonical text for
+    all dedup operators."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def word_shingles(text: Column, n: int = SHINGLE_WORDS) -> Column:
+    """Distinct word n-grams of the normalized text; texts shorter
+    than n words contribute their whole text as one shingle."""
+    w = F.split(normalize_text(text), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= n, grams).otherwise(F.array(normalize_text(text))))
+
+
+def _minhash(shingles: Column, seed: int) -> Column:
+    """One min-hash: lexicographic min of md5('<seed>:'+shingle)."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+
+
+def minhash_signature(shingles: Column, k: int = NUM_HASHES) -> Column:
+    return F.array(*[_minhash(shingles, i) for i in range(k)])
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by sha256 of normalized text; the
+    representative is the min id (deterministic, unlike
+    dropDuplicates). Returns (text_sha, n_docs, representative_id)."""
+    return (
+        docs.select(F.sha2(normalize_text(F.col(text_col)), 256).alias("text_sha"),
+                    F.col(id_col))
+        .groupBy("text_sha")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("representative_id"))
+    )
+
+
+def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           threshold: float = 0.5) -> DataFrame:
+    """Banded MinHash-LSH near-duplicate detection.
+
+    Pipeline: shingle → signature → explode into b band keys →
+    self-join per (band, key) bucket (a < b) → distinct candidate
+    pairs → verify true shingle Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, jaccard). The only shuffles are the band-key
+    join and the two id-keyed verify joins — never an all-pairs
+    product.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col)).alias("shingles"),
+    )
+    sig = sh.select("id", minhash_signature(F.col("shingles")).alias("sig"))
+
+    bands = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(
+                    "|", *[F.col("sig")[b * ROWS_PER_BAND + r]
+                           for r in range(ROWS_PER_BAND)])).alias("key"),
+            )
+            for b in range(BANDS)
+        ])).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = bands.alias("x")
+    right = bands.alias("y")
+    candidates = (
+        left.join(right, (F.col("x.band") == F.col("y.band"))
+                  & (F.col("x.key") == F.col("y.key"))
+                  & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                (inter.cast("double") / union.cast("double")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over distinct words: each word's md5-derived
+    integer votes ±1 per bit position; the signature bit is 1 iff the
+    vote sum is positive. Pure projection — zero shuffles."""
+    w = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    h = F.transform(
+        w, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"))
+
+    def bit_vote(b: int) -> Column:
+        votes = F.aggregate(
+            h, F.lit(0).cast("long"),
+            lambda acc, x: acc + (F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1))
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sig = bit_vote(0)
+    for b in range(1, bits):
+        sig = sig + bit_vote(b) * (2 ** b)
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))

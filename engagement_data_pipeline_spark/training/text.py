@@ -1,0 +1,107 @@
+"""Text analysis operators: token counting, quality scoring,
+language-ID, document fingerprinting.
+
+All pure column expressions (whole-stage codegen, no shuffle, no
+Python), so they cost one scan even at 100 TB and can be fused with
+any downstream aggregation. Ratios are double divisions of exact
+integers computed in a fixed operand order, giving bit-identical
+results in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# A small english-ish stopword list for quality scoring (the reference
+# pipeline's quality heuristics are length/ratio based; SURVEY brief
+# asks for length/punct/stopword ratios).
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# Marker words per language for the n-gram voting heuristic. Voting is
+# deterministic: score per language = number of marker hits; argmax
+# with lexicographic tie-break; 'und' when no marker hits at all.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "la", "les", "est", "et"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    """Whitespace tokens and BPE-ish regex tokens of normalized text."""
+    norm = normalize_text(text)
+    return {
+        "n_ws_tokens": F.size(F.split(norm, " ")).cast("long"),
+        "n_bpe_tokens": F.regexp_count(norm, F.lit(TOKEN_PATTERN)).cast("long"),
+    }
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals: char/word counts, mean word
+    length, punctuation ratio, stopword ratio."""
+    norm = normalize_text(text)
+    words = F.split(norm, " ")
+    n_chars = F.length(norm).cast("long")
+    n_words = F.size(words).cast("long")
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    n_punct = (n_chars - F.length(F.regexp_replace(norm, r"[^a-z0-9 ]", ""))).cast("long")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS))).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": sum_word_len.cast("double") / n_words.cast("double"),
+        "punct_ratio": n_punct.cast("double") / n_chars.cast("double"),
+        "stopword_ratio": n_stop.cast("double") / n_words.cast("double"),
+    }
+
+
+def language_id(text: Column) -> Column:
+    """Marker-word voting language ID. Deterministic argmax: highest
+    hit count wins, ties broken by language code order, zero hits →
+    'und'."""
+    norm = normalize_text(text)
+    words = F.split(norm, " ")
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in sorted(LANG_MARKERS):
+        score = F.size(F.filter(words, lambda w: w.isin(LANG_MARKERS[lang]))).cast("long")
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column, char_ngram: int = 8) -> Column:
+    """Document fingerprint: md5 hashes of character 8-grams, mod-16
+    sampled (hashes ending in '0'), sorted distinct. Two documents
+    sharing content share fingerprint hashes — a compact sketch for
+    containment checks (the rolling-hash fingerprint family)."""
+    norm = normalize_text(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (char_ngram - 1), F.lit(1))),
+        lambda i: F.md5(norm.substr(i, F.lit(char_ngram))),
+    )
+    sampled = F.filter(grams, lambda h: h.endswith("0"))
+    return F.array_sort(F.array_distinct(sampled))
+
+
+def document_profile(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One row per doc with all text-analysis columns — a single
+    projection over the scan."""
+    t = F.col(text_col)
+    cols = {**token_counts(t), **quality_metrics(t)}
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(name) for name, c in cols.items()],
+        language_id(t).alias("lang_guess"),
+    )
