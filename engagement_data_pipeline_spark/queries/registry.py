@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analysis, engagement, tpch, training
+from . import analysis, engagement, similarity, tpch, training
 
 # name -> callable(spark, sf_dir) -> DataFrame
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -42,6 +42,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash": training.doc_simhash,
     "doc_profile": training.doc_profile,
     "doc_fingerprint": training.doc_fingerprint,
+    "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
+    "ann_topk_lsh": similarity.ann_topk_lsh,
 }
 
 # name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
@@ -70,6 +72,8 @@ ORACLES: dict[str, str] = {
     "doc_simhash": training.DOC_SIMHASH_SQL,
     "doc_profile": training.DOC_PROFILE_SQL,
     "doc_fingerprint": training.DOC_FINGERPRINT_SQL,
+    "ann_topk_bruteforce": similarity.ANN_TOPK_BRUTEFORCE_SQL,
+    "ann_topk_lsh": similarity.ANN_TOPK_LSH_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"

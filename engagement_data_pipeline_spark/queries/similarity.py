@@ -1,0 +1,94 @@
+"""Registry queries for similarity search over `embeddings`, with
+exact DuckDB oracles (float→double sequential folds are bit-identical
+across engines — see training/similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import load
+from ..training import similarity as S
+from ._helpers import apply_runtime_conf
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+K = 10
+# 4 bits → 16 buckets: sized so buckets stay populated at sf0.01's 500
+# vectors; at production scale nbits grows with log2(n / target bucket
+# size) (the operator takes nbits as a parameter).
+LSH_QUERY_BITS = 4
+
+_Q_IN = "(" + ", ".join(str(i) for i in QUERY_IDS) + ")"
+
+_DOT = ("list_sum(list_transform(generate_series(1, len({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+_NORM = ("sqrt(list_sum(list_transform({a}, "
+         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (f"{_DOT.format(a=a, b=b)} / "
+            f"({_NORM.format(a=a)} * {_NORM.format(a=b)})")
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return S.cosine_topk(load(spark, sf_dir, "embeddings"), QUERY_IDS, K)
+
+
+ANN_TOPK_BRUTEFORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN {_Q_IN}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {_cosine_sql("e.embedding", "q.q_emb")} AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT * FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {K}
+"""
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return S.cosine_topk_lsh(load(spark, sf_dir, "embeddings"), QUERY_IDS, K,
+                             nbits=LSH_QUERY_BITS)
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = []
+    for j in range(LSH_QUERY_BITS):
+        coeff = (f"CAST(CAST(('0x' || substr(md5('hp{j}:' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) "
+                 f"% {S.HYPERPLANE_MOD} - {S.HYPERPLANE_SHIFT} AS DOUBLE)")
+        proj = (f"list_sum(list_transform(generate_series(1, len({emb})), "
+                f"i -> CAST({emb}[i] AS DOUBLE) * {coeff}))")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+ANN_TOPK_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding AS emb, {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, bucket FROM b
+  WHERE vec_id IN {_Q_IN}
+),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         {_cosine_sql("b.emb", "q.q_emb")} AS cosine
+  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.query_id
+)
+SELECT * FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {K}
+"""
