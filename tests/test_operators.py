@@ -1,0 +1,140 @@
+"""Unit tests for the generic relational operators on literal frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.operators.dedup import (
+    assert_unique,
+    duplicate_keys,
+    idempotent_upsert,
+    latest_snapshot,
+)
+from engagement_data_pipeline_spark.operators.filters import (
+    allowlist_semi_join,
+    exclude_values,
+    resolve_live_stale,
+    retraction_anti_join,
+    time_range_filter,
+    timestamp_router,
+)
+from engagement_data_pipeline_spark.operators.folds import (
+    fold_concat,
+    fold_distinct_concat,
+)
+from engagement_data_pipeline_spark.operators.topk import top_k_per_group
+
+
+def test_latest_snapshot_keeps_newest_per_key(spark):
+    df = spark.createDataFrame(
+        [("m1", 1, "old"), ("m1", 3, "new"), ("m1", 2, "mid"), ("m2", 1, "only")],
+        "id string, v int, val string")
+    out = latest_snapshot(df, ["id"], ["v"])
+    assert {(r.id, r.val) for r in out.collect()} == {("m1", "new"), ("m2", "only")}
+
+
+def test_latest_snapshot_tiebreaker_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [("m1", 1, "a"), ("m1", 1, "b")], "id string, v int, t string")
+    out = latest_snapshot(df, ["id"], ["v", "t"])  # t desc breaks the tie
+    assert [r.t for r in out.collect()] == ["b"]
+
+
+def test_duplicate_keys_and_assert_unique(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "origin_id string")
+    dupes = duplicate_keys(df, ["origin_id"]).collect()
+    assert [(r.origin_id, r.n) for r in dupes] == [("a", 2)]
+    with pytest.raises(AssertionError):
+        assert_unique(df, ["origin_id"])
+    assert_unique(df.where(F.col("origin_id") == "b"), ["origin_id"])
+
+
+def test_idempotent_upsert_existing_wins_and_is_idempotent(spark):
+    existing = spark.createDataFrame([("o1", "kept")], "origin_id string, val string")
+    incoming = spark.createDataFrame(
+        [("o1", "ignored"), ("o2", "new"), ("o2", "new")],
+        "origin_id string, val string")
+    once = idempotent_upsert(existing, incoming, ["origin_id"])
+    assert {(r.origin_id, r.val) for r in once.collect()} == {("o1", "kept"), ("o2", "new")}
+    twice = idempotent_upsert(once, incoming, ["origin_id"])
+    assert sorted(twice.collect()) == sorted(once.collect())
+
+
+def test_resolve_live_stale(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", "p1", "live", "a"),
+            ("d1", "p1", "stale", "dropped"),   # p1 has a live row in d1
+            ("d1", "p2", "stale", "kept"),      # p2 has none
+            ("d2", "p1", "stale", "kept-d2"),   # p1 has none in d2
+        ],
+        "dataset string, participant string, status string, val string")
+    out = resolve_live_stale(df, "status", "live", "stale", ["dataset", "participant"])
+    assert {r.val for r in out.collect()} == {"a", "kept", "kept-d2"}
+
+
+def test_time_range_filter_gates_only_matching_rows(spark):
+    df = spark.createDataFrame(
+        [("rqa", 5), ("rqa", 15), ("other", 99)], "kind string, ts int")
+    out = time_range_filter(df, "ts", F.col("kind") == "rqa", 0, 10)
+    assert {(r.kind, r.ts) for r in out.collect()} == {("rqa", 5), ("other", 99)}
+    half_open = time_range_filter(df, "ts", F.col("kind") == "rqa", 5, 15,
+                                  inclusive_end=False)
+    assert {r.ts for r in half_open.collect()} == {5, 99}
+
+
+def test_exclude_values(spark):
+    df = spark.createDataFrame([("p1",), ("p2",)], "p string")
+    assert [r.p for r in exclude_values(df, "p", ["p1"]).collect()] == ["p2"]
+
+
+def test_allowlist_and_retraction_joins(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    keys = spark.createDataFrame([("a",)], "k string")
+    assert [r.k for r in allowlist_semi_join(df, keys, ["k"]).collect()] == ["a"]
+    assert [r.k for r in retraction_anti_join(df, keys, ["k"]).collect()] == ["b"]
+
+
+def test_timestamp_router_routes_and_drops(spark):
+    df = spark.createDataFrame(
+        [("2024-01-02 00:00:00",), ("2024-02-02 00:00:00",), ("2030-01-01 00:00:00",)],
+        "ts string").select(F.col("ts").cast("timestamp"))
+    out = timestamp_router(
+        df, "ts",
+        [("jan", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+         ("feb", "2024-02-01 00:00:00", "2024-03-01 00:00:00")])
+    assert sorted(r.dataset for r in out.collect()) == ["feb", "jan"]
+
+
+def test_timestamp_router_rejects_overlap(spark):
+    df = spark.createDataFrame([("2024-01-02 00:00:00",)], "ts string")
+    with pytest.raises(ValueError):
+        timestamp_router(df, "ts",
+                         [("a", "2024-01-01", "2024-03-01"),
+                          ("b", "2024-02-01", "2024-04-01")])
+
+
+def test_fold_concat_orders_by_sort_cols(spark):
+    df = spark.createDataFrame(
+        [("p1", 2, "second"), ("p1", 1, "first"), ("p2", 1, "solo")],
+        "p string, ord int, txt string")
+    out = fold_concat(df, ["p"], "txt", ["ord"], sep="; ", out_col="f")
+    got = {r.p: r.f for r in out.collect()}
+    assert got == {"p1": "first; second", "p2": "solo"}
+
+
+def test_fold_distinct_concat_sorts_and_dedups(spark):
+    df = spark.createDataFrame(
+        [("p1", "b"), ("p1", "a"), ("p1", "b")], "p string, v string")
+    out = fold_distinct_concat(df, ["p"], "v", sep=";", out_col="f")
+    assert out.collect()[0].f == "a;b"
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(5)] + [("g2", 0)], "g string, v int")
+    out = top_k_per_group(df, ["g"], [F.col("v")], 2, rank_col="rank")
+    got = sorted((r.g, r.v, r.rank) for r in out.collect())
+    assert got == [("g1", 0, 1), ("g1", 1, 2), ("g2", 0, 1)]

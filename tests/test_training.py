@@ -1,0 +1,90 @@
+"""Training-data operator tests: dedup family + text analysis."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.training.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    simhash,
+    word_shingles,
+)
+from engagement_data_pipeline_spark.training.text import (
+    document_profile,
+    fingerprint,
+)
+
+BASE = ("spark shuffles data between stages when a wide dependency "
+        "requires repartitioning by key across the cluster nodes")
+NEAR = BASE.replace("cluster", "compute")  # one word differs
+FAR = "completely different text about cats and dogs and birds"
+
+
+def docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_word_shingles_short_text_fallback(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    got = df.select(word_shingles(F.col("text")).alias("s")).collect()[0].s
+    assert got == ["a b"]
+
+
+def test_exact_dedup_groups_normalizes(spark):
+    df = docs(spark, ["Hello  World", "hello world", "other"])
+    out = exact_dedup_groups(df).collect()
+    by_n = {r.n_docs: r for r in out}
+    assert len(out) == 2
+    assert by_n[2].representative_id == 0  # min doc_id, deterministic
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    df = docs(spark, [BASE, NEAR, FAR])
+    pairs = minhash_near_dup_pairs(df, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+    assert pairs[0].jaccard > 0.6
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    df = docs(spark, [BASE, BASE])
+    pairs = minhash_near_dup_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+
+
+def test_simhash_close_for_near_dups(spark):
+    out = {r.doc_id: r.simhash for r in simhash(docs(spark, [BASE, BASE, FAR])).collect()}
+    assert out[0] == out[1]
+    assert 0 <= out[0] < 2 ** 16
+    assert out[0] != out[2]
+
+
+def test_fingerprint_shares_hashes_for_shared_content(spark):
+    df = docs(spark, [BASE, NEAR, FAR])
+    fps = {r.doc_id: set(r.fp) for r in
+           df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    overlap_near = len(fps[0] & fps[1])
+    overlap_far = len(fps[0] & fps[2])
+    assert overlap_near > overlap_far
+
+
+def test_document_profile_metrics(spark):
+    df = docs(spark, ["the cat, the hat!"])
+    r = document_profile(df).collect()[0]
+    assert r.n_ws_tokens == 4
+    assert r.n_words == 4
+    assert r.n_chars == 17
+    # tokens: the / cat / , / the / hat / !
+    assert r.n_bpe_tokens == 6
+    assert r.punct_ratio == 2.0 / 17.0
+    assert r.stopword_ratio == 0.5  # 'the' twice out of 4 words
+    assert r.lang_guess == "en"
+
+
+def test_document_profile_langid_votes(spark):
+    df = docs(spark, ["der hund und die katze ist da",
+                      "xyzzy plugh"])
+    out = {r.doc_id: r.lang_guess for r in document_profile(df).collect()}
+    assert out[0] == "de"
+    assert out[1] == "und"  # no marker hits

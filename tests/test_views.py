@@ -1,0 +1,109 @@
+"""Column-view tests: G1 fold + F7 + M6 TRUE_MISSING + M7 NIC + M8
+consent cascade, on literal nested messages."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from engagement_data_pipeline_spark.labels.config import (
+    AnalysisConfig,
+    CodingConfig,
+    DatasetConfig,
+    DEMOGRAPHIC,
+    RESEARCH_QUESTION_ANSWER,
+)
+from engagement_data_pipeline_spark.labels.schema import MESSAGE_SCHEMA
+from engagement_data_pipeline_spark.labels.views import (
+    consent_withdrawn_uuids,
+    messages_by_column,
+    participants_by_column,
+)
+
+T0 = dt.datetime(2024, 1, 10, 0, 0, 0)
+
+CONFIG = AnalysisConfig(datasets=(
+    DatasetConfig("gender", DEMOGRAPHIC, "gender_raw",
+                  (CodingConfig("gender_scheme", "gender_codes"),)),
+    DatasetConfig("s01e01", RESEARCH_QUESTION_ANSWER, "s01e01_raw",
+                  (CodingConfig("theme_scheme", "theme_codes"),)),
+))
+
+
+def label(scheme, code, at=T0):
+    return (scheme, code, at, True, "test")
+
+
+def msg(mid, dataset, text, labels, participant="p1", at=T0):
+    return (mid, participant, text, at, "in", "telegram", "live", dataset,
+            [], labels, ("o-" + mid, "test"), "sha", at)
+
+
+def test_participants_view_folds_and_imputes(spark):
+    rows = [
+        msg("m1", "s01e01", "first", [label("theme_scheme", "t1")], "p1", T0),
+        msg("m2", "s01e01", "second", [label("theme_scheme", "t2")], "p1",
+            T0 + dt.timedelta(minutes=1)),
+        msg("m3", "gender", "male", [label("gender_scheme", "g_male")], "p1"),
+        # p2: RQA only → gender column must impute TM
+        msg("m4", "s01e01", "solo", [label("theme_scheme", "t1")], "p2"),
+        # p3: demog only → F7 drops them entirely
+        msg("m5", "gender", "female", [label("gender_scheme", "g_f")], "p3"),
+    ]
+    df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
+    out = {r.participant_uuid: r for r in
+           participants_by_column(df, CONFIG).collect()}
+
+    assert set(out) == {"p1", "p2"}  # F7: p3 has no RQA message
+    assert out["p1"].s01e01_raw == "first; second"  # ordered fold
+    assert out["p1"].theme_codes == "t1;t2"         # merged label lists
+    assert out["p1"].gender_codes == "g_male"
+    assert out["p2"].gender_codes == "TM"           # M6
+    assert out["p2"].gender_raw == ""
+    assert out["p1"].consent_withdrawn == "false"
+
+
+def test_nic_replaces_conflicting_demog_normals(spark):
+    rows = [
+        msg("m1", "s01e01", "x", [label("theme_scheme", "t1")], "p1"),
+        msg("m2", "gender", "male", [label("gender_scheme", "g_m")], "p1"),
+        msg("m3", "gender", "female", [label("gender_scheme", "g_f")], "p1",
+            T0 + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
+    out = participants_by_column(df, CONFIG).collect()[0]
+    assert out.gender_codes == "NIC"  # M7: two distinct normals
+
+
+def test_consent_cascade_overwrites_everything(spark):
+    rows = [
+        msg("m1", "s01e01", "hello", [label("theme_scheme", "STOP")], "p1"),
+        msg("m2", "gender", "male", [label("gender_scheme", "g_m")], "p1"),
+        msg("m3", "s01e01", "fine", [label("theme_scheme", "t1")], "p2"),
+    ]
+    df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
+    assert [r.participant_uuid for r in consent_withdrawn_uuids(df).collect()] == ["p1"]
+    out = {r.participant_uuid: r for r in
+           participants_by_column(df, CONFIG).collect()}
+    assert out["p1"].consent_withdrawn == "true"
+    assert out["p1"].s01e01_raw == "STOP"       # M8 masks every column
+    assert out["p1"].gender_codes == "STOP"
+    assert out["p1"].operators == "STOP"
+    assert out["p2"].consent_withdrawn == "false"
+    assert out["p2"].s01e01_raw == "fine"
+
+
+def test_messages_view_one_row_per_rqa_message(spark):
+    rows = [
+        msg("m1", "s01e01", "hello", [label("theme_scheme", "t1")], "p1"),
+        msg("m2", "s01e01", "again", [label("theme_scheme", "t2")], "p1",
+            T0 + dt.timedelta(minutes=1)),
+        msg("m3", "gender", "male", [label("gender_scheme", "g_m")], "p1"),
+    ]
+    df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
+    out = {r.message_id: r for r in messages_by_column(df, CONFIG).collect()}
+    assert set(out) == {"m1", "m2"}  # one row per RQA message
+    for m in out.values():           # demogs joined onto every row
+        assert m.gender_raw == "male"
+        assert m.gender_codes == "g_m"
+    assert out["m1"].s01e01_raw == "hello"
+    assert out["m1"].theme_codes == "t1"
