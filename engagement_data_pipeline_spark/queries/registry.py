@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analysis, engagement, similarity, tpch, training
+from . import analysis, engagement, similarity, sinks_sources, tpch, training
 
 # name -> callable(spark, sf_dir) -> DataFrame
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -44,6 +44,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": training.doc_fingerprint,
     "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
     "ann_topk_lsh": similarity.ann_topk_lsh,
+    "k2_production": sinks_sources.k2_production,
+    "k3_analysis_matrix": sinks_sources.k3_analysis_matrix,
+    "s8_csv_ingest": sinks_sources.s8_csv_ingest,
+    "x_clean_functions": sinks_sources.x_clean_functions,
 }
 
 # name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
@@ -74,6 +78,10 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": training.DOC_FINGERPRINT_SQL,
     "ann_topk_bruteforce": similarity.ANN_TOPK_BRUTEFORCE_SQL,
     "ann_topk_lsh": similarity.ANN_TOPK_LSH_SQL,
+    "k2_production": sinks_sources.K2_PRODUCTION_SQL,
+    "k3_analysis_matrix": sinks_sources.K3_ANALYSIS_MATRIX_SQL,
+    "s8_csv_ingest": sinks_sources.S8_CSV_INGEST_SQL,
+    "x_clean_functions": sinks_sources.X_CLEAN_FUNCTIONS_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"
