@@ -198,6 +198,33 @@ FROM filtered
 
 
 # ---------------------------------------------------------------------------
+# S2/S3/F2 incremental replay — cache + increment + retraction must
+# reproduce the full fetch exactly, so its oracle IS the full-recompute
+# SQL (MESSAGES_RESOLVED_SQL).
+# ---------------------------------------------------------------------------
+
+INCREMENTAL_WATERMARK = "2024-01-15 12:00:00"
+
+
+def messages_resolved_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulate a prior run at the watermark (cache = per-dataset
+    latest snapshots with last_updated <= W), then replay the
+    incremental path: increment > W, moved-message retraction, F1+F4.
+    Must equal the full fetch bit-for-bit."""
+    from ..operators.dedup import latest_snapshot
+    from ..operators.incremental import incremental_fetch
+
+    msgs = _messages(spark, sf_dir)
+    w = F.lit(INCREMENTAL_WATERMARK).cast("timestamp")
+    cached = latest_snapshot(msgs.where(F.col("last_updated") <= w),
+                             ["message_id"], ["last_updated", "message_id"])
+    out = incremental_fetch(msgs, cached,
+                            CONFIG.rqa_datasets + CONFIG.demog_datasets,
+                            INCREMENTAL_WATERMARK, INCREMENTAL_WATERMARK)
+    return out.select("message_id", "participant_uuid", "dataset", "status")
+
+
+# ---------------------------------------------------------------------------
 # G1 text fold
 # ---------------------------------------------------------------------------
 

@@ -23,6 +23,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05_local_supplier": tpch.q05_local_supplier,
     "messages_latest": engagement.messages_latest,
     "messages_resolved": engagement.messages_resolved,
+    "incremental_replay": engagement.messages_resolved_incremental,
     "messages_filtered": engagement.messages_filtered,
     "participants_fold_text": engagement.participants_fold_text,
     "messages_imputed": engagement.messages_imputed,
@@ -57,6 +58,7 @@ ORACLES: dict[str, str] = {
     "q05_local_supplier": tpch.Q05_SQL,
     "messages_latest": engagement.MESSAGES_LATEST_SQL,
     "messages_resolved": engagement.MESSAGES_RESOLVED_SQL,
+    "incremental_replay": engagement.MESSAGES_RESOLVED_SQL,
     "messages_filtered": engagement.MESSAGES_FILTERED_SQL,
     "participants_fold_text": engagement.PARTICIPANTS_FOLD_SQL,
     "messages_imputed": engagement.MESSAGES_IMPUTED_SQL,
