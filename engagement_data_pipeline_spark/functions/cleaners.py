@@ -91,8 +91,28 @@ def coda_id(text: Column) -> Column:
 def parse_multiformat_timestamp(raw: Column,
                                 formats: Sequence[str] = CSV_TIMESTAMP_FORMATS) -> Column:
     """X5: first-matching-format parse; NULL if nothing matches
-    (callers decide whether that's fatal, as the reference does)."""
-    return F.coalesce(*[F.try_to_timestamp(raw, F.lit(f)) for f in formats])
+    (callers decide whether that's fatal, as the reference does).
+
+    A failed try_to_timestamp is an exception-driven slow path, so
+    rows are first dispatched to their syntactically-matching format
+    by cheap regexes (the six formats are mutually exclusive on
+    separator / year position / fraction); the ordered try-chain only
+    runs for rows no dispatch rule claims, preserving the reference's
+    first-format-wins semantics exactly."""
+    chain = F.coalesce(*[F.try_to_timestamp(raw, F.lit(f)) for f in formats])
+    if list(formats) != CSV_TIMESTAMP_FORMATS:
+        return chain
+    frac = raw.contains(".")
+    fast = (
+        F.when(raw.rlike(r"^\d{4}-"), F.try_to_timestamp(raw, F.lit("yyyy-M-d H:mm:ss")))
+        .when(raw.rlike(r"^\d{4}/"),
+              F.when(frac, F.try_to_timestamp(raw, F.lit("yyyy/M/d H:mm:ss.SSSSSS")))
+              .otherwise(F.try_to_timestamp(raw, F.lit("yyyy/M/d H:mm:ss"))))
+        .when(frac, F.try_to_timestamp(raw, F.lit("d/M/yyyy H:mm:ss.SSSSSS")))
+        .when(raw.rlike(r":\d{1,2}:"), F.try_to_timestamp(raw, F.lit("d/M/yyyy H:mm:ss")))
+        .otherwise(F.try_to_timestamp(raw, F.lit("d/M/yyyy H:mm")))
+    )
+    return F.coalesce(fast, chain)
 
 
 def min_timestamp(*cols: Column) -> Column:

@@ -20,7 +20,7 @@ is ordered by (timestamp, message_id) and code lists are sorted.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .config import (
@@ -82,10 +82,6 @@ def participants_by_column(imputed: DataFrame, config: AnalysisConfig) -> DataFr
     rqa = config.rqa_datasets
     is_rqa = F.col("dataset").isin(rqa)
 
-    # F7: only participants with ≥1 RQA message
-    senders = imputed.where(is_rqa).select("participant_uuid").distinct()
-    msgs = imputed.join(senders, "participant_uuid", "left_semi")
-
     aggs: list[Column] = []
     coded_fields: list[tuple[str, str]] = []  # (field, dataset_type)
     for d in config.datasets:
@@ -96,8 +92,15 @@ def participants_by_column(imputed: DataFrame, config: AnalysisConfig) -> DataFr
             coded_fields.append((cc.coded_field, d.dataset_type))
     aggs.append(F.array_sort(
         F.collect_set(F.when(is_rqa, F.col("channel_operator")))).alias("__operators"))
+    # F7 folded into the same aggregation: a participant with no RQA
+    # message is filtered AFTER the groupBy instead of via a semi-join
+    # branch that would re-scan the input.
+    aggs.append(F.max(is_rqa.cast("int")).alias("__has_rqa"))
 
-    g = msgs.groupBy("participant_uuid").agg(*aggs)
+    g = (
+        imputed.groupBy("participant_uuid").agg(*aggs)
+        .where(F.col("__has_rqa") == 1).drop("__has_rqa")
+    )
 
     # M6 then M7 (demog columns only), reference order :844-863
     for field, ds_type in coded_fields:
@@ -139,6 +142,16 @@ def messages_by_column(imputed: DataFrame, config: AnalysisConfig) -> DataFrame:
     rqa = config.rqa_datasets
     is_rqa = F.col("dataset").isin(rqa)
 
+    # G4/M8's withdrawn flag as a window max over one shuffle on
+    # participant_uuid — the same partitioning the demog fold and the
+    # demog⋈RQA join need, so the exchange is computed once and reused
+    # instead of a third scan + broadcast-join branch.
+    stop_flag = F.exists(
+        F.col("labels"), lambda l: l["code_id"] == STOP).cast("int")
+    base = imputed.withColumn(
+        "__withdrawn",
+        F.max(stop_flag).over(Window.partitionBy("participant_uuid")) == 1)
+
     demogs = [d for d in config.datasets if d.dataset_type == DEMOGRAPHIC]
     aggs: list[Column] = []
     for d in demogs:
@@ -147,10 +160,10 @@ def messages_by_column(imputed: DataFrame, config: AnalysisConfig) -> DataFrame:
         for cc in d.coding_configs:
             aggs.append(_codes_agg(is_d, cc.scheme_id, "__" + cc.coded_field))
     demog_view = (
-        imputed.where(~is_rqa).groupBy("participant_uuid").agg(*aggs)
+        base.where(~is_rqa).groupBy("participant_uuid").agg(*aggs)
     )
 
-    rqa_rows = imputed.where(is_rqa)
+    rqa_rows = base.where(is_rqa)
     joined = rqa_rows.join(demog_view, "participant_uuid", "left")
 
     # Left-join misses → empty text / empty code lists, then M6/M7.
@@ -160,10 +173,6 @@ def messages_by_column(imputed: DataFrame, config: AnalysisConfig) -> DataFrame:
             col = "__" + cc.coded_field
             arr = F.coalesce(F.col(col), F.array().cast("array<string>"))
             joined = joined.withColumn(col, _impute_nic(_impute_tm(arr)))
-
-    withdrawn_flag = consent_withdrawn_uuids(imputed).withColumn("__withdrawn", F.lit(True))
-    joined = joined.join(F.broadcast(withdrawn_flag), "participant_uuid", "left")
-    joined = joined.withColumn("__withdrawn", F.coalesce(F.col("__withdrawn"), F.lit(False)))
 
     stop_lit = F.lit(STOP)
     out_cols: list[Column] = [

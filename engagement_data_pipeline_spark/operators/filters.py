@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -20,15 +20,19 @@ def resolve_live_stale(df: DataFrame, status_col: str, live_value: str,
 
     Reference: src/common/get_messages_in_datasets.py:171-191 (keeps
     stale messages only for participants with no live message in the
-    dataset). Expressed as split + left-anti join — one shuffle, no
-    driver-side sets.
+    dataset). Expressed as a single window max — ONE pass over one
+    shuffle of the input, where the naive split + anti-join form
+    scans the (possibly 100 TB) input twice and shuffles both halves.
     """
-    live = df.where(F.col(status_col) == live_value)
-    stale = df.where(F.col(status_col) == stale_value)
-    stale_kept = stale.join(
-        live.select(*partition_cols).distinct(), list(partition_cols), "left_anti"
+    status = F.col(status_col)
+    has_live = F.max((status == live_value).cast("int")).over(
+        Window.partitionBy(*partition_cols))
+    return (
+        df.where(status.isin(live_value, stale_value))
+        .withColumn("__has_live", has_live)
+        .where((status == live_value) | (F.col("__has_live") == 0))
+        .drop("__has_live")
     )
-    return live.unionByName(stale_kept)
 
 
 def time_range_filter(df: DataFrame, ts_col: str, gated_predicate: Column,

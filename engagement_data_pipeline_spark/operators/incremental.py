@@ -105,18 +105,34 @@ def incremental_dataset_fetch(messages: DataFrame, cached: DataFrame,
 def incremental_fetch(messages: DataFrame, cached: DataFrame,
                       datasets: Sequence[str], watermark,
                       ws_watermark) -> DataFrame:
-    """The full incremental fetch stage: per-dataset replay (S2/S3/F2)
-    unioned, then the same F1 dedup + F4 live/stale resolution the
-    full fetch applies (get_messages_in_datasets.py:139-191). With an
-    empty cache and epoch watermarks this reduces exactly to the full
-    fetch."""
-    parts = [
-        incremental_dataset_fetch(messages, cached, d, watermark, ws_watermark)
-        for d in datasets
-    ]
-    un = parts[0]
-    for p in parts[1:]:
-        un = un.unionByName(p)
+    """The full incremental fetch stage (S2/S3/F2 for every dataset at
+    once), then the same F1 dedup + F4 live/stale resolution the full
+    fetch applies (get_messages_in_datasets.py:139-191). With an empty
+    cache and epoch watermarks this reduces exactly to the full fetch.
+
+    Set-wise instead of a per-dataset loop: the retraction keys are
+    (message_id, previous_dataset) pairs from ONE exploded scan of the
+    moved messages, anti-joined against the cache on
+    (message_id, dataset) — so cost is 3 scans total (cache, moved,
+    increment) regardless of how many datasets are configured, where
+    the reference's per-dataset loop multiplies its downloads by the
+    dataset count."""
+    ds_list = list(datasets)
+    updated = messages.where(
+        F.col("dataset").isin(ds_list)
+        & (F.col("last_updated") > F.lit(watermark)))
+    moved_keys = (
+        messages.where(F.col("last_updated") > F.lit(ws_watermark))
+        .select("message_id", "dataset",
+                F.explode("previous_datasets").alias("prev_dataset"))
+        # dataset still == prev_dataset → NOT retracted (:76-79)
+        .where(F.col("dataset") != F.col("prev_dataset"))
+        .select("message_id", F.col("prev_dataset").alias("dataset"))
+    )
+    kept_cache = retraction_anti_join(
+        cached.where(F.col("dataset").isin(ds_list)), moved_keys,
+        ["message_id", "dataset"])
+    un = kept_cache.unionByName(updated)
     latest = latest_snapshot(un, ["message_id"], ["last_updated", "message_id"])
     return resolve_live_stale(latest, "status", "live", "stale",
                               ["dataset", "participant_uuid"])

@@ -45,8 +45,21 @@ def _filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                            CONFIG.test_participants)
 
 
+# The imputed message-grain frame feeds ~12 registry queries (views,
+# A1-A9, K2/K3). In production this stage is materialized once as a
+# parquet/Delta table; within one local session .cache() is the
+# analog, so repeated queries reuse one scan instead of re-deriving
+# the whole spine.
+_IMPUTED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _imputed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return impute_message_grain(_filtered(spark, sf_dir), CONFIG)
+    key = (id(spark), sf_dir)
+    df = _IMPUTED_CACHE.get(key)
+    if df is None:
+        df = impute_message_grain(_filtered(spark, sf_dir), CONFIG).cache()
+        _IMPUTED_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------

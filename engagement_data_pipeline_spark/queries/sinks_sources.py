@@ -94,7 +94,9 @@ _DUCK_FMTS = ["%-d/%-m/%Y %-H:%M:%S", "%Y/%-m/%-d %-H:%M:%S",
 
 def s8_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
-    ev = load(spark, sf_dir, "events")
+    # six try_to_timestamp parses per row: spread the single-file scan
+    ev = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism)
     fmt = F.col("event_id") % 3
     received = F.when(fmt == 0, F.date_format("ts", _SPARK_FMTS[0])) \
         .when(fmt == 1, F.date_format("ts", _SPARK_FMTS[1])) \

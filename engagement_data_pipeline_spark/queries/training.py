@@ -65,16 +65,25 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    from ..training.dedup import MERSENNE_P, _perm_params
+
     sig_items = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
-        for i in range(_K))
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for a, b in _perm_params(_K))
     band_selects = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig".format(
             b=b,
-            key=" || '|' || ".join(f"sig[{b * _R + r + 1}]" for r in range(_R)))
+            key=" || '|' || ".join(
+                f"CAST(sig[{b * _R + r + 1}] AS VARCHAR)" for r in range(_R)))
         for b in range(_B))
     return ("WITH " + _SHINGLES_CTE + f""",
-sig AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+hashed AS (
+  SELECT doc_id, list_transform(
+      shingles,
+      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MERSENNE_P}) AS h
+  FROM sh
+),
+sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hashed),
 bands AS (
 {band_selects}
 ),

@@ -52,14 +52,38 @@ def word_shingles(text: Column, n: int = SHINGLE_WORDS) -> Column:
         F.when(F.size(w) >= n, grams).otherwise(F.array(normalize_text(text))))
 
 
-def _minhash(shingles: Column, seed: int) -> Column:
-    """One min-hash: lexicographic min of md5('<seed>:'+shingle)."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+# Universal-hash permutation parameters: sig_i = min over shingles of
+# (A_i * h + B_i) mod P, where h is the shingle's md5-derived integer
+# reduced mod P. One md5 per shingle total (not per hash function) —
+# 12× less hashing than md5-per-seed, and exactly mirrorable in SQL.
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+
+def _perm_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (A, B) pairs derived from a fixed integer mix —
+    no RNG, so Spark and the oracle agree by construction."""
+    params = []
+    for i in range(k):
+        a = (1_103_515_245 * (i + 1) + 12_345) % MERSENNE_P
+        b = (214_013 * (i + 7) + 2_531_011) % MERSENNE_P
+        params.append((a or 1, b))
+    return params
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """md5-derived integer in [0, P) per shingle — computed once."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long") % MERSENNE_P)
 
 
 def minhash_signature(shingles: Column, k: int = NUM_HASHES) -> Column:
-    return F.array(*[_minhash(shingles, i) for i in range(k)])
+    h = shingle_hashes(shingles)
+    return F.array(*[
+        F.array_min(F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P))
+        for a, b in _perm_params(k)
+    ])
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
@@ -89,10 +113,16 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     join and the two id-keyed verify joins — never an all-pairs
     product.
     """
-    sh = docs.select(
+    # Shingling + hashing is the CPU-heavy stage: spread it across all
+    # cores first (a small source file arrives as one partition; on a
+    # real cluster the scan is already split). The shingle sets feed
+    # both the signatures and the verify joins; cache them
+    # (production: a materialized signatures table).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col)).alias("shingles"),
-    )
+    ).cache()
     sig = sh.select("id", minhash_signature(F.col("shingles")).alias("sig"))
 
     bands = sig.select(
@@ -101,7 +131,7 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws(
-                    "|", *[F.col("sig")[b * ROWS_PER_BAND + r]
+                    "|", *[F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
                            for r in range(ROWS_PER_BAND)])).alias("key"),
             )
             for b in range(BANDS)
