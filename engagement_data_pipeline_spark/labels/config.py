@@ -45,6 +45,13 @@ class CodingConfig:
     coded_field: str          # output column in the column views
     # scheme whose codes M4 derives from (age_category only)
     age_category_source: str | None = None
+    # M5 location hierarchy: scheme whose Normal codes this level is
+    # derived from, plus the (source_code -> level_code) mapping —
+    # the broadcast hierarchy dimension (reference
+    # code_imputation_functions.py:342-524, hierarchy data lives in
+    # CoreDataModules' location tables).
+    location_source: str | None = None
+    location_map: tuple[tuple[str, str], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -78,6 +85,11 @@ class AnalysisConfig:
         return next(d for d in self.datasets if d.name == name)
 
 
+# Synthetic location hierarchy (M5): 7 location codes roll up into 4
+# counties and 3 regions — the Kenya ward→constituency→county shape.
+LOCATION_COUNTY_MAP = tuple((f"code_{i}", f"county_{i // 2}") for i in range(7))
+LOCATION_REGION_MAP = tuple((f"code_{i}", f"region_{i // 3}") for i in range(7))
+
 SYNTHETIC_CONFIG = AnalysisConfig(
     datasets=(
         DatasetConfig("gender", DEMOGRAPHIC, "gender_raw",
@@ -87,7 +99,13 @@ SYNTHETIC_CONFIG = AnalysisConfig(
                        CodingConfig("age_category_scheme", "age_category_codes",
                                     age_category_source="age_scheme"))),
         DatasetConfig("location", DEMOGRAPHIC, "location_raw",
-                      (CodingConfig("location_scheme", "location_codes"),)),
+                      (CodingConfig("location_scheme", "location_codes"),
+                       CodingConfig("location_county_scheme", "location_county_codes",
+                                    location_source="location_scheme",
+                                    location_map=LOCATION_COUNTY_MAP),
+                       CodingConfig("location_region_scheme", "location_region_codes",
+                                    location_source="location_scheme",
+                                    location_map=LOCATION_REGION_MAP))),
         DatasetConfig("s01e01", RESEARCH_QUESTION_ANSWER, "s01e01_raw",
                       (CodingConfig("s01e01_theme_scheme", "s01e01_theme_codes"),
                        CodingConfig("s01e01_sentiment_scheme", "s01e01_sentiment_codes"))),

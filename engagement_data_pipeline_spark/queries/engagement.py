@@ -107,6 +107,25 @@ filtered AS (
 )
 """
 
+def _derived_location_cols() -> str:
+    """One imp column per M5 location-level scheme, generated from the
+    same config the Spark imputation reads."""
+    cols = []
+    for ds in CONFIG.datasets:
+        for cc in ds.coding_configs:
+            if cc.location_source is None:
+                continue
+            lookup = ("CASE label_code " + " ".join(
+                f"WHEN '{s}' THEN '{d}'" for s, d in cc.location_map) + " END")
+            cols.append(
+                f"CASE WHEN dataset <> '{ds.name}' THEN NULL "
+                f"WHEN text_empty THEN 'NC' "
+                f"WHEN has_checked AND NOT has_unchecked THEN {lookup} "
+                f"WHEN has_checked AND has_unchecked THEN 'CE' "
+                f"ELSE 'NR' END AS {cc.scheme_id}_code")
+    return ("," + ",\n    ".join(cols)) if cols else ""
+
+
 _IMPUTED_CTE = _FILTERED_CTE + f""",
 flags AS (
   SELECT *,
@@ -132,6 +151,7 @@ imp AS (
          WHEN has_checked AND NOT has_unchecked THEN {_bucket_sql("(10 + user_id % 75)")}
          WHEN has_checked AND has_unchecked THEN 'CE'
          ELSE 'NR' END AS age_cat_code
+    {_derived_location_cols()}
   FROM flags
 )
 """
@@ -143,6 +163,10 @@ def _scheme_code_sql(dataset: str, scheme_id: str) -> str:
         return "age_cat_code"
     if scheme_id.endswith("_sentiment_scheme"):
         return "sent_code"
+    for ds in CONFIG.datasets:
+        for cc in ds.coding_configs:
+            if cc.scheme_id == scheme_id and cc.location_source is not None:
+                return f"{scheme_id}_code"
     return "primary_code"
 
 

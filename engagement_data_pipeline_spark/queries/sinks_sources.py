@@ -50,6 +50,8 @@ SCHEME_CODES: dict[str, list[str]] = {
     "age_category_scheme": ["age_10_to_14", "age_15_to_17", "age_18_to_35",
                             "age_36_to_54", "age_55_plus"] + CONTROL_CODES,
     "location_scheme": [f"code_{i}" for i in range(7)] + CONTROL_CODES,
+    "location_county_scheme": [f"county_{i}" for i in range(4)] + CONTROL_CODES,
+    "location_region_scheme": [f"region_{i}" for i in range(3)] + CONTROL_CODES,
     "s01e01_theme_scheme": [f"code_{i}" for i in range(7)] + CONTROL_CODES,
     "s01e01_sentiment_scheme": [f"scode_{i}" for i in range(5)] + CONTROL_CODES,
     "s01e02_theme_scheme": [f"code_{i}" for i in range(7)] + CONTROL_CODES,
