@@ -14,7 +14,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analysis, engagement, similarity, sinks_sources, tpch, training
+from . import (
+    analysis,
+    engagement,
+    similarity,
+    sinks_sources,
+    sources_adapters,
+    sources_rp,
+    tpch,
+    training,
+)
 
 # name -> callable(spark, sf_dir) -> DataFrame
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -49,6 +58,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k3_analysis_matrix": sinks_sources.k3_analysis_matrix,
     "s8_csv_ingest": sinks_sources.s8_csv_ingest,
     "x_clean_functions": sinks_sources.x_clean_functions,
+    "s4_rapid_pro_ingest": sources_rp.s4_rapid_pro_ingest,
+    "g6_sync_stats": sources_rp.g6_sync_stats,
+    "s7_telegram_ingest": sources_adapters.s7_telegram_ingest,
+    "j4_membership_flags": sources_adapters.j4_membership_flags,
 }
 
 # name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
@@ -84,6 +97,10 @@ ORACLES: dict[str, str] = {
     "k3_analysis_matrix": sinks_sources.K3_ANALYSIS_MATRIX_SQL,
     "s8_csv_ingest": sinks_sources.S8_CSV_INGEST_SQL,
     "x_clean_functions": sinks_sources.X_CLEAN_FUNCTIONS_SQL,
+    "s4_rapid_pro_ingest": sources_rp.S4_RAPID_PRO_INGEST_SQL,
+    "g6_sync_stats": sources_rp.G6_SYNC_STATS_SQL,
+    "s7_telegram_ingest": sources_adapters.S7_TELEGRAM_INGEST_SQL,
+    "j4_membership_flags": sources_adapters.J4_MEMBERSHIP_FLAGS_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"
