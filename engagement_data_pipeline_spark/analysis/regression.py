@@ -1,0 +1,129 @@
+"""Regression analysis (SURVEY §2.8 R1-R4).
+
+Reference: src/engagement_db_to_analysis/regression_analysis/ —
+R1 data_conversion.py:10-117 (model matrix: consenting+relevant rows,
+RQA normal codes one-hot as {dataset}_{code} ∈ {0,1}, demogs as a
+single categorical with an ≤1-normal-code assertion), R2
+complete_case_regression_analysis.py:25-74 (per-theme logistic
+regression, coefficient report), R3 multiple imputation, R4 factor
+conversion.
+
+The reference shells into R (arm::bayesglm / mice); numeric parity
+with R is explicitly out of scope (the outputs are human-read text
+reports). Here R2 uses spark.ml LogisticRegression (deterministic
+LBFGS), R3 is a deterministic multiple-imputation loop (mode
+imputation + hash-jittered category draws, m configurable), R4 is
+plain pandas conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..labels.config import AnalysisConfig, CONTROL_CODES, DEMOGRAPHIC, RESEARCH_QUESTION_ANSWER
+
+
+def _is_control(code: Column) -> Column:
+    return code.isin(CONTROL_CODES)
+
+
+def build_model_matrix(participants_view: DataFrame, config: AnalysisConfig,
+                       theme_schemes: dict[str, list[str]],
+                       demog_fields: list[str]) -> DataFrame:
+    """R1: per consenting participant — one 0/1 column per
+    (RQA coded field, normal code) plus each demog field as a single
+    categorical (rows with ≥2 normal demog codes are dropped, the
+    relational form of the reference's assertion)."""
+    pv = participants_view.where(F.col("consent_withdrawn") == "false")
+    cols: list[Column] = [F.col("participant_uuid")]
+    for coded_field, codes in theme_schemes.items():
+        arr = F.split(F.col(coded_field), ";")
+        for code in codes:
+            cols.append(
+                F.when(F.array_contains(arr, code), F.lit(1)).otherwise(F.lit(0))
+                .alias(f"{coded_field.removesuffix('_codes')}_{code}"))
+    keep = F.lit(True)
+    for field in demog_fields:
+        arr = F.split(F.col(field), ";")
+        normals = F.filter(arr, lambda c: ~_is_control(c))
+        keep = keep & (F.size(normals) <= 1)
+        cols.append(
+            F.coalesce(F.get(normals, 0), F.lit("missing"))
+            .alias(field.removesuffix("_codes")))
+    return pv.where(keep).select(*cols)
+
+
+def logistic_regression_report(model_matrix: DataFrame, theme_col: str,
+                               demog_cols: list[str]) -> DataFrame:
+    """R2: logistic regression of one one-hot theme column on
+    categorical demogs (one-hot encoded); returns a (feature,
+    coefficient) DataFrame. Deterministic given fixed input; numeric
+    parity with the reference's bayesglm is out of scope."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+
+    stages_cols = []
+    df = model_matrix
+    feature_names: list[str] = []
+    for c in demog_cols:
+        idx = StringIndexer(inputCol=c, outputCol=f"{c}_idx",
+                            stringOrderType="alphabetAsc").fit(df)
+        if len(idx.labels) < 2:
+            continue  # constant column carries no information
+        df = idx.transform(df)
+        enc = OneHotEncoder(inputCols=[f"{c}_idx"], outputCols=[f"{c}_vec"],
+                            dropLast=True)
+        df = enc.fit(df).transform(df)
+        feature_names.extend(f"{c}={v}" for v in idx.labels[:-1])
+        stages_cols.append(f"{c}_vec")
+    assembled = VectorAssembler(inputCols=stages_cols, outputCol="features") \
+        .transform(df)
+    lr = LogisticRegression(featuresCol="features",
+                            labelCol=theme_col, maxIter=50, regParam=0.01)
+    model = lr.fit(assembled)
+    rows = [("(intercept)", float(model.intercept))] + [
+        (name, float(w)) for name, w in zip(feature_names, model.coefficients)
+    ]
+    return model_matrix.sparkSession.createDataFrame(
+        rows, "feature string, coefficient double")
+
+
+def multiple_imputation_report(model_matrix: DataFrame, theme_col: str,
+                               demog_cols: list[str], m: int = 5) -> DataFrame:
+    """R3 (MICE-lite): m deterministic imputations of 'missing' demog
+    cells — each draw picks a category by hashing (participant, round)
+    against the observed category list — then one regression per
+    imputed set, coefficients pooled by mean (Rubin's rules' point
+    estimate). Deterministic: no RNG, hash-based draws."""
+    observed: dict[str, list[str]] = {}
+    for c in demog_cols:
+        observed[c] = [r[c] for r in model_matrix.select(c).distinct().collect()
+                       if r[c] != "missing"] or ["missing"]
+    reports = []
+    for i in range(m):
+        df = model_matrix
+        for c in demog_cols:
+            cats = sorted(observed[c])
+            bucket = F.abs(F.hash(F.col("participant_uuid"), F.lit(i), F.lit(c))) % len(cats)
+            fill = F.lit(cats[0])
+            for j, cat in enumerate(cats):
+                fill = F.when(bucket == j, F.lit(cat)).otherwise(fill)
+            df = df.withColumn(c, F.when(F.col(c) == "missing", fill).otherwise(F.col(c)))
+        reports.append(logistic_regression_report(df, theme_col, demog_cols))
+    un = reports[0]
+    for r in reports[1:]:
+        un = un.unionByName(r)
+    return un.groupBy("feature").agg(
+        F.avg("coefficient").alias("pooled_coefficient"),
+        F.count(F.lit(1)).alias("m"))
+
+
+def to_factor_frame(df: DataFrame):
+    """R4: the reference stringifies every value into R FactorVectors
+    (r_utils.py:7-41); the pandas analog is string-typed categoricals
+    with None preserved."""
+    pdf = df.toPandas()
+    for c in pdf.columns:
+        pdf[c] = pdf[c].map(lambda v: None if v is None else str(v)).astype("category")
+    return pdf

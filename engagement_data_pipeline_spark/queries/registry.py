@@ -17,10 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     analysis,
     engagement,
+    regression,
     similarity,
     sinks_sources,
     sources_adapters,
     sources_rp,
+    sync_back,
     tpch,
     training,
 )
@@ -62,6 +64,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g6_sync_stats": sources_rp.g6_sync_stats,
     "s7_telegram_ingest": sources_adapters.s7_telegram_ingest,
     "j4_membership_flags": sources_adapters.j4_membership_flags,
+    "k6_contact_fields": sync_back.k6_contact_fields,
+    "k7_advert_sync": sync_back.k7_advert_sync,
+    "r1_model_matrix": regression.r1_model_matrix,
+    "r2_logistic_regression": regression.r2_logistic_regression,
 }
 
 # name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
@@ -101,6 +107,11 @@ ORACLES: dict[str, str] = {
     "g6_sync_stats": sources_rp.G6_SYNC_STATS_SQL,
     "s7_telegram_ingest": sources_adapters.S7_TELEGRAM_INGEST_SQL,
     "j4_membership_flags": sources_adapters.J4_MEMBERSHIP_FLAGS_SQL,
+    "k6_contact_fields": sync_back.K6_CONTACT_FIELDS_SQL,
+    "k7_advert_sync": sync_back.K7_ADVERT_SYNC_SQL,
+    "r1_model_matrix": regression.R1_MODEL_MATRIX_SQL,
+    # r2_logistic_regression: no oracle — iterative LBFGS fit is not
+    # SQL-expressible; the driver records a rows-only check.
 }
 
 FLAGSHIP = "q01_pricing_summary"

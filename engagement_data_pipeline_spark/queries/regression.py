@@ -1,0 +1,56 @@
+"""Registry queries for the regression pipeline: R1 model matrix
+(exact SQL oracle) and R2 logistic-regression coefficients (rows-only
+— the iterative LBFGS fit is not SQL-expressible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..analysis.regression import build_model_matrix, logistic_regression_report
+from ..labels.config import CONTROL_CODES
+from . import engagement
+
+THEME_SCHEMES = {
+    "s01e01_theme_codes": [f"code_{i}" for i in range(7)],
+    "s01e02_theme_codes": [f"code_{i}" for i in range(7)],
+}
+DEMOG_FIELDS = ["gender_codes", "age_category_codes"]
+
+_CONTROL_IN = "(" + ", ".join(f"'{c}'" for c in CONTROL_CODES) + ")"
+
+
+def r1_model_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = engagement.participants_view(spark, sf_dir)
+    return build_model_matrix(pv, engagement.CONFIG, THEME_SCHEMES, DEMOG_FIELDS)
+
+
+def _r1_sql() -> str:
+    cols = ["participant_uuid"]
+    for coded_field, codes in THEME_SCHEMES.items():
+        stem = coded_field.removesuffix("_codes")
+        for code in codes:
+            cols.append(
+                f"CASE WHEN list_contains(string_split({coded_field}, ';'), '{code}') "
+                f"THEN 1 ELSE 0 END AS {stem}_{code}")
+    keeps = []
+    for field in DEMOG_FIELDS:
+        stem = field.removesuffix("_codes")
+        normals = f"list_filter(string_split({field}, ';'), c -> c NOT IN {_CONTROL_IN})"
+        keeps.append(f"len({normals}) <= 1")
+        cols.append(f"COALESCE({normals}[1], 'missing') AS {stem}")
+    return (f"WITH pv AS ({engagement.PARTICIPANTS_VIEW_SQL})\n"
+            f"SELECT {', '.join(cols)} FROM pv "
+            f"WHERE consent_withdrawn = 'false' AND {' AND '.join(keeps)}")
+
+
+R1_MODEL_MATRIX_SQL = _r1_sql()
+
+
+def r2_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: coefficients of theme code_0 in s01e01 on the
+    demog categoricals (report-shaped output, like the reference's
+    text report)."""
+    mm = r1_model_matrix(spark, sf_dir)
+    return logistic_regression_report(
+        mm, "s01e01_theme_code_0",
+        [f.removesuffix("_codes") for f in DEMOG_FIELDS])

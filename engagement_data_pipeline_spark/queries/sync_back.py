@@ -1,0 +1,61 @@
+"""Registry queries for the sync-back sinks K6 (contact fields) and
+K7 (advert set-difference sync), with exact DuckDB oracles over the
+same resolved-messages CTE."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.sync_back import advert_sync_batch, contact_fields
+from . import engagement
+from .engagement import CONFIG, _RESOLVED_CTE
+
+
+def k6_contact_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resolved = engagement._resolved(spark, sf_dir)
+    return contact_fields(resolved, CONFIG.rqa_datasets)
+
+
+def _k6_sql() -> str:
+    fields = []
+    for d in CONFIG.rqa_datasets:
+        fields.append(
+            f"COALESCE(string_agg('\"' || text || '\" - engagement_db.{d}', '; ' "
+            f"ORDER BY timestamp, message_id) "
+            f"FILTER (WHERE dataset = '{d}' AND text IS NOT NULL), '') AS field_{d}")
+    return "WITH " + _RESOLVED_CTE + f"""
+SELECT participant_uuid, {', '.join(fields)},
+       CASE WHEN MAX(CASE WHEN label_code = 'STOP' THEN 1 ELSE 0 END) = 1
+            THEN 'yes' ELSE '' END AS consent_withdrawn
+FROM resolved GROUP BY participant_uuid
+"""
+
+
+K6_CONTACT_FIELDS_SQL = _k6_sql()
+
+
+def k7_advert_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resolved = engagement._resolved(spark, sf_dir)
+    num = F.split(F.col("participant_uuid"), "-")[3].cast("long")
+    advert = (
+        resolved.where(F.col("dataset").isin(CONFIG.rqa_datasets))
+        .select("participant_uuid").distinct()
+    )
+    synced = advert.where(num % 3 == 0)
+    uuid_table = advert.select(
+        "participant_uuid",
+        F.concat(F.lit("tel:+254700"), num.cast("string")).alias("urn"))
+    return advert_sync_batch(advert, synced, uuid_table)
+
+
+K7_ADVERT_SYNC_SQL = "WITH " + _RESOLVED_CTE + f""",
+advert AS (
+  SELECT DISTINCT participant_uuid,
+         CAST(string_split(participant_uuid, '-')[4] AS BIGINT) AS num
+  FROM resolved
+  WHERE dataset IN ({", ".join(f"'{d}'" for d in CONFIG.rqa_datasets)})
+)
+SELECT participant_uuid, 'tel:+254700' || CAST(num AS VARCHAR) AS urn
+FROM advert WHERE num % 3 <> 0
+"""

