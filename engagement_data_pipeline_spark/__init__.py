@@ -10,23 +10,25 @@ expresses it as declarative DataFrame plans that Catalyst can optimize
 scale to 100 TB via partitioning, broadcast dimensions and merge-based
 incremental ingest.
 
-Layout:
+Layout (see STATUS.md for the operator-by-operator coverage map):
     session          SparkSession builder with scale-appropriate defaults
     tables           testdata / warehouse table loading helpers
-    operators/       generic relational operators (dedup, filters, joins,
-                     folds, top-k, incremental merge)
+    operators/       generic relational operators (dedup, filters, folds,
+                     top-k, incremental fetch + watermarks)
     labels/          message & label data model: schemas, code schemes,
                      imputation (M1-M9), WS correction (M10-M11),
-                     column views (G1/G2)
-    analysis/        automated analysis aggregations (A1-A9, R1-R2)
+                     column views (G1/G2), auto-coding (M12-M13)
+    functions/       scalar/string/datetime cleaners (X1-X10)
+    analysis/        automated analysis aggregations (A1-A9) and
+                     regression (R1-R4)
     sources/         ingest normalisation to the Message schema (S4-S12)
-    sinks/           exports and idempotent upsert (K1-K9)
+    sinks/           exports (K2-K4), sync-back views (K6/K7/K9)
     training/        large-scale training-data ops: dedup (exact, MinHash
-                     LSH, SimHash, n-gram Jaccard), similarity search,
-                     text quality, multimodal plumbing
-    streaming/       Structured Streaming wrappers (watermarks, foreachBatch)
-    queries/         runnable demo queries over the synthetic testdata,
-                     each paired with a DuckDB oracle (the driver gate)
+                     LSH, SimHash), similarity search, text analysis,
+                     multimodal plumbing
+    streaming/       Structured Streaming ingest (foreachBatch merge)
+    queries/         runnable queries over the driver testdata, each
+                     paired with a DuckDB oracle (the correctness gate)
 """
 
 __version__ = "0.1.0"

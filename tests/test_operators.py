@@ -138,3 +138,27 @@ def test_top_k_per_group(spark):
     out = top_k_per_group(df, ["g"], [F.col("v")], 2, rank_col="rank")
     got = sorted((r.g, r.v, r.rank) for r in out.collect())
     assert got == [("g1", 0, 1), ("g1", 1, 2), ("g2", 0, 1)]
+
+
+def test_merge_label_lists_latest_per_scheme(spark):
+    import datetime as dt
+
+    from engagement_data_pipeline_spark.operators.folds import merge_label_lists
+
+    t0 = dt.datetime(2024, 1, 10)
+    t1 = t0 + dt.timedelta(hours=1)
+
+    def lab(scheme, code, at):
+        return (scheme, code, at, True, "t")
+
+    df = spark.createDataFrame(
+        [("p1", [lab("a", "old_a", t0), lab("b", "only_b", t0)]),
+         ("p1", [lab("a", "new_a", t1)]),
+         ("p2", [lab("a", "p2_a", t0)])],
+        "participant string, labels array<struct<scheme_id:string,"
+        "code_id:string,date_time_utc:timestamp,checked:boolean,origin_id:string>>")
+    out = {r.participant: r.labels for r in
+           merge_label_lists(df, ["participant"]).collect()}
+    assert [(l.scheme_id, l.code_id) for l in out["p1"]] == \
+        [("a", "new_a"), ("b", "only_b")]   # latest per scheme, newest-first
+    assert [(l.scheme_id, l.code_id) for l in out["p2"]] == [("a", "p2_a")]
