@@ -59,31 +59,62 @@ def logistic_regression_report(model_matrix: DataFrame, theme_col: str,
     """R2: logistic regression of one one-hot theme column on
     categorical demogs (one-hot encoded); returns a (feature,
     coefficient) DataFrame. Deterministic given fixed input; numeric
-    parity with the reference's bayesglm is out of scope."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+    parity with the reference's bayesglm is out of scope.
 
-    stages_cols = []
-    df = model_matrix
-    feature_names: list[str] = []
-    for c in demog_cols:
-        idx = StringIndexer(inputCol=c, outputCol=f"{c}_idx",
-                            stringOrderType="alphabetAsc").fit(df)
-        if len(idx.labels) < 2:
-            continue  # constant column carries no information
-        df = idx.transform(df)
-        enc = OneHotEncoder(inputCols=[f"{c}_idx"], outputCols=[f"{c}_vec"],
-                            dropLast=True)
-        df = enc.fit(df).transform(df)
-        feature_names.extend(f"{c}={v}" for v in idx.labels[:-1])
-        stages_cols.append(f"{c}_vec")
-    assembled = VectorAssembler(inputCols=stages_cols, outputCol="features") \
-        .transform(df)
-    lr = LogisticRegression(featuresCol="features",
-                            labelCol=theme_col, maxIter=50, regParam=0.01)
-    model = lr.fit(assembled)
-    rows = [("(intercept)", float(model.intercept))] + [
-        (name, float(w)) for name, w in zip(feature_names, model.coefficients)
+    Scale design: the regressors are all categorical, so the
+    sufficient statistics are the grouped counts per (demog...,
+    label) cell — one Spark aggregation collapses any input size to
+    at most prod(cardinalities) rows, which are fit driver-side with
+    a deterministic ridge-penalised IRLS (Newton) loop. This replaces
+    an iterative spark.ml LBFGS whose every iteration re-walked the
+    full lineage; at 100 TB the aggregation is the only distributed
+    work and it map-side combines."""
+    import numpy as np
+
+    grouped = (model_matrix
+               .groupBy(*demog_cols, theme_col)
+               .agg(F.count(F.lit(1)).alias("n"))
+               .collect())
+    # one-hot layout: per column, alphabetical categories minus the
+    # last (dropLast baseline); constant columns carry no information
+    cats = {c: sorted({r[c] for r in grouped}) for c in demog_cols}
+    active = [c for c in demog_cols if len(cats[c]) >= 2]
+    feature_names = [f"{c}={v}" for c in active for v in cats[c][:-1]]
+    slot = {}
+    off = 1  # slot 0 = intercept
+    for c in active:
+        for v in cats[c][:-1]:
+            slot[(c, v)] = off
+            off += 1
+    p = off
+    X = np.zeros((len(grouped), p))
+    X[:, 0] = 1.0
+    y = np.empty(len(grouped))
+    n = np.empty(len(grouped))
+    for i, r in enumerate(grouped):
+        for c in active:
+            j = slot.get((c, r[c]))
+            if j is not None:
+                X[i, j] = 1.0
+        y[i] = float(r[theme_col])
+        n[i] = float(r["n"])
+    # ridge-IRLS: penalty on non-intercept weights only
+    lam = 0.01 * n.sum()
+    mask = np.ones(p)
+    mask[0] = 0.0
+    w = np.zeros(p)
+    for _ in range(50):
+        eta = np.clip(X @ w, -30, 30)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        grad = X.T @ (n * (y - mu)) - lam * mask * w
+        s = n * mu * (1.0 - mu)
+        H = (X.T * s) @ X + np.diag(lam * mask + 1e-9)
+        delta = np.linalg.solve(H, grad)
+        w += delta
+        if np.max(np.abs(delta)) < 1e-10:
+            break
+    rows = [("(intercept)", float(w[0]))] + [
+        (name, float(wi)) for name, wi in zip(feature_names, w[1:])
     ]
     return model_matrix.sparkSession.createDataFrame(
         rows, "feature string, coefficient double")
