@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    adapters_extra,
     analysis,
     engagement,
     regression,
@@ -64,6 +65,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g6_sync_stats": sources_rp.g6_sync_stats,
     "s7_telegram_ingest": sources_adapters.s7_telegram_ingest,
     "j4_membership_flags": sources_adapters.j4_membership_flags,
+    "s6_facebook_ingest": adapters_extra.s6_facebook_ingest,
+    "s9_google_form_ingest": adapters_extra.s9_google_form_ingest,
+    "s10_kobo_ingest": adapters_extra.s10_kobo_ingest,
+    "k5_coda_add_messages": adapters_extra.k5_coda_add_messages,
+    "s11_coda_relabel": adapters_extra.s11_coda_relabel,
     "k6_contact_fields": sync_back.k6_contact_fields,
     "k7_advert_sync": sync_back.k7_advert_sync,
     "r1_model_matrix": regression.r1_model_matrix,
@@ -107,6 +113,11 @@ ORACLES: dict[str, str] = {
     "g6_sync_stats": sources_rp.G6_SYNC_STATS_SQL,
     "s7_telegram_ingest": sources_adapters.S7_TELEGRAM_INGEST_SQL,
     "j4_membership_flags": sources_adapters.J4_MEMBERSHIP_FLAGS_SQL,
+    "s6_facebook_ingest": adapters_extra.S6_FACEBOOK_INGEST_SQL,
+    "s9_google_form_ingest": adapters_extra.S9_GOOGLE_FORM_INGEST_SQL,
+    "s10_kobo_ingest": adapters_extra.S10_KOBO_INGEST_SQL,
+    "k5_coda_add_messages": adapters_extra.K5_CODA_ADD_MESSAGES_SQL,
+    "s11_coda_relabel": adapters_extra.S11_CODA_RELABEL_SQL,
     "k6_contact_fields": sync_back.K6_CONTACT_FIELDS_SQL,
     "k7_advert_sync": sync_back.K7_ADVERT_SYNC_SQL,
     "r1_model_matrix": regression.R1_MODEL_MATRIX_SQL,
