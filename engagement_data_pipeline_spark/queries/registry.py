@@ -57,6 +57,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": training.doc_fingerprint,
     "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
     "ann_topk_lsh": similarity.ann_topk_lsh,
+    "ann_topk_ivf": similarity.ann_topk_ivf,
     "k2_production": sinks_sources.k2_production,
     "k3_analysis_matrix": sinks_sources.k3_analysis_matrix,
     "s8_csv_ingest": sinks_sources.s8_csv_ingest,
@@ -105,6 +106,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": training.DOC_FINGERPRINT_SQL,
     "ann_topk_bruteforce": similarity.ANN_TOPK_BRUTEFORCE_SQL,
     "ann_topk_lsh": similarity.ANN_TOPK_LSH_SQL,
+    "ann_topk_ivf": similarity.ANN_TOPK_IVF_SQL,
     "k2_production": sinks_sources.K2_PRODUCTION_SQL,
     "k3_analysis_matrix": sinks_sources.K3_ANALYSIS_MATRIX_SQL,
     "s8_csv_ingest": sinks_sources.S8_CSV_INGEST_SQL,

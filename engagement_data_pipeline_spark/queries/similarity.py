@@ -92,3 +92,53 @@ SELECT * FROM (
   FROM scored
 ) WHERE rank <= {K}
 """
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return S.cosine_topk_ivf(load(spark, sf_dir, "embeddings"), QUERY_IDS, K)
+
+
+_CENT_IN = "(" + ", ".join(str(i) for i in S.IVF_CENTROID_IDS) + ")"
+
+
+def _ivf_sql() -> str:
+    cos_cent = _cosine_sql("e.embedding", "c.c_emb")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+  WHERE vec_id IN {_CENT_IN}
+),
+assigned AS (
+  SELECT vec_id, emb, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding AS emb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_cent} DESC, c.cid) AS crn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE crn = 1
+),
+qprobe AS (
+  SELECT query_id, q_emb, cid AS cell FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_cent} DESC, c.cid) AS crn
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id IN {_Q_IN}
+  ) WHERE crn <= {S.IVF_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         {_cosine_sql("a.emb", "q.q_emb")} AS cosine
+  FROM assigned a JOIN qprobe q USING (cell)
+  WHERE a.vec_id <> q.query_id
+)
+SELECT * FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {K}
+"""
+
+
+ANN_TOPK_IVF_SQL = _ivf_sql()

@@ -117,3 +117,89 @@ def cosine_topk_lsh(embeddings: DataFrame, query_ids: Sequence[int],
     return top_k_per_group(scored, ["query_id"],
                            [F.col("cosine").desc(), F.col("vec_id")], k,
                            rank_col="rank")
+
+
+# --- IVF-flat -------------------------------------------------------------
+
+IVF_CENTROID_IDS = tuple(range(0, 112, 7))   # 16 spread seed vectors
+IVF_NPROBE = 4
+
+
+def _centroid_cosine(emb: Column, cvec: list[float], cnorm: float) -> Column:
+    """Cosine against a driver-held centroid vector: the centroid
+    enters the plan as double literals, so assignment is a pure
+    projection (no join, no shuffle)."""
+    carr = F.array(*[F.lit(float(x)).cast("double") for x in cvec])
+    dot = F.aggregate(
+        F.zip_with(emb, carr, lambda x, c: x.cast("double") * c),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (_norm(emb) * F.lit(cnorm))
+
+
+def _nearest_cells(emb: Column, cents: list[tuple[int, list[float], float]],
+                   n: int) -> Column:
+    """The ids of the `n` nearest centroids (cosine DESC, cid ASC),
+    via a greatest-fold over (cosine, -cid) structs — all JVM-side."""
+    structs = [
+        F.struct(_centroid_cosine(emb, cvec, cnorm).alias("c"),
+                 F.lit(-cid).cast("long").alias("n"))
+        for cid, cvec, cnorm in cents
+    ]
+    ranked = F.reverse(F.array_sort(F.array(*structs)))
+    return F.transform(F.slice(ranked, 1, n), lambda s: -s["n"])
+
+
+def cosine_topk_ivf(embeddings: DataFrame, query_ids: Sequence[int],
+                    k: int = 10, centroid_ids: Sequence[int] = IVF_CENTROID_IDS,
+                    n_probe: int = IVF_NPROBE,
+                    id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """IVF-flat ANN: deterministic seed centroids (fixed vector ids —
+    the k-means analog of a trained coarse quantizer, held driver-side
+    like any IVF index's centroid table), each vector assigned to its
+    nearest centroid's cell as a zero-shuffle projection, each query
+    probing its `n_probe` nearest cells. The candidate join shuffles
+    on the cell key; cost ≈ n·C assignment dots + (n·n_probe/C)·|Q|
+    scoring dots — the standard IVF trade against brute force's n·|Q|.
+
+    Recall vs `cosine_topk` is tested in tests/test_similarity.py;
+    exactness of the arithmetic (not of recall) is oracle-checked via
+    the same sequential-fold convention as the other ANN operators."""
+    import math
+
+    cent_rows = (
+        embeddings.where(F.col(id_col).isin(list(centroid_ids)))
+        .select(F.col(id_col), F.col(emb_col)).collect())
+    cents = []
+    for r in sorted(cent_rows, key=lambda r: r[0]):
+        cvec = [float(x) for x in r[1]]
+        norm = math.sqrt(_fold_sq(cvec))
+        cents.append((int(r[0]), cvec, norm))
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"),
+        F.get(_nearest_cells(F.col(emb_col), cents, 1), 0).alias("cell"))
+    q = (
+        embeddings.where(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("query_id"),
+                F.col(emb_col).alias("q_emb"),
+                F.explode(_nearest_cells(F.col(emb_col), cents, n_probe))
+                .alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id",
+                cosine(F.col("emb"), F.col("q_emb")).alias("cosine"))
+    )
+    return top_k_per_group(scored, ["query_id"],
+                           [F.col("cosine").desc(), F.col("vec_id")], k,
+                           rank_col="rank")
+
+
+def _fold_sq(xs: list[float]) -> float:
+    """Sequential left fold of x*x — same association order as _norm
+    and the DuckDB list_transform/list_sum mirror."""
+    acc = 0.0
+    for x in xs:
+        acc = acc + x * x
+    return acc

@@ -59,3 +59,21 @@ def test_lsh_results_are_subset_quality(spark, emb):
             hits += 1
     recall = hits / len(exact)
     assert recall >= 0.3, f"recall@10 too low: {recall}"
+
+
+def test_ivf_results_match_bruteforce_cosines_and_recall(spark, emb):
+    """IVF candidates carry exact cosines (the index only prunes), and
+    probing 4/16 cells keeps recall@10 usable on the real data."""
+    from engagement_data_pipeline_spark.training.similarity import cosine_topk_ivf
+
+    qs = [0, 1, 2, 3, 4]
+    exact = {(r.query_id, r.vec_id): r.cosine
+             for r in cosine_topk(emb, qs, k=10).collect()}
+    approx = cosine_topk_ivf(emb, qs, k=10).collect()
+    hits = 0
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact:
+            assert exact[(r.query_id, r.vec_id)] == r.cosine
+            hits += 1
+    recall = hits / len(exact)
+    assert recall >= 0.3, f"recall@10 too low: {recall}"
