@@ -23,6 +23,7 @@ from . import (
     sinks_sources,
     sources_adapters,
     sources_rp,
+    streaming_q,
     sync_back,
     tpch,
     training,
@@ -75,6 +76,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k7_advert_sync": sync_back.k7_advert_sync,
     "r1_model_matrix": regression.r1_model_matrix,
     "r2_logistic_regression": regression.r2_logistic_regression,
+    "s2_streaming_merge": streaming_q.s2_streaming_merge,
 }
 
 # name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
@@ -123,8 +125,9 @@ ORACLES: dict[str, str] = {
     "k6_contact_fields": sync_back.K6_CONTACT_FIELDS_SQL,
     "k7_advert_sync": sync_back.K7_ADVERT_SYNC_SQL,
     "r1_model_matrix": regression.R1_MODEL_MATRIX_SQL,
-    # r2_logistic_regression: no oracle — iterative LBFGS fit is not
-    # SQL-expressible; the driver records a rows-only check.
+    # r2_logistic_regression: no oracle — the iterative IRLS fit is
+    # not SQL-expressible; the driver records a rows-only check.
+    "s2_streaming_merge": streaming_q.S2_STREAMING_MERGE_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"

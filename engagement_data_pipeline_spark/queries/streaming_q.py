@@ -1,0 +1,88 @@
+"""Registry query for the Structured Streaming ingest path (§2.12):
+two CSV files land (with an overlapping middle slice), availableNow
+processes them one file per micro-batch through the origin-id keyed
+foreachBatch merge, and the final table must equal the DISTINCT union
+— replayed/overlapping rows cannot double-insert (the streaming
+analog of the reference's lookup-before-write, SURVEY §2.12 /
+rapid_pro_to_engagement_db.py:175-221).
+
+The landing fixture derives from `events` (event_id % 4 ∈ {0,1} in
+file A, {1,2} in file B), so the DuckDB oracle is plain SQL over the
+same parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.ingest import foreach_batch_upsert, stream_csv_source
+from ..tables import load
+from ._helpers import apply_runtime_conf
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+
+
+def _fixture_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.concat(F.lit("avf-participant-uuid-"),
+                 F.col("user_id").cast("string")).alias("Sender"),
+        F.concat(F.lit("recovered stream "),
+                 (F.col("event_id") % 50).cast("string")).alias("Message"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("ReceivedOn"),
+    )
+
+
+def _add_origin(batch: DataFrame) -> DataFrame:
+    return batch.select(
+        F.concat(F.lit("csv:"), F.sha2(F.concat_ws(
+            "|", F.col("Sender"), F.col("Message"), F.col("ReceivedOn")), 256))
+        .alias("origin_id"),
+        F.col("Sender").alias("participant_uuid"),
+        F.col("Message").alias("text"),
+        F.col("ReceivedOn").alias("received_on"),
+    )
+
+
+def s2_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    base = tempfile.mkdtemp(prefix="edp-stream-")
+    landing = os.path.join(base, "landing")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing)
+
+    rows = _fixture_rows(spark, sf_dir)
+    slices = {"a.csv": (0, 1), "b.csv": (1, 2)}  # overlap on % 4 == 1
+    for fname, mods in slices.items():
+        pdf = (rows.where((F.col("event_id") % 4).isin(list(mods)))
+               .orderBy("event_id")
+               .select("Sender", "Message", "ReceivedOn").toPandas())
+        pdf.to_csv(os.path.join(landing, fname), index=False)
+
+    src = stream_csv_source(spark, landing, max_files_per_trigger=1)
+    merge = foreach_batch_upsert(table, ["origin_id"], transform=_add_origin)
+    q = (src.writeStream.foreachBatch(merge)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(table)
+
+
+S2_STREAMING_MERGE_SQL = """
+WITH rows AS (
+  SELECT 'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
+         'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
+  FROM events WHERE event_id % 4 IN (0, 1, 2)
+)
+SELECT DISTINCT
+       'csv:' || sha256(sender || '|' || message || '|' || received_on) AS origin_id,
+       sender AS participant_uuid, message AS text, received_on
+FROM rows
+"""
