@@ -125,28 +125,34 @@ IVF_CENTROID_IDS = tuple(range(0, 112, 7))   # 16 spread seed vectors
 IVF_NPROBE = 4
 
 
-def _centroid_cosine(emb: Column, cvec: list[float], cnorm: float) -> Column:
-    """Cosine against a driver-held centroid vector: the centroid
-    enters the plan as double literals, so assignment is a pure
-    projection (no join, no shuffle)."""
-    carr = F.array(*[F.lit(float(x)).cast("double") for x in cvec])
-    dot = F.aggregate(
-        F.zip_with(emb, carr, lambda x, c: x.cast("double") * c),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (_norm(emb) * F.lit(cnorm))
-
-
 def _nearest_cells(emb: Column, cents: list[tuple[int, list[float], float]],
                    n: int) -> Column:
-    """The ids of the `n` nearest centroids (cosine DESC, cid ASC),
-    via a greatest-fold over (cosine, -cid) structs — all JVM-side."""
-    structs = [
-        F.struct(_centroid_cosine(emb, cvec, cnorm).alias("c"),
-                 F.lit(-cid).cast("long").alias("n"))
-        for cid, cvec, cnorm in cents
-    ]
-    ranked = F.reverse(F.array_sort(F.array(*structs)))
-    return F.transform(F.slice(ranked, 1, n), lambda s: -s["n"])
+    """The ids of the `n` nearest centroids (cosine DESC, cid ASC).
+
+    The whole centroid table enters the plan as three literal arrays
+    (matrix, norms, negated ids) — single Literal nodes regardless of
+    C, so both the driver-side expression build and codegen stay
+    O(1) in centroid count — and one `transform` over centroid
+    indices computes every cosine with the same sequential fold as
+    `cosine` (bit-identical to the DuckDB mirror). The per-vector
+    norm is folded once and shared. Pure projection: no join, no
+    shuffle."""
+    vnorm = _norm(emb)
+    cmat = F.lit([cvec for _, cvec, _ in cents])
+    cnorms = F.lit([cn for _, _, cn in cents])
+    cneg = F.lit([float(-cid) for cid, _, _ in cents])
+
+    def cell_struct(i: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(emb, F.get(cmat, i), lambda x, c: x.cast("double") * c),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.struct((dot / (vnorm * F.get(cnorms, i))).alias("c"),
+                        F.get(cneg, i).alias("n"))
+
+    ranked = F.reverse(F.array_sort(
+        F.transform(F.sequence(F.lit(0), F.lit(len(cents) - 1)), cell_struct)))
+    return F.transform(F.slice(ranked, 1, n),
+                       lambda s: (-s["n"]).cast("long"))
 
 
 def cosine_topk_ivf(embeddings: DataFrame, query_ids: Sequence[int],
@@ -175,6 +181,11 @@ def cosine_topk_ivf(embeddings: DataFrame, query_ids: Sequence[int],
         norm = math.sqrt(_fold_sq(cvec))
         cents.append((int(r[0]), cvec, norm))
 
+    # The assignment projection is CPU-heavy (C cosine folds per row);
+    # spread a small single-file scan across all cores first — on a
+    # real cluster the scan is already split.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    embeddings = embeddings.repartition(par)
     assigned = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"),
         F.get(_nearest_cells(F.col(emb_col), cents, 1), 0).alias("cell"))
