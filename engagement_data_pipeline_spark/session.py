@@ -24,6 +24,10 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Skip PySpark's per-Column-call Python call-site capture: the
+    # wide generated plans here make thousands of Column calls, and
+    # the inspect() walk per call costs whole seconds of driver time.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # The testdata events table stores TIMESTAMP(NANOS), which Spark
     # rejects by default; read as long and convert in the loader
     # (DuckDB truncates nanos→micros the same way).

@@ -84,16 +84,18 @@ def _text() -> Column:
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.withColumn("dataset0", _dataset0())
-        .withColumn("message_id", F.concat(F.lit("msg-"), F.col("event_id").cast("string")))
-        .withColumn("participant_uuid",
-                    F.concat(F.lit("avf-participant-uuid-"), F.col("user_id").cast("string")))
-        .withColumn("text", _text())
-        .withColumn("status",
-                    F.when(F.col("event_id") % 7 == 3, F.lit("stale")).otherwise(F.lit("live")))
-        .withColumn("channel_operator", _pick(F.col("user_id") % 4, _OPERATORS))
+    # One select, not chained withColumn: each withColumn is a py4j
+    # round-trip + plan copy, measurable on a plan this wide.
+    base = ev.select(
+        "*", _dataset0().alias("dataset0"),
+        F.concat(F.lit("msg-"), F.col("event_id").cast("string")).alias("message_id"),
+        F.concat(F.lit("avf-participant-uuid-"),
+                 F.col("user_id").cast("string")).alias("participant_uuid"),
+        F.when(F.col("event_id") % 7 == 3, F.lit("stale")).otherwise(F.lit("live"))
+        .alias("status"),
+        _pick(F.col("user_id") % 4, _OPERATORS).alias("channel_operator"),
     )
+    return base.select("*", _text().alias("text"))
 
 
 def _snapshot(df: DataFrame, version: int) -> DataFrame:
