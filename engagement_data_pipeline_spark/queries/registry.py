@@ -18,6 +18,7 @@ from . import (
     adapters_extra,
     analysis,
     engagement,
+    multimodal_q,
     regression,
     similarity,
     sinks_sources,
@@ -59,6 +60,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
     "ann_topk_lsh": similarity.ann_topk_lsh,
     "ann_topk_ivf": similarity.ann_topk_ivf,
+    "doc_embedding_neardup": similarity.doc_embedding_neardup,
+    "mm_frame_plan": multimodal_q.mm_frame_plan,
+    "mm_image_features": multimodal_q.mm_image_features,
     "k2_production": sinks_sources.k2_production,
     "k3_analysis_matrix": sinks_sources.k3_analysis_matrix,
     "s8_csv_ingest": sinks_sources.s8_csv_ingest,
@@ -109,6 +113,9 @@ ORACLES: dict[str, str] = {
     "ann_topk_bruteforce": similarity.ANN_TOPK_BRUTEFORCE_SQL,
     "ann_topk_lsh": similarity.ANN_TOPK_LSH_SQL,
     "ann_topk_ivf": similarity.ANN_TOPK_IVF_SQL,
+    "doc_embedding_neardup": similarity.DOC_EMBEDDING_NEARDUP_SQL,
+    "mm_frame_plan": multimodal_q.MM_FRAME_PLAN_SQL,
+    "mm_image_features": multimodal_q.MM_IMAGE_FEATURES_SQL,
     "k2_production": sinks_sources.K2_PRODUCTION_SQL,
     "k3_analysis_matrix": sinks_sources.K3_ANALYSIS_MATRIX_SQL,
     "s8_csv_ingest": sinks_sources.S8_CSV_INGEST_SQL,

@@ -142,3 +142,27 @@ SELECT * FROM (
 
 
 ANN_TOPK_IVF_SQL = _ivf_sql()
+
+
+# --- embedding-cosine near-dup pairs -------------------------------------
+
+NEAR_DUP_THRESHOLD = 0.35   # ≈99.9th pct of pair cosines on the testdata
+
+
+def doc_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return S.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        threshold=NEAR_DUP_THRESHOLD, nbits=LSH_QUERY_BITS)
+
+
+DOC_EMBEDDING_NEARDUP_SQL = f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding AS emb, {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+)
+SELECT x.id AS id_a, y.id AS id_b,
+       {_cosine_sql("x.emb", "y.emb")} AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+WHERE {_cosine_sql("x.emb", "y.emb")} >= {NEAR_DUP_THRESHOLD}
+"""

@@ -214,3 +214,28 @@ def _fold_sq(xs: list[float]) -> float:
     for x in xs:
         acc = acc + x * x
     return acc
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                             nbits: int = LSH_BITS,
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the brief's fifth dedup
+    mode): candidate pairs are generated within LSH buckets (id_a <
+    id_b — never an all-pairs product), then verified by exact cosine
+    ≥ threshold. Same hyperplane family as `cosine_topk_lsh`; at scale
+    the bucket self-join shuffles each side once on the bucket key and
+    bucket sizes are tuned via nbits ≈ log2(n / target_bucket)."""
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    bucketed = embeddings.repartition(par).select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
+        lsh_bucket(F.col(emb_col), nbits).alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                cosine(F.col("a.emb"), F.col("b.emb")).alias("cosine"))
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
