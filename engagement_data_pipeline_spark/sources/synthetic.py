@@ -84,6 +84,12 @@ def _text() -> Column:
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # The deterministic label/struct construction downstream is the
+    # CPU-heavy stage; a small source file arrives as one partition,
+    # so spread it across the cores first (on a real cluster the scan
+    # is already split into many input splits and this coalesces into
+    # the existing parallelism).
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
     # One select, not chained withColumn: each withColumn is a py4j
     # round-trip + plan copy, measurable on a plan this wide.
     base = ev.select(
