@@ -27,6 +27,7 @@ from . import (
     streaming_q,
     sync_back,
     tpch,
+    trace_q,
     training,
 )
 
@@ -81,6 +82,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r1_model_matrix": regression.r1_model_matrix,
     "r2_logistic_regression": regression.r2_logistic_regression,
     "s2_streaming_merge": streaming_q.s2_streaming_merge,
+    "traced_provenance": trace_q.traced_provenance,
 }
 
 # name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
@@ -135,6 +137,7 @@ ORACLES: dict[str, str] = {
     # r2_logistic_regression: no oracle — the iterative IRLS fit is
     # not SQL-expressible; the driver records a rows-only check.
     "s2_streaming_merge": streaming_q.S2_STREAMING_MERGE_SQL,
+    "traced_provenance": trace_q.TRACED_PROVENANCE_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"

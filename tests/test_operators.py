@@ -162,3 +162,20 @@ def test_merge_label_lists_latest_per_scheme(spark):
     assert [(l.scheme_id, l.code_id) for l in out["p1"]] == \
         [("a", "new_a"), ("b", "only_b")]   # latest per scheme, newest-first
     assert [(l.scheme_id, l.code_id) for l in out["p2"]] == [("a", "p2_a")]
+
+
+def test_trace_append_only_history(spark):
+    from engagement_data_pipeline_spark.operators.trace import (
+        append_trace,
+        init_trace,
+        trace_path,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df = init_trace(df, "fetch")
+    df = append_trace(df, "only_a", F.col("v") == "a")
+    df = append_trace(df, "all")
+    got = {r.id: r.path for r in
+           df.select("id", trace_path().alias("path")).collect()}
+    assert got == {1: "fetch;only_a;all", 2: "fetch;all"}
