@@ -1,0 +1,115 @@
+"""Top-level analysis pipeline (SURVEY §3.1/§3.2): the Spark analog
+of the reference's `generate_analysis_files`
+(src/engagement_db_to_analysis/engagement_db_to_analysis.py:24-60 and
+run_pipeline.sh): fetch → filter → impute → column views → exports
+(K2 production CSV, K3 analysis matrix, K4 TracedData JSONL) →
+automated analysis files (A1-A9).
+
+This is the entry point a user of the reference would call once per
+run. Execution shape at scale: the imputed message grain and the two
+views are materialized once (here `.cache()`; on a cluster, a
+parquet/Delta stage table) and every downstream export/analysis reads
+the materialization instead of re-deriving the spine.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from ..labels.config import AnalysisConfig
+from ..labels.imputation import impute_message_grain
+from ..labels.views import messages_by_column, participants_by_column
+from ..sinks.exports import (
+    analysis_matrix,
+    production_columns,
+    write_csv,
+    write_jsonl,
+)
+from . import automated
+from .spine import fetch_messages, filter_messages
+
+
+@dataclass
+class AnalysisRun:
+    """Handles to every frame the run produced (all lazily reusable)."""
+    imputed: DataFrame
+    messages_view: DataFrame
+    participants_view: DataFrame
+    analysis: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def _observed_scheme_codes(pv: DataFrame,
+                           config: AnalysisConfig) -> dict[str, list[str]]:
+    """Fallback K3 column universe when no CodeScheme files are given:
+    the codes actually present per scheme, in one exploded distinct
+    pass (the driver-side result is #codes rows — tiny)."""
+    from pyspark.sql import functions as F
+
+    def tagged(cc):
+        return F.transform(
+            F.split(F.col(cc.coded_field), ";"),
+            lambda c: F.struct(F.lit(cc.scheme_id).alias("scheme"),
+                               c.alias("code")))
+
+    pairs = pv.select(F.explode(F.flatten(F.array(*[
+        tagged(cc)
+        for d in config.datasets for cc in d.coding_configs
+    ]))).alias("e")).select("e.scheme", "e.code").distinct().collect()
+    out: dict[str, list[str]] = {}
+    for r in sorted(pairs, key=lambda r: (r.scheme, r.code)):
+        if r.code:
+            out.setdefault(r.scheme, []).append(r.code)
+    return out
+
+
+def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
+                            out_dir: str | None = None,
+                            scheme_codes: dict[str, list[str]] | None = None,
+                            cross_tab_pairs: list[tuple[str, str]] | None = None,
+                            single_file: bool = False) -> AnalysisRun:
+    """Run the full analysis pipeline over a Message-schema frame.
+
+    When `out_dir` is given, writes the same file set the reference
+    emits: production.csv, analysis_matrix.csv, traced_messages.jsonl
+    and one CSV per automated-analysis table. `scheme_codes` is the
+    CodeScheme code universe per scheme (K3 matrix columns); when
+    omitted, the observed codes stand in. Returns every frame for
+    programmatic use either way."""
+    fetched = fetch_messages(messages)
+    filtered = filter_messages(fetched, config.rqa_datasets,
+                               config.rqa_start, config.rqa_end,
+                               config.test_participants)
+    imputed = impute_message_grain(filtered, config).cache()
+    mv = messages_by_column(imputed, config).cache()
+    pv = participants_by_column(imputed, config).cache()
+
+    analysis: dict[str, DataFrame] = {
+        "engagement_counts": automated.engagement_counts(mv, config),
+        "repeat_participations": automated.repeat_participations(mv, config),
+        "theme_distributions": automated.theme_distributions(mv, config),
+        "demographic_distributions":
+            automated.demographic_distributions(pv, config),
+        "sample_messages": automated.sample_messages(mv, config),
+        "traffic_analysis": automated.traffic_analysis(mv, config),
+        "participation_map": automated.participation_map(pv, config),
+        "relevance_uuids": automated.relevance_uuids(mv, config),
+    }
+    for a, b in (cross_tab_pairs or []):
+        analysis[f"cross_tabs_{a}_{b}"] = automated.cross_tabs(pv, a, b)
+
+    if out_dir is not None:
+        write_csv(production_columns(mv, config),
+                  os.path.join(out_dir, "production"), single_file)
+        write_csv(analysis_matrix(pv, config,
+                                  scheme_codes or _observed_scheme_codes(pv, config)),
+                  os.path.join(out_dir, "analysis_matrix"), single_file)
+        write_jsonl(imputed, os.path.join(out_dir, "traced_messages"),
+                    single_file)
+        for name, df in analysis.items():
+            write_csv(df, os.path.join(out_dir, name), single_file)
+
+    return AnalysisRun(imputed=imputed, messages_view=mv,
+                       participants_view=pv, analysis=analysis)

@@ -107,3 +107,30 @@ def test_messages_view_one_row_per_rqa_message(spark):
         assert m.gender_codes == "g_m"
     assert out["m1"].s01e01_raw == "hello"
     assert out["m1"].theme_codes == "t1"
+
+
+def test_generate_analysis_files_end_to_end(spark, tmp_path):
+    """§3.1/§3.2: the one-call pipeline writes the reference's file
+    set and returns consistent frames, over the real sf0.001 data."""
+    import os
+
+    from engagement_data_pipeline_spark.analysis.pipeline import (
+        generate_analysis_files,
+    )
+    from engagement_data_pipeline_spark.queries.engagement import CONFIG, _messages
+
+    run = generate_analysis_files(
+        _messages(spark, "/root/testdata/sf0.001"), CONFIG,
+        out_dir=str(tmp_path), single_file=True)
+    assert run.participants_view.count() > 0
+    assert run.analysis["engagement_counts"].count() > 0
+    expected = {"production", "analysis_matrix", "traced_messages",
+                "engagement_counts", "repeat_participations",
+                "theme_distributions", "demographic_distributions",
+                "sample_messages", "traffic_analysis",
+                "participation_map", "relevance_uuids"}
+    assert expected <= set(os.listdir(tmp_path))
+    # every csv dir has exactly one part file (single_file=True)
+    parts = [f for f in os.listdir(tmp_path / "engagement_counts")
+             if f.startswith("part-")]
+    assert len(parts) == 1
