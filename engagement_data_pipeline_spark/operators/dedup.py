@@ -63,17 +63,25 @@ def assert_unique(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
 
 
 def idempotent_upsert(existing: DataFrame, incoming: DataFrame,
-                      origin_cols: Sequence[str]) -> DataFrame:
+                      origin_cols: Sequence[str],
+                      order_cols: Sequence[str] | None = None) -> DataFrame:
     """Set-based equivalent of the reference's lookup-before-write (K1):
     insert an incoming row only if no existing row shares its origin
     key. Existing rows always win; incoming duplicates collapse to one
-    arbitrary-but-deterministic representative.
+    deterministic representative — the max row under `order_cols`
+    (default: every non-key column, so the pick is a total order and
+    repeated runs insert identical rows; dropDuplicates would be
+    partition-order dependent).
 
     On a Delta/Iceberg warehouse this is `MERGE ... WHEN NOT MATCHED
     INSERT`; the pure-DataFrame form is anti-join + union, one shuffle
     on the origin key.
     """
-    new_rows = incoming.dropDuplicates(list(origin_cols)).join(
+    if order_cols is None:
+        order_cols = [c for c in incoming.columns if c not in set(origin_cols)]
+    deduped = (latest_snapshot(incoming, origin_cols, order_cols)
+               if order_cols else incoming.dropDuplicates(list(origin_cols)))
+    new_rows = deduped.join(
         existing.select(*origin_cols).distinct(), list(origin_cols), "left_anti"
     )
     return existing.unionByName(new_rows)

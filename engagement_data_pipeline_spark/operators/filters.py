@@ -51,9 +51,11 @@ def time_range_filter(df: DataFrame, ts_col: str, gated_predicate: Column,
 def exclude_values(df: DataFrame, col: str, values: Sequence) -> DataFrame:
     """F6 test-participant filter: drop rows whose `col` is in `values`.
 
-    Reference: traced_data_filters.py:68-97.
+    NULL `col` rows are kept — the reference's Python `not in` keeps
+    None values (traced_data_filters.py:68-97), while a bare
+    `~isin` predicate would evaluate NULL and silently drop them.
     """
-    return df.where(~F.col(col).isin(list(values)))
+    return df.where(~F.col(col).isin(list(values)) | F.col(col).isNull())
 
 
 def allowlist_semi_join(df: DataFrame, allow: DataFrame,
