@@ -65,11 +65,25 @@ def _observed_scheme_codes(pv: DataFrame,
     return out
 
 
+def _materialize(df: DataFrame, path: str,
+                 partition_by: list[str] | None = None) -> DataFrame:
+    """Write a stage table and read it back: downstream consumers scan
+    the materialization (with partition pruning on `partition_by`)
+    instead of re-deriving the lineage — the cluster-scale analog of a
+    local `.cache()`."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
                             out_dir: str | None = None,
                             scheme_codes: dict[str, list[str]] | None = None,
                             cross_tab_pairs: list[tuple[str, str]] | None = None,
-                            single_file: bool = False) -> AnalysisRun:
+                            single_file: bool = False,
+                            stage_dir: str | None = None) -> AnalysisRun:
     """Run the full analysis pipeline over a Message-schema frame.
 
     When `out_dir` is given, writes the same file set the reference
@@ -77,14 +91,29 @@ def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
     and one CSV per automated-analysis table. `scheme_codes` is the
     CodeScheme code universe per scheme (K3 matrix columns); when
     omitted, the observed codes stand in. Returns every frame for
-    programmatic use either way."""
+    programmatic use either way.
+
+    `stage_dir` switches stage reuse from `.cache()` to durable
+    parquet stage tables — the imputed message grain partitioned by
+    dataset (so per-dataset consumers prune partitions) and the two
+    views unpartitioned. That is the 100 TB configuration: caches
+    don't survive executor loss or fit big stages; stage tables do."""
     fetched = fetch_messages(messages)
     filtered = filter_messages(fetched, config.rqa_datasets,
                                config.rqa_start, config.rqa_end,
                                config.test_participants)
-    imputed = impute_message_grain(filtered, config).cache()
-    mv = messages_by_column(imputed, config).cache()
-    pv = participants_by_column(imputed, config).cache()
+    imputed = impute_message_grain(filtered, config)
+    if stage_dir is not None:
+        imputed = _materialize(imputed, os.path.join(stage_dir, "imputed"),
+                               partition_by=["dataset"])
+        mv = _materialize(messages_by_column(imputed, config),
+                          os.path.join(stage_dir, "messages_view"))
+        pv = _materialize(participants_by_column(imputed, config),
+                          os.path.join(stage_dir, "participants_view"))
+    else:
+        imputed = imputed.cache()
+        mv = messages_by_column(imputed, config).cache()
+        pv = participants_by_column(imputed, config).cache()
 
     analysis: dict[str, DataFrame] = {
         "engagement_counts": automated.engagement_counts(mv, config),

@@ -179,3 +179,37 @@ def test_trace_append_only_history(spark):
     got = {r.id: r.path for r in
            df.select("id", trace_path().alias("path")).collect()}
     assert got == {1: "fetch;only_a;all", 2: "fetch;all"}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from engagement_data_pipeline_spark.operators.skew import salted_join
+
+    # 1000 rows of one hot key + a tail, joined to a small dim
+    skewed = spark.range(1100).select(
+        F.when(F.col("id") < 1000, "hot").otherwise(F.col("id").cast("string"))
+        .alias("k"), F.col("id").alias("v"))
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("1050", "T")], "k string, label string")
+    got = salted_join(skewed, dim, ["k"], n_salts=8).collect()
+    want = skewed.join(dim, ["k"]).collect()
+    assert sorted((r.k, r.v, r.label) for r in got) == \
+        sorted((r.k, r.v, r.label) for r in want)
+    assert len(got) == 1001
+
+
+def test_salted_distinct_count(spark):
+    from pyspark.sql import functions as F
+
+    from engagement_data_pipeline_spark.operators.skew import (
+        salted_distinct_count,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 700).alias("v"))
+    got = {r.g: r.n_distinct for r in
+           salted_distinct_count(df, ["g"], "v").collect()}
+    want = {r.g: r.n for r in
+            df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()}
+    assert got == want

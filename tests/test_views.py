@@ -134,3 +134,25 @@ def test_generate_analysis_files_end_to_end(spark, tmp_path):
     parts = [f for f in os.listdir(tmp_path / "engagement_counts")
              if f.startswith("part-")]
     assert len(parts) == 1
+
+
+def test_generate_analysis_files_with_stage_tables(spark, tmp_path):
+    """stage_dir materializes durable parquet stage tables (imputed
+    partitioned by dataset) and produces the same analysis results."""
+    import os
+
+    from engagement_data_pipeline_spark.analysis.pipeline import (
+        generate_analysis_files,
+    )
+    from engagement_data_pipeline_spark.queries.engagement import CONFIG, _messages
+
+    msgs = _messages(spark, "/root/testdata/sf0.001")
+    staged = generate_analysis_files(msgs, CONFIG,
+                                     stage_dir=str(tmp_path / "stage"))
+    cached = generate_analysis_files(msgs, CONFIG)
+    # partition layout: one dir per dataset under imputed/
+    parts = os.listdir(tmp_path / "stage" / "imputed")
+    assert any(p.startswith("dataset=") for p in parts)
+    a, b = (sorted(map(tuple, run.analysis["engagement_counts"].collect()))
+            for run in (staged, cached))
+    assert a == b
