@@ -81,6 +81,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k7_advert_sync": sync_back.k7_advert_sync,
     "r1_model_matrix": regression.r1_model_matrix,
     "r2_logistic_regression": regression.r2_logistic_regression,
+    "r3_mice_pooled": regression.r3_mice_pooled,
     "s2_streaming_merge": streaming_q.s2_streaming_merge,
     "traced_provenance": trace_q.traced_provenance,
 }
@@ -134,8 +135,9 @@ ORACLES: dict[str, str] = {
     "k6_contact_fields": sync_back.K6_CONTACT_FIELDS_SQL,
     "k7_advert_sync": sync_back.K7_ADVERT_SYNC_SQL,
     "r1_model_matrix": regression.R1_MODEL_MATRIX_SQL,
-    # r2_logistic_regression: no oracle — the iterative IRLS fit is
-    # not SQL-expressible; the driver records a rows-only check.
+    # r2_logistic_regression, r3_mice_pooled: no oracle — the
+    # iterative IRLS fits are not SQL-expressible; the driver records
+    # rows-only checks.
     "s2_streaming_merge": streaming_q.S2_STREAMING_MERGE_SQL,
     "traced_provenance": trace_q.TRACED_PROVENANCE_SQL,
 }

@@ -6,7 +6,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..analysis.regression import build_model_matrix, logistic_regression_report
+from ..analysis.regression import (
+    build_model_matrix,
+    logistic_regression_report,
+    multiple_imputation_report,
+)
 from ..labels.config import CONTROL_CODES
 from . import engagement
 
@@ -54,3 +58,16 @@ def r2_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logistic_regression_report(
         mm, "s01e01_theme_code_0",
         [f.removesuffix("_codes") for f in DEMOG_FIELDS])
+
+
+def r3_mice_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 (rows-only): MICE-lite pooled coefficients — m=3 hash-seeded
+    deterministic imputations of 'missing' demog cells, one IRLS fit
+    each, coefficients pooled by mean (Rubin point estimate). The
+    iterative fits are not SQL-expressible; the driver records a
+    rows-only check (reference: multiple_imputation_regression_analysis.py
+    m=20 via R mice — same shape, deterministic draws instead of RNG)."""
+    mm = r1_model_matrix(spark, sf_dir)
+    return multiple_imputation_report(
+        mm, "s01e01_theme_code_0",
+        [f.removesuffix("_codes") for f in DEMOG_FIELDS], m=3)
