@@ -66,16 +66,36 @@ def _observed_scheme_codes(pv: DataFrame,
 
 
 def _materialize(df: DataFrame, path: str,
-                 partition_by: list[str] | None = None) -> DataFrame:
+                 partition_by: list[str] | None = None,
+                 bucket_by: tuple[int, str] | None = None,
+                 table: str | None = None) -> DataFrame:
     """Write a stage table and read it back: downstream consumers scan
     the materialization (with partition pruning on `partition_by`)
     instead of re-deriving the lineage — the cluster-scale analog of a
-    local `.cache()`."""
+    local `.cache()`.
+
+    With `bucket_by=(n, col)` the stage is written as an external
+    bucketed table (requires `table`; files still live under `path`).
+    A bucketed scan exposes HashPartitioning(col, n), so every
+    downstream groupBy/join on `col` — the per-participant folds —
+    reuses the layout instead of shuffling. At 100 TB the imputed
+    grain is written once per run but folded several times; bucketing
+    trades one sorted write for every subsequent exchange."""
+    spark = df.sparkSession
+    if bucket_by is not None:
+        if table is None:
+            raise ValueError("bucketed stage tables need a table name")
+        n, col = bucket_by
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (df.write.mode("overwrite").option("path", path)
+         .bucketBy(n, col).sortBy(col).format("parquet")
+         .saveAsTable(table))
+        return spark.table(table)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return spark.read.parquet(path)
 
 
 def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
@@ -83,7 +103,8 @@ def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
                             scheme_codes: dict[str, list[str]] | None = None,
                             cross_tab_pairs: list[tuple[str, str]] | None = None,
                             single_file: bool = False,
-                            stage_dir: str | None = None) -> AnalysisRun:
+                            stage_dir: str | None = None,
+                            bucket_participants: int | None = None) -> AnalysisRun:
     """Run the full analysis pipeline over a Message-schema frame.
 
     When `out_dir` is given, writes the same file set the reference
@@ -97,15 +118,28 @@ def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
     parquet stage tables — the imputed message grain partitioned by
     dataset (so per-dataset consumers prune partitions) and the two
     views unpartitioned. That is the 100 TB configuration: caches
-    don't survive executor loss or fit big stages; stage tables do."""
+    don't survive executor loss or fit big stages; stage tables do.
+
+    `bucket_participants` (with `stage_dir`) writes the imputed grain
+    as a bucketed table on participant_uuid instead: the participant
+    fold and every other participant-keyed consumer then reads
+    pre-clustered data with no exchange (dataset partition pruning is
+    traded away; choose per workload)."""
     fetched = fetch_messages(messages)
     filtered = filter_messages(fetched, config.rqa_datasets,
                                config.rqa_start, config.rqa_end,
                                config.test_participants)
     imputed = impute_message_grain(filtered, config)
     if stage_dir is not None:
-        imputed = _materialize(imputed, os.path.join(stage_dir, "imputed"),
-                               partition_by=["dataset"])
+        if bucket_participants:
+            imputed = _materialize(
+                imputed, os.path.join(stage_dir, "imputed"),
+                bucket_by=(bucket_participants, "participant_uuid"),
+                table="stage_imputed")
+        else:
+            imputed = _materialize(imputed,
+                                   os.path.join(stage_dir, "imputed"),
+                                   partition_by=["dataset"])
         mv = _materialize(messages_by_column(imputed, config),
                           os.path.join(stage_dir, "messages_view"))
         pv = _materialize(participants_by_column(imputed, config),

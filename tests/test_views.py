@@ -156,3 +156,28 @@ def test_generate_analysis_files_with_stage_tables(spark, tmp_path):
     a, b = (sorted(map(tuple, run.analysis["engagement_counts"].collect()))
             for run in (staged, cached))
     assert a == b
+
+
+def test_generate_analysis_files_bucketed_stage(spark, tmp_path):
+    """bucket_participants writes the imputed grain as a bucketed
+    table: participant-keyed aggregation plans carry no Exchange (the
+    bucketed scan already provides the hash partitioning) and results
+    are identical to the cached mode."""
+    from engagement_data_pipeline_spark.analysis.pipeline import (
+        generate_analysis_files,
+    )
+    from engagement_data_pipeline_spark.queries.engagement import CONFIG, _messages
+
+    msgs = _messages(spark, "/root/testdata/sf0.001")
+    bucketed = generate_analysis_files(msgs, CONFIG,
+                                       stage_dir=str(tmp_path / "stage"),
+                                       bucket_participants=4)
+    cached = generate_analysis_files(msgs, CONFIG)
+
+    plan = (bucketed.imputed.groupBy("participant_uuid").count()
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+    a, b = (sorted(map(tuple, run.participants_view.collect()))
+            for run in (bucketed, cached))
+    assert a == b
