@@ -34,6 +34,12 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM before timing: first-query numbers otherwise absorb
+    # one-time codegen-framework + parquet-reader initialization that
+    # has nothing to do with the query being measured.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     qs = queries()
     timings = {}
     t_all = time.perf_counter()

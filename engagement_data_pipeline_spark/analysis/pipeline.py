@@ -104,7 +104,8 @@ def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
                             cross_tab_pairs: list[tuple[str, str]] | None = None,
                             single_file: bool = False,
                             stage_dir: str | None = None,
-                            bucket_participants: int | None = None) -> AnalysisRun:
+                            bucket_participants: int | None = None,
+                            dry_run: bool = False) -> AnalysisRun:
     """Run the full analysis pipeline over a Message-schema frame.
 
     When `out_dir` is given, writes the same file set the reference
@@ -124,7 +125,12 @@ def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
     as a bucketed table on participant_uuid instead: the participant
     fold and every other participant-keyed consumer then reads
     pre-clustered data with no exchange (dataset partition pruning is
-    traded away; choose per workload)."""
+    traded away; choose per workload).
+
+    `dry_run` mirrors the reference's `--dry-run` threaded through
+    every stage (engagement_db_to_analysis.py:13-14): all frames are
+    computed and returned, export file counts are logged, nothing is
+    written."""
     fetched = fetch_messages(messages)
     filtered = filter_messages(fetched, config.rqa_datasets,
                                config.rqa_start, config.rqa_end,
@@ -164,15 +170,24 @@ def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
         analysis[f"cross_tabs_{a}_{b}"] = automated.cross_tabs(pv, a, b)
 
     if out_dir is not None:
-        write_csv(production_columns(mv, config),
-                  os.path.join(out_dir, "production"), single_file)
-        write_csv(analysis_matrix(pv, config,
-                                  scheme_codes or _observed_scheme_codes(pv, config)),
-                  os.path.join(out_dir, "analysis_matrix"), single_file)
-        write_jsonl(imputed, os.path.join(out_dir, "traced_messages"),
-                    single_file)
-        for name, df in analysis.items():
-            write_csv(df, os.path.join(out_dir, name), single_file)
+        exports: list[tuple[str, DataFrame, str]] = [
+            ("production", production_columns(mv, config), "csv"),
+            ("analysis_matrix",
+             analysis_matrix(pv, config,
+                             scheme_codes or _observed_scheme_codes(pv, config)),
+             "csv"),
+            ("traced_messages", imputed, "jsonl"),
+        ]
+        exports += [(name, df, "csv") for name, df in analysis.items()]
+        for name, df, fmt in exports:
+            path = os.path.join(out_dir, name)
+            if dry_run:
+                print(f"# dry run: would write {df.count()} rows -> "
+                      f"{path} ({fmt})")
+            elif fmt == "jsonl":
+                write_jsonl(df, path, single_file)
+            else:
+                write_csv(df, path, single_file)
 
     return AnalysisRun(imputed=imputed, messages_view=mv,
                        participants_view=pv, analysis=analysis)

@@ -181,3 +181,22 @@ def test_generate_analysis_files_bucketed_stage(spark, tmp_path):
     a, b = (sorted(map(tuple, run.participants_view.collect()))
             for run in (bucketed, cached))
     assert a == b
+
+
+def test_generate_analysis_files_dry_run(spark, tmp_path, capsys):
+    """dry_run computes and logs every export without writing files."""
+    import os
+
+    from engagement_data_pipeline_spark.analysis.pipeline import (
+        generate_analysis_files,
+    )
+    from engagement_data_pipeline_spark.queries.engagement import CONFIG, _messages
+
+    msgs = _messages(spark, "/root/testdata/sf0.001")
+    run = generate_analysis_files(msgs, CONFIG, out_dir=str(tmp_path / "out"),
+                                  dry_run=True)
+    assert not os.path.exists(tmp_path / "out")
+    logged = capsys.readouterr().out
+    assert "dry run: would write" in logged
+    assert "production" in logged and "engagement_counts" in logged
+    assert run.analysis["engagement_counts"].count() > 0
