@@ -55,6 +55,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_relevance_uuids": analysis.relevance_uuids,
     "doc_exact_dedup": training.doc_exact_dedup,
     "doc_minhash_pairs": training.doc_minhash_pairs,
+    "doc_jaccard_pairs": training.doc_jaccard_pairs,
     "doc_simhash": training.doc_simhash,
     "doc_profile": training.doc_profile,
     "doc_fingerprint": training.doc_fingerprint,
@@ -110,6 +111,7 @@ ORACLES: dict[str, str] = {
     "a9_relevance_uuids": analysis.RELEVANCE_UUIDS_SQL,
     "doc_exact_dedup": training.DOC_EXACT_DEDUP_SQL,
     "doc_minhash_pairs": training.DOC_MINHASH_PAIRS_SQL,
+    "doc_jaccard_pairs": training.DOC_JACCARD_PAIRS_SQL,
     "doc_simhash": training.DOC_SIMHASH_SQL,
     "doc_profile": training.DOC_PROFILE_SQL,
     "doc_fingerprint": training.DOC_FINGERPRINT_SQL,

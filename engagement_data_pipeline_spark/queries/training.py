@@ -185,3 +185,37 @@ SELECT doc_id, list_sort(list_distinct(list_filter(
     h -> h LIKE '%0'))) AS fp
 FROM norm
 """
+
+
+# --- exact n-gram Jaccard pairs (inverted-index blocked) -----------------
+
+_JACCARD_MAX_DF = 100
+
+
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dups via rare-shingle inverted-index
+    blocking (never all-pairs); the oracle applies the identical
+    blocking, so results match by construction."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                 max_doc_freq=_JACCARD_MAX_DF)
+
+
+DOC_JACCARD_PAIRS_SQL = ("WITH " + _SHINGLES_CTE + f""",
+posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle
+  HAVING COUNT(*) <= {_JACCARD_MAX_DF}
+),
+blocked AS (SELECT p.doc_id, p.shingle FROM posting p JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM blocked x JOIN blocked y
+    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) AS jaccard
+FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) >= 0.5
+""")

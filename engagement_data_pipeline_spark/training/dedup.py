@@ -184,3 +184,56 @@ def simhash(docs: DataFrame, text_col: str = "text",
     for b in range(1, bits):
         sig = sig + bit_vote(b) * (2 ** b)
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.5,
+                        max_doc_freq: int = 100) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via an inverted
+    shingle index — the non-probabilistic sibling of MinHash-LSH.
+
+    Pipeline: shingle → explode into a posting list → drop
+    "stop-grams" (shingles appearing in more than `max_doc_freq`
+    docs, which generate quadratic candidates while carrying no
+    dedup signal) → self-join postings per shingle (id_a < id_b) →
+    distinct candidate pairs → exact Jaccard verify ≥ threshold.
+
+    Never an all-pairs product: candidates are bounded by
+    sum over rare shingles of df² ≤ max_doc_freq · |postings|. A
+    qualifying pair is missed only if *every* shared shingle occurs
+    in more than `max_doc_freq` documents — at threshold ≥ 0.5 real
+    near-dups share many grams, and boilerplate-only overlap is
+    exactly the case blocking is meant to ignore.
+
+    Returns (id_a, id_b, jaccard).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col)).alias("shingles"),
+    ).cache()
+
+    posting = sh.select("id", F.explode("shingles").alias("shingle"))
+    rare = posting.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_doc_freq)
+    blocked = posting.join(rare.select("shingle"), "shingle")
+
+    x = blocked.alias("x")
+    y = blocked.alias("y")
+    candidates = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                (inter.cast("double") / union.cast("double")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -88,3 +88,57 @@ def test_document_profile_langid_votes(spark):
     out = {r.doc_id: r.lang_guess for r in document_profile(df).collect()}
     assert out[0] == "de"
     assert out[1] == "und"  # no marker hits
+
+
+def test_ngram_jaccard_pairs_matches_brute_force(spark):
+    """With a permissive doc-freq cap, inverted-index blocking finds
+    exactly the brute-force pair set, with exact Jaccard values."""
+    from itertools import combinations
+
+    from engagement_data_pipeline_spark.training.dedup import (
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",    # near-dup of 0
+        "pack my box with five dozen liquor jugs",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "completely unrelated text about spark engines",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, threshold=0.5,
+                                        max_doc_freq=100).collect()}
+
+    sh = {r.doc_id: set(r.sh) for r in docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")).collect()}
+    want = {}
+    for a, b in combinations(sorted(sh), 2):
+        j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        if j >= 0.5:
+            want[(a, b)] = j
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+    assert got[(0, 3)] == 1.0
+
+
+def test_ngram_jaccard_stop_gram_cap_blocks_boilerplate(spark):
+    """Shingles above the doc-freq cap generate no candidates: two
+    docs overlapping ONLY in a ubiquitous boilerplate phrase are not
+    paired when the cap excludes that phrase's shingles."""
+    from engagement_data_pipeline_spark.training.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i} is here {boiler}") for i in range(6)],
+        "doc_id long, text string")
+    # every shingle containing the boilerplate occurs in all 6 docs
+    got = ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=3).collect()
+    assert got == []
