@@ -56,6 +56,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_exact_dedup": training.doc_exact_dedup,
     "doc_minhash_pairs": training.doc_minhash_pairs,
     "doc_jaccard_pairs": training.doc_jaccard_pairs,
+    "doc_dedup_clusters": training.doc_dedup_clusters,
     "doc_simhash": training.doc_simhash,
     "doc_profile": training.doc_profile,
     "doc_fingerprint": training.doc_fingerprint,
@@ -112,6 +113,7 @@ ORACLES: dict[str, str] = {
     "doc_exact_dedup": training.DOC_EXACT_DEDUP_SQL,
     "doc_minhash_pairs": training.DOC_MINHASH_PAIRS_SQL,
     "doc_jaccard_pairs": training.DOC_JACCARD_PAIRS_SQL,
+    "doc_dedup_clusters": training.DOC_DEDUP_CLUSTERS_SQL,
     "doc_simhash": training.DOC_SIMHASH_SQL,
     "doc_profile": training.DOC_PROFILE_SQL,
     "doc_fingerprint": training.DOC_FINGERPRINT_SQL,

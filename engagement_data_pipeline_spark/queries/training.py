@@ -200,7 +200,7 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  max_doc_freq=_JACCARD_MAX_DF)
 
 
-DOC_JACCARD_PAIRS_SQL = ("WITH " + _SHINGLES_CTE + f""",
+_JACCARD_CTES = _SHINGLES_CTE + f""",
 posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 rare AS (
   SELECT shingle FROM posting GROUP BY shingle
@@ -212,10 +212,48 @@ cand AS (
   FROM blocked x JOIN blocked y
     ON x.shingle = y.shingle AND x.doc_id < y.doc_id
 )
+"""
+
+_JACCARD_SELECT = """
 SELECT id_a, id_b,
        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
        / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) AS jaccard
 FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
 WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) >= 0.5
+"""
+
+DOC_JACCARD_PAIRS_SQL = "WITH " + _JACCARD_CTES + _JACCARD_SELECT
+
+
+# --- near-dup clusters (connected components) ----------------------------
+
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup graph:
+    (doc_id, cluster_rep, cluster_size) per clustered doc. Spark runs
+    Pregel-style min-label propagation; the oracle computes the same
+    components with a recursive CTE (min reachable id per node)."""
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                  max_doc_freq=_JACCARD_MAX_DF)
+    return D.near_dup_clusters(pairs)
+
+
+DOC_DEDUP_CLUSTERS_SQL = ("WITH RECURSIVE " + _JACCARD_CTES + f""",
+pairs AS ({_JACCARD_SELECT}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster_rep FROM reach GROUP BY node)
+SELECT c.node AS doc_id, c.cluster_rep, s.cluster_size
+FROM comp c JOIN (
+  SELECT cluster_rep, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_rep
+) s USING (cluster_rep)
 """)

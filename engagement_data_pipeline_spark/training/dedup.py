@@ -237,3 +237,65 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                 (inter.cast("double") / union.cast("double")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b",
+                      max_iterations: int = 20) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: the
+    step that turns pairwise matches into dedup decisions (cluster →
+    keep the representative, drop the rest).
+
+    Iterative min-label propagation (Pregel-style): every node starts
+    labelled with itself; each round every node takes the min label
+    among itself and its neighbours; fixpoint after O(diameter)
+    rounds. Each round is one shuffle (join + groupBy); the driver
+    only checks the scalar "any label changed?" count — no row data
+    is collected. Near-dup graph diameters are tiny (chains of
+    near-identical docs), so this converges in a handful of rounds;
+    `max_iterations` bounds pathological chains. (At extreme scale,
+    swap in the large-star/small-star variant — same contract.)
+
+    Returns (doc_id, cluster_rep, cluster_size) for every doc that
+    appears in at least one pair, cluster_rep = min doc id of its
+    component.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")).cache())
+
+    for _ in range(max_iterations):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("neighbour_label"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("neighbour_label", "label")).alias("label"),
+            ).cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("node").alias("doc_id"),
+                F.col("label").alias("cluster_rep"),
+                "cluster_size")
+    )

@@ -142,3 +142,17 @@ def test_ngram_jaccard_stop_gram_cap_blocks_boilerplate(spark):
     # every shingle containing the boilerplate occurs in all 6 docs
     got = ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=3).collect()
     assert got == []
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """A-B and B-C pairs (without A-C) must still cluster A,B,C
+    together with the min id as representative."""
+    from engagement_data_pipeline_spark.training.dedup import (
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    got = {r.doc_id: (r.cluster_rep, r.cluster_size)
+           for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 9: (7, 2)}
