@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
-from ..training.multimodal import frame_sample_plan, image_features
+from ..training.multimodal import (
+    audio_chunk_plan,
+    frame_sample_plan,
+    image_features,
+)
 from ._helpers import apply_runtime_conf
 
 _EVERY_MS = 1000
@@ -78,4 +82,29 @@ SELECT media_id,
          (a, b) -> (a * 131 + b) % 2305843009213693952) AS BIGINT) AS feat_hash,
        224 AS out_width, 224 AS out_height
 FROM img
+"""
+
+
+_CHUNK_MS = 3000
+_OVERLAP_MS = 500
+
+
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk plan (3s windows, 0.5s overlap) over the media
+    fixture — metadata-only column math, payload never touched."""
+    return audio_chunk_plan(_media_fixture(spark, sf_dir),
+                            chunk_ms=_CHUNK_MS, overlap_ms=_OVERLAP_MS)
+
+
+MM_AUDIO_CHUNKS_SQL = f"""
+WITH media AS (
+  SELECT 'media-' || CAST(event_id AS VARCHAR) AS media_id,
+         (event_id % 7) * 997 + 100 AS duration_ms
+  FROM events WHERE event_id % 3 = 2
+)
+SELECT media_id, chunk_start_ms,
+       LEAST(chunk_start_ms + {_CHUNK_MS}, duration_ms) AS chunk_end_ms
+FROM media,
+     UNNEST(generate_series(0, duration_ms - 1,
+                            {_CHUNK_MS - _OVERLAP_MS})) AS t(chunk_start_ms)
 """

@@ -66,6 +66,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_embedding_neardup": similarity.doc_embedding_neardup,
     "mm_frame_plan": multimodal_q.mm_frame_plan,
     "mm_image_features": multimodal_q.mm_image_features,
+    "mm_audio_chunks": multimodal_q.mm_audio_chunks,
     "k2_production": sinks_sources.k2_production,
     "k3_analysis_matrix": sinks_sources.k3_analysis_matrix,
     "s8_csv_ingest": sinks_sources.s8_csv_ingest,
@@ -123,6 +124,7 @@ ORACLES: dict[str, str] = {
     "doc_embedding_neardup": similarity.DOC_EMBEDDING_NEARDUP_SQL,
     "mm_frame_plan": multimodal_q.MM_FRAME_PLAN_SQL,
     "mm_image_features": multimodal_q.MM_IMAGE_FEATURES_SQL,
+    "mm_audio_chunks": multimodal_q.MM_AUDIO_CHUNKS_SQL,
     "k2_production": sinks_sources.K2_PRODUCTION_SQL,
     "k3_analysis_matrix": sinks_sources.K3_ANALYSIS_MATRIX_SQL,
     "s8_csv_ingest": sinks_sources.S8_CSV_INGEST_SQL,

@@ -102,3 +102,30 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))
         .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
     )
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 30_000,
+                     overlap_ms: int = 1_000) -> DataFrame:
+    """Audio chunking plan: overlapping windows over the duration
+    metadata — one row per (media_id, chunk_start_ms, chunk_end_ms),
+    stepping chunk_ms - overlap_ms so consecutive chunks share
+    overlap_ms (the usual ASR shape so no utterance is cut at every
+    boundary). Pure column math on metadata; decoding each planned
+    chunk is the same stubbed kernel boundary as decode_audio."""
+    if not 0 <= overlap_ms < chunk_ms:
+        raise ValueError("need 0 <= overlap_ms < chunk_ms")
+    step = chunk_ms - overlap_ms
+    return (
+        media.where((F.col("media_type") == "audio")
+                    & F.col("duration_ms").isNotNull())
+        .select(
+            "media_id", "duration_ms",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"),
+                           F.col("duration_ms") - 1,
+                           F.lit(step).cast("long"))).alias("chunk_start_ms"))
+        .select(
+            "media_id", "chunk_start_ms",
+            F.least(F.col("chunk_start_ms") + chunk_ms,
+                    F.col("duration_ms")).alias("chunk_end_ms"))
+    )
