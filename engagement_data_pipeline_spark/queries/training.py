@@ -191,13 +191,29 @@ FROM norm
 
 _JACCARD_MAX_DF = 100
 
+# The verified pair set feeds both the pairs query and the clustering
+# query; memoize + cache it per (session, sf_dir) so the second
+# consumer reuses the materialized pairs instead of re-running the
+# whole shingle/posting/verify pipeline (same pattern as the
+# engagement spine's _imputed).
+_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _PAIRS_CACHE.get(key)
+    if df is None:
+        df = D.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                   max_doc_freq=_JACCARD_MAX_DF).cache()
+        _PAIRS_CACHE[key] = df
+    return df
+
 
 def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dups via rare-shingle inverted-index
     blocking (never all-pairs); the oracle applies the identical
     blocking, so results match by construction."""
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir),
-                                 max_doc_freq=_JACCARD_MAX_DF)
+    return _jaccard_pairs(spark, sf_dir)
 
 
 _JACCARD_CTES = _SHINGLES_CTE + f""",
@@ -233,9 +249,7 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, cluster_rep, cluster_size) per clustered doc. Spark runs
     Pregel-style min-label propagation; the oracle computes the same
     components with a recursive CTE (min reachable id per node)."""
-    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir),
-                                  max_doc_freq=_JACCARD_MAX_DF)
-    return D.near_dup_clusters(pairs)
+    return D.near_dup_clusters(_jaccard_pairs(spark, sf_dir))
 
 
 DOC_DEDUP_CLUSTERS_SQL = ("WITH RECURSIVE " + _JACCARD_CTES + f""",

@@ -265,31 +265,34 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().cache()
 
-    labels = (edges.select(F.col("src").alias("node")).distinct()
+    cached = (edges.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("label")).cache())
+    labels = cached
 
     for _ in range(max_iterations):
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src").agg(F.min("label").alias("neighbour_label"))
         )
-        new_labels = (
+        # Carry the previous label through the same frame so the
+        # fixpoint check is a filter on the cached result, not a
+        # second self-join per round.
+        stepped = (
             labels.join(neigh_min, labels.node == neigh_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("prev_label"),
                 F.least(
                     F.col("label"),
                     F.coalesce("neighbour_label", "label")).alias("label"),
             ).cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label")).limit(1).count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        changed = not stepped.where(
+            F.col("label") != F.col("prev_label")).isEmpty()
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("node", "label")
+        if not changed:
             break
 
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
