@@ -117,7 +117,7 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 30_000,
     step = chunk_ms - overlap_ms
     return (
         media.where((F.col("media_type") == "audio")
-                    & F.col("duration_ms").isNotNull())
+                    & (F.col("duration_ms") > 0))
         .select(
             "media_id", "duration_ms",
             F.explode(
