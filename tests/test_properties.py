@@ -153,3 +153,43 @@ def test_minhash_identical_texts_always_pair(spark, texts):
         for j in range(i + 1, len(norm)):
             if norm[i] == norm[j]:
                 assert pairs.get((i, j)) == 1.0
+
+
+@SETTINGS
+@given(
+    hours=st.lists(st.integers(min_value=0, max_value=4),
+                   min_size=0, max_size=12),
+)
+def test_tie_safe_watermark_partial_batches_never_overcommit(spark, hours):
+    """For a possibly-truncated batch, the committed watermark must be
+    strictly below the batch max (its tie group may continue beyond
+    the fetch), and truncate_incomplete_tie_group must keep exactly
+    the rows at or below that watermark."""
+    from engagement_data_pipeline_spark.operators.incremental import (
+        tie_safe_watermark,
+        truncate_incomplete_tie_group,
+    )
+
+    data = [(i, _T0 + dt.timedelta(hours=h)) for i, h in enumerate(hours)]
+    df = spark.createDataFrame(data, "id long, ts timestamp") if data else \
+        spark.createDataFrame([], "id long, ts timestamp")
+
+    w = tie_safe_watermark(df, "ts", complete=False)
+    kept = truncate_incomplete_tie_group(df, "ts").collect()
+
+    if not hours or len(set(hours)) == 1:
+        # empty batch, or every row in one tie group: nothing commits
+        assert w is None
+        assert kept == []
+    else:
+        mx = _T0 + dt.timedelta(hours=max(hours))
+        assert w < mx
+        assert w == _T0 + dt.timedelta(hours=max(h for h in hours
+                                                 if h != max(hours)))
+        assert all(r.ts <= w for r in kept)
+        assert len(kept) == sum(1 for h in hours if h != max(hours))
+
+    # complete batches commit the exact max
+    wc = tie_safe_watermark(df, "ts", complete=True)
+    assert wc == (max((_T0 + dt.timedelta(hours=h) for h in hours),
+                      default=None))

@@ -156,3 +156,18 @@ def test_near_dup_clusters_transitive_chain(spark):
     got = {r.doc_id: (r.cluster_rep, r.cluster_size)
            for r in near_dup_clusters(pairs).collect()}
     assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 9: (7, 2)}
+
+
+def test_dedup_operators_accept_empty_input(spark):
+    """Empty docs / empty pair graphs flow through without errors."""
+    from engagement_data_pipeline_spark.training.dedup import (
+        exact_dedup_groups,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup_groups(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert near_dup_clusters(pairs).count() == 0
