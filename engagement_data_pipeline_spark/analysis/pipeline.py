@@ -14,6 +14,7 @@ the materialization instead of re-deriving the spine.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from dataclasses import dataclass, field
 
@@ -138,10 +139,14 @@ def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
     imputed = impute_message_grain(filtered, config)
     if stage_dir is not None:
         if bucket_participants:
+            # Table name derived from stage_dir: two bucketed runs in
+            # one session (different stage dirs) must not repoint or
+            # drop each other's still-live catalog entry.
+            suffix = hashlib.md5(stage_dir.encode()).hexdigest()[:10]
             imputed = _materialize(
                 imputed, os.path.join(stage_dir, "imputed"),
                 bucket_by=(bucket_participants, "participant_uuid"),
-                table="stage_imputed")
+                table=f"stage_imputed_{suffix}")
         else:
             imputed = _materialize(imputed,
                                    os.path.join(stage_dir, "imputed"),
@@ -169,7 +174,7 @@ def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
     for a, b in (cross_tab_pairs or []):
         analysis[f"cross_tabs_{a}_{b}"] = automated.cross_tabs(pv, a, b)
 
-    if out_dir is not None:
+    if out_dir is not None or dry_run:
         exports: list[tuple[str, DataFrame, str]] = [
             ("production", production_columns(mv, config), "csv"),
             ("analysis_matrix",
@@ -180,7 +185,7 @@ def generate_analysis_files(messages: DataFrame, config: AnalysisConfig,
         ]
         exports += [(name, df, "csv") for name, df in analysis.items()]
         for name, df, fmt in exports:
-            path = os.path.join(out_dir, name)
+            path = os.path.join(out_dir or "<out_dir>", name)
             if dry_run:
                 print(f"# dry run: would write {df.count()} rows -> "
                       f"{path} ({fmt})")

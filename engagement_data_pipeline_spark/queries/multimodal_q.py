@@ -105,6 +105,6 @@ WITH media AS (
 SELECT media_id, chunk_start_ms,
        LEAST(chunk_start_ms + {_CHUNK_MS}, duration_ms) AS chunk_end_ms
 FROM media,
-     UNNEST(generate_series(0, duration_ms - 1,
+     UNNEST(generate_series(0, GREATEST(duration_ms - {_OVERLAP_MS + 1}, 0),
                             {_CHUNK_MS - _OVERLAP_MS})) AS t(chunk_start_ms)
 """

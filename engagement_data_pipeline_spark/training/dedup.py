@@ -105,6 +105,35 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _shingled(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingles) spread across the cores and cached: the shingle
+    sets feed signatures/postings AND the verify joins (production: a
+    materialized signatures table). Spark's CacheManager dedups this
+    by logical plan, so every dedup operator over the same docs frame
+    shares one materialization per session."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col)).alias("shingles"),
+    ).cache()
+
+
+def _verify_pairs(sh: DataFrame, candidates: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate (id_a, id_b)
+    pairs against the shingle sets."""
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                (inter.cast("double") / union.cast("double")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            threshold: float = 0.5) -> DataFrame:
@@ -118,16 +147,7 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     join and the two id-keyed verify joins — never an all-pairs
     product.
     """
-    # Shingling + hashing is the CPU-heavy stage: spread it across all
-    # cores first (a small source file arrives as one partition; on a
-    # real cluster the scan is already split). The shingle sets feed
-    # both the signatures and the verify joins; cache them
-    # (production: a materialized signatures table).
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(par).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col)).alias("shingles"),
-    ).cache()
+    sh = _shingled(docs, text_col, id_col)
     sig = sh.select("id", minhash_signature(F.col("shingles")).alias("sig"))
 
     bands = sig.select(
@@ -153,16 +173,7 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
         .distinct()
     )
 
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    return (
-        candidates.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b",
-                (inter.cast("double") / union.cast("double")).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs(sh, candidates, threshold)
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
@@ -207,11 +218,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
     Returns (id_a, id_b, jaccard).
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(par).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col)).alias("shingles"),
-    ).cache()
+    sh = _shingled(docs, text_col, id_col)
 
     posting = sh.select("id", F.explode("shingles").alias("shingle"))
     rare = posting.groupBy("shingle").agg(
@@ -227,16 +234,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .distinct()
     )
 
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    return (
-        candidates.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b",
-                (inter.cast("double") / union.cast("double")).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs(sh, candidates, threshold)
 
 
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
@@ -265,17 +263,23 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().cache()
 
-    cached = (edges.select(F.col("src").alias("node")).distinct()
-              .select("node", F.col("node").alias("label")).cache())
-    labels = cached
+    # Each round references `labels` twice (as the fold input and via
+    # neigh_min), so chaining rounds lazily doubles the logical plan
+    # per iteration — exponential analysis cost. localCheckpoint
+    # (eager) truncates the lineage to the materialized result each
+    # round, the standard shape for iterative DataFrame algorithms.
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
 
+    converged = False
     for _ in range(max_iterations):
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src").agg(F.min("label").alias("neighbour_label"))
         )
         # Carry the previous label through the same frame so the
-        # fixpoint check is a filter on the cached result, not a
+        # fixpoint check is a filter on the materialized result, not a
         # second self-join per round.
         stepped = (
             labels.join(neigh_min, labels.node == neigh_min.src, "left")
@@ -285,15 +289,25 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                 F.least(
                     F.col("label"),
                     F.coalesce("neighbour_label", "label")).alias("label"),
-            ).cache()
+            ).localCheckpoint(eager=True)
         )
-        changed = not stepped.where(
-            F.col("label") != F.col("prev_label")).isEmpty()
-        cached.unpersist()
-        cached = stepped
+        n_changed = stepped.where(
+            F.col("label") != F.col("prev_label")).count()
         labels = stepped.select("node", "label")
-        if not changed:
+        if n_changed == 0:
+            converged = True
             break
+
+    if not converged:
+        # One propagation hop per round: exhausting the budget means a
+        # component's diameter exceeds max_iterations and the labels
+        # are NOT final — returning them silently would report one
+        # component as several. (For graphs that legitimately deep,
+        # use the large-star/small-star contraction variant.)
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iterations} "
+            "rounds; a component's diameter exceeds the iteration "
+            "budget — raise max_iterations")
 
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

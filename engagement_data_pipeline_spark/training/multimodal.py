@@ -120,9 +120,15 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 30_000,
                     & (F.col("duration_ms") > 0))
         .select(
             "media_id", "duration_ms",
+            # Last start is capped at duration - overlap - 1: a start
+            # inside the final chunk's overlap tail would produce a
+            # chunk fully contained in its predecessor (zero new
+            # audio, one wasted decode).
             F.explode(
                 F.sequence(F.lit(0).cast("long"),
-                           F.col("duration_ms") - 1,
+                           F.greatest(
+                               F.col("duration_ms") - (overlap_ms + 1),
+                               F.lit(0).cast("long")),
                            F.lit(step).cast("long"))).alias("chunk_start_ms"))
         .select(
             "media_id", "chunk_start_ms",

@@ -171,3 +171,21 @@ def test_dedup_operators_accept_empty_input(spark):
     assert ngram_jaccard_pairs(docs).count() == 0
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert near_dup_clusters(pairs).count() == 0
+
+
+def test_near_dup_clusters_raises_on_iteration_exhaustion(spark):
+    """A chain deeper than the iteration budget must raise rather than
+    silently return split clusters."""
+    import pytest
+
+    from engagement_data_pipeline_spark.training.dedup import (
+        near_dup_clusters,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(chain, max_iterations=2)
+    # the same chain converges with an adequate budget
+    ok = near_dup_clusters(chain, max_iterations=15)
+    assert {r.cluster_rep for r in ok.collect()} == {0}
