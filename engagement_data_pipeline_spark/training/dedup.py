@@ -185,15 +185,29 @@ def simhash(docs: DataFrame, text_col: str = "text",
     h = F.transform(
         w, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"))
 
-    def bit_vote(b: int) -> Column:
-        votes = F.aggregate(
-            h, F.lit(0).cast("long"),
-            lambda acc, x: acc + (F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1))
-        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    sig = bit_vote(0)
-    for b in range(1, bits):
-        sig = sig + bit_vote(b) * (2 ** b)
+    # One fold over the words computes the ones-count of every bit
+    # position at once (acc is a `bits`-long counter array) instead of
+    # `bits` independent re-walks of the array. ±1 vote sum > 0 ⟺
+    # 2·ones > n — exact integer math either way, so the oracle's
+    # per-bit formulation agrees bit-for-bit.
+    ones = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("long")
+                      for b in range(bits)]),
+            lambda a, v: a + v),
+    )
+    n = F.size(h).cast("long")
+    powers = F.lit([1 << b for b in range(bits)]).cast("array<long>")
+    sig = F.aggregate(
+        F.zip_with(ones, powers,
+                   lambda c, p: F.when(c * 2 > n, p)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
 
 
