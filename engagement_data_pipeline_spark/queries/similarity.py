@@ -11,6 +11,7 @@ from ..training import similarity as S
 from ._helpers import apply_runtime_conf
 
 QUERY_IDS = [0, 1, 2, 3, 4]
+EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
 K = 10
 # 4 bits → 16 buckets: sized so buckets stay populated at sf0.01's 500
 # vectors; at production scale nbits grows with log2(n / target bucket
@@ -57,7 +58,7 @@ SELECT * FROM (
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     return S.cosine_topk_lsh(load(spark, sf_dir, "embeddings"), QUERY_IDS, K,
-                             nbits=LSH_QUERY_BITS)
+                             nbits=LSH_QUERY_BITS, dim=EMB_DIM)
 
 
 def _bucket_sql(emb: str) -> str:
@@ -153,7 +154,7 @@ def doc_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     return S.embedding_near_dup_pairs(
         load(spark, sf_dir, "embeddings"),
-        threshold=NEAR_DUP_THRESHOLD, nbits=LSH_QUERY_BITS)
+        threshold=NEAR_DUP_THRESHOLD, nbits=LSH_QUERY_BITS, dim=EMB_DIM)
 
 
 DOC_EMBEDDING_NEARDUP_SQL = f"""

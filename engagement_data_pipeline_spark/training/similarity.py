@@ -78,24 +78,46 @@ def _hyperplane(bit: int, dim: Column) -> Column:
     return (h % HYPERPLANE_MOD - HYPERPLANE_SHIFT).cast("double")
 
 
-def lsh_bucket(emb: Column, nbits: int = LSH_BITS) -> Column:
-    """Hyperplane-sign signature: bit j = 1 iff Σ_i c_{j,i}·v_i > 0."""
+def _hyperplane_py(bit: int, dim: int) -> float:
+    """Python mirror of _hyperplane — same md5-derived integer, so a
+    plan-time coefficient literal equals the runtime-hashed column."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp{bit}:{dim}".encode()).hexdigest()[:15], 16)
+    return float(h % HYPERPLANE_MOD - HYPERPLANE_SHIFT)
+
+
+def lsh_bucket(emb: Column, nbits: int = LSH_BITS,
+               dim: int | None = None) -> Column:
+    """Hyperplane-sign signature: bit j = 1 iff Σ_i c_{j,i}·v_i > 0.
+
+    When the embedding dimension is known at plan time (`dim`), the
+    coefficient matrix is embedded as literals — no per-row md5 work
+    (nbits·dim hashes per row otherwise). Products and the sequential
+    fold order are identical in both paths, so the resulting buckets
+    (and the SQL oracle) agree exactly."""
     bucket = F.lit(0).cast("long")
     for j in range(nbits):
-        proj = F.aggregate(
-            F.zip_with(
+        if dim is not None:
+            coeffs = F.lit([_hyperplane_py(j, i)
+                            for i in range(1, dim + 1)]).cast("array<double>")
+            prods = F.zip_with(emb, coeffs,
+                               lambda x, c: x.cast("double") * c)
+        else:
+            prods = F.zip_with(
                 emb,
                 F.sequence(F.lit(1), F.size(emb)),
                 lambda x, i: x.cast("double") * _hyperplane(j, i),
-            ),
-            F.lit(0.0), lambda acc, x: acc + x)
+            )
+        proj = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket + F.when(proj > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long")
     return bucket
 
 
 def cosine_topk_lsh(embeddings: DataFrame, query_ids: Sequence[int],
                     k: int = 10, nbits: int = LSH_BITS,
-                    id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
     """Bucketed ANN: score only within the query's LSH bucket. The
     candidate join is an equi-join on the bucket key — at scale this
     shuffles each side once instead of broadcasting all queries
@@ -103,7 +125,7 @@ def cosine_topk_lsh(embeddings: DataFrame, query_ids: Sequence[int],
     (tested in tests/test_similarity.py)."""
     bucketed = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"),
-        lsh_bucket(F.col(emb_col), nbits).alias("bucket"))
+        lsh_bucket(F.col(emb_col), nbits, dim=dim).alias("bucket"))
     q = (
         bucketed.where(F.col("vec_id").isin(list(query_ids)))
         .select(F.col("vec_id").alias("query_id"),
@@ -219,7 +241,8 @@ def _fold_sq(xs: list[float]) -> float:
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                              nbits: int = LSH_BITS,
                              id_col: str = "vec_id",
-                             emb_col: str = "embedding") -> DataFrame:
+                             emb_col: str = "embedding",
+                             dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the brief's fifth dedup
     mode): candidate pairs are generated within LSH buckets (id_a <
     id_b — never an all-pairs product), then verified by exact cosine
@@ -229,7 +252,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     bucketed = embeddings.repartition(par).select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
-        lsh_bucket(F.col(emb_col), nbits).alias("bucket"))
+        lsh_bucket(F.col(emb_col), nbits, dim=dim).alias("bucket"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (
