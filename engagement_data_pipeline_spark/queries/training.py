@@ -217,7 +217,13 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_CTES = _SHINGLES_CTE + f""",
-posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shh AS (
+  SELECT doc_id, list_distinct(list_transform(
+      shingles,
+      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS shingles
+  FROM sh
+),
+posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shh),
 rare AS (
   SELECT shingle FROM posting GROUP BY shingle
   HAVING COUNT(*) <= {_JACCARD_MAX_DF}
@@ -234,7 +240,7 @@ _JACCARD_SELECT = """
 SELECT id_a, id_b,
        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
        / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) AS jaccard
-FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+FROM cand JOIN shh a ON cand.id_a = a.doc_id JOIN shh b ON cand.id_b = b.doc_id
 WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) >= 0.5
 """

@@ -233,8 +233,17 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     Returns (id_a, id_b, jaccard).
     """
     sh = _shingled(docs, text_col, id_col)
+    # 60-bit md5 ints instead of shingle strings for the posting list
+    # and the verify sets: ~2-3x smaller shuffle and integer (not
+    # string) array intersection. Collisions are negligible at 60
+    # bits, and the oracle applies the identical hash, so the two
+    # engines agree exactly by construction either way.
+    shh = sh.select("id", F.array_distinct(F.transform(
+        "shingles",
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10)
+        .cast("long"))).alias("shingles"))
 
-    posting = sh.select("id", F.explode("shingles").alias("shingle"))
+    posting = shh.select("id", F.explode("shingles").alias("shingle"))
     rare = posting.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_doc_freq)
     blocked = posting.join(rare.select("shingle"), "shingle")
@@ -248,7 +257,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .distinct()
     )
 
-    return _verify_pairs(sh, candidates, threshold)
+    return _verify_pairs(shh, candidates, threshold)
 
 
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
