@@ -11,7 +11,10 @@ from ..training import similarity as S
 from ._helpers import apply_runtime_conf
 
 QUERY_IDS = [0, 1, 2, 3, 4]
-EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
+EMB_DIM = 64  # embeddings.parquet vector length at every sf
+# (verified from the parquet; lsh_bucket raises on mismatch, so a
+# regenerated table with another dim fails fast instead of
+# silently collapsing every row into bucket 0)
 K = 10
 # 4 bits → 16 buckets: sized so buckets stay populated at sf0.01's 500
 # vectors; at production scale nbits grows with log2(n / target bucket

@@ -25,6 +25,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle fragments -------------------------------------------------
 
+# DuckDB mirror of training.dedup.md5_long — the single cross-engine
+# hashing idiom. `{x}` is the expression to hash.
+def _md5_long_sql(x: str) -> str:
+    return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
 _NORM_CTE = r"""
 norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
@@ -80,7 +86,7 @@ def _minhash_sql() -> str:
 hashed AS (
   SELECT doc_id, list_transform(
       shingles,
-      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MERSENNE_P}) AS h
+      s -> {_md5_long_sql('s')} % {MERSENNE_P}) AS h
   FROM sh
 ),
 sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hashed),
@@ -115,11 +121,11 @@ def _simhash_sql() -> str:
         f"(CASE WHEN list_sum(list_transform(h, x -> 2*((x >> {b}) & 1) - 1)) > 0 "
         f"THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
         for b in range(D.SIMHASH_BITS))
-    return ("WITH " + _NORM_CTE + """,
+    return ("WITH " + _NORM_CTE + f""",
 words AS (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS w FROM norm),
 hashes AS (
   SELECT doc_id, list_transform(
-      w, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS h
+      w, x -> {_md5_long_sql('x')}) AS h
   FROM words
 )
 SELECT doc_id, CAST(""" + bit_terms + " AS BIGINT) AS simhash FROM hashes")
@@ -220,7 +226,7 @@ _JACCARD_CTES = _SHINGLES_CTE + f""",
 shh AS (
   SELECT doc_id, list_distinct(list_transform(
       shingles,
-      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS shingles
+      s -> {_md5_long_sql('s')})) AS shingles
   FROM sh
 ),
 posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shh),

@@ -75,12 +75,18 @@ def _perm_params(k: int) -> list[tuple[int, int]]:
     return params
 
 
+def md5_long(col: Column) -> Column:
+    """String → 60-bit integer via the first 15 hex chars of md5 — THE
+    cross-engine hashing idiom (DuckDB mirror:
+    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)). Every operator
+    that hashes text uses this one helper so the two engines cannot
+    drift at a single call site."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def shingle_hashes(shingles: Column) -> Column:
     """md5-derived integer in [0, P) per shingle — computed once."""
-    return F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-        .cast("long") % MERSENNE_P)
+    return F.transform(shingles, lambda s: md5_long(s) % MERSENNE_P)
 
 
 def minhash_signature(shingles: Column, k: int = NUM_HASHES) -> Column:
@@ -106,15 +112,19 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
 
 
 def _shingled(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, shingles) spread across the cores and cached: the shingle
-    sets feed signatures/postings AND the verify joins (production: a
-    materialized signatures table). Spark's CacheManager dedups this
-    by logical plan, so every dedup operator over the same docs frame
-    shares one materialization per session."""
+    """(id, shingles, h) spread across the cores and cached: the
+    shingle sets and their 60-bit md5 ints feed signatures, postings
+    AND the verify joins (production: a materialized signatures
+    table). Hashing happens once here; Spark's CacheManager dedups
+    the cache by logical plan, so every dedup operator over the same
+    docs frame shares one materialization per session."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     return docs.repartition(par).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col)).alias("shingles"),
+    ).select(
+        "id", "shingles",
+        F.transform("shingles", md5_long).alias("h"),
     ).cache()
 
 
@@ -148,7 +158,11 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     product.
     """
     sh = _shingled(docs, text_col, id_col)
-    sig = sh.select("id", minhash_signature(F.col("shingles")).alias("sig"))
+    hp = F.transform(F.col("h"), lambda x: x % MERSENNE_P)
+    sig = sh.select("id", F.array(*[
+        F.array_min(F.transform(hp, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P))
+        for a, b in _perm_params(NUM_HASHES)
+    ]).alias("sig"))
 
     bands = sig.select(
         "id",
@@ -182,8 +196,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
     integer votes ±1 per bit position; the signature bit is 1 iff the
     vote sum is positive. Pure projection — zero shuffles."""
     w = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    h = F.transform(
-        w, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"))
+    h = F.transform(w, md5_long)
 
     # One fold over the words computes the ones-count of every bit
     # position at once (acc is a `bits`-long counter array) instead of
@@ -233,15 +246,13 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     Returns (id_a, id_b, jaccard).
     """
     sh = _shingled(docs, text_col, id_col)
-    # 60-bit md5 ints instead of shingle strings for the posting list
-    # and the verify sets: ~2-3x smaller shuffle and integer (not
-    # string) array intersection. Collisions are negligible at 60
-    # bits, and the oracle applies the identical hash, so the two
-    # engines agree exactly by construction either way.
-    shh = sh.select("id", F.array_distinct(F.transform(
-        "shingles",
-        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10)
-        .cast("long"))).alias("shingles"))
+    # 60-bit md5 ints (precomputed in _shingled's cache) instead of
+    # shingle strings for the posting list and the verify sets:
+    # ~2-3x smaller shuffle and integer (not string) array
+    # intersection. Collisions are negligible at 60 bits, and the
+    # oracle applies the identical hash, so the two engines agree
+    # exactly by construction either way.
+    shh = sh.select("id", F.array_distinct(F.col("h")).alias("shingles"))
 
     posting = shh.select("id", F.explode("shingles").alias("shingle"))
     rare = posting.groupBy("shingle").agg(

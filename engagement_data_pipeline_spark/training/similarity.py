@@ -95,7 +95,9 @@ def lsh_bucket(emb: Column, nbits: int = LSH_BITS,
     coefficient matrix is embedded as literals — no per-row md5 work
     (nbits·dim hashes per row otherwise). Products and the sequential
     fold order are identical in both paths, so the resulting buckets
-    (and the SQL oracle) agree exactly."""
+    (and the SQL oracle) agree exactly. A vector whose length differs
+    from `dim` fails the task loudly (zip_with would otherwise
+    null-pad and silently send every row to bucket 0)."""
     bucket = F.lit(0).cast("long")
     for j in range(nbits):
         if dim is not None:
@@ -111,6 +113,10 @@ def lsh_bucket(emb: Column, nbits: int = LSH_BITS,
             )
         proj = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket + F.when(proj > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long")
+    if dim is not None:
+        bucket = F.when(F.size(emb) == dim, bucket).otherwise(F.raise_error(
+            F.concat(F.lit(f"lsh_bucket: embedding length != dim={dim}: "),
+                     F.size(emb).cast("string"))).cast("long"))
     return bucket
 
 

@@ -77,3 +77,22 @@ def test_ivf_results_match_bruteforce_cosines_and_recall(spark, emb):
             hits += 1
     recall = hits / len(exact)
     assert recall >= 0.3, f"recall@10 too low: {recall}"
+
+
+def test_lsh_bucket_literal_path_matches_runtime_hashing(spark):
+    """lsh_bucket(dim=d) (plan-time coefficient literals) must equal
+    lsh_bucket() (per-row md5 hashing) on real vectors, and raise on a
+    dimension mismatch instead of silently bucketing to 0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from engagement_data_pipeline_spark.training.similarity import lsh_bucket
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    both = emb.select(
+        lsh_bucket(F.col("embedding"), 4).alias("runtime"),
+        lsh_bucket(F.col("embedding"), 4, dim=64).alias("literal"))
+    assert both.where(F.col("runtime") != F.col("literal")).count() == 0
+
+    with pytest.raises(Exception, match="embedding length"):
+        emb.select(lsh_bucket(F.col("embedding"), 4, dim=32)).collect()
