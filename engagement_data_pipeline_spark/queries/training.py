@@ -177,19 +177,29 @@ DOC_PROFILE_SQL = _profile_sql()
 # --- fingerprint ---------------------------------------------------------
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar projection of the array sketch (fp size + joined hashes) so
+    # the driver's pandas canonicalizer can sort/hash the result —
+    # array<string> cells are unhashable ndarray on the pandas side.
     docs = _docs(spark, sf_dir)
+    fp = T.fingerprint(F.col("text"))
     return docs.select(
         F.col("doc_id"),
-        T.fingerprint(F.col("text")).alias("fp"),
+        F.size(fp).cast("long").alias("fp_n"),
+        F.concat_ws(",", fp).alias("fp_sketch"),
     )
 
 
-DOC_FINGERPRINT_SQL = "WITH " + _NORM_CTE + """
-SELECT doc_id, list_sort(list_distinct(list_filter(
-    list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
-                   i -> md5(substr(norm, i, 8))),
-    h -> h LIKE '%0'))) AS fp
-FROM norm
+DOC_FINGERPRINT_SQL = "WITH " + _NORM_CTE + """,
+fp AS (
+  SELECT doc_id, list_sort(list_distinct(list_filter(
+      list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+                     i -> md5(substr(norm, i, 8))),
+      h -> h LIKE '%0'))) AS fp
+  FROM norm
+)
+SELECT doc_id, CAST(len(fp) AS BIGINT) AS fp_n,
+       COALESCE(array_to_string(fp, ','), '') AS fp_sketch
+FROM fp
 """
 
 
