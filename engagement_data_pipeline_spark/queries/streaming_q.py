@@ -19,7 +19,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.ingest import foreach_batch_upsert, stream_csv_source
+from ..streaming.ingest import (foreach_batch_upsert, read_merged_table,
+                                stream_csv_source)
 from ..tables import load
 from ._helpers import apply_runtime_conf
 
@@ -71,7 +72,7 @@ def s2_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
-    return spark.read.parquet(table)
+    return read_merged_table(spark, table)
 
 
 S2_STREAMING_MERGE_SQL = """

@@ -10,9 +10,13 @@ inside foreachBatch replaces the per-message lookup-before-write
 cannot double-insert.
 
 At scale: the landing dir is object storage; maxFilesPerTrigger
-bounds micro-batch size; the merge is one anti-join shuffle per
-batch on the origin key (Delta MERGE when a transactional table
-format is available).
+bounds micro-batch size. The target table is hash-partitioned on
+``bucket = pmod(xxhash64(origin), n_buckets)`` so each micro-batch
+rewrites ONLY the bucket partitions its keys land in (dynamic
+partition overwrite) — I/O per batch is O(touched buckets), not
+O(table). On a transactional format (Delta/Iceberg) the same merge is
+`MERGE INTO ... WHEN NOT MATCHED INSERT` and the bucketing becomes
+the table's clustering key.
 """
 
 from __future__ import annotations
@@ -20,10 +24,21 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import idempotent_upsert
 
 CSV_LANDING_SCHEMA = "Sender string, Message string, ReceivedOn string"
+
+#: Partition column added to merge targets; a pure function of the
+#: origin key, so a row's bucket never changes across batches.
+BUCKET_COL = "bucket"
+
+
+def origin_bucket(origin_cols: Sequence[str], n_buckets: int):
+    """Stable bucket id for an origin key: pmod(xxhash64, n)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in origin_cols]),
+                  F.lit(n_buckets)).cast("int")
 
 
 def stream_csv_source(spark: SparkSession, landing_dir: str,
@@ -38,27 +53,53 @@ def stream_csv_source(spark: SparkSession, landing_dir: str,
     return reader.csv(landing_dir)
 
 
+def read_merged_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read a merge target written by `foreach_batch_upsert`, hiding
+    the internal bucket partition column."""
+    return spark.read.parquet(table_path).drop(BUCKET_COL)
+
+
 def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                          transform: Callable[[DataFrame], DataFrame] | None = None,
+                         n_buckets: int = 16,
                          ) -> Callable[[DataFrame, int], None]:
     """A foreachBatch function: normalise the micro-batch (optional
-    `transform`), then merge into the parquet table keyed on the
-    origin columns — existing rows win, so replays are no-ops."""
+    `transform`), then merge into the bucket-partitioned parquet table
+    keyed on the origin columns — existing rows win, so replays are
+    no-ops.
+
+    Only the bucket partitions containing batch keys are rewritten
+    (dynamic partition overwrite); untouched buckets' files are left
+    in place. The merged frame is localCheckpoint-ed before the write
+    so the overwrite never re-reads files it is about to replace —
+    an executor loss mid-write cannot recompute lineage from deleted
+    source files.
+    """
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch = transform(batch)
         spark = batch.sparkSession
+        batch = batch.withColumn(BUCKET_COL,
+                                 origin_bucket(origin_cols, n_buckets))
         try:
             existing = spark.read.parquet(table_path)
         except Exception:
-            batch.write.mode("overwrite").parquet(table_path)
+            (batch.write.mode("overwrite")
+             .partitionBy(BUCKET_COL).parquet(table_path))
             return
-        merged = idempotent_upsert(existing, batch, origin_cols)
-        # Parquet has no transactional MERGE; stage-then-swap keeps the
-        # write atomic enough for tests. On Delta/Iceberg this whole
-        # function is `MERGE INTO ... WHEN NOT MATCHED INSERT`.
-        staged = merged.cache()
-        staged.count()
-        staged.write.mode("overwrite").parquet(table_path)
-        staged.unpersist()
+        # Buckets present in this batch — bounded by n_buckets, so the
+        # collect is O(n_buckets) regardless of table size.
+        hit = sorted(r[0] for r in
+                     batch.select(BUCKET_COL).distinct().collect())
+        touched = existing.where(F.col(BUCKET_COL).isin(hit))
+        merged = idempotent_upsert(touched, batch, origin_cols)
+        # One output file per bucket (instead of shuffle-partitions ×
+        # buckets small files), then materialize before overwriting:
+        # the checkpoint truncates lineage so the write cannot lazily
+        # re-read the partitions it deletes.
+        merged = merged.repartition(len(hit) or 1, F.col(BUCKET_COL))
+        merged = merged.localCheckpoint(eager=True)
+        (merged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(BUCKET_COL).parquet(table_path))
     return _merge

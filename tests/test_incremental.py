@@ -165,3 +165,47 @@ def test_streaming_foreach_batch_merge_is_idempotent(spark, tmp_path):
     run(str(tmp_path / "ckpt3"))
     final = spark.read.parquet(table).collect()
     assert len(final) == 2
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The merge target is hash-partitioned on the origin key; a
+    micro-batch must rewrite only the bucket partitions its keys land
+    in — files in untouched buckets stay byte-for-byte in place."""
+    import glob
+    import os
+
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        foreach_batch_upsert,
+        origin_bucket,
+        read_merged_table,
+    )
+
+    table = str(tmp_path / "t")
+    merge = foreach_batch_upsert(table, ["k"], n_buckets=8)
+    b1 = spark.createDataFrame([(f"k{i}", i) for i in range(40)],
+                               "k string, v int")
+    merge(b1, 0)
+
+    def snapshot():
+        return {p: os.path.getmtime(p)
+                for p in glob.glob(f"{table}/bucket=*/*.parquet")}
+
+    snap1 = snapshot()
+    assert len({p.split("bucket=")[1].split("/")[0] for p in snap1}) > 1
+
+    b2 = spark.createDataFrame([("k1", 999), ("brand-new", 7)],
+                               "k string, v int")
+    merge(b2, 1)
+    touched = {r[0] for r in
+               b2.withColumn("b", origin_bucket(["k"], 8)).select("b").collect()}
+    snap2 = snapshot()
+    untouched_checked = 0
+    for path, mtime in snap1.items():
+        bucket = int(path.split("bucket=")[1].split("/")[0])
+        if bucket not in touched:
+            assert snap2.get(path) == mtime, f"untouched bucket {bucket} rewritten"
+            untouched_checked += 1
+    assert untouched_checked > 0
+    # replay semantics: existing k1 wins, the new key is inserted
+    out = {r["k"]: r["v"] for r in read_merged_table(spark, table).collect()}
+    assert out["k1"] == 1 and out["brand-new"] == 7 and len(out) == 41
