@@ -38,12 +38,20 @@ CONFIG = SYNTHETIC_CONFIG
 # memoization the bench pays that plan-build repeatedly for zero new
 # information. (This caches no *data* — only `_imputed` below persists
 # rows.)
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#
+# Keyed on applicationId, not id(spark): a stopped session's id() can
+# be reused by a new SparkSession, which would hand out DataFrames
+# bound to the dead session; applicationId is unique per app.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
 
 
 def _plan(spark: SparkSession, sf_dir: str, stage: str,
           build) -> DataFrame:
-    key = (id(spark), sf_dir, stage)
+    key = (_session_key(spark), sf_dir, stage)
     df = _PLAN_CACHE.get(key)
     if df is None:
         df = build()
@@ -76,11 +84,11 @@ def _filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parquet/Delta table; within one local session .cache() is the
 # analog, so repeated queries reuse one scan instead of re-deriving
 # the whole spine.
-_IMPUTED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_IMPUTED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _imputed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     df = _IMPUTED_CACHE.get(key)
     if df is None:
         df = impute_message_grain(_filtered(spark, sf_dir), CONFIG).cache()

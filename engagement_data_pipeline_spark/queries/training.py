@@ -212,11 +212,12 @@ _JACCARD_MAX_DF = 100
 # consumer reuses the materialized pairs instead of re-running the
 # whole shingle/posting/verify pipeline (same pattern as the
 # engagement spine's _imputed).
-_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark) — see queries/engagement.py.
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
         df = D.ngram_jaccard_pairs(_docs(spark, sf_dir),
