@@ -65,6 +65,12 @@ def apply_ws_correction(messages: DataFrame, normal_schemes: Sequence[str],
     for code, ds in code_to_dataset.items():
         target = F.when(ws_code == code, F.lit(ds)).otherwise(target)
 
+    # A checked WS code with no mapped target (e.g. the reference's NC
+    # "right place unknown", lib.py:249-253) must NOT move: fall
+    # through to a no-op instead of clearing labels and nulling the
+    # dataset.
+    moving = moving & target.isNotNull()
+
     cycle = F.array_contains(F.col("previous_datasets"), target)
 
     new_dataset = (

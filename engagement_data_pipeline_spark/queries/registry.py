@@ -29,6 +29,7 @@ from . import (
     tpch,
     trace_q,
     training,
+    ws_q,
 )
 
 # name -> callable(spark, sf_dir) -> DataFrame
@@ -48,6 +49,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "messages_filtered": engagement.messages_filtered,
     "traced_provenance": trace_q.traced_provenance,
     "s2_streaming_merge": streaming_q.s2_streaming_merge,
+    "ws_correction_fixpoint": ws_q.ws_fixpoint,
     "participants_fold_text": engagement.participants_fold_text,
     "messages_imputed": engagement.messages_imputed,
     "participants_view": engagement.participants_view,
@@ -106,6 +108,7 @@ ORACLES: dict[str, str] = {
     "messages_filtered": engagement.MESSAGES_FILTERED_SQL,
     "traced_provenance": trace_q.TRACED_PROVENANCE_SQL,
     "s2_streaming_merge": streaming_q.S2_STREAMING_MERGE_SQL,
+    "ws_correction_fixpoint": ws_q.WS_FIXPOINT_SQL,
     "participants_fold_text": engagement.PARTICIPANTS_FOLD_SQL,
     "messages_imputed": engagement.MESSAGES_IMPUTED_SQL,
     "participants_view": engagement.PARTICIPANTS_VIEW_SQL,

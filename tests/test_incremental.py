@@ -112,6 +112,20 @@ def test_ws_correction_unchecked_does_not_move(spark):
     assert out.dataset == "age"
 
 
+def test_ws_unmapped_code_is_noop(spark):
+    """A checked WS-scheme code with no mapped target dataset (the
+    reference's 'right place unknown' refusal, lib.py:249-253) must
+    leave the message untouched — not null the dataset or clear
+    labels."""
+    rows = [msg("m1", "age", labels=[label("age_scheme", "WS"),
+                                     label(WS_SCHEME_ID, "ws_mystery")])]
+    df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
+    out = apply_ws_correction(df, ["age_scheme"], {"ws_gender": "gender"}).collect()[0]
+    assert out.dataset == "age"
+    assert out.previous_datasets == []
+    assert len(out.labels) == 2
+
+
 def test_ws_cycle_fix_resets_to_first_previous(spark):
     """Target already in previous_datasets → M11: reset to
     previous_datasets[0], empty the history."""
