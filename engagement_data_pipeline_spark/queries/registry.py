@@ -22,6 +22,7 @@ from . import (
     regression,
     similarity,
     sinks_sources,
+    skew_q,
     sources_adapters,
     sources_rp,
     streaming_q,
@@ -63,6 +64,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_traffic_analysis": analysis.traffic_analysis,
     "a8_participation_map": analysis.participation_map,
     "a9_relevance_uuids": analysis.relevance_uuids,
+    "skew_salted_distinct": skew_q.skew_salted_distinct,
     "doc_exact_dedup": training.doc_exact_dedup,
     "doc_minhash_pairs": training.doc_minhash_pairs,
     "doc_jaccard_pairs": training.doc_jaccard_pairs,
@@ -122,6 +124,7 @@ ORACLES: dict[str, str] = {
     "a7_traffic_analysis": analysis.TRAFFIC_ANALYSIS_SQL,
     "a8_participation_map": analysis.PARTICIPATION_MAP_SQL,
     "a9_relevance_uuids": analysis.RELEVANCE_UUIDS_SQL,
+    "skew_salted_distinct": skew_q.SKEW_SALTED_DISTINCT_SQL,
     "doc_exact_dedup": training.DOC_EXACT_DEDUP_SQL,
     "doc_minhash_pairs": training.DOC_MINHASH_PAIRS_SQL,
     "doc_jaccard_pairs": training.DOC_JACCARD_PAIRS_SQL,
