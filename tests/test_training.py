@@ -189,3 +189,30 @@ def test_near_dup_clusters_raises_on_iteration_exhaustion(spark):
     # the same chain converges with an adequate budget
     ok = near_dup_clusters(chain, max_iterations=15)
     assert {r.cluster_rep for r in ok.collect()} == {0}
+
+
+def test_jaccard_stop_gram_recall_trade(spark):
+    """Pins the documented blocking trade (training/dedup.py): a pair
+    whose every shared shingle is a stop-gram (df > max_doc_freq) is
+    INTENTIONALLY excluded, and raising the cap above the shingle's
+    document frequency recovers it — so a refactor can't silently
+    change the recall semantics."""
+    from engagement_data_pipeline_spark.training.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "common boiler plate legal footer text"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(8)]
+        + [(100, "something entirely different content here"),
+           (101, "another unrelated piece of writing now")],
+        "doc_id long, text string")
+
+    # every shingle of the identical docs appears in 8 docs > cap 5:
+    # all their (jaccard=1.0) pairs are blocked away
+    assert ngram_jaccard_pairs(docs, max_doc_freq=5).count() == 0
+    # cap >= df recovers all C(8,2)=28 pairs
+    recovered = ngram_jaccard_pairs(docs, max_doc_freq=8)
+    rows = recovered.collect()
+    assert len(rows) == 28
+    assert all(r.jaccard == 1.0 for r in rows)
