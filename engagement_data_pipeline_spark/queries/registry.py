@@ -20,6 +20,7 @@ from . import (
     engagement,
     multimodal_q,
     regression,
+    sessions_q,
     similarity,
     sinks_sources,
     skew_q,
@@ -65,6 +66,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_participation_map": analysis.participation_map,
     "a9_relevance_uuids": analysis.relevance_uuids,
     "skew_salted_distinct": skew_q.skew_salted_distinct,
+    "sessionize_events": sessions_q.sessionize_events,
     "doc_exact_dedup": training.doc_exact_dedup,
     "doc_minhash_pairs": training.doc_minhash_pairs,
     "doc_jaccard_pairs": training.doc_jaccard_pairs,
@@ -125,6 +127,7 @@ ORACLES: dict[str, str] = {
     "a8_participation_map": analysis.PARTICIPATION_MAP_SQL,
     "a9_relevance_uuids": analysis.RELEVANCE_UUIDS_SQL,
     "skew_salted_distinct": skew_q.SKEW_SALTED_DISTINCT_SQL,
+    "sessionize_events": sessions_q.SESSIONIZE_EVENTS_SQL,
     "doc_exact_dedup": training.DOC_EXACT_DEDUP_SQL,
     "doc_minhash_pairs": training.DOC_MINHASH_PAIRS_SQL,
     "doc_jaccard_pairs": training.DOC_JACCARD_PAIRS_SQL,
