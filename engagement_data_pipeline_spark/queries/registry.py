@@ -74,6 +74,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash": training.doc_simhash,
     "doc_profile": training.doc_profile,
     "doc_fingerprint": training.doc_fingerprint,
+    "doc_containment_pairs": training.doc_containment_pairs,
     "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
     "ann_topk_lsh": similarity.ann_topk_lsh,
     "ann_topk_ivf": similarity.ann_topk_ivf,
@@ -135,6 +136,7 @@ ORACLES: dict[str, str] = {
     "doc_simhash": training.DOC_SIMHASH_SQL,
     "doc_profile": training.DOC_PROFILE_SQL,
     "doc_fingerprint": training.DOC_FINGERPRINT_SQL,
+    "doc_containment_pairs": training.DOC_CONTAINMENT_PAIRS_SQL,
     "ann_topk_bruteforce": similarity.ANN_TOPK_BRUTEFORCE_SQL,
     "ann_topk_lsh": similarity.ANN_TOPK_LSH_SQL,
     "ann_topk_ivf": similarity.ANN_TOPK_IVF_SQL,

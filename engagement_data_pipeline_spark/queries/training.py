@@ -203,6 +203,40 @@ FROM fp
 """
 
 
+# --- fingerprint containment pairs ---------------------------------------
+
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint_containment_pairs(_docs(spark, sf_dir))
+
+
+DOC_CONTAINMENT_PAIRS_SQL = "WITH " + _NORM_CTE + f""",
+fp0 AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(
+      list_filter(
+        list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+                       i -> md5(substr(norm, i, 8))),
+        h -> h LIKE '%0'),
+      h -> CAST(('0x' || substr(h, 1, 15)) AS BIGINT)))) AS fp
+  FROM norm
+),
+fpn AS (SELECT * FROM fp0 WHERE len(fp) >= 5),
+posting AS (SELECT doc_id, unnest(fp) AS h FROM fpn),
+rare AS (SELECT h FROM posting GROUP BY h HAVING COUNT(*) <= 100),
+blocked AS (SELECT p.doc_id, p.h FROM posting p JOIN rare USING (h)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM blocked x JOIN blocked y
+    ON x.h = y.h AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(a.fp, b.fp)) AS DOUBLE)
+       / CAST(least(len(a.fp), len(b.fp)) AS DOUBLE) AS containment
+FROM cand JOIN fpn a ON cand.id_a = a.doc_id JOIN fpn b ON cand.id_b = b.doc_id
+WHERE CAST(len(list_intersect(a.fp, b.fp)) AS DOUBLE)
+      / CAST(least(len(a.fp), len(b.fp)) AS DOUBLE) >= 0.5
+"""
+
+
 # --- exact n-gram Jaccard pairs (inverted-index blocked) -----------------
 
 _JACCARD_MAX_DF = 100

@@ -216,3 +216,29 @@ def test_jaccard_stop_gram_recall_trade(spark):
     rows = recovered.collect()
     assert len(rows) == 28
     assert all(r.jaccard == 1.0 for r in rows)
+
+
+def test_containment_catches_excerpt_that_jaccard_misses(spark):
+    """A short doc pasted inside a much longer one: fingerprint
+    containment ~1.0 while symmetric Jaccard stays below a 0.5
+    threshold — the asymmetric operator's reason to exist."""
+    from engagement_data_pipeline_spark.training.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from engagement_data_pipeline_spark.training.text import (
+        fingerprint_containment_pairs,
+    )
+
+    core = ("the quick brown fox jumps over the lazy dog near the "
+            "quiet river bank every single morning without fail")
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, core), (2, core + " " + filler)],
+        "doc_id long, text string")
+
+    got = fingerprint_containment_pairs(docs, threshold=0.8, min_fp=3)
+    rows = got.collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].containment >= 0.8
+    # the symmetric jaccard pipeline does NOT pair them at 0.5
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
