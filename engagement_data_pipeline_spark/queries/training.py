@@ -206,18 +206,19 @@ FROM fp
 # --- fingerprint containment pairs ---------------------------------------
 
 def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.fingerprint_containment_pairs(_docs(spark, sf_dir))
+    # sample_mod=4 (not the 1/16 default): the synthetic docs are
+    # 10-99 words, so a 1/16 shingle sample starves min_fp; real
+    # multi-KB documents keep the sparser default.
+    return D.fingerprint_containment_pairs(_docs(spark, sf_dir),
+                                           sample_mod=4)
 
 
-DOC_CONTAINMENT_PAIRS_SQL = "WITH " + _NORM_CTE + f""",
+DOC_CONTAINMENT_PAIRS_SQL = "WITH " + _SHINGLES_CTE + f""",
 fp0 AS (
-  SELECT doc_id, list_sort(list_distinct(list_transform(
-      list_filter(
-        list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
-                       i -> md5(substr(norm, i, 8))),
-        h -> h LIKE '%0'),
-      h -> CAST(('0x' || substr(h, 1, 15)) AS BIGINT)))) AS fp
-  FROM norm
+  SELECT doc_id, list_sort(list_distinct(list_filter(
+      list_transform(shingles, s -> {_md5_long_sql('s')}),
+      h -> h % 4 = 0))) AS fp
+  FROM sh
 ),
 fpn AS (SELECT * FROM fp0 WHERE len(fp) >= 5),
 posting AS (SELECT doc_id, unnest(fp) AS h FROM fpn),
@@ -297,6 +298,44 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 """
 
 DOC_JACCARD_PAIRS_SQL = "WITH " + _JACCARD_CTES + _JACCARD_SELECT
+
+
+# --- deduplicated corpus (keep one per cluster) ---------------------------
+
+def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION applied: every doc_id that survives
+    near-dup dedup — cluster representatives (min id per connected
+    component) plus all unclustered docs. This is the frame a training
+    pipeline feeds downstream; an anti-join of the scan against the
+    (tiny) non-representative set, so it composes with any filter at
+    full scale."""
+    docs = _docs(spark, sf_dir)
+    clusters = D.near_dup_clusters(_jaccard_pairs(spark, sf_dir))
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_rep")) \
+        .select("doc_id")
+    return (docs.join(drop, "doc_id", "left_anti")
+            .select("doc_id", F.length("text").cast("long").alias("n_chars")))
+
+
+DOC_DEDUP_CORPUS_SQL = ("WITH RECURSIVE " + _JACCARD_CTES + f""",
+pairs AS ({_JACCARD_SELECT}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster_rep FROM reach GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_rep)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+""")
 
 
 # --- near-dup clusters (connected components) ----------------------------

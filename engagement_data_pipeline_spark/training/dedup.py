@@ -271,6 +271,66 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     return _verify_pairs(shh, candidates, threshold)
 
 
+def fingerprint_containment_pairs(docs: DataFrame, text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  threshold: float = 0.5,
+                                  min_fp: int = 5,
+                                  max_doc_freq: int = 100,
+                                  sample_mod: int = 16) -> DataFrame:
+    """Asymmetric near-duplication: pairs where the smaller sampled
+    fingerprint is mostly contained in the larger one —
+    |fp_a ∩ fp_b| / min(|fp_a|, |fp_b|) ≥ threshold. Catches
+    quote/excerpt/superset relationships that symmetric Jaccard
+    misses (a doc pasted inside a longer one scores low Jaccard but
+    high containment).
+
+    The fingerprint is a content-defined 1/`sample_mod` sample of the
+    word-shingle hash set (h % sample_mod == 0) — robust to
+    insertions (unlike stride sampling) and FREE at scale: it reuses
+    `_shingled`'s cached 60-bit hashes, so minhash, jaccard and
+    containment all ride the same single hashing pass over the
+    corpus. (The char-8-gram sketch in `training.text.fingerprint`
+    serves per-doc sketch export; hashing every char position again
+    here would cost more than the joins it feeds.)
+
+    Same scale discipline as ngram_jaccard_pairs: inverted index over
+    the sampled hashes, stop-hash cap `max_doc_freq`, bucket-local
+    candidate pairing — never an all-pairs product. Docs with fewer
+    than `min_fp` sampled hashes are excluded (a sparse sample of a
+    tiny doc carries no signal).
+
+    Returns (id_a, id_b, containment).
+    """
+    sh = _shingled(docs, text_col, id_col)
+    fp = sh.select(
+        "id",
+        F.array_sort(F.array_distinct(
+            F.filter("h", lambda x: x % sample_mod == 0))).alias("fp"),
+    ).where(F.size("fp") >= min_fp)
+
+    posting = fp.select("id", F.explode("fp").alias("h"))
+    rare = (posting.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq))
+    blocked = posting.join(rare.select("h"), "h")
+    x, y = blocked.alias("x"), blocked.alias("y")
+    candidates = (
+        x.join(y, (F.col("x.h") == F.col("y.h"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.fp"), F.col("b.fp")))
+    containment = (inter.cast("double")
+                   / F.least(F.size("a.fp"), F.size("b.fp")).cast("double"))
+    return (
+        candidates.join(a, F.col("id_a") == F.col("a.id"))
+        .join(b, F.col("id_b") == F.col("b.id"))
+        .select("id_a", "id_b", containment.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                       id_b: str = "id_b",
                       max_iterations: int = 20) -> DataFrame:

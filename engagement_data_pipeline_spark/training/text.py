@@ -94,70 +94,6 @@ def fingerprint(text: Column, char_ngram: int = 8) -> Column:
     return F.array_sort(F.array_distinct(sampled))
 
 
-def fingerprint_long(text: Column, char_ngram: int = 8) -> Column:
-    """The fingerprint sketch as sorted 60-bit ints (same md5-prefix
-    conversion as training.dedup.md5_long) — integer posting lists and
-    intersections shuffle ~2-3x less than hex strings."""
-    norm = normalize_text(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (char_ngram - 1), F.lit(1))),
-        lambda i: F.md5(norm.substr(i, F.lit(char_ngram))),
-    )
-    sampled = F.filter(grams, lambda h: h.endswith("0"))
-    return F.array_sort(F.array_distinct(F.transform(
-        sampled, lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long"))))
-
-
-def fingerprint_containment_pairs(docs: DataFrame, text_col: str = "text",
-                                  id_col: str = "doc_id",
-                                  threshold: float = 0.5,
-                                  min_fp: int = 5,
-                                  max_doc_freq: int = 100) -> DataFrame:
-    """Asymmetric near-duplication: pairs where the smaller
-    fingerprint is mostly contained in the larger one —
-    |fp_a ∩ fp_b| / min(|fp_a|, |fp_b|) ≥ threshold. Catches
-    quote/excerpt/superset relationships that symmetric Jaccard
-    misses (a doc pasted inside a longer one scores low Jaccard but
-    high containment).
-
-    Same scale discipline as ngram_jaccard_pairs: inverted index over
-    the sampled fingerprint hashes, stop-hash cap `max_doc_freq`,
-    bucket-local candidate pairing — never an all-pairs product. Docs
-    with fewer than `min_fp` sampled hashes are excluded (a 1/16
-    sample of a tiny doc carries no signal).
-
-    Returns (id_a, id_b, containment).
-    """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    fp = (docs.repartition(par)
-          .select(F.col(id_col).alias("id"),
-                  fingerprint_long(F.col(text_col)).alias("fp"))
-          .where(F.size("fp") >= min_fp)
-          .cache())  # feeds the posting list AND both verify joins
-
-    posting = fp.select("id", F.explode("fp").alias("h"))
-    rare = (posting.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_doc_freq))
-    blocked = posting.join(rare.select("h"), "h")
-    x, y = blocked.alias("x"), blocked.alias("y")
-    candidates = (
-        x.join(y, (F.col("x.h") == F.col("y.h"))
-               & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
-    a, b = fp.alias("a"), fp.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.fp"), F.col("b.fp")))
-    containment = (inter.cast("double")
-                   / F.least(F.size("a.fp"), F.size("b.fp")).cast("double"))
-    return (
-        candidates.join(a, F.col("id_a") == F.col("a.id"))
-        .join(b, F.col("id_b") == F.col("b.id"))
-        .select("id_a", "id_b", containment.alias("containment"))
-        .where(F.col("containment") >= threshold)
-    )
-
-
 def document_profile(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """One row per doc with all text-analysis columns — a single

@@ -223,10 +223,8 @@ def test_containment_catches_excerpt_that_jaccard_misses(spark):
     containment ~1.0 while symmetric Jaccard stays below a 0.5
     threshold — the asymmetric operator's reason to exist."""
     from engagement_data_pipeline_spark.training.dedup import (
-        ngram_jaccard_pairs,
-    )
-    from engagement_data_pipeline_spark.training.text import (
         fingerprint_containment_pairs,
+        ngram_jaccard_pairs,
     )
 
     core = ("the quick brown fox jumps over the lazy dog near the "
@@ -236,7 +234,10 @@ def test_containment_catches_excerpt_that_jaccard_misses(spark):
         [(1, core), (2, core + " " + filler)],
         "doc_id long, text string")
 
-    got = fingerprint_containment_pairs(docs, threshold=0.8, min_fp=3)
+    # sample_mod=2: the docs are tiny, so keep ~half the shingle
+    # hashes rather than 1/16
+    got = fingerprint_containment_pairs(docs, threshold=0.8, min_fp=3,
+                                        sample_mod=2)
     rows = got.collect()
     assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
     assert rows[0].containment >= 0.8
