@@ -99,10 +99,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k6_contact_fields": sync_back.k6_contact_fields,
     "k7_advert_sync": sync_back.k7_advert_sync,
     "r1_model_matrix": regression.r1_model_matrix,
-    "r2_logistic_regression": regression.r2_logistic_regression,
-    "r3_mice_pooled": regression.r3_mice_pooled,
     "q03_shipping_priority": tpch.q03_shipping_priority,
     "q05_local_supplier": tpch.q05_local_supplier,
+    # The two rows-only queries sit LAST: in round 2 the driver's
+    # correctness runner recorded nothing from the first oracle-less
+    # entry onward, so every oracle-backed query stays ahead of them.
+    "r2_logistic_regression": regression.r2_logistic_regression,
+    "r3_mice_pooled": regression.r3_mice_pooled,
 }
 
 # name -> DuckDB-compatible ANSI SQL (omit for non-SQL-expressible ops)
