@@ -174,6 +174,46 @@ FROM scored""")
 DOC_PROFILE_SQL = _profile_sql()
 
 
+# --- quality gate applied ------------------------------------------------
+
+def doc_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Thresholds chosen to DISCRIMINATE on the synthetic corpus
+    # (10-99 words, mean word length 3.7-5.3, zero punctuation):
+    # the default envelope would keep every doc and prove nothing.
+    kept = T.quality_filter(_docs(spark, sf_dir),
+                            min_words=25, min_mean_word_len=4.0)
+    return kept.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+DOC_QUALITY_CORPUS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, length(text) AS raw_len,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+),
+m AS (
+  SELECT doc_id, raw_len,
+         string_split(norm, ' ') AS w, norm
+  FROM base
+),
+scored AS (
+  SELECT doc_id, raw_len,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS mean_word_len,
+    CAST(length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        / CAST(length(norm) AS DOUBLE) AS punct_ratio
+  FROM m
+)
+SELECT doc_id, CAST(raw_len AS BIGINT) AS n_chars
+FROM scored
+WHERE n_words >= 25 AND n_words <= 100000
+  AND punct_ratio <= 0.2
+  AND mean_word_len >= 4.0 AND mean_word_len <= 12.0
+"""
+
+
 # --- fingerprint ---------------------------------------------------------
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,6 +94,27 @@ def fingerprint(text: Column, char_ngram: int = 8) -> Column:
     return F.array_sort(F.array_distinct(sampled))
 
 
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 5, max_words: int = 100_000,
+                   max_punct_ratio: float = 0.2,
+                   min_mean_word_len: float = 2.0,
+                   max_mean_word_len: float = 12.0) -> DataFrame:
+    """The quality DECISION applied (the C4-style gate built from
+    `quality_metrics`): keep docs inside the length / punctuation /
+    word-shape envelope. Pure filter over one projection — composes
+    with the scan at any scale, and the thresholds are plain columns
+    so Catalyst folds them into the same stage as the metrics."""
+    m = quality_metrics(F.col(text_col))
+    keep = (
+        (m["n_words"] >= min_words) & (m["n_words"] <= max_words)
+        & (m["punct_ratio"] <= max_punct_ratio)
+        & (m["mean_word_len"] >= min_mean_word_len)
+        & (m["mean_word_len"] <= max_mean_word_len)
+    )
+    return docs.where(keep)
+
+
 def document_profile(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """One row per doc with all text-analysis columns — a single

@@ -193,3 +193,52 @@ def test_tie_safe_watermark_partial_batches_never_overcommit(spark, hours):
     wc = tie_safe_watermark(df, "ts", complete=True)
     assert wc == (max((_T0 + dt.timedelta(hours=h) for h in hours),
                       default=None))
+
+
+@SETTINGS
+@given(
+    minute_offsets=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),      # user
+                  st.integers(min_value=0, max_value=600)),   # minute
+        min_size=0, max_size=25),
+)
+def test_sessionize_partitions_events_and_respects_gap(spark, minute_offsets):
+    """Sessions partition a user's events exactly (counts sum to n),
+    every intra-session step is <= the gap, and consecutive sessions
+    of one user are separated by more than the gap."""
+    from engagement_data_pipeline_spark.operators.sessions import sessionize
+
+    gap_min = 30
+    data = [(u, _T0 + dt.timedelta(minutes=m)) for u, m in minute_offsets]
+    df = (spark.createDataFrame(data, "user_id long, ts timestamp")
+          if data else spark.createDataFrame([], "user_id long, ts timestamp"))
+
+    out = sessionize(df, "user_id", "ts", gap_minutes=gap_min).collect()
+
+    # partition: per-user event counts add up
+    per_user = {}
+    for u, m in minute_offsets:
+        per_user.setdefault(u, []).append(m)
+    got_counts = {}
+    for r in out:
+        got_counts[r["user_id"]] = got_counts.get(r["user_id"], 0) + r["n_events"]
+    assert got_counts == {u: len(ms) for u, ms in per_user.items()}
+
+    # session boundaries follow the gap rule exactly: recompute the
+    # expected session starts per user from sorted minutes
+    for u, ms in per_user.items():
+        ms = sorted(ms)
+        expected_sessions = []
+        for m in ms:
+            if expected_sessions and m - expected_sessions[-1][-1] <= gap_min:
+                expected_sessions[-1].append(m)
+            else:
+                expected_sessions.append([m])
+        got = sorted(
+            ((r["session_start"], r["session_end"], r["n_events"])
+             for r in out if r["user_id"] == u))
+        want = sorted(
+            ((_T0 + dt.timedelta(minutes=s[0]),
+              _T0 + dt.timedelta(minutes=s[-1]), len(s))
+             for s in expected_sessions))
+        assert got == want
