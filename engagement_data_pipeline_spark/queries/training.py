@@ -174,6 +174,80 @@ FROM scored""")
 DOC_PROFILE_SQL = _profile_sql()
 
 
+# --- deterministic mixture sample ----------------------------------------
+
+# Per-source mixing weights: drop most of src0, half-weight the
+# default, keep all of src1 — the shape of a real data-mixture tune.
+_MIX_RATES = {"src0": 0.1, "src1": 1.0, "src2": 0.25}
+_MIX_DEFAULT = 0.5
+_MIX_SALT = "mix-v1"
+
+
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..training.sampling import deterministic_sample
+
+    kept = deterministic_sample(
+        _docs(spark, sf_dir), _MIX_DEFAULT, stratify_col="source",
+        rates=_MIX_RATES, salt=_MIX_SALT)
+    return kept.select("doc_id", "source")
+
+
+def _mixture_sql() -> str:
+    from ..training.sampling import SCALE
+
+    cases = " ".join(
+        f"WHEN '{v}' THEN {int(r * SCALE)}"
+        for v, r in sorted(_MIX_RATES.items()))
+    thr = f"CASE source {cases} ELSE {int(_MIX_DEFAULT * SCALE)} END"
+    h = _md5_long_sql(f"'{_MIX_SALT}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {h} % {SCALE} < {thr}
+"""
+
+
+DOC_MIXTURE_SAMPLE_SQL = _mixture_sql()
+
+
+# --- language-ID confusion matrix -----------------------------------------
+
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation of the lang-ID heuristic against the labelled lang
+    column: one row per (lang, lang_guess) with counts — the corpus-
+    governance query a curation pipeline runs after any lang-ID
+    change."""
+    docs = _docs(spark, sf_dir)
+    return (docs.select(F.col("lang"),
+                        T.language_id(F.col("text")).alias("lang_guess"))
+            .groupBy("lang", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _lang_confusion_sql() -> str:
+    langs = sorted(T.LANG_MARKERS)
+    scores = {
+        lang: ("len(list_filter(w, x -> list_contains(["
+               + ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+               + "], x)))")
+        for lang in langs
+    }
+    max_score = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    winner = "CASE WHEN " + max_score + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {max_score} THEN '{lang}'" for lang in langs) + " END"
+    score_cols = ", ".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())
+    return ("WITH " + _NORM_CTE + f""",
+base AS (
+  SELECT d.lang, string_split(n.norm, ' ') AS w
+  FROM documents d JOIN norm n USING (doc_id)
+),
+scored AS (SELECT *, {score_cols} FROM base)
+SELECT lang, {winner} AS lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY lang, {winner}""")
+
+
+DOC_LANG_CONFUSION_SQL = _lang_confusion_sql()
+
+
 # --- quality gate applied ------------------------------------------------
 
 def doc_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

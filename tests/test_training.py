@@ -243,3 +243,31 @@ def test_containment_catches_excerpt_that_jaccard_misses(spark):
     assert rows[0].containment >= 0.8
     # the symmetric jaccard pipeline does NOT pair them at 0.5
     assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_deterministic_sample_monotone_and_reproducible(spark):
+    """The sampling contract: same salt => identical sample on re-run,
+    and raising the rate only ADDS documents (no churn when mixture
+    weights are re-tuned)."""
+    from pyspark.sql import functions as F
+
+    from engagement_data_pipeline_spark.training.sampling import (
+        deterministic_sample,
+    )
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    kept_30 = {r.doc_id for r in
+               deterministic_sample(docs, 0.3).collect()}
+    kept_30_again = {r.doc_id for r in
+                     deterministic_sample(docs, 0.3).collect()}
+    kept_60 = {r.doc_id for r in
+               deterministic_sample(docs, 0.6).collect()}
+    assert kept_30 == kept_30_again
+    assert kept_30 < kept_60
+    # rates land near their targets (hash uniformity)
+    assert abs(len(kept_30) / 2000 - 0.3) < 0.05
+    assert abs(len(kept_60) / 2000 - 0.6) < 0.05
+    # a different salt produces a different (but equally sized-ish) draw
+    other = {r.doc_id for r in
+             deterministic_sample(docs, 0.3, salt="mix-v2").collect()}
+    assert other != kept_30
