@@ -76,6 +76,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_profile": training.doc_profile,
     "doc_quality_corpus": training.doc_quality_corpus,
     "doc_mixture_sample": training.doc_mixture_sample,
+    "doc_contamination": training.doc_contamination,
     "doc_lang_confusion": training.doc_lang_confusion,
     "doc_fingerprint": training.doc_fingerprint,
     "doc_containment_pairs": training.doc_containment_pairs,
@@ -145,6 +146,7 @@ ORACLES: dict[str, str] = {
     "doc_profile": training.DOC_PROFILE_SQL,
     "doc_quality_corpus": training.DOC_QUALITY_CORPUS_SQL,
     "doc_mixture_sample": training.DOC_MIXTURE_SAMPLE_SQL,
+    "doc_contamination": training.DOC_CONTAMINATION_SQL,
     "doc_lang_confusion": training.DOC_LANG_CONFUSION_SQL,
     "doc_fingerprint": training.DOC_FINGERPRINT_SQL,
     "doc_containment_pairs": training.DOC_CONTAINMENT_PAIRS_SQL,

@@ -174,6 +174,55 @@ FROM scored""")
 DOC_PROFILE_SQL = _profile_sql()
 
 
+# --- eval-set decontamination --------------------------------------------
+
+# Probe (eval) set: doc_id % 100 == 7 — deterministic stand-in for a
+# benchmark suite. A train doc is contaminated if it shares >= _DECON_K
+# shingle hashes with any probe doc.
+_DECON_K = 2
+
+
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination report: (train_doc_id, probe_doc_id, n_shared)
+    for every train doc sharing >= K word-shingle hashes with an
+    eval-set doc. The probe posting list is tiny (|eval| docs) and
+    broadcasts; the train side is one scan of the shared shingle cache
+    — the standard n-gram-overlap decontamination pass at corpus
+    scale."""
+    from ..training.dedup import _shingled
+
+    sh = _shingled(_docs(spark, sf_dir), "text", "doc_id")
+    posting = sh.select(F.col("id"), F.explode("h").alias("hash"))
+    is_probe = F.col("id") % 100 == 7
+    probes = (posting.where(is_probe)
+              .select(F.col("id").alias("probe_doc_id"), "hash").distinct())
+    train = (posting.where(~is_probe)
+             .select(F.col("id").alias("train_doc_id"), "hash").distinct())
+    return (train.join(F.broadcast(probes), "hash")
+            .groupBy("train_doc_id", "probe_doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= _DECON_K))
+
+
+def _contamination_sql() -> str:
+    return ("WITH " + _SHINGLES_CTE + f""",
+hashed AS (
+  SELECT doc_id, list_distinct(list_transform(
+      shingles, s -> {_md5_long_sql('s')})) AS h
+  FROM sh
+),
+posting AS (SELECT doc_id, unnest(h) AS hash FROM hashed),
+probes AS (SELECT doc_id AS probe_doc_id, hash FROM posting WHERE doc_id % 100 = 7),
+train AS (SELECT doc_id AS train_doc_id, hash FROM posting WHERE doc_id % 100 <> 7)
+SELECT train_doc_id, probe_doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM train JOIN probes USING (hash)
+GROUP BY train_doc_id, probe_doc_id
+HAVING COUNT(*) >= {_DECON_K}""")
+
+
+DOC_CONTAMINATION_SQL = _contamination_sql()
+
+
 # --- deterministic mixture sample ----------------------------------------
 
 # Per-source mixing weights: drop most of src0, half-weight the
