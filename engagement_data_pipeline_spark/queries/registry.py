@@ -84,6 +84,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": similarity.ann_topk_lsh,
     "ann_topk_ivf": similarity.ann_topk_ivf,
     "doc_embedding_neardup": similarity.doc_embedding_neardup,
+    "ann_knn_label_vote": similarity.ann_knn_label_vote,
     "mm_frame_plan": multimodal_q.mm_frame_plan,
     "mm_image_features": multimodal_q.mm_image_features,
     "mm_audio_chunks": multimodal_q.mm_audio_chunks,
@@ -154,6 +155,7 @@ ORACLES: dict[str, str] = {
     "ann_topk_lsh": similarity.ANN_TOPK_LSH_SQL,
     "ann_topk_ivf": similarity.ANN_TOPK_IVF_SQL,
     "doc_embedding_neardup": similarity.DOC_EMBEDDING_NEARDUP_SQL,
+    "ann_knn_label_vote": similarity.ANN_KNN_LABEL_VOTE_SQL,
     "mm_frame_plan": multimodal_q.MM_FRAME_PLAN_SQL,
     "mm_image_features": multimodal_q.MM_IMAGE_FEATURES_SQL,
     "mm_audio_chunks": multimodal_q.MM_AUDIO_CHUNKS_SQL,

@@ -148,6 +148,81 @@ SELECT * FROM (
 ANN_TOPK_IVF_SQL = _ivf_sql()
 
 
+# --- kNN label vote (embedding-quality eval) ------------------------------
+
+VOTE_IDS = list(range(0, 100, 5))   # 20 query vectors
+_V_IN = "(" + ", ".join(str(i) for i in VOTE_IDS) + ")"
+
+
+def ann_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify each query vector by majority label of its LSH top-k
+    neighbours (ties → smaller label) and report it against the true
+    label — the standard embedding-quality probe a curation pipeline
+    runs. Rides the bucketed LSH top-k, so the scoring cost is
+    bucket-local; the label lookup is a broadcast dimension join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    apply_runtime_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    topk = S.cosine_topk_lsh(emb, VOTE_IDS, K,
+                             nbits=LSH_QUERY_BITS, dim=EMB_DIM)
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    votes = (topk.join(F.broadcast(labels), "vec_id")
+             .groupBy("query_id", "label")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label"))
+    winners = (votes.select("*", F.row_number().over(w).alias("vrn"))
+               .where(F.col("vrn") == 1)
+               .select("query_id", F.col("label").alias("predicted_label"),
+                       "n_votes"))
+    truth = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").cast("long").alias("true_label"))
+    return winners.join(F.broadcast(truth), "query_id")
+
+
+ANN_KNN_LABEL_VOTE_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding AS emb, label, {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, bucket FROM b
+  WHERE vec_id IN {_V_IN}
+),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         {_cosine_sql("b.emb", "q.q_emb")} AS cosine
+  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= {K}
+),
+votes AS (
+  SELECT t.query_id, CAST(b.label AS BIGINT) AS label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM topk t JOIN b ON t.vec_id = b.vec_id
+  GROUP BY t.query_id, b.label
+),
+winners AS (
+  SELECT query_id, label AS predicted_label, n_votes FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, label) AS vrn
+    FROM votes
+  ) WHERE vrn = 1
+)
+SELECT w.query_id, w.predicted_label, w.n_votes,
+       CAST(b.label AS BIGINT) AS true_label
+FROM winners w JOIN b ON w.query_id = b.vec_id
+"""
+
+
 # --- embedding-cosine near-dup pairs -------------------------------------
 
 NEAR_DUP_THRESHOLD = 0.35   # ≈99.9th pct of pair cosines on the testdata
