@@ -23,3 +23,11 @@ def top_k_per_group(df: DataFrame, group_cols: Sequence[str],
     if rank_col:
         return out.withColumnRenamed("__rank", rank_col)
     return out.drop("__rank")
+
+
+def top_k_rows(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global deterministic top-k under a *total* order (include a
+    unique tiebreaker). Plans as TakeOrderedAndProject: each partition
+    keeps its local top-k, the driver merges — no full sort, no
+    shuffle of the losing rows."""
+    return df.orderBy(*order_by).limit(k)

@@ -77,6 +77,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_corpus": training.doc_quality_corpus,
     "doc_mixture_sample": training.doc_mixture_sample,
     "doc_contamination": training.doc_contamination,
+    "doc_token_topk": training.doc_token_topk,
     "doc_lang_confusion": training.doc_lang_confusion,
     "doc_fingerprint": training.doc_fingerprint,
     "doc_containment_pairs": training.doc_containment_pairs,
@@ -148,6 +149,7 @@ ORACLES: dict[str, str] = {
     "doc_quality_corpus": training.DOC_QUALITY_CORPUS_SQL,
     "doc_mixture_sample": training.DOC_MIXTURE_SAMPLE_SQL,
     "doc_contamination": training.DOC_CONTAMINATION_SQL,
+    "doc_token_topk": training.DOC_TOKEN_TOPK_SQL,
     "doc_lang_confusion": training.DOC_LANG_CONFUSION_SQL,
     "doc_fingerprint": training.DOC_FINGERPRINT_SQL,
     "doc_containment_pairs": training.DOC_CONTAINMENT_PAIRS_SQL,

@@ -174,6 +174,44 @@ FROM scored""")
 DOC_PROFILE_SQL = _profile_sql()
 
 
+# --- corpus vocabulary: top-k tokens --------------------------------------
+
+_VOCAB_K = 100
+
+
+def doc_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: the `_VOCAB_K` most frequent
+    whitespace tokens of normalized text with doc frequencies — the
+    groupwork behind stopword lists, tokenizer audits and vocab
+    pruning. One explode + one aggregation; the top-k has a total
+    order (count DESC, token ASC) so the result is deterministic."""
+    from ..operators.topk import top_k_rows
+    from ..training.dedup import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    tokens = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token"))
+    counts = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    return top_k_rows(counts,
+                      [F.col("n_occurrences").desc(), F.col("token")],
+                      _VOCAB_K)
+
+
+DOC_TOKEN_TOPK_SQL = "WITH " + _NORM_CTE + f""",
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM tok GROUP BY token
+)
+SELECT token, n_occurrences, n_docs FROM counts
+ORDER BY n_occurrences DESC, token LIMIT {_VOCAB_K}
+"""
+
+
 # --- eval-set decontamination --------------------------------------------
 
 # Probe (eval) set: doc_id % 100 == 7 — deterministic stand-in for a
