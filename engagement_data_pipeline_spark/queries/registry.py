@@ -28,6 +28,7 @@ from . import (
     sources_rp,
     streaming_q,
     sync_back,
+    temporal_q,
     tpch,
     trace_q,
     training,
@@ -67,6 +68,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_relevance_uuids": analysis.relevance_uuids,
     "skew_salted_distinct": skew_q.skew_salted_distinct,
     "sessionize_events": sessions_q.sessionize_events,
+    "events_asof_join": temporal_q.events_asof_join,
+    "events_range_join": temporal_q.events_range_join,
+    "events_rollup": temporal_q.events_rollup,
+    "events_funnel": temporal_q.events_funnel,
     "doc_exact_dedup": training.doc_exact_dedup,
     "doc_minhash_pairs": training.doc_minhash_pairs,
     "doc_jaccard_pairs": training.doc_jaccard_pairs,
@@ -139,6 +144,10 @@ ORACLES: dict[str, str] = {
     "a9_relevance_uuids": analysis.RELEVANCE_UUIDS_SQL,
     "skew_salted_distinct": skew_q.SKEW_SALTED_DISTINCT_SQL,
     "sessionize_events": sessions_q.SESSIONIZE_EVENTS_SQL,
+    "events_asof_join": temporal_q.EVENTS_ASOF_JOIN_SQL,
+    "events_range_join": temporal_q.EVENTS_RANGE_JOIN_SQL,
+    "events_rollup": temporal_q.EVENTS_ROLLUP_SQL,
+    "events_funnel": temporal_q.EVENTS_FUNNEL_SQL,
     "doc_exact_dedup": training.DOC_EXACT_DEDUP_SQL,
     "doc_minhash_pairs": training.DOC_MINHASH_PAIRS_SQL,
     "doc_jaccard_pairs": training.DOC_JACCARD_PAIRS_SQL,

@@ -1,0 +1,191 @@
+"""Registry queries for the temporal operators (operators/temporal.py)
+plus time-rollup and funnel analytics over the events table.
+
+Reference analogs: the pipeline's episode logic slices engagement by
+configured time ranges (F5) and analyses traffic per-period (A7,
+`analysis/traffic.py` in the reference); an engine serving the same
+users at 100 TB also needs point-in-time joins (as-of), bounded
+event-window correlation (range join), multi-resolution rollups and
+step funnels. All four queries are pure DataFrame compositions —
+no UDFs, every expression codegen-friendly.
+
+Cross-engine exactness: timestamps exported as unix_micros; counts
+are BIGINT; rollup subtotal rows are disambiguated by coalescing to
+sentinels (-1 / '<all>') rather than engine-specific GROUPING_ID.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, range_join
+from ._helpers import micros, t
+
+_RANGE_WINDOW_S = 600  # clicks within 10 min before a purchase
+
+# --- as-of join: each purchase -> most recent click ----------------------
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correlate: for every purchase event, the user's
+    most recent click at-or-before it. Right side is deduped to one
+    row per (user, ts) (max event_id) so the carried row is
+    deterministic. Plans as ONE window pass over a tagged union —
+    no join operator, shuffle volume |purchases|+|clicks|."""
+    ev = t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .groupBy("user_id", F.col("ts").alias("click_ts"))
+              .agg(F.max("event_id").alias("click_event_id")))
+    out = asof_join(purchases, clicks, on=["user_id"],
+                    left_ts="ts", right_ts="click_ts",
+                    right_cols=["click_event_id"])
+    return out.select(
+        "event_id", "user_id", micros("ts").alias("ts_us"),
+        micros("click_ts").alias("click_ts_us"),
+        F.col("click_event_id").cast("long").alias("click_event_id"))
+
+
+EVENTS_ASOF_JOIN_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       epoch_us(c.click_ts) AS click_ts_us,
+       CAST(c.click_event_id AS BIGINT) AS click_event_id
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
+# --- bounded range join: clicks within 10 min before each purchase -------
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-window correlation: every (purchase, click) pair of the
+    same user with the click in the 10 minutes before the purchase.
+    Bucketed equi-join (operators/temporal.py:range_join) — candidate
+    set bounded per (user, bucket), never a cartesian plan."""
+    ev = t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", F.col("ts").alias("purchase_ts")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      "user_id", F.col("ts").alias("click_ts")))
+    pairs = range_join(purchases, clicks, on=["user_id"],
+                       left_ts="purchase_ts", right_ts="click_ts",
+                       window_seconds=_RANGE_WINDOW_S)
+    return pairs.select(
+        "user_id", "purchase_id", "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .alias("delta_us"))
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND {_RANGE_WINDOW_S * 1_000_000}
+"""
+
+
+# --- multi-resolution rollup --------------------------------------------
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: event counts and distinct users at
+    (day, type), (day), and grand-total resolutions in one pass.
+    Spark computes all three grouping sets with a single shuffle
+    (Expand + one hash aggregate); subtotal rows are marked with
+    sentinels so both engines hash identically."""
+    ev = t(spark, sf_dir, "events").select(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        "event_type", "user_id")
+    rolled = ev.rollup("day_us", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"))
+    return rolled.select(
+        F.coalesce("day_us", F.lit(-1)).alias("day_us"),
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        "n_events", "n_users")
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT COALESCE(day_us, -1) AS day_us,
+       COALESCE(event_type, '<all>') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, user_id
+      FROM events)
+GROUP BY ROLLUP(day_us, event_type)
+"""
+
+
+# --- step funnel ---------------------------------------------------------
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> click -> purchase:
+    users counted at step k only if step k happened strictly after
+    their step k-1. Chained min-over-user windows share ONE exchange
+    (same partitioning, no ordering needed); the final shape is 4
+    rows. No self-joins, no collect_list blow-up."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    step = ev
+    prev: str | None = None
+    for i, name in enumerate(_FUNNEL_STEPS):
+        cond = F.col("event_type") == name
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        step = step.withColumn(f"t{i}",
+                               F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"t{i}"
+    per_user = step.groupBy("user_id").agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(len(_FUNNEL_STEPS))])
+    counts = per_user.select(
+        *[F.count(f"t{i}").cast("long").alias(f"n{i}")
+          for i in range(len(_FUNNEL_STEPS))])
+    stack_expr = ", ".join(
+        f"{i}, '{name}', n{i}" for i, name in enumerate(_FUNNEL_STEPS))
+    return counts.selectExpr(
+        f"stack({len(_FUNNEL_STEPS)}, {stack_expr}) "
+        "AS (step_idx, step, n_users)").select(
+        F.col("step_idx").cast("int").alias("step_idx"),
+        "step", F.col("n_users").cast("long").alias("n_users"))
+
+
+def _funnel_sql() -> str:
+    sel, src = "user_id, event_type, ts", "events"
+    for i, name in enumerate(_FUNNEL_STEPS):
+        cond = f"event_type = '{name}'"
+        if i > 0:
+            cond += f" AND ts > t{i - 1}"
+        sel += (f", MIN(CASE WHEN {cond} THEN ts END) "
+                f"OVER (PARTITION BY user_id) AS t{i}")
+        src = f"(SELECT {sel} FROM {src})"
+        sel = "user_id, event_type, ts" + "".join(
+            f", t{j}" for j in range(i + 1))
+    cols = ", ".join(f"COUNT(DISTINCT CASE WHEN t{i} IS NOT NULL "
+                     f"THEN user_id END) AS n{i}"
+                     for i in range(len(_FUNNEL_STEPS)))
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, '{name}' AS step, "
+        f"CAST(n{i} AS BIGINT) AS n_users FROM counts"
+        for i, name in enumerate(_FUNNEL_STEPS))
+    return f"WITH counts AS (SELECT {cols} FROM {src}) {rows}"
+
+
+EVENTS_FUNNEL_SQL = _funnel_sql()

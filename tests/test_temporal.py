@@ -1,0 +1,95 @@
+"""Unit tests for the temporal operators (as-of join, bounded range
+join) on literal frames, pinning the edge semantics the registry
+query can't isolate: ties, no-match NULLs, window boundaries, and
+bucket-crossing pairs."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00")),
+         (2, 10, _ts("2024-01-01 10:05:00")),
+         (3, 20, _ts("2024-01-01 09:00:00")),   # before any right row
+         (4, 30, _ts("2024-01-01 12:00:00"))],  # key with no right rows
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 09:55:00"), "a"),
+         (10, _ts("2024-01-01 10:00:00"), "b"),   # tie with left event 1
+         (10, _ts("2024-01-01 10:01:00"), "c"),
+         (20, _ts("2024-01-01 09:30:00"), "d")],
+        "user_id long, rts timestamp, tag string")
+    return left, right
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["user_id"], left_ts="ts",
+                    right_ts="rts", right_cols=["tag"])
+    got = {r.event_id: r.tag for r in out.collect()}
+    # event 1: tie at 10:00 matches (<= semantics); event 2 takes the
+    # 10:01 row, not an earlier one; events 3 and 4 have no match.
+    assert got == {1: "b", 2: "c", 3: None, 4: None}
+    assert out.count() == left.count()
+
+
+def test_asof_join_carries_matched_timestamp(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["user_id"], left_ts="ts",
+                    right_ts="rts", right_cols=["tag"])
+    row = {r.event_id: r for r in out.collect()}
+    assert row[2].rts == _ts("2024-01-01 10:01:00")
+    assert row[3].rts is None
+
+
+def test_asof_join_preserves_extra_left_columns(spark):
+    left, right = _frames(spark)
+    out = asof_join(left.withColumn("payload", F.col("event_id") * 2),
+                    right, on=["user_id"], left_ts="ts",
+                    right_ts="rts", right_cols=["tag"])
+    assert {(r.event_id, r.payload) for r in out.collect()} == \
+        {(1, 2), (2, 4), (3, 6), (4, 8)}
+
+
+def test_range_join_inclusive_bounds_and_bucket_crossing(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:10:00"))],
+        "purchase_id long, user_id long, pts timestamp")
+    right = spark.createDataFrame(
+        # deltas vs left: 600s (boundary, in), 599s (in, crosses the
+        # bucket edge at 10:00), 0s (boundary, in), 601s (out),
+        # -1s (future, out)
+        [(100, 10, _ts("2024-01-01 10:00:00")),
+         (101, 10, _ts("2024-01-01 10:00:01")),
+         (102, 10, _ts("2024-01-01 10:10:00")),
+         (103, 10, _ts("2024-01-01 09:59:59")),
+         (104, 10, _ts("2024-01-01 10:10:01"))],
+        "click_id long, user_id long, cts timestamp")
+    out = range_join(left, right, on=["user_id"], left_ts="pts",
+                     right_ts="cts", window_seconds=600)
+    assert {r.click_id for r in out.collect()} == {100, 101, 102}
+
+
+def test_range_join_respects_key(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:10:00"))],
+        "purchase_id long, user_id long, pts timestamp")
+    right = spark.createDataFrame(
+        [(100, 99, _ts("2024-01-01 10:09:00"))],
+        "click_id long, user_id long, cts timestamp")
+    out = range_join(left, right, on=["user_id"], left_ts="pts",
+                     right_ts="cts", window_seconds=600)
+    assert out.count() == 0
