@@ -83,6 +83,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_mixture_sample": training.doc_mixture_sample,
     "doc_contamination": training.doc_contamination,
     "doc_token_topk": training.doc_token_topk,
+    "doc_repetition": training.doc_repetition,
+    "doc_pii_scrub": training.doc_pii_scrub,
+    "doc_top_terms": training.doc_top_terms,
     "doc_lang_confusion": training.doc_lang_confusion,
     "doc_fingerprint": training.doc_fingerprint,
     "doc_containment_pairs": training.doc_containment_pairs,
@@ -159,6 +162,9 @@ ORACLES: dict[str, str] = {
     "doc_mixture_sample": training.DOC_MIXTURE_SAMPLE_SQL,
     "doc_contamination": training.DOC_CONTAMINATION_SQL,
     "doc_token_topk": training.DOC_TOKEN_TOPK_SQL,
+    "doc_repetition": training.DOC_REPETITION_SQL,
+    "doc_pii_scrub": training.DOC_PII_SCRUB_SQL,
+    "doc_top_terms": training.DOC_TOP_TERMS_SQL,
     "doc_lang_confusion": training.DOC_LANG_CONFUSION_SQL,
     "doc_fingerprint": training.DOC_FINGERPRINT_SQL,
     "doc_containment_pairs": training.DOC_CONTAINMENT_PAIRS_SQL,

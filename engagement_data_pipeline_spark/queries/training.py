@@ -212,6 +212,170 @@ ORDER BY n_occurrences DESC, token LIMIT {_VOCAB_K}
 """
 
 
+# --- within-doc repetition (Gopher filters) ------------------------------
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate
+    word-bigram fraction and most-frequent-bigram fraction
+    (training/text.py:repetition_profile). One explode + two hash
+    aggs, the second a subset re-group of the first."""
+    return T.repetition_profile(_docs(spark, sf_dir))
+
+
+DOC_REPETITION_SQL = "WITH " + _NORM_CTE + """,
+w AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM norm),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w)-1),
+                                  i -> w[i] || ' ' || w[i+1])
+              ELSE [] END AS bigrams
+  FROM w
+),
+ex AS (SELECT doc_id, unnest(bigrams) AS bigram FROM bg),
+per AS (SELECT doc_id, bigram, COUNT(*) AS n FROM ex GROUP BY doc_id, bigram),
+st AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(MAX(n) AS BIGINT) AS top_n
+  FROM per GROUP BY doc_id
+)
+SELECT n.doc_id,
+       COALESCE(st.n_bigrams, 0) AS n_bigrams,
+       COALESCE(st.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       CASE WHEN st.n_bigrams > 0
+            THEN CAST(st.n_bigrams - st.n_distinct_bigrams AS DOUBLE)
+                 / CAST(st.n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS dup_bigram_ratio,
+       CASE WHEN st.n_bigrams > 0
+            THEN CAST(st.top_n AS DOUBLE) / CAST(st.n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_ratio
+FROM norm n LEFT JOIN st ON n.doc_id = st.doc_id
+"""
+
+
+# --- PII scrubbing -------------------------------------------------------
+
+# The synthetic corpus contains no PII, so the query injects a
+# deterministic fixture per doc_id (same closed-form augmentation in
+# both engines — the ws_correction_fixpoint pattern) and then counts /
+# redacts it with training/text.py:scrub_pii.
+
+
+def _augmented_text() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit(" see https://example.org/d/"),
+                                    d.cast("string"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" mail user"), d.cast("string"),
+                                    F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" call +254700"),
+                                    F.lpad((d % 1000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+    )
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id",
+                                       _augmented_text().alias("text"))
+    cols = T.scrub_pii(F.col("text"))
+    return docs.select("doc_id",
+                       *[c.alias(name) for name, c in cols.items()])
+
+
+_AUG_SQL = """
+aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +254700' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+)
+"""
+
+DOC_PII_SCRUB_SQL = f"""
+WITH {_AUG_SQL},
+norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM aug
+),
+red AS (
+  SELECT doc_id, norm,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(norm, '{T.PII_URL}', '<URL>', 'g'),
+             '{T.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{T.PII_PHONE}', '<PHONE>', 'g') AS clean
+  FROM norm
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(norm, '{T.PII_URL}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(norm, '{T.PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(norm, '{T.PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(clean) AS clean_md5,
+       CAST(len(clean) AS BIGINT) AS clean_len
+FROM red
+"""
+
+
+# --- per-doc top terms ---------------------------------------------------
+
+_TOP_TERMS_K = 3
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by term frequency (integer-total-order:
+    tf desc, token asc) with corpus document frequency attached.
+    Shapes: explode + (doc, token) agg; vocabulary df is a re-group of
+    the tf frame (tiny, broadcast back); per-doc top-k is a window on
+    the doc key."""
+    from pyspark.sql import Window
+    from ..training.dedup import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    tf = (docs.select("doc_id",
+                      F.explode(F.split(normalize_text(F.col("text")), " "))
+                      .alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "token")
+    top = (tf.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= _TOP_TERMS_K))
+    return (top.join(F.broadcast(dfreq), "token")
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    "token", "tf", "df_docs"))
+
+
+DOC_TOP_TERMS_SQL = "WITH " + _NORM_CTE + f""",
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs
+          FROM tf GROUP BY token),
+ranked AS (
+  SELECT doc_id, token, tf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, token) AS rank
+  FROM tf
+)
+SELECT r.doc_id, CAST(r.rank AS INTEGER) AS rank, r.token, r.tf, d.df_docs
+FROM ranked r JOIN dfreq d ON r.token = d.token
+WHERE r.rank <= {_TOP_TERMS_K}
+"""
+
+
 # --- eval-set decontamination --------------------------------------------
 
 # Probe (eval) set: doc_id % 100 == 7 — deterministic stand-in for a

@@ -115,6 +115,75 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     return docs.where(keep)
 
 
+# PII patterns kept to syntax identical under Java regex and DuckDB's
+# RE2: plain classes, no lookaround, no backrefs.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL = r"https?://[^ ]+"
+PII_PHONE = r"\+[0-9]{7,15}"
+
+
+def scrub_pii(text: Column) -> dict[str, Column]:
+    """Count and redact emails / URLs / phone numbers from normalized
+    text (Gopher/C4-style pre-training scrub; the reference pipeline
+    has the same concern with participant phone numbers, which it
+    de-identifies to uuids — SURVEY §1 data model). Counts first, then
+    a fixed redaction order (urls, then emails, then phones) so both
+    engines see identical intermediate strings. Pure projection."""
+    norm = normalize_text(text)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(norm, PII_URL, "<URL>"),
+            PII_EMAIL, "<EMAIL>"),
+        PII_PHONE, "<PHONE>")
+    return {
+        "n_urls": F.regexp_count(norm, F.lit(PII_URL)).cast("long"),
+        "n_emails": F.regexp_count(norm, F.lit(PII_EMAIL)).cast("long"),
+        "n_phones": F.regexp_count(norm, F.lit(PII_PHONE)).cast("long"),
+        "clean_md5": F.md5(redacted),
+        "clean_len": F.length(redacted).cast("long"),
+    }
+
+
+def repetition_profile(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition
+    filters): duplicate word-bigram fraction and most-frequent-bigram
+    fraction. Shape at scale: one explode + two hash aggregations,
+    both keyed by (doc_id[, bigram]) — perfectly distributable, the
+    second agg is a subset re-group of the first so AQE plans no extra
+    exchange. Docs with < 2 words report zero bigrams."""
+    norm = normalize_text(F.col(text_col))
+    words = F.split(norm, " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                          F.element_at(words, i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (docs.select(F.col(id_col).alias("doc_id"),
+                            F.explode_outer(bigrams).alias("bigram"))
+                .groupBy("doc_id", "bigram")
+                .agg(F.count(F.lit(1)).alias("n")))
+    n_bigrams = F.sum(F.when(F.col("bigram").isNotNull(), F.col("n"))
+                      .otherwise(F.lit(0))).cast("long")
+    n_distinct = F.count("bigram").cast("long")  # count skips the NULL row
+    top = F.max(F.when(F.col("bigram").isNotNull(), F.col("n"))).cast("long")
+    return (per_gram.groupBy("doc_id")
+            .agg(n_bigrams.alias("n_bigrams"),
+                 n_distinct.alias("n_distinct_bigrams"),
+                 F.coalesce(top, F.lit(0)).alias("top_bigram_n"))
+            .select(
+                "doc_id", "n_bigrams", "n_distinct_bigrams",
+                F.when(F.col("n_bigrams") > 0,
+                       (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                       .cast("double") / F.col("n_bigrams").cast("double"))
+                .otherwise(F.lit(0.0)).alias("dup_bigram_ratio"),
+                F.when(F.col("n_bigrams") > 0,
+                       F.col("top_bigram_n").cast("double")
+                       / F.col("n_bigrams").cast("double"))
+                .otherwise(F.lit(0.0)).alias("top_bigram_ratio")))
+
+
 def document_profile(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """One row per doc with all text-analysis columns — a single

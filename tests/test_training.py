@@ -271,3 +271,39 @@ def test_deterministic_sample_monotone_and_reproducible(spark):
     other = {r.doc_id for r in
              deterministic_sample(docs, 0.3, salt="mix-v2").collect()}
     assert other != kept_30
+
+
+def test_repetition_profile_detects_duplicate_bigrams(spark):
+    from engagement_data_pipeline_spark.training.text import repetition_profile
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),     # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+         (2, "x y z"),          # 2 bigrams, both unique
+         (3, "solo"),           # < 2 words -> zero bigrams
+         (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1].n_bigrams, got[1].n_distinct_bigrams) == (5, 2)
+    assert got[1].dup_bigram_ratio == (5 - 2) / 5
+    assert got[1].top_bigram_ratio == 3 / 5
+    assert (got[2].dup_bigram_ratio, got[2].top_bigram_ratio) == (0.0, 0.5)
+    assert (got[3].n_bigrams, got[3].dup_bigram_ratio) == (0, 0.0)
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    from engagement_data_pipeline_spark.training.text import scrub_pii
+    df = spark.createDataFrame(
+        [(1, "Mail a@b.org or c.d@e.co, see https://x.io/p now call +254700123456"),
+         (2, "no pii here")],
+        "doc_id long, text string")
+    cols = scrub_pii(F.col("text"))
+    out = {r.doc_id: r for r in
+           df.select("doc_id", *[c.alias(n) for n, c in cols.items()]).collect()}
+    assert (out[1].n_emails, out[1].n_urls, out[1].n_phones) == (2, 1, 1)
+    assert (out[2].n_emails, out[2].n_urls, out[2].n_phones) == (0, 0, 0)
+    redacted = df.where("doc_id = 1").select(
+        F.regexp_replace(F.regexp_replace(F.regexp_replace(
+            F.lower("text"), r"https?://[^ ]+", "<URL>"),
+            r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+            r"\+[0-9]{7,15}", "<PHONE>").alias("t")).collect()[0].t
+    assert "<EMAIL>" in redacted and "<URL>" in redacted and "<PHONE>" in redacted
