@@ -365,7 +365,7 @@ MESSAGES_IMPUTED_SQL = _messages_imputed_sql()
 # G1/G2 column views with M6/M7/M8
 # ---------------------------------------------------------------------------
 
-_PV_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PV_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def participants_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,7 +374,7 @@ def participants_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cached per (session, sf_dir) like _imputed: the participant view
     feeds K2/K6/K7, A-series and R1/R2, so in production it is
     materialized once per run rather than re-folded per consumer."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     df = _PV_CACHE.get(key)
     if df is None:
         df = participants_by_column(_imputed(spark, sf_dir), CONFIG).cache()
@@ -382,7 +382,7 @@ def participants_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-_MV_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MV_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def messages_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,7 +390,7 @@ def messages_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cached per (session, sf_dir): the message view feeds A1-A3/A6/A7
     and the K-series exports — one materialization per run."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     df = _MV_CACHE.get(key)
     if df is None:
         df = messages_by_column(_imputed(spark, sf_dir), CONFIG).cache()

@@ -26,6 +26,7 @@ from . import (
     skew_q,
     sources_adapters,
     sources_rp,
+    stats_q,
     streaming_q,
     sync_back,
     temporal_q,
@@ -72,6 +73,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": temporal_q.events_range_join,
     "events_rollup": temporal_q.events_rollup,
     "events_funnel": temporal_q.events_funnel,
+    "events_percentiles": stats_q.events_percentiles,
     "doc_exact_dedup": training.doc_exact_dedup,
     "doc_minhash_pairs": training.doc_minhash_pairs,
     "doc_jaccard_pairs": training.doc_jaccard_pairs,
@@ -151,6 +153,7 @@ ORACLES: dict[str, str] = {
     "events_range_join": temporal_q.EVENTS_RANGE_JOIN_SQL,
     "events_rollup": temporal_q.EVENTS_ROLLUP_SQL,
     "events_funnel": temporal_q.EVENTS_FUNNEL_SQL,
+    "events_percentiles": stats_q.EVENTS_PERCENTILES_SQL,
     "doc_exact_dedup": training.DOC_EXACT_DEDUP_SQL,
     "doc_minhash_pairs": training.DOC_MINHASH_PAIRS_SQL,
     "doc_jaccard_pairs": training.DOC_JACCARD_PAIRS_SQL,

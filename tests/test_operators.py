@@ -213,3 +213,17 @@ def test_salted_distinct_count(spark):
     want = {r.g: r.n for r in
             df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()}
     assert got == want
+
+
+def test_exact_percentiles_nearest_rank(spark):
+    from engagement_data_pipeline_spark.operators.stats import exact_percentiles
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in
+           exact_percentiles(df, ["g"], "v", percents=(50, 90, 100)).collect()}
+    # n=10: p50 -> rank ceil(5.0)=5 -> 5.0; p90 -> rank 9 -> 9.0;
+    # p100 -> rank 10 -> 10.0 (== max).
+    assert (out["a"].n, out["a"].p50, out["a"].p90, out["a"].p100) == (10, 5.0, 9.0, 10.0)
+    assert (out["a"].min_value, out["a"].max_value) == (1.0, 10.0)
+    # singleton group: every percentile is the one value
+    assert (out["b"].n, out["b"].p50, out["b"].p100) == (1, 7.0, 7.0)
