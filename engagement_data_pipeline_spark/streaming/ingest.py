@@ -59,6 +59,23 @@ def read_merged_table(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(table_path).drop(BUCKET_COL)
 
 
+def dedup_within_watermark(stream: DataFrame, key_cols: Sequence[str],
+                           ts_col: str, delay: str = "10 minutes") -> DataFrame:
+    """Streaming F1/K1 twin: drop duplicate origin keys arriving
+    within the watermark horizon, state bounded by the delay.
+
+    `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    watermark passes (unlike plain dropDuplicates, whose state grows
+    without bound on an infinite key space) — the right semantics for
+    at-least-once sources that can replay a message within minutes,
+    with the downstream foreachBatch merge still catching replays
+    beyond the horizon. State store size ≈ keys-per-delay-window,
+    independent of stream lifetime.
+    """
+    return (stream.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
 def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                          transform: Callable[[DataFrame], DataFrame] | None = None,
                          n_buckets: int = 16,

@@ -50,3 +50,36 @@ def test_windowed_counts_drop_late_events(spark, tmp_path):
                      (3, t("2024-05-01 12:00:00"))])
     got2 = run()
     assert got2 == {("11:00", 1)}
+
+
+def test_dedup_within_watermark_drops_replayed_keys(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        dedup_within_watermark,
+    )
+    landing = tmp_path / "dedup_landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["origin_id", "ts"]).to_json(
+            landing / name, orient="records", lines=True, date_format="iso")
+
+    t = pd.Timestamp
+    # m1 arrives twice in one batch (replay within the horizon) and m2
+    # once; only one m1 row must survive.
+    write("a.json", [("m1", t("2024-05-01 10:00:00")),
+                     ("m1", t("2024-05-01 10:01:00")),
+                     ("m2", t("2024-05-01 10:02:00"))])
+
+    stream = (spark.readStream.schema("origin_id string, ts timestamp")
+              .json(str(landing)))
+    deduped = dedup_within_watermark(stream, ["origin_id"], "ts",
+                                     delay="10 minutes")
+    emitted = []
+    q = (deduped.writeStream
+         .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(r.origin_id for r in emitted) == ["m1", "m2"]
