@@ -78,6 +78,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_minhash_pairs": training.doc_minhash_pairs,
     "doc_jaccard_pairs": training.doc_jaccard_pairs,
     "doc_dedup_clusters": training.doc_dedup_clusters,
+    "doc_dedup_clusters_star": training.doc_dedup_clusters_star,
     "doc_dedup_corpus": training.doc_dedup_corpus,
     "doc_simhash": training.doc_simhash,
     "doc_profile": training.doc_profile,
@@ -158,6 +159,7 @@ ORACLES: dict[str, str] = {
     "doc_minhash_pairs": training.DOC_MINHASH_PAIRS_SQL,
     "doc_jaccard_pairs": training.DOC_JACCARD_PAIRS_SQL,
     "doc_dedup_clusters": training.DOC_DEDUP_CLUSTERS_SQL,
+    "doc_dedup_clusters_star": training.DOC_DEDUP_CLUSTERS_SQL,
     "doc_dedup_corpus": training.DOC_DEDUP_CORPUS_SQL,
     "doc_simhash": training.DOC_SIMHASH_SQL,
     "doc_profile": training.DOC_PROFILE_SQL,

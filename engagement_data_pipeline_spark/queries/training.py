@@ -713,6 +713,14 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_clusters(_jaccard_pairs(spark, sf_dir))
 
 
+def doc_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components via large-star/small-star contraction
+    (training/dedup.py:near_dup_clusters_star) — the O(log^2 n)-round
+    100 TB path — hash-checked against the SAME recursive-CTE oracle
+    as the label-propagation variant."""
+    return D.near_dup_clusters_star(_jaccard_pairs(spark, sf_dir))
+
+
 DOC_DEDUP_CLUSTERS_SQL = ("WITH RECURSIVE " + _JACCARD_CTES + f""",
 pairs AS ({_JACCARD_SELECT}),
 edges AS (

@@ -410,3 +410,95 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                 F.col("label").alias("cluster_rep"),
                 "cluster_size")
     )
+
+
+def near_dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
+                           id_b: str = "id_b",
+                           max_iterations: int = 25) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — the scale path `near_dup_clusters` names: label
+    propagation needs O(diameter) rounds, star contraction provably
+    O(log^2 n), so deep chain components (serial near-identical
+    revisions) finish in a handful of shuffles either way.
+
+    Same contract as `near_dup_clusters`: (doc_id, cluster_rep,
+    cluster_size) for every doc in >= 1 pair, rep = min id of the
+    component; the two are property-tested equivalent.
+
+    Each half-round is one groupBy + one join, both keyed on the same
+    node column (AQE coalesces; no row data ever reaches the driver —
+    the convergence check collects two exact scalars). Lineage is
+    localCheckpoint-truncated per round like every iterative operator
+    here.
+    """
+    edges = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("u"),
+                          F.greatest(F.col(id_a), F.col(id_b)).alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint(eager=True))
+
+    def _signature(e: DataFrame) -> tuple:
+        # Exact fixpoint witness: edge count + decimal-exact hash sum.
+        # The edge set under star rounds is monotone toward the star
+        # forest, and (count, sum) collision would need two distinct
+        # monotone states with identical exact sums — sum is over
+        # xxhash64 in DECIMAL(38,0), no overflow, no float.
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                       F.lit(0).cast("decimal(38,0)")).alias("s")).collect()[0]
+        return (row["n"], row["s"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # Symmetrize; for each node, attach every LARGER neighbour to
+        # the minimum of the closed neighbourhood.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        out = (sym.join(mins, "u")
+               .where(F.col("v") > F.col("u"))
+               .select(F.least(F.col("v"), F.col("m")).alias("u"),
+                       F.greatest(F.col("v"), F.col("m")).alias("v")))
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # Orient larger-first (u > v); for each node, link all smaller
+        # neighbours (and itself) to the smallest of them.
+        ori = e.select(F.greatest("u", "v").alias("u"),
+                       F.least("u", "v").alias("v"))
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (ori.join(mins, "u")
+                  .select(F.col("v").alias("a"), F.col("m").alias("b")))
+        selfl = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        out = (relink.union(selfl)
+               .select(F.least("a", "b").alias("u"),
+                       F.greatest("a", "b").alias("v")))
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    sig = _signature(edges)
+    converged = False
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters_star did not converge in {max_iterations} "
+            "rounds — raise max_iterations")
+
+    # Fixpoint edge set is a star forest: v -> root (u = root since
+    # u < v and every node links its component minimum).
+    members = edges.select(F.col("v").alias("doc_id"),
+                           F.col("u").alias("cluster_rep"))
+    roots = (edges.select(F.col("u").alias("doc_id"))
+             .distinct()
+             .select("doc_id", F.col("doc_id").alias("cluster_rep")))
+    labels = members.union(roots)
+    sizes = (labels.groupBy("cluster_rep")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return labels.join(sizes, "cluster_rep").select(
+        "doc_id", "cluster_rep", "cluster_size")

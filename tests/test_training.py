@@ -307,3 +307,30 @@ def test_scrub_pii_counts_and_redacts(spark):
             r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
             r"\+[0-9]{7,15}", "<PHONE>").alias("t")).collect()[0].t
     assert "<EMAIL>" in redacted and "<URL>" in redacted and "<PHONE>" in redacted
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    import random
+    from engagement_data_pipeline_spark.training.dedup import (
+        near_dup_clusters,
+        near_dup_clusters_star,
+    )
+    random.seed(7)
+    pairs = [(random.randrange(50), random.randrange(50)) for _ in range(40)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    assert sorted(map(tuple, near_dup_clusters(df).collect())) == \
+        sorted(map(tuple, near_dup_clusters_star(df).collect()))
+
+
+def test_star_contraction_converges_on_deep_chain(spark):
+    # A 64-node path needs 63 label-propagation rounds but only a few
+    # star rounds — the property that makes it the 100 TB variant.
+    from engagement_data_pipeline_spark.training.dedup import (
+        near_dup_clusters_star,
+    )
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = near_dup_clusters_star(df, max_iterations=8).collect()
+    assert len(out) == 64
+    assert all(r.cluster_rep == 0 and r.cluster_size == 64 for r in out)
