@@ -74,12 +74,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": temporal_q.events_rollup,
     "events_funnel": temporal_q.events_funnel,
     "events_percentiles": stats_q.events_percentiles,
+    "events_retention": temporal_q.events_retention,
     "doc_exact_dedup": training.doc_exact_dedup,
     "doc_minhash_pairs": training.doc_minhash_pairs,
     "doc_jaccard_pairs": training.doc_jaccard_pairs,
     "doc_dedup_clusters": training.doc_dedup_clusters,
     "doc_dedup_clusters_star": training.doc_dedup_clusters_star,
     "doc_dedup_corpus": training.doc_dedup_corpus,
+    "doc_source_overlap": training.doc_source_overlap,
     "doc_simhash": training.doc_simhash,
     "doc_profile": training.doc_profile,
     "doc_quality_corpus": training.doc_quality_corpus,
@@ -97,6 +99,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf": similarity.ann_topk_ivf,
     "doc_embedding_neardup": similarity.doc_embedding_neardup,
     "ann_knn_label_vote": similarity.ann_knn_label_vote,
+    "emb_label_stats": similarity.emb_label_stats,
     "mm_frame_plan": multimodal_q.mm_frame_plan,
     "mm_image_features": multimodal_q.mm_image_features,
     "mm_audio_chunks": multimodal_q.mm_audio_chunks,
@@ -155,12 +158,14 @@ ORACLES: dict[str, str] = {
     "events_rollup": temporal_q.EVENTS_ROLLUP_SQL,
     "events_funnel": temporal_q.EVENTS_FUNNEL_SQL,
     "events_percentiles": stats_q.EVENTS_PERCENTILES_SQL,
+    "events_retention": temporal_q.EVENTS_RETENTION_SQL,
     "doc_exact_dedup": training.DOC_EXACT_DEDUP_SQL,
     "doc_minhash_pairs": training.DOC_MINHASH_PAIRS_SQL,
     "doc_jaccard_pairs": training.DOC_JACCARD_PAIRS_SQL,
     "doc_dedup_clusters": training.DOC_DEDUP_CLUSTERS_SQL,
     "doc_dedup_clusters_star": training.DOC_DEDUP_CLUSTERS_SQL,
     "doc_dedup_corpus": training.DOC_DEDUP_CORPUS_SQL,
+    "doc_source_overlap": training.DOC_SOURCE_OVERLAP_SQL,
     "doc_simhash": training.DOC_SIMHASH_SQL,
     "doc_profile": training.DOC_PROFILE_SQL,
     "doc_quality_corpus": training.DOC_QUALITY_CORPUS_SQL,
@@ -178,6 +183,7 @@ ORACLES: dict[str, str] = {
     "ann_topk_ivf": similarity.ANN_TOPK_IVF_SQL,
     "doc_embedding_neardup": similarity.DOC_EMBEDDING_NEARDUP_SQL,
     "ann_knn_label_vote": similarity.ANN_KNN_LABEL_VOTE_SQL,
+    "emb_label_stats": similarity.EMB_LABEL_STATS_SQL,
     "mm_frame_plan": multimodal_q.MM_FRAME_PLAN_SQL,
     "mm_image_features": multimodal_q.MM_IMAGE_FEATURES_SQL,
     "mm_audio_chunks": multimodal_q.MM_AUDIO_CHUNKS_SQL,

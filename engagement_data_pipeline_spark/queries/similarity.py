@@ -245,3 +245,51 @@ SELECT x.id AS id_a, y.id AS id_b,
 FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
 WHERE {_cosine_sql("x.emb", "y.emb")} >= {NEAR_DUP_THRESHOLD}
 """
+
+
+# --- per-label embedding statistics --------------------------------------
+
+_MICRO = 1_000_000
+
+
+def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) exact component sums — the sufficient
+    statistics for class centroids (label quality checks, simple
+    nearest-centroid classifiers). Floats are quantized to exact
+    integer micro-units (floor(x * 1e6): double arithmetic with one
+    IEEE-defined rounding, identical in any engine) BEFORE the
+    parallel sum, so Spark's partial aggregation order can't perturb
+    the result — the cross-engine-exact way to aggregate float
+    vectors. One posexplode + one hash agg; output is |labels| x dim
+    rows, independent of corpus size."""
+    from pyspark.sql import functions as F
+    apply_runtime_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"))
+    q = F.floor(F.col("x").cast("double") * F.lit(float(_MICRO))).cast("long")
+    return (ex.groupBy("label", F.col("dim").cast("long").alias("dim"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.sum(q).cast("long").alias("sum_micro"))
+            .select("label", "dim", "n_vecs", "sum_micro",
+                    (F.col("sum_micro").cast("double")
+                     / (F.col("n_vecs").cast("double") * F.lit(float(_MICRO)))
+                     ).alias("mean_value")))
+
+
+EMB_LABEL_STATS_SQL = f"""
+WITH ex AS (
+  SELECT label,
+         unnest(list_transform(generate_series(1, len(embedding)),
+                               i -> {{'dim': CAST(i - 1 AS BIGINT),
+                                     'q': CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                                     * {_MICRO}) AS BIGINT)}})) AS s
+  FROM embeddings
+)
+SELECT label, s.dim AS dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(s.q) AS BIGINT) AS sum_micro,
+       CAST(SUM(s.q) AS DOUBLE)
+       / (CAST(COUNT(*) AS DOUBLE) * {_MICRO}) AS mean_value
+FROM ex GROUP BY label, s.dim
+"""

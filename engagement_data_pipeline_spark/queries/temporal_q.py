@@ -189,3 +189,43 @@ def _funnel_sql() -> str:
 
 
 EVENTS_FUNNEL_SQL = _funnel_sql()
+
+
+# --- cohort retention ----------------------------------------------------
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day,
+    distinct active users per (cohort, day-offset). Two aggregations
+    hashed on the user key (first-day min, then distinct activity) —
+    the window min and the distinct-day grain reuse one user-keyed
+    exchange; final matrix is tiny."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+    w = Window.partitionBy("user_id")
+    marked = ev.withColumn("cohort_day", F.min("day").over(w))
+    return (marked
+            .select("user_id", "cohort_day",
+                    F.datediff(F.col("day"), F.col("cohort_day"))
+                    .cast("int").alias("offset_days"))
+            .distinct()
+            .groupBy(micros("cohort_day").alias("cohort_day_us"),
+                     "offset_days")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
+EVENTS_RETENTION_SQL = """
+WITH marked AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         MIN(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS cohort_day
+  FROM events
+),
+dedup AS (
+  SELECT DISTINCT user_id, cohort_day,
+         CAST(date_diff('day', cohort_day, day) AS INTEGER) AS offset_days
+  FROM marked
+)
+SELECT epoch_us(cohort_day) AS cohort_day_us, offset_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM dedup GROUP BY epoch_us(cohort_day), offset_days
+"""

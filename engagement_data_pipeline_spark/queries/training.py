@@ -467,7 +467,7 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     column: one row per (lang, lang_guess) with counts — the corpus-
     governance query a curation pipeline runs after any lang-ID
     change."""
-    docs = _docs(spark, sf_dir)
+    docs = T.spread_narrow_scan(_docs(spark, sf_dir))
     return (docs.select(F.col("lang"),
                         T.language_id(F.col("text")).alias("lang_guess"))
             .groupBy("lang", "lang_guess")
@@ -739,4 +739,41 @@ SELECT c.node AS doc_id, c.cluster_rep, s.cluster_size
 FROM comp c JOIN (
   SELECT cluster_rep, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_rep
 ) s USING (cluster_rep)
+""")
+
+
+# --- cross-source near-dup overlap ---------------------------------------
+
+
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation diagnostic: how many near-duplicate pairs cross
+    each (source, source) boundary — high cross-source overlap means
+    one crawl is republishing another. Rides the cached jaccard pair
+    frame; the docs side is a two-column dimension, broadcast."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("did_a"),
+                   F.col("source").alias("src_raw_a"))
+    b = src.select(F.col("doc_id").alias("did_b"),
+                   F.col("source").alias("src_raw_b"))
+    joined = (pairs
+              .join(F.broadcast(a), pairs.id_a == a.did_a)
+              .join(F.broadcast(b), pairs.id_b == b.did_b))
+    # order the source pair canonically so (x,y) and (y,x) merge
+    return (joined.select(
+                F.least("src_raw_a", "src_raw_b").alias("source_a"),
+                F.greatest("src_raw_a", "src_raw_b").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
+DOC_SOURCE_OVERLAP_SQL = ("WITH " + _JACCARD_CTES + f""",
+pairs AS ({_JACCARD_SELECT})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+GROUP BY least(da.source, db.source), greatest(da.source, db.source)
 """)

@@ -15,6 +15,20 @@ from pyspark.sql import functions as F
 
 from .dedup import normalize_text
 
+
+def spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than the
+    cluster has slots. A single small parquet file scans as one task,
+    which serializes any compute-heavy projection that follows (the
+    explode/regex stages here) onto one core; a genuinely wide input
+    (the 100 TB case) already exceeds the slot count and passes
+    through untouched — no shuffle is ever added to big data."""
+    ctx = df.sparkSession.sparkContext
+    target = ctx.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # A small english-ish stopword list for quality scoring (the reference
 # pipeline's quality heuristics are length/ratio based; SURVEY brief
 # asks for length/punct/stopword ratios).
@@ -152,6 +166,7 @@ def repetition_profile(docs: DataFrame, text_col: str = "text",
     both keyed by (doc_id[, bigram]) — perfectly distributable, the
     second agg is a subset re-group of the first so AQE plans no extra
     exchange. Docs with < 2 words report zero bigrams."""
+    docs = spread_narrow_scan(docs)
     norm = normalize_text(F.col(text_col))
     words = F.split(norm, " ")
     bigrams = F.when(
