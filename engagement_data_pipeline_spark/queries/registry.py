@@ -75,6 +75,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": temporal_q.events_funnel,
     "events_percentiles": stats_q.events_percentiles,
     "events_retention": temporal_q.events_retention,
+    "events_rolling": temporal_q.events_rolling,
     "doc_exact_dedup": training.doc_exact_dedup,
     "doc_minhash_pairs": training.doc_minhash_pairs,
     "doc_jaccard_pairs": training.doc_jaccard_pairs,
@@ -82,6 +83,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_clusters_star": training.doc_dedup_clusters_star,
     "doc_dedup_corpus": training.doc_dedup_corpus,
     "doc_source_overlap": training.doc_source_overlap,
+    "doc_incremental_dedup": training.doc_incremental_dedup,
     "doc_simhash": training.doc_simhash,
     "doc_profile": training.doc_profile,
     "doc_quality_corpus": training.doc_quality_corpus,
@@ -159,6 +161,7 @@ ORACLES: dict[str, str] = {
     "events_funnel": temporal_q.EVENTS_FUNNEL_SQL,
     "events_percentiles": stats_q.EVENTS_PERCENTILES_SQL,
     "events_retention": temporal_q.EVENTS_RETENTION_SQL,
+    "events_rolling": temporal_q.EVENTS_ROLLING_SQL,
     "doc_exact_dedup": training.DOC_EXACT_DEDUP_SQL,
     "doc_minhash_pairs": training.DOC_MINHASH_PAIRS_SQL,
     "doc_jaccard_pairs": training.DOC_JACCARD_PAIRS_SQL,
@@ -166,6 +169,7 @@ ORACLES: dict[str, str] = {
     "doc_dedup_clusters_star": training.DOC_DEDUP_CLUSTERS_SQL,
     "doc_dedup_corpus": training.DOC_DEDUP_CORPUS_SQL,
     "doc_source_overlap": training.DOC_SOURCE_OVERLAP_SQL,
+    "doc_incremental_dedup": training.DOC_INCREMENTAL_DEDUP_SQL,
     "doc_simhash": training.DOC_SIMHASH_SQL,
     "doc_profile": training.DOC_PROFILE_SQL,
     "doc_quality_corpus": training.DOC_QUALITY_CORPUS_SQL,

@@ -229,3 +229,46 @@ SELECT epoch_us(cohort_day) AS cohort_day_us, offset_days,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM dedup GROUP BY epoch_us(cohort_day), offset_days
 """
+
+
+# --- trailing-window rollup (RANGE frames) -------------------------------
+
+_TRAIL_DAYS = 7
+_DAY_US = 86_400 * 1_000_000
+
+
+def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): daily event count plus the trailing
+    7-day count and distinct-user reach, via a RANGE window frame
+    over the daily pre-aggregate (not the raw events — the window
+    input is |types| x |days| rows, so the sort inside each type
+    partition is trivial at any corpus size; the heavy lifting stays
+    in the one hash aggregation below it)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        "user_id")
+    daily = ev.groupBy("event_type", "day_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = (Window.partitionBy("event_type").orderBy("day_us")
+         .rangeBetween(-(_TRAIL_DAYS - 1) * _DAY_US, 0))
+    return daily.select(
+        "event_type", "day_us", "n_events",
+        F.sum("n_events").over(w).cast("long").alias("trailing_events"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_days"))
+
+
+EVENTS_ROLLING_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, epoch_us(date_trunc('day', ts))
+)
+SELECT event_type, day_us, n_events,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS trailing_events,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_days
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_us
+             RANGE BETWEEN {(_TRAIL_DAYS - 1) * _DAY_US} PRECEDING
+                       AND CURRENT ROW)
+"""

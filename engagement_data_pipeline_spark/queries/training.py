@@ -777,3 +777,79 @@ JOIN documents da ON p.id_a = da.doc_id
 JOIN documents db ON p.id_b = db.doc_id
 GROUP BY least(da.source, db.source), greatest(da.source, db.source)
 """)
+
+
+# --- incremental (batch-vs-corpus) dedup ---------------------------------
+
+# New-arrivals batch: doc_id % 10 == 9 — a deterministic stand-in for
+# a crawl increment; everything else is the existing corpus.
+_BATCH_MOD, _BATCH_REM = 10, 9
+
+
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-admission check: match the new batch against the existing
+    corpus with banded MinHash-LSH (training/dedup.py:
+    minhash_incremental_matches — O(batch), not O(corpus), per
+    increment) and report per batch doc its verified corpus-match
+    count and the admit/reject decision."""
+    docs = _docs(spark, sf_dir)
+    is_batch = (F.col("doc_id") % _BATCH_MOD) == _BATCH_REM
+    matches = D.minhash_incremental_matches(
+        docs.where(~is_batch), docs.where(is_batch))
+    per_doc = (matches.groupBy("batch_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_matches")))
+    batch_ids = docs.where(is_batch).select("doc_id")
+    return (batch_ids
+            .join(per_doc, batch_ids.doc_id == per_doc.batch_id, "left")
+            .select("doc_id",
+                    F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+                    F.col("n_matches").isNull().alias("admitted")))
+
+
+def _incremental_sql() -> str:
+    from ..training.dedup import MERSENNE_P, _perm_params
+
+    sig_items = ", ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for a, b in _perm_params(_K))
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(sig[{b * _R + r + 1}] AS VARCHAR)" for r in range(_R)))
+        for b in range(_B))
+    jac = ("CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+           " / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE)")
+    return ("WITH " + _SHINGLES_CTE + f""",
+hashed AS (
+  SELECT doc_id, list_transform(
+      shingles,
+      s -> {_md5_long_sql('s')} % {MERSENNE_P}) AS h
+  FROM sh
+),
+sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hashed),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id % {_BATCH_MOD} = {_BATCH_REM}
+    AND y.doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+),
+ver AS (
+  SELECT batch_id FROM cand
+  JOIN sh a ON cand.batch_id = a.doc_id
+  JOIN sh b ON cand.corpus_id = b.doc_id
+  WHERE {jac} >= 0.5
+),
+m AS (SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM ver GROUP BY batch_id)
+SELECT d.doc_id, COALESCE(m.n_matches, 0) AS n_matches,
+       m.n_matches IS NULL AS admitted
+FROM documents d LEFT JOIN m ON d.doc_id = m.batch_id
+WHERE d.doc_id % {_BATCH_MOD} = {_BATCH_REM}
+""")
+
+
+DOC_INCREMENTAL_DEDUP_SQL = _incremental_sql()

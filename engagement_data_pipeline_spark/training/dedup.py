@@ -158,24 +158,7 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     product.
     """
     sh = _shingled(docs, text_col, id_col)
-    hp = F.transform(F.col("h"), lambda x: x % MERSENNE_P)
-    sig = sh.select("id", F.array(*[
-        F.array_min(F.transform(hp, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P))
-        for a, b in _perm_params(NUM_HASHES)
-    ]).alias("sig"))
-
-    bands = sig.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(
-                    "|", *[F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
-                           for r in range(ROWS_PER_BAND)])).alias("key"),
-            )
-            for b in range(BANDS)
-        ])).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _band_keys(_signatures(sh))
 
     left = bands.alias("x")
     right = bands.alias("y")
@@ -502,3 +485,78 @@ def near_dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
              .agg(F.count(F.lit(1)).alias("cluster_size")))
     return labels.join(sizes, "cluster_rep").select(
         "doc_id", "cluster_rep", "cluster_size")
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(id, band, key) LSH bucket keys from a (id, sig) signature
+    frame — band keys are a pure function of the signature values, so
+    keys computed from different frames with the same perm params
+    collide exactly when the banded signatures agree."""
+    return sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(
+                    "|", *[F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
+                           for r in range(ROWS_PER_BAND)])).alias("key"),
+            )
+            for b in range(BANDS)
+        ])).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _signatures(sh: DataFrame) -> DataFrame:
+    """(id, sig) MinHash signatures from a shingled frame."""
+    hp = F.transform(F.col("h"), lambda x: x % MERSENNE_P)
+    return sh.select("id", F.array(*[
+        F.array_min(F.transform(hp, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P))
+        for a, b in _perm_params(NUM_HASHES)
+    ]).alias("sig"))
+
+
+def minhash_incremental_matches(corpus: DataFrame, batch: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                threshold: float = 0.5) -> DataFrame:
+    """Incremental dedup: match a NEW batch of documents against an
+    EXISTING corpus — the admission check a production ingest runs on
+    every crawl increment, where re-pairing the whole corpus against
+    itself (minhash_near_dup_pairs) would be O(corpus) per batch
+    instead of O(batch).
+
+    Same banded-LSH shape as the self-join variant, but the bucket
+    join is batch-bands ⋈ corpus-bands: shuffle volume is
+    |batch bands| + the corpus bucket sides they touch. In production
+    the corpus band table is a materialized, bucket-partitioned
+    artifact (append each admitted batch), so an increment never
+    re-shingles the corpus.
+
+    Returns (batch_id, corpus_id, jaccard) for every verified match
+    ≥ threshold. Batch-internal duplicates are out of scope — dedup
+    the batch with minhash_near_dup_pairs first.
+    """
+    shc = _shingled(corpus, text_col, id_col)
+    shb = _shingled(batch, text_col, id_col)
+    bc = _band_keys(_signatures(shc))
+    bb = _band_keys(_signatures(shb))
+    candidates = (
+        bb.alias("x").join(bc.alias("y"),
+                           (F.col("x.band") == F.col("y.band"))
+                           & (F.col("x.key") == F.col("y.key")))
+        .select(F.col("x.id").alias("batch_id"),
+                F.col("y.id").alias("corpus_id"))
+        .distinct()
+    )
+    a = shb.select(F.col("id").alias("batch_id"),
+                   F.col("shingles").alias("sh_a"))
+    b = shc.select(F.col("id").alias("corpus_id"),
+                   F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(a, "batch_id").join(b, "corpus_id")
+        .select("batch_id", "corpus_id",
+                (inter.cast("double") / union.cast("double")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
