@@ -93,3 +93,60 @@ def test_range_join_respects_key(spark):
     out = range_join(left, right, on=["user_id"], left_ts="pts",
                      right_ts="cts", window_seconds=600)
     assert out.count() == 0
+
+
+def test_asof_join_matches_naive_quadratic_reference(spark):
+    # Randomized cross-check: window-over-union implementation vs the
+    # obvious per-row max(right_ts <= left_ts) definition.
+    import random
+    random.seed(11)
+    base = 1_700_000_000
+    left = [(i, random.randrange(3), base + random.randrange(0, 3600))
+            for i in range(40)]
+    right = [(100 + j, random.randrange(3), base + random.randrange(0, 3600))
+             for j in range(40)]
+    # unique (key, ts) on the right, as the contract requires
+    seen, rdedup = set(), []
+    for rid, k, ts in right:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rdedup.append((rid, k, ts))
+
+    ldf = spark.createDataFrame(
+        [(i, k, datetime.fromtimestamp(ts)) for i, k, ts in left],
+        "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(rid, k, datetime.fromtimestamp(ts)) for rid, k, ts in rdedup],
+        "rid long, user_id long, rts timestamp")
+    out = {r.event_id: r.rid for r in
+           asof_join(ldf, rdf, on=["user_id"], left_ts="ts",
+                     right_ts="rts", right_cols=["rid"]).collect()}
+
+    for i, k, ts in left:
+        matches = [(rts, rid) for rid, rk, rts in rdedup
+                   if rk == k and rts <= ts]
+        want = max(matches)[1] if matches else None
+        assert out[i] == want, (i, k, ts, out[i], want)
+
+
+def test_range_join_matches_naive_quadratic_reference(spark):
+    import random
+    random.seed(13)
+    base = 1_700_000_000
+    left = [(i, random.randrange(2), base + random.randrange(0, 4000))
+            for i in range(30)]
+    right = [(100 + j, random.randrange(2), base + random.randrange(0, 4000))
+             for j in range(30)]
+    win = 600
+    ldf = spark.createDataFrame(
+        [(i, k, datetime.fromtimestamp(ts)) for i, k, ts in left],
+        "lid long, user_id long, lts timestamp")
+    rdf = spark.createDataFrame(
+        [(j, k, datetime.fromtimestamp(ts)) for j, k, ts in right],
+        "rid long, user_id long, rts timestamp")
+    got = {(r.lid, r.rid) for r in
+           range_join(ldf, rdf, on=["user_id"], left_ts="lts",
+                      right_ts="rts", window_seconds=win).collect()}
+    want = {(i, j) for i, lk, lts in left for j, rk, rts in right
+            if lk == rk and 0 <= lts - rts <= win}
+    assert got == want
