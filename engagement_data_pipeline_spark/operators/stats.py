@@ -49,3 +49,67 @@ def exact_percentiles(df: DataFrame, group_cols: Sequence[str],
             F.max(F.when(F.col("__rn") == rank, F.col(value_col)))
             .alias(f"p{int(p)}"))
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+# --- HyperLogLog -----------------------------------------------------------
+
+HLL_P = 6                      # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 60 - HLL_P        # md5_long yields 60-bit hashes
+# raw HLL estimator constant alpha_m * m^2, times 2^HLL_SHIFT because
+# registers are summed as exact integers 2^(HLL_SHIFT - M_j) (every
+# term and the sum fit a BIGINT exactly, so Spark's parallel partial
+# aggregation cannot perturb the float result — only ONE double
+# division happens, from identical exact operands in both engines).
+HLL_SHIFT = HLL_W_BITS + 1     # >= max rho, so terms stay integral
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_K = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_SHIFT)
+
+
+def hll_terms(hash_col: Column) -> tuple[Column, Column]:
+    """(bucket, scaled_register_term) for one 60-bit hash: bucket =
+    low HLL_P bits, rho = 1-based position of the highest set bit of
+    the remaining HLL_W_BITS (HLL_W_BITS+1 when zero), term =
+    2^(HLL_SHIFT - rho). The rho ladder is a pure integer-comparison
+    CASE chain — no log2/float bit tricks that two engines could
+    round differently."""
+    bucket = hash_col.bitwiseAND(F.lit(HLL_M - 1))
+    w = F.shiftright(hash_col, HLL_P)
+    # chained whens evaluate in insertion order, so the ladder starts
+    # at the largest threshold (rho = 1) and falls through to the
+    # w == 0 term; the ladder emits the shifted term directly — every
+    # branch is a BIGINT literal
+    expr = None
+    for r in range(1, HLL_W_BITS + 1):
+        cond = w >= F.lit(1 << (HLL_W_BITS - r))
+        val = F.lit(1 << (HLL_SHIFT - r)).cast("long")
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    term = expr.otherwise(
+        F.lit(1 << (HLL_SHIFT - HLL_W_BITS - 1)).cast("long"))
+    return bucket, term
+
+
+def hll_distinct(df: DataFrame, group_cols: Sequence[str],
+                 hash_col: Column) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate (raw estimator, no
+    small/large-range correction — ln() is not bit-stable across
+    engines; the raw formula is). `hash_col` must be a 60-bit
+    deterministic hash (training.dedup.md5_long). Two hash
+    aggregations — (group, bucket) max, then group sum — sketch size
+    64 registers per group regardless of input size. Returns
+    (*group_cols, n_registers, hll_estimate)."""
+    group_cols = list(group_cols)
+    bucket, term = hll_terms(hash_col)
+    # register = MAX rho seen in the bucket = MIN shifted term
+    regs = (df.select(*group_cols, bucket.alias("__b"), term.alias("__t"))
+            .groupBy(*group_cols, "__b")
+            .agg(F.min("__t").alias("__m")))
+    zero_term = F.lit(1 << HLL_SHIFT).cast("long")
+    return (regs.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_registers"),
+                 (F.sum("__m")
+                  + (F.lit(HLL_M) - F.count(F.lit(1))) * zero_term)
+                 .cast("long").alias("__s"))
+            .select(*group_cols, "n_registers",
+                    (F.lit(HLL_K) / F.col("__s").cast("double"))
+                    .alias("hll_estimate")))

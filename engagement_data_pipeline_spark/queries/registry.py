@@ -74,6 +74,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": temporal_q.events_rollup,
     "events_funnel": temporal_q.events_funnel,
     "events_percentiles": stats_q.events_percentiles,
+    "events_hll_distinct": stats_q.events_hll_distinct,
     "events_retention": temporal_q.events_retention,
     "events_rolling": temporal_q.events_rolling,
     "doc_exact_dedup": training.doc_exact_dedup,
@@ -160,6 +161,7 @@ ORACLES: dict[str, str] = {
     "events_rollup": temporal_q.EVENTS_ROLLUP_SQL,
     "events_funnel": temporal_q.EVENTS_FUNNEL_SQL,
     "events_percentiles": stats_q.EVENTS_PERCENTILES_SQL,
+    "events_hll_distinct": stats_q.EVENTS_HLL_DISTINCT_SQL,
     "events_retention": temporal_q.EVENTS_RETENTION_SQL,
     "events_rolling": temporal_q.EVENTS_ROLLING_SQL,
     "doc_exact_dedup": training.DOC_EXACT_DEDUP_SQL,

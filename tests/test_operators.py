@@ -227,3 +227,19 @@ def test_exact_percentiles_nearest_rank(spark):
     assert (out["a"].min_value, out["a"].max_value) == (1.0, 10.0)
     # singleton group: every percentile is the one value
     assert (out["b"].n, out["b"].p50, out["b"].p100) == (1, 7.0, 7.0)
+
+
+def test_hll_distinct_estimates_within_expected_error(spark):
+    from pyspark.sql import functions as F
+    from engagement_data_pipeline_spark.operators.stats import hll_distinct, HLL_M
+    from engagement_data_pipeline_spark.training.dedup import md5_long
+    # two groups with known cardinalities 500 and 2000; m=64 registers
+    # -> relative error ~1.04/sqrt(64) = 13%; assert within 3 sigma
+    rows = [("a", i) for i in range(500)] + [("b", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in
+           hll_distinct(df, ["g"], md5_long(F.col("v").cast("string"))).collect()}
+    for g, true_n in (("a", 500), ("b", 2000)):
+        est = out[g].hll_estimate
+        assert abs(est - true_n) / true_n < 3 * 1.04 / (HLL_M ** 0.5), (g, est)
+    assert out["b"].n_registers <= HLL_M
