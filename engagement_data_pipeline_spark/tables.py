@@ -25,18 +25,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     into this parquet scan by Catalyst (check: PushedFilters in
     `.explain("formatted")`).
 
-    The events table stores TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong it reads as a bigint of
-    epoch-nanos, which we floor-divide to micros — identical to
-    DuckDB's nanos→micros truncation, so oracle comparisons agree."""
+    Timestamp normalization: generated parquet has varied across
+    driver versions — TIMESTAMP(NANOS) (read as bigint via
+    spark.sql.legacy.parquet.nanosAsLong, floor-divided to micros
+    exactly as DuckDB truncates nanos→micros) and plain
+    timestamp[us] with no timezone, which Spark 4 reads as
+    TIMESTAMP_NTZ. Engine code assumes session-timezone TIMESTAMP
+    (UTC per session.py), so NTZ columns are cast: with a UTC
+    session the wall-clock reinterpretation is the identity, and
+    DuckDB's epoch_us treats naive timestamps as UTC the same way."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer `div`, not `/`: epoch-nanos (~1.7e18) overflows double
         # precision and would round the microsecond.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
