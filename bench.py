@@ -50,6 +50,11 @@ def _run_once(spark, sf_dir: str):
     timings = {}
     t_all = time.perf_counter()
     for name, fn in queries().items():
+        # family_* rows re-run their member queries (they exist for the
+        # driver's correctness cap, families.py) — timing them would
+        # double-count all 31 members.
+        if name.startswith("family_"):
+            continue
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).count()

@@ -1,0 +1,170 @@
+"""The three checksum families and their authored member schemas.
+
+Membership = every registry query that sits past the driver's observed
+50-row recording cap (see families.py docstring). Each member is
+listed with the exact (column, dtype) schema its oracle SQL produces;
+`families.member_checksum` asserts the live DataFrame still matches,
+so a refactor that changes a member's output schema fails loudly at
+the family row instead of silently corrupting the checksum.
+
+The member queries also keep their own individual registry entries
+(after position 50): if the driver records more than 50 rows the
+per-query evidence is present too, and local tooling
+(tools/check_correctness.py) always checks all of them.
+"""
+
+from __future__ import annotations
+
+from . import (adapters_extra, multimodal_q, sessions_q, similarity,  # noqa: F401
+               skew_q, stats_q, temporal_q, tpch, training)
+from .families import family_query, family_sql
+
+# --- events / temporal / stats / tpch-extras ------------------------------
+
+_EVENTS_MEMBERS = {
+    "skew_salted_distinct": (
+        skew_q.skew_salted_distinct, skew_q.SKEW_SALTED_DISTINCT_SQL,
+        [("participant", "string"), ("n_distinct_texts", "bigint")]),
+    "sessionize_events": (
+        sessions_q.sessionize_events, sessions_q.SESSIONIZE_EVENTS_SQL,
+        [("user_id", "bigint"), ("session_idx", "bigint"),
+         ("n_events", "bigint"), ("session_start_us", "bigint"),
+         ("session_end_us", "bigint")]),
+    "events_asof_join": (
+        temporal_q.events_asof_join, temporal_q.EVENTS_ASOF_JOIN_SQL,
+        [("event_id", "bigint"), ("user_id", "bigint"), ("ts_us", "bigint"),
+         ("click_ts_us", "bigint"), ("click_event_id", "bigint")]),
+    "events_range_join": (
+        temporal_q.events_range_join, temporal_q.EVENTS_RANGE_JOIN_SQL,
+        [("user_id", "bigint"), ("purchase_id", "bigint"),
+         ("click_id", "bigint"), ("delta_us", "bigint")]),
+    "events_rollup": (
+        temporal_q.events_rollup, temporal_q.EVENTS_ROLLUP_SQL,
+        [("day_us", "bigint"), ("event_type", "string"),
+         ("n_events", "bigint"), ("n_users", "bigint")]),
+    "events_funnel": (
+        temporal_q.events_funnel, temporal_q.EVENTS_FUNNEL_SQL,
+        [("step_idx", "int"), ("step", "string"), ("n_users", "bigint")]),
+    "events_percentiles": (
+        stats_q.events_percentiles, stats_q.EVENTS_PERCENTILES_SQL,
+        [("event_type", "string"), ("n", "bigint"), ("min_value", "double"),
+         ("max_value", "double"), ("p50", "double"), ("p95", "double")]),
+    "events_hll_distinct": (
+        stats_q.events_hll_distinct, stats_q.EVENTS_HLL_DISTINCT_SQL,
+        [("event_type", "string"), ("n_exact", "bigint"),
+         ("n_registers", "bigint"), ("hll_estimate", "double")]),
+    "events_retention": (
+        temporal_q.events_retention, temporal_q.EVENTS_RETENTION_SQL,
+        [("cohort_day_us", "bigint"), ("offset_days", "int"),
+         ("n_users", "bigint")]),
+    "events_rolling": (
+        temporal_q.events_rolling, temporal_q.EVENTS_ROLLING_SQL,
+        [("event_type", "string"), ("day_us", "bigint"),
+         ("n_events", "bigint"), ("trailing_events", "bigint"),
+         ("trailing_days", "bigint")]),
+    "q03_shipping_priority": (
+        tpch.q03_shipping_priority, tpch.Q03_SQL,
+        [("o_orderkey", "bigint"), ("revenue", "double"),
+         ("o_orderdate_us", "bigint")]),
+    "q05_local_supplier": (
+        tpch.q05_local_supplier, tpch.Q05_SQL,
+        [("n_name", "string"), ("revenue", "double"),
+         ("n_items", "bigint")]),
+}
+
+# --- training-data extras -------------------------------------------------
+
+_TRAINING_MEMBERS = {
+    "doc_dedup_clusters_star": (
+        training.doc_dedup_clusters_star, training.DOC_DEDUP_CLUSTERS_SQL,
+        [("doc_id", "bigint"), ("cluster_rep", "bigint"),
+         ("cluster_size", "bigint")]),
+    "doc_dedup_corpus": (
+        training.doc_dedup_corpus, training.DOC_DEDUP_CORPUS_SQL,
+        [("doc_id", "bigint"), ("n_chars", "bigint")]),
+    "doc_source_overlap": (
+        training.doc_source_overlap, training.DOC_SOURCE_OVERLAP_SQL,
+        [("source_a", "string"), ("source_b", "string"),
+         ("n_pairs", "bigint")]),
+    "doc_incremental_dedup": (
+        training.doc_incremental_dedup, training.DOC_INCREMENTAL_DEDUP_SQL,
+        [("doc_id", "bigint"), ("n_matches", "bigint"),
+         ("admitted", "boolean")]),
+    "doc_quality_corpus": (
+        training.doc_quality_corpus, training.DOC_QUALITY_CORPUS_SQL,
+        [("doc_id", "bigint"), ("n_chars", "bigint")]),
+    "doc_mixture_sample": (
+        training.doc_mixture_sample, training.DOC_MIXTURE_SAMPLE_SQL,
+        [("doc_id", "bigint"), ("source", "string")]),
+    "doc_contamination": (
+        training.doc_contamination, training.DOC_CONTAMINATION_SQL,
+        [("train_doc_id", "bigint"), ("probe_doc_id", "bigint"),
+         ("n_shared", "bigint")]),
+    "doc_token_topk": (
+        training.doc_token_topk, training.DOC_TOKEN_TOPK_SQL,
+        [("token", "string"), ("n_occurrences", "bigint"),
+         ("n_docs", "bigint")]),
+    "doc_repetition": (
+        training.doc_repetition, training.DOC_REPETITION_SQL,
+        [("doc_id", "bigint"), ("n_bigrams", "bigint"),
+         ("n_distinct_bigrams", "bigint"), ("dup_bigram_ratio", "double"),
+         ("top_bigram_ratio", "double")]),
+    "doc_pii_scrub": (
+        training.doc_pii_scrub, training.DOC_PII_SCRUB_SQL,
+        [("doc_id", "bigint"), ("n_urls", "bigint"), ("n_emails", "bigint"),
+         ("n_phones", "bigint"), ("clean_md5", "string"),
+         ("clean_len", "bigint")]),
+    "doc_top_terms": (
+        training.doc_top_terms, training.DOC_TOP_TERMS_SQL,
+        [("doc_id", "bigint"), ("rank", "int"), ("token", "string"),
+         ("tf", "bigint"), ("df_docs", "bigint")]),
+    "doc_lang_confusion": (
+        training.doc_lang_confusion, training.DOC_LANG_CONFUSION_SQL,
+        [("lang", "string"), ("lang_guess", "string"),
+         ("n_docs", "bigint")]),
+    "doc_containment_pairs": (
+        training.doc_containment_pairs, training.DOC_CONTAINMENT_PAIRS_SQL,
+        [("id_a", "bigint"), ("id_b", "bigint"),
+         ("containment", "double")]),
+}
+
+# --- similarity / multimodal ---------------------------------------------
+
+_SIMILARITY_MM_MEMBERS = {
+    "doc_embedding_neardup": (
+        similarity.doc_embedding_neardup, similarity.DOC_EMBEDDING_NEARDUP_SQL,
+        [("id_a", "bigint"), ("id_b", "bigint"), ("cosine", "double")]),
+    "ann_knn_label_vote": (
+        similarity.ann_knn_label_vote, similarity.ANN_KNN_LABEL_VOTE_SQL,
+        [("query_id", "bigint"), ("predicted_label", "bigint"),
+         ("n_votes", "bigint"), ("true_label", "bigint")]),
+    "emb_label_stats": (
+        similarity.emb_label_stats, similarity.EMB_LABEL_STATS_SQL,
+        [("label", "int"), ("dim", "bigint"), ("n_vecs", "bigint"),
+         ("sum_micro", "bigint"), ("mean_value", "double")]),
+    "mm_frame_plan": (
+        multimodal_q.mm_frame_plan, multimodal_q.MM_FRAME_PLAN_SQL,
+        [("media_id", "string"), ("frame_idx", "bigint"),
+         ("frame_ts_ms", "bigint")]),
+    "mm_image_features": (
+        multimodal_q.mm_image_features, multimodal_q.MM_IMAGE_FEATURES_SQL,
+        [("media_id", "string"), ("n_bytes", "bigint"),
+         ("feat_hash", "bigint"), ("out_width", "int"),
+         ("out_height", "int")]),
+    "mm_audio_chunks": (
+        multimodal_q.mm_audio_chunks, multimodal_q.MM_AUDIO_CHUNKS_SQL,
+        [("media_id", "string"), ("chunk_start_ms", "bigint"),
+         ("chunk_end_ms", "bigint")]),
+}
+
+
+def _split(members):
+    fns = {n: (fn, spec) for n, (fn, _sql, spec) in members.items()}
+    sqls = {n: (sql, spec) for n, (_fn, sql, spec) in members.items()}
+    return family_query(fns), family_sql(sqls)
+
+
+family_events, FAMILY_EVENTS_SQL = _split(_EVENTS_MEMBERS)
+family_training, FAMILY_TRAINING_SQL = _split(_TRAINING_MEMBERS)
+family_similarity_mm, FAMILY_SIMILARITY_MM_SQL = _split(
+    _SIMILARITY_MM_MEMBERS)
