@@ -1,0 +1,60 @@
+"""CDC snapshot diff: the changeset between two states of a keyed
+table.
+
+The reference syncs each source into the engagement DB by comparing
+what it fetched against what the DB already holds, one message at a
+time (SURVEY §2.12; rapid_pro_to_engagement_db.py:175-221 does a
+lookup-before-write per message). At warehouse scale the same
+semantics is a set operation: FULL OUTER JOIN the old and new
+snapshots on the key and classify every row as insert / update /
+delete, with per-column change detection driving partial updates
+downstream. One shuffle on the key (or zero with co-bucketed
+snapshots); AQE handles key skew.
+
+`snapshot_diff` is the engine-side building block; callers feed any
+two frames with a common key. Comparison is null-safe (NULL -> value,
+value -> NULL, and value change all count as updates)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_cols: Sequence[str],
+                  compare_cols: Sequence[str]) -> DataFrame:
+    """Changeset rows: key columns + `op` ('insert'|'update'|'delete')
+    + `changed_cols` (comma-joined compare columns whose value
+    differs null-safely; '' for insert/delete). Unchanged rows are
+    dropped — at scale the changeset is tiny relative to the
+    snapshots, so everything downstream is cheap."""
+    o = old.select(*key_cols, *compare_cols)
+    n = new.select(*key_cols, *compare_cols)
+    for c in list(key_cols) + list(compare_cols):
+        o = o.withColumnRenamed(c, f"__o_{c}")
+        n = n.withColumnRenamed(c, f"__n_{c}")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"__o_{k}") == F.col(f"__n_{k}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"__o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__n_{key_cols[0]}").isNotNull()
+    # concat_ws skips NULL args, so unchanged columns vanish from the
+    # list; order is the caller's compare_cols order.
+    changed = F.concat_ws(",", *[
+        F.when(~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c))
+        for c in compare_cols])
+    op = (F.when(~in_old, F.lit("insert"))
+          .when(~in_new, F.lit("delete"))
+          .otherwise(F.lit("update")))
+    keys = [F.coalesce(F.col(f"__o_{k}"), F.col(f"__n_{k}")).alias(k)
+            for k in key_cols]
+    return (j.select(*keys, op.alias("op"),
+                     F.when(in_old & in_new, changed)
+                     .otherwise(F.lit("")).alias("changed_cols"))
+            .where((F.col("op") != "update") | (F.col("changed_cols") != "")))

@@ -15,8 +15,9 @@ per-query evidence is present too, and local tooling
 
 from __future__ import annotations
 
-from . import (adapters_extra, multimodal_q, sessions_q, similarity,  # noqa: F401
-               skew_q, stats_q, temporal_q, tpch, training)
+from . import (adapters_extra, cdc_q, multimodal_q, packing_q,  # noqa: F401
+               sessions_q, similarity, skew_q, stats_q, temporal_q, tpch,
+               training)
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -70,6 +71,10 @@ _EVENTS_MEMBERS = {
         tpch.q05_local_supplier, tpch.Q05_SQL,
         [("n_name", "string"), ("revenue", "double"),
          ("n_items", "bigint")]),
+    "cdc_changeset": (
+        cdc_q.cdc_changeset, cdc_q.CDC_CHANGESET_SQL,
+        [("message_id", "string"), ("op", "string"),
+         ("changed_cols", "string")]),
 }
 
 # --- training-data extras -------------------------------------------------
@@ -126,6 +131,16 @@ _TRAINING_MEMBERS = {
         training.doc_containment_pairs, training.DOC_CONTAINMENT_PAIRS_SQL,
         [("id_a", "bigint"), ("id_b", "bigint"),
          ("containment", "double")]),
+    "seq_packing": (
+        packing_q.seq_packing, packing_q.SEQ_PACKING_SQL,
+        [("doc_id", "bigint"), ("shard", "bigint"), ("n_tokens", "bigint"),
+         ("start_offset", "bigint"), ("seq_first", "bigint"),
+         ("seq_last", "bigint")]),
+    "doc_chunks": (
+        packing_q.doc_chunks, packing_q.DOC_CHUNKS_SQL,
+        [("doc_id", "bigint"), ("chunk_idx", "int"), ("tok_start", "bigint"),
+         ("tok_end", "bigint"), ("n_chunk_tokens", "bigint"),
+         ("chunk_md5", "string")]),
 }
 
 # --- similarity / multimodal ---------------------------------------------

@@ -17,9 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     adapters_extra,
     analysis,
+    cdc_q,
     engagement,
     family_defs,
     multimodal_q,
+    packing_q,
     regression,
     sessions_q,
     similarity,
@@ -140,6 +142,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_plan": multimodal_q.mm_frame_plan,
     "mm_image_features": multimodal_q.mm_image_features,
     "mm_audio_chunks": multimodal_q.mm_audio_chunks,
+    "seq_packing": packing_q.seq_packing,
+    "doc_chunks": packing_q.doc_chunks,
+    "cdc_changeset": cdc_q.cdc_changeset,
     "q03_shipping_priority": tpch.q03_shipping_priority,
     "q05_local_supplier": tpch.q05_local_supplier,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
@@ -227,6 +232,9 @@ ORACLES: dict[str, str] = {
     "s11_coda_relabel": adapters_extra.S11_CODA_RELABEL_SQL,
     "k6_contact_fields": sync_back.K6_CONTACT_FIELDS_SQL,
     "k7_advert_sync": sync_back.K7_ADVERT_SYNC_SQL,
+    "seq_packing": packing_q.SEQ_PACKING_SQL,
+    "doc_chunks": packing_q.DOC_CHUNKS_SQL,
+    "cdc_changeset": cdc_q.CDC_CHANGESET_SQL,
     "r1_model_matrix": regression.R1_MODEL_MATRIX_SQL,
     # r2_logistic_regression, r3_mice_pooled: no oracle — the
     # iterative IRLS fits are not SQL-expressible; the driver records
