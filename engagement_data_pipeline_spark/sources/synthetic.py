@@ -38,155 +38,117 @@ it as two parallel scans of the same parquet.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from ..labels.schema import LABELS_TYPE, make_label
 from ..tables import load
 
 RQA_DATASETS = ["s01e01", "s01e02"]
 DEMOG_DATASETS = ["gender", "age", "location"]
 
-_OPERATORS = ["telegram", "safaricom", "golis", "hormuud"]
-_LOCATIONS = ["nairobi", "mombasa", "kisumu", "baidoa", "mogadishu"]
-_GENDERS = ["male", "female", "man"]  # user_id%4==3 → NULL text
+_LABEL_SQL_TYPE = ("STRUCT<scheme_id: STRING, code_id: STRING, "
+                   "date_time_utc: TIMESTAMP, checked: BOOLEAN, "
+                   "origin_id: STRING>")
 
 
-def _dataset0() -> Column:
-    return (
-        F.when(F.col("event_type") == "signup", F.lit("gender"))
-        .when(F.col("event_type") == "click", F.lit("age"))
-        .when(F.col("event_type") == "view", F.lit("location"))
-        .when(F.col("event_type") == "purchase", F.lit("s01e01"))
-        .otherwise(F.lit("s01e02"))
-    )
+def _label_sql(scheme: str, code: str, when: str, checked: str) -> str:
+    """One Label struct (labels/schema.py field order) as Spark SQL."""
+    return (f"named_struct('scheme_id', {scheme}, 'code_id', {code}, "
+            f"'date_time_utc', {when}, 'checked', {checked}, "
+            f"'origin_id', concat('label-origin-', message_id))")
 
 
-def _pick(col: Column, values: list[str]) -> Column:
-    expr = F.lit(values[-1])
-    for i in range(len(values) - 2, -1, -1):
-        expr = F.when(col == i, F.lit(values[i])).otherwise(expr)
-    return expr
-
-
-def _text() -> Column:
-    u = F.col("user_id")
-    return (
-        F.when(
-            F.col("dataset0") == "gender",
-            F.when(u % 4 == 3, F.lit(None).cast("string")).otherwise(_pick(u % 4, _GENDERS)),
-        )
-        .when(F.col("dataset0") == "age", (F.lit(10) + u % 75).cast("string"))
-        .when(F.col("dataset0") == "location", _pick(u % 5, _LOCATIONS))
-        .otherwise(F.concat(F.lit("reply "), (F.col("event_id") % 100).cast("string")))
-    )
-
-
-def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    # The deterministic label/struct construction downstream is the
-    # CPU-heavy stage; a small source file arrives as one partition,
-    # so spread it across the cores first (on a real cluster the scan
-    # is already split into many input splits and this coalesces into
-    # the existing parallelism).
-    ev = ev.repartition(spark.sparkContext.defaultParallelism)
-    # One select, not chained withColumn: each withColumn is a py4j
-    # round-trip + plan copy, measurable on a plan this wide.
-    base = ev.select(
-        "*", _dataset0().alias("dataset0"),
-        F.concat(F.lit("msg-"), F.col("event_id").cast("string")).alias("message_id"),
-        F.concat(F.lit("avf-participant-uuid-"),
-                 F.col("user_id").cast("string")).alias("participant_uuid"),
-        F.when(F.col("event_id") % 7 == 3, F.lit("stale")).otherwise(F.lit("live"))
-        .alias("status"),
-        _pick(F.col("user_id") % 4, _OPERATORS).alias("channel_operator"),
-    )
-    return base.select("*", _text().alias("text"))
-
-
-def _snapshot(df: DataFrame, version: int) -> DataFrame:
-    """Project one snapshot (v1 = original, v2 = updated 1h later)."""
-    eid = F.col("event_id")
-    v = version - 1  # code-index shift for relabelled v2 snapshots
-    if version == 1:
-        dataset = F.col("dataset0")
-        prev = F.array().cast("array<string>")
-        last_updated = F.col("ts")
-        moved = F.lit(False)
-    else:
-        moved = (eid % 20 == 0) & F.col("dataset0").isin(RQA_DATASETS)
-        dataset = (
-            F.when(moved & (F.col("dataset0") == "s01e01"), F.lit("s01e02"))
-            .when(moved & (F.col("dataset0") == "s01e02"), F.lit("s01e01"))
-            .otherwise(F.col("dataset0"))
-        )
-        prev = F.when(moved, F.array(F.col("dataset0"))).otherwise(F.array().cast("array<string>"))
-        last_updated = F.col("ts") + F.expr("INTERVAL 1 HOUR")
-
-    is_rqa = F.col("dataset0").isin(RQA_DATASETS)
-    origin_id = F.concat(F.lit("label-origin-"), F.col("message_id"))
-
-    demog_code = F.when(
-        F.col("dataset0") == "age",
-        F.concat(F.lit("age_"), (F.lit(10) + F.col("user_id") % 75).cast("string")),
-    ).otherwise(F.concat(F.lit("code_"), ((eid + v) % 7).cast("string")))
-    demog_label = make_label(
-        scheme_id=F.concat(F.col("dataset0"), F.lit("_scheme")),
-        code_id=demog_code,
-        date_time_utc=last_updated,
-        checked=(eid % 3) != 0,
-        origin_id=origin_id,
-    )
-
-    theme_code = F.when(eid % 100 == 13, F.lit("STOP")).otherwise(
-        F.concat(F.lit("code_"), ((eid + v) % 7).cast("string")))
-    theme_label = make_label(
-        scheme_id=F.concat(F.col("dataset0"), F.lit("_theme_scheme")),
-        code_id=theme_code,
-        date_time_utc=last_updated,
-        checked=(eid % 3) != 0,
-        origin_id=origin_id,
-    )
-    sentiment_label = make_label(
-        scheme_id=F.concat(F.col("dataset0"), F.lit("_sentiment_scheme")),
-        code_id=F.concat(F.lit("scode_"), ((eid + v) % 5).cast("string")),
-        date_time_utc=last_updated + F.expr("INTERVAL 1 MINUTE"),
-        checked=(eid % 4) != 0,
-        origin_id=origin_id,
-    )
-
-    labels = (
-        F.when(moved, F.array().cast(LABELS_TYPE))
-        .when(is_rqa, F.array(sentiment_label, theme_label))  # newest-first
-        .otherwise(F.array(demog_label))
-    )
-
-    return df.select(
-        F.col("message_id"),
-        F.col("participant_uuid"),
-        F.col("text"),
-        F.col("ts").alias("timestamp"),
-        F.lit("in").alias("direction"),
-        F.col("channel_operator"),
-        F.col("status"),
-        dataset.alias("dataset"),
-        prev.alias("previous_datasets"),
-        labels.alias("labels"),
-        F.struct(
-            F.concat(F.lit("rapid_pro:"), F.col("event_id").cast("string")).alias("origin_id"),
-            F.lit("rapid_pro").alias("origin_type"),
-        ).alias("origin"),
-        F.sha2(F.col("text"), 256).alias("coda_id"),
-        last_updated.alias("last_updated"),
-    )
+# The entire versioned-messages derivation as ONE SQL statement.
+# Building this plan out of nested Column objects costs ~10s of
+# driver-side py4j round-trips (thousands of JVM calls for the label
+# structs alone); a single spark.sql() parse of the same logical plan
+# costs milliseconds and produces the identical Catalyst tree. The
+# DuckDB mirror below (MESSAGES_CTE) flattens the same derivation.
+_SPARK_MESSAGES_SQL = f"""
+WITH base AS (
+  SELECT *,
+    CASE event_type WHEN 'signup' THEN 'gender' WHEN 'click' THEN 'age'
+         WHEN 'view' THEN 'location' WHEN 'purchase' THEN 's01e01'
+         ELSE 's01e02' END AS dataset0,
+    concat('msg-', CAST(event_id AS STRING)) AS message_id,
+    concat('avf-participant-uuid-', CAST(user_id AS STRING))
+      AS participant_uuid,
+    CASE WHEN event_id % 7 = 3 THEN 'stale' ELSE 'live' END AS status,
+    CASE user_id % 4 WHEN 0 THEN 'telegram' WHEN 1 THEN 'safaricom'
+         WHEN 2 THEN 'golis' ELSE 'hormuud' END AS channel_operator
+  FROM {{events}}
+),
+with_text AS (
+  SELECT *,
+    dataset0 IN ('s01e01', 's01e02') AS is_rqa,
+    CASE dataset0
+      WHEN 'gender' THEN CASE user_id % 4 WHEN 0 THEN 'male'
+                          WHEN 1 THEN 'female' WHEN 2 THEN 'man'
+                          ELSE NULL END
+      WHEN 'age' THEN CAST(10 + user_id % 75 AS STRING)
+      WHEN 'location' THEN CASE user_id % 5 WHEN 0 THEN 'nairobi'
+                            WHEN 1 THEN 'mombasa' WHEN 2 THEN 'kisumu'
+                            WHEN 3 THEN 'baidoa' ELSE 'mogadishu' END
+      ELSE concat('reply ', CAST(event_id % 100 AS STRING)) END AS text
+  FROM base
+),
+versioned AS (
+  SELECT *, 0 AS v, FALSE AS moved, ts AS last_updated FROM with_text
+  UNION ALL
+  SELECT *, 1 AS v, (event_id % 20 = 0 AND is_rqa) AS moved,
+         ts + INTERVAL 1 HOUR AS last_updated
+  FROM with_text WHERE event_id % 5 = 0
+)
+SELECT
+  message_id,
+  participant_uuid,
+  text,
+  ts AS timestamp,
+  'in' AS direction,
+  channel_operator,
+  status,
+  CASE WHEN moved AND dataset0 = 's01e01' THEN 's01e02'
+       WHEN moved AND dataset0 = 's01e02' THEN 's01e01'
+       ELSE dataset0 END AS dataset,
+  CASE WHEN moved THEN array(dataset0)
+       ELSE CAST(array() AS ARRAY<STRING>) END AS previous_datasets,
+  CASE WHEN moved THEN CAST(array() AS ARRAY<{_LABEL_SQL_TYPE}>)
+       WHEN is_rqa THEN array(
+         {_label_sql("concat(dataset0, '_sentiment_scheme')",
+                     "concat('scode_', CAST((event_id + v) % 5 AS STRING))",
+                     "last_updated + INTERVAL 1 MINUTE",
+                     "(event_id % 4) != 0")},
+         {_label_sql("concat(dataset0, '_theme_scheme')",
+                     "CASE WHEN event_id % 100 = 13 THEN 'STOP' "
+                     "ELSE concat('code_', CAST((event_id + v) % 7 AS STRING)) END",
+                     "last_updated",
+                     "(event_id % 3) != 0")})
+       ELSE array(
+         {_label_sql("concat(dataset0, '_scheme')",
+                     "CASE WHEN dataset0 = 'age' "
+                     "THEN concat('age_', CAST(10 + user_id % 75 AS STRING)) "
+                     "ELSE concat('code_', CAST((event_id + v) % 7 AS STRING)) END",
+                     "last_updated",
+                     "(event_id % 3) != 0")})
+  END AS labels,
+  named_struct('origin_id', concat('rapid_pro:', CAST(event_id AS STRING)),
+               'origin_type', 'rapid_pro') AS origin,
+  sha2(text, 256) AS coda_id,
+  last_updated
+FROM versioned
+"""
 
 
 def synthetic_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Versioned messages: v1 for every event, v2 for event_id%5==0."""
-    base = _base(spark, sf_dir)
-    v1 = _snapshot(base, 1)
-    v2 = _snapshot(base.where(F.col("event_id") % 5 == 0), 2)
-    return v1.unionByName(v2)
+    """Versioned messages: v1 for every event, v2 for event_id%5==0
+    (labels newest-first per labels/schema.py; moved v2 rows swap RQA
+    dataset, record previous_datasets, and clear labels)."""
+    ev = load(spark, sf_dir, "events")
+    # The label/struct construction downstream is the CPU-heavy stage;
+    # a small source file arrives as one partition, so spread it
+    # across the cores first (a real cluster's scan already has many
+    # input splits and passes through at its existing parallelism).
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    return spark.sql(_SPARK_MESSAGES_SQL, events=ev)
 
 
 # ---------------------------------------------------------------------------
