@@ -58,3 +58,39 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
                      F.when(in_old & in_new, changed)
                      .otherwise(F.lit("")).alias("changed_cols"))
             .where((F.col("op") != "update") | (F.col("changed_cols") != "")))
+
+
+def versioned_changeset(versioned: DataFrame, key_cols: Sequence[str],
+                        ts_col: str, cut,
+                        compare_cols: Sequence[str]) -> DataFrame:
+    """The same changeset when BOTH snapshots derive from one
+    versioned table: old = latest version at or before `cut`, new =
+    latest overall.
+
+    `snapshot_diff` on two windowed snapshots of the same table costs
+    two window shuffles plus a full-outer-join shuffle; here one
+    grouped aggregation computes both states per key (max_by overall,
+    max_by filtered to <= cut) and diffs them in-row — ONE shuffle
+    with map-side partial aggregation, which is the difference between
+    feasible and not at 100 TB. Requires `ts_col` to be unique per key
+    (version timestamps); deletes need tombstone versions, which an
+    append-only table doesn't have, so `op` here is insert/update
+    only."""
+    ts = F.col(ts_col)
+    state = F.struct(*[F.col(c) for c in compare_cols])
+    g = versioned.groupBy(*key_cols).agg(
+        F.max_by(F.when(ts <= cut, state), F.when(ts <= cut, ts))
+        .alias("__old"),
+        F.max_by(state, ts).alias("__new"))
+    in_old = F.col("__old").isNotNull()
+    changed = F.concat_ws(",", *[
+        F.when(~F.col(f"__old.{c}").eqNullSafe(F.col(f"__new.{c}")),
+               F.lit(c))
+        for c in compare_cols])
+    return (g.select(
+                *key_cols,
+                F.when(~in_old, F.lit("insert")).otherwise(F.lit("update"))
+                .alias("op"),
+                F.when(in_old, changed).otherwise(F.lit(""))
+                .alias("changed_cols"))
+            .where((F.col("op") != "update") | (F.col("changed_cols") != "")))

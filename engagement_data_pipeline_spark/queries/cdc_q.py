@@ -17,8 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.cdc import snapshot_diff
-from ..operators.dedup import latest_snapshot
+from ..operators.cdc import versioned_changeset
 from ..sources.synthetic import latest_cte
 from . import engagement
 from ._helpers import micros
@@ -28,22 +27,22 @@ from ._helpers import micros
 _COMPARE = ["dataset", "status", "text", "label_code"]
 
 
-def _flat_latest(msgs: DataFrame) -> DataFrame:
-    latest = latest_snapshot(msgs, ["message_id"],
-                             ["last_updated", "message_id"])
-    return latest.select(
-        "message_id", "dataset", "status", "text",
-        F.get(F.col("labels"), 0)["code_id"].alias("label_code"))
-
-
 def cdc_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan form: both snapshots come from one versioned table,
+    so `versioned_changeset` computes old/new state per message in ONE
+    grouped aggregation (no windows, no join — see operators/cdc.py);
+    the generic two-table `snapshot_diff` is unit-tested in
+    tests/test_cdc.py and yields the identical changeset here."""
     msgs = engagement._messages(spark, sf_dir)
     lo, hi = msgs.agg(F.min(micros("last_updated")),
                       F.max(micros("last_updated"))).first()
     cut = (lo + hi) // 2
-    old = _flat_latest(msgs.where(micros("last_updated") <= F.lit(cut)))
-    new = _flat_latest(msgs)
-    return snapshot_diff(old, new, ["message_id"], _COMPARE)
+    flat = msgs.select(
+        "message_id", "dataset", "status", "text",
+        F.get(F.col("labels"), 0)["code_id"].alias("label_code"),
+        micros("last_updated").alias("lu_us"))
+    return versioned_changeset(flat, ["message_id"], "lu_us",
+                               F.lit(cut), _COMPARE)
 
 
 CDC_CHANGESET_SQL = "WITH " + latest_cte() + """,
