@@ -16,8 +16,8 @@ per-query evidence is present too, and local tooling
 from __future__ import annotations
 
 from . import (adapters_extra, cdc_q, multimodal_q, packing_q,  # noqa: F401
-               sessions_q, similarity, skew_q, stats_q, temporal_q, tpch,
-               training)
+               quality_q, sessions_q, similarity, skew_q, stats_q,
+               temporal_q, tpch, training)
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -75,6 +75,10 @@ _EVENTS_MEMBERS = {
         cdc_q.cdc_changeset, cdc_q.CDC_CHANGESET_SQL,
         [("message_id", "string"), ("op", "string"),
          ("changed_cols", "string")]),
+    "dq_messages": (
+        quality_q.dq_messages, quality_q.DQ_MESSAGES_SQL,
+        [("rule", "string"), ("kind", "string"),
+         ("violations", "bigint"), ("n_checked", "bigint")]),
 }
 
 # --- training-data extras -------------------------------------------------

@@ -22,6 +22,7 @@ from . import (
     family_defs,
     multimodal_q,
     packing_q,
+    quality_q,
     regression,
     sessions_q,
     similarity,
@@ -145,6 +146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_packing": packing_q.seq_packing,
     "doc_chunks": packing_q.doc_chunks,
     "cdc_changeset": cdc_q.cdc_changeset,
+    "dq_messages": quality_q.dq_messages,
     "q03_shipping_priority": tpch.q03_shipping_priority,
     "q05_local_supplier": tpch.q05_local_supplier,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
@@ -235,6 +237,7 @@ ORACLES: dict[str, str] = {
     "seq_packing": packing_q.SEQ_PACKING_SQL,
     "doc_chunks": packing_q.DOC_CHUNKS_SQL,
     "cdc_changeset": cdc_q.CDC_CHANGESET_SQL,
+    "dq_messages": quality_q.DQ_MESSAGES_SQL,
     "r1_model_matrix": regression.R1_MODEL_MATRIX_SQL,
     # r2_logistic_regression, r3_mice_pooled: no oracle — the
     # iterative IRLS fits are not SQL-expressible; the driver records

@@ -1,0 +1,67 @@
+"""Data-quality expectations (operators/quality.py): every rule kind
+counts precisely, the hard-fail form raises with all violated rules,
+and the row-local report is a single aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.operators import quality as Q
+
+ROWS = [
+    ("a", "live", 5, "ok"),
+    ("b", "live", 25, None),       # null text
+    ("c", "weird", 5, "ok"),       # bad status
+    (None, "stale", -1, "ok"),     # null id, out-of-range
+    ("a", "live", 5, "ok"),        # duplicate id
+]
+SCHEMA = "id string, status string, v long, text string"
+
+
+def _report(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    rep = Q.expect(df, [
+        Q.not_null("id"),
+        Q.not_null("text"),
+        Q.accepted_values("status", ["live", "stale"]),
+        Q.in_range("v", 0, 10),
+        Q.matches("id", "^[a-z]$"),
+        Q.unique("id"),
+    ])
+    return {r.rule: (r.violations, r.n_checked) for r in rep.collect()}
+
+
+def test_rule_counts(spark):
+    got = _report(spark)
+    assert got["not_null(id)"] == (1, 5)
+    assert got["not_null(text)"] == (1, 5)
+    assert got["accepted_values(status)"] == (1, 5)
+    # -1 out of range AND 25 out of range
+    assert got["in_range(v)"] == (2, 5)
+    # null id fails matches too (null is not a match)
+    assert got["matches(id)"] == (1, 5)
+    # duplicate key 'a' contributes its full count (2 rows), checked
+    # over 4 distinct keys
+    assert got["unique(id)"] == (2, 4)
+
+
+def test_assert_expectations_raises_listing_rules(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(AssertionError) as e:
+        Q.assert_expectations(df, [Q.not_null("id"), Q.unique("id")])
+    assert "not_null(id)" in str(e.value) and "unique(id)" in str(e.value)
+
+
+def test_assert_passes_on_clean_table(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "id string, v long")
+    Q.assert_expectations(df, [Q.not_null("id", "v"), Q.unique("id"),
+                               Q.in_range("v", 0, 10)])
+
+
+def test_row_rules_are_one_aggregation(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    rep = Q.expect(df, [Q.not_null("id"), Q.in_range("v", 0, 10),
+                        Q.accepted_values("status", ["live", "stale"])])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # one scan feeding one global aggregate, fanned out to rule rows
+    assert plan.count("Scan ") <= 1 or "ReusedExchange" in plan, plan
