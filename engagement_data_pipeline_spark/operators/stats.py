@@ -113,3 +113,53 @@ def hll_distinct(df: DataFrame, group_cols: Sequence[str],
             .select(*group_cols, "n_registers",
                     (F.lit(HLL_K) / F.col("__s").cast("double"))
                     .alias("hll_estimate")))
+
+
+# --- Count-min sketch ------------------------------------------------------
+
+# Depth×width sized for the synthetic corpus (500-50k docs); at 100 TB
+# widen w (error ~ 2N/w) — the sketch stays d*w cells regardless of
+# input size, which is the entire point.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_pos(key, j: int, width: int):
+    from ..training.dedup import md5_long
+    return md5_long(F.concat(F.lit(f"cms{j}:"), key)) % width
+
+
+def cms_sketch(df: DataFrame, key_col: str,
+               depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch of key frequencies: exactly depth*width cells
+    (j, pos, c) from ONE aggregation with map-side combine — the
+    mergeable fixed-size summary that answers heavy-hitter queries
+    over a corpus too large to exactly count per key. Deterministic
+    (md5-derived row hashes), so two engines build identical cells."""
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _cms_pos(F.col(key_col), j, width).alias("pos"))
+        for j in range(depth)])).alias("cell")
+    return (df.select(rows)
+            .groupBy(F.col("cell.j").alias("j"),
+                     F.col("cell.pos").alias("pos"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Point-estimate each key against a sketch: min over the key's
+    depth cells. The sketch is depth*width rows — always broadcast —
+    so estimation is a zero-shuffle map over the key set. Guarantees
+    estimate >= true count (the operator never undercounts)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     _cms_pos(F.col(key_col), j, width).alias("pos"))
+            for j in range(depth)])).alias("cell"))
+    return (probes
+            .join(F.broadcast(sketch),
+                  (probes.cell.j == sketch.j) & (probes.cell.pos == sketch.pos))
+            .groupBy(key_col)
+            .agg(F.min("c").alias("cms_estimate")))

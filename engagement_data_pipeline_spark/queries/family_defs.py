@@ -16,8 +16,8 @@ per-query evidence is present too, and local tooling
 from __future__ import annotations
 
 from . import (adapters_extra, cdc_q, multimodal_q, packing_q,  # noqa: F401
-               quality_q, sessions_q, similarity, skew_q, stats_q,
-               temporal_q, tpch, training)
+               quality_q, sessions_q, similarity, sketch_q, skew_q,
+               stats_q, temporal_q, tpch, training)
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -145,6 +145,10 @@ _TRAINING_MEMBERS = {
         [("doc_id", "bigint"), ("chunk_idx", "int"), ("tok_start", "bigint"),
          ("tok_end", "bigint"), ("n_chunk_tokens", "bigint"),
          ("chunk_md5", "string")]),
+    "doc_cms_heavy_hitters": (
+        sketch_q.doc_cms_heavy_hitters, sketch_q.DOC_CMS_HEAVY_HITTERS_SQL,
+        [("token", "string"), ("n_exact", "bigint"),
+         ("cms_estimate", "bigint")]),
 }
 
 # --- similarity / multimodal ---------------------------------------------

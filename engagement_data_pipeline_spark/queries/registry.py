@@ -24,6 +24,7 @@ from . import (
     packing_q,
     quality_q,
     regression,
+    sketch_q,
     sessions_q,
     similarity,
     sinks_sources,
@@ -147,6 +148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": packing_q.doc_chunks,
     "cdc_changeset": cdc_q.cdc_changeset,
     "dq_messages": quality_q.dq_messages,
+    "doc_cms_heavy_hitters": sketch_q.doc_cms_heavy_hitters,
     "q03_shipping_priority": tpch.q03_shipping_priority,
     "q05_local_supplier": tpch.q05_local_supplier,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
@@ -238,6 +240,7 @@ ORACLES: dict[str, str] = {
     "doc_chunks": packing_q.DOC_CHUNKS_SQL,
     "cdc_changeset": cdc_q.CDC_CHANGESET_SQL,
     "dq_messages": quality_q.DQ_MESSAGES_SQL,
+    "doc_cms_heavy_hitters": sketch_q.DOC_CMS_HEAVY_HITTERS_SQL,
     "r1_model_matrix": regression.R1_MODEL_MATRIX_SQL,
     # r2_logistic_regression, r3_mice_pooled: no oracle — the
     # iterative IRLS fits are not SQL-expressible; the driver records
