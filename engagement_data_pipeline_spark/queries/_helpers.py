@@ -7,8 +7,11 @@ query in this package:
 1. Money/metric aggregation happens in DECIMAL, never double: decimal
    arithmetic is exact and associative, so Spark's parallel partial
    aggregation and DuckDB's sequential sum produce identical values.
-   The final value is cast to double (same exact decimal in → same
-   double out).
+   The final decimal is exported to double THROUGH A STRING
+   (`decimal_to_double`): both engines parse a decimal digit string
+   with correct rounding, whereas their native decimal->double
+   conversions can disagree by one ulp (observed on q01 at sf0.1 —
+   invisible at sf0.01).
 2. Products of decimals are kept within 38 digits of precision: inputs
    are DECIMAL(18,4); one product yields (37,8); before a further
    multiply we cast back down to (18,6), which is exact for these 2dp
@@ -40,10 +43,17 @@ def money(col) -> Column:
     return c.cast(MONEY)
 
 
+def decimal_to_double(c: Column) -> Column:
+    """Exact decimal -> double via its digit string: string parse is
+    correctly rounded in both engines (SQL mirror:
+    CAST(CAST(x AS VARCHAR) AS DOUBLE))."""
+    return c.cast("string").cast("double")
+
+
 def dsum(col, alias: str) -> Column:
     """Exact decimal sum, exported as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(MONEY)).cast("double").alias(alias)
+    return decimal_to_double(F.sum(c.cast(MONEY))).alias(alias)
 
 
 def micros(col) -> Column:

@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._helpers import MONEY, MONEY_NARROW, dsum, micros, money, t
+from ._helpers import (MONEY, MONEY_NARROW, decimal_to_double, dsum,
+                       micros, money, t)
 
 
 def _disc_price(ext="l_extendedprice", disc="l_discount"):
@@ -31,11 +32,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            F.round(F.sum(money("l_quantity")).cast("double") / cnt.cast("double"), 6).alias("avg_qty"),
-            F.round(F.sum(money("l_extendedprice")).cast("double") / cnt.cast("double"), 6).alias("avg_price"),
-            F.round(F.sum(money("l_discount")).cast("double") / cnt.cast("double"), 6).alias("avg_disc"),
+            decimal_to_double(F.sum(_disc_price())).alias("sum_disc_price"),
+            decimal_to_double(F.sum(charge)).alias("sum_charge"),
+            F.round(decimal_to_double(F.sum(money("l_quantity"))) / cnt.cast("double"), 6).alias("avg_qty"),
+            F.round(decimal_to_double(F.sum(money("l_extendedprice"))) / cnt.cast("double"), 6).alias("avg_price"),
+            F.round(decimal_to_double(F.sum(money("l_discount"))) / cnt.cast("double"), 6).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -43,13 +44,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_disc,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
+  ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price,
+  ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -78,7 +79,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(
             F.col("l_orderkey").alias("o_orderkey"),
-            F.col("__rev").cast("double").alias("revenue"),
+            decimal_to_double(F.col("__rev")).alias("revenue"),
             micros("o_orderdate").alias("o_orderdate_us"),
         )
     )
@@ -86,7 +87,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q03_SQL = """
 SELECT l_orderkey AS o_orderkey,
-       CAST(rev AS DOUBLE) AS revenue,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
        epoch_us(o_orderdate) AS o_orderdate_us
 FROM (
   SELECT l.l_orderkey, o.o_orderdate,
@@ -127,14 +128,14 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"),
+        .agg(decimal_to_double(F.sum(_disc_price())).alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
 
 Q05_SQL = """
 SELECT n.n_name,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
