@@ -31,3 +31,20 @@ def top_k_rows(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     keeps its local top-k, the driver merges — no full sort, no
     shuffle of the losing rows."""
     return df.orderBy(*order_by).limit(k)
+
+
+def deterministic_group_sample(df: DataFrame, group_cols: Sequence[str],
+                               key_col: str, k: int,
+                               salt: str = "sample-v1") -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by md5 order of
+    the salted key — a reproducible stand-in for per-group reservoir
+    sampling (eval-set construction, per-source spot checks). One
+    window pass; changing the salt redraws the sample, while adding
+    rows to a group perturbs only the sample's boundary."""
+    from pyspark.sql import Window
+    from ..training.dedup import md5_long
+
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(key_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))

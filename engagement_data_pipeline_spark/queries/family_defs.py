@@ -15,9 +15,9 @@ per-query evidence is present too, and local tooling
 
 from __future__ import annotations
 
-from . import (adapters_extra, cdc_q, multimodal_q, packing_q,  # noqa: F401
-               quality_q, sessions_q, similarity, sketch_q, skew_q,
-               stats_q, temporal_q, tpch, training)
+from . import (adapters_extra, cdc_q, maintenance_q,  # noqa: F401
+               multimodal_q, packing_q, quality_q, sessions_q, similarity,
+               sketch_q, skew_q, stats_q, temporal_q, tpch, training)
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -79,6 +79,15 @@ _EVENTS_MEMBERS = {
         quality_q.dq_messages, quality_q.DQ_MESSAGES_SQL,
         [("rule", "string"), ("kind", "string"),
          ("violations", "bigint"), ("n_checked", "bigint")]),
+    "agg_state_merge": (
+        maintenance_q.agg_state_merge, maintenance_q.AGG_STATE_MERGE_SQL,
+        [("dataset", "string"), ("n_versions", "bigint"),
+         ("first_update_us", "bigint"), ("last_update_us", "bigint"),
+         ("sum_text_chars", "bigint")]),
+    "events_group_sample": (
+        maintenance_q.events_group_sample,
+        maintenance_q.EVENTS_GROUP_SAMPLE_SQL,
+        [("event_type", "string"), ("event_id", "bigint")]),
 }
 
 # --- training-data extras -------------------------------------------------

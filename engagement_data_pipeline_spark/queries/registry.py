@@ -20,6 +20,7 @@ from . import (
     cdc_q,
     engagement,
     family_defs,
+    maintenance_q,
     multimodal_q,
     packing_q,
     quality_q,
@@ -149,6 +150,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changeset": cdc_q.cdc_changeset,
     "dq_messages": quality_q.dq_messages,
     "doc_cms_heavy_hitters": sketch_q.doc_cms_heavy_hitters,
+    "agg_state_merge": maintenance_q.agg_state_merge,
+    "events_group_sample": maintenance_q.events_group_sample,
     "q03_shipping_priority": tpch.q03_shipping_priority,
     "q05_local_supplier": tpch.q05_local_supplier,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
@@ -241,6 +244,8 @@ ORACLES: dict[str, str] = {
     "cdc_changeset": cdc_q.CDC_CHANGESET_SQL,
     "dq_messages": quality_q.DQ_MESSAGES_SQL,
     "doc_cms_heavy_hitters": sketch_q.DOC_CMS_HEAVY_HITTERS_SQL,
+    "agg_state_merge": maintenance_q.AGG_STATE_MERGE_SQL,
+    "events_group_sample": maintenance_q.EVENTS_GROUP_SAMPLE_SQL,
     "r1_model_matrix": regression.R1_MODEL_MATRIX_SQL,
     # r2_logistic_regression, r3_mice_pooled: no oracle — the
     # iterative IRLS fits are not SQL-expressible; the driver records

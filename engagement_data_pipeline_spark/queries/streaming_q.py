@@ -28,7 +28,11 @@ _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 
 
 def _fixture_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # A 1/4 slice keeps the overlap structure while bounding the
+    # fixture's CSV round-trip: the query's cost should be the merge
+    # machinery under test, not toPandas/to_csv on the full events
+    # table (the driver skips queries that blow its budget).
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 16 < 4)
     return ev.select(
         F.col("event_id"),
         F.concat(F.lit("avf-participant-uuid-"),
@@ -80,7 +84,7 @@ WITH rows AS (
   SELECT 'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
          'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
          strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
-  FROM events WHERE event_id % 4 IN (0, 1, 2)
+  FROM events WHERE event_id % 16 < 4 AND event_id % 4 IN (0, 1, 2)
 )
 SELECT DISTINCT
        'csv:' || sha256(sender || '|' || message || '|' || received_on) AS origin_id,
