@@ -41,6 +41,18 @@ def apply_runtime_conf(spark: SparkSession, shuffle_partitions: int | None = Non
     conf = dict(_RUNTIME_CONF)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    else:
+        # A harness session left on Spark's default 200 pays 200-task
+        # scheduling overhead per shuffle on local data; align the
+        # initial partition count with the actual slot count (AQE
+        # still coalesces further). Sessions with an explicit non-200
+        # setting are left alone.
+        try:
+            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                conf["spark.sql.shuffle.partitions"] = str(
+                    spark.sparkContext.defaultParallelism)
+        except Exception:
+            pass
     for k, v in conf.items():
         try:
             spark.conf.set(k, v)
