@@ -3,7 +3,7 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Runs the whole suite $SPARK_GRAFT_RUNS times (default 2) in a FRESH
+Runs the whole suite $SPARK_GRAFT_RUNS times (default 3) in a FRESH
 SparkSession each time — caches are session-scoped, so every run pays
 full cold cost — and reports the best run. Host contention on this
 box randomly inflates individual queries 3-10x; a single sample
@@ -68,7 +68,7 @@ def _run_once(spark, sf_dir: str):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     runs = []
