@@ -89,21 +89,35 @@ def hll_terms(hash_col: Column) -> tuple[Column, Column]:
     return bucket, term
 
 
-def hll_distinct(df: DataFrame, group_cols: Sequence[str],
-                 hash_col: Column) -> DataFrame:
-    """Per-group HyperLogLog distinct estimate (raw estimator, no
-    small/large-range correction — ln() is not bit-stable across
-    engines; the raw formula is). `hash_col` must be a 60-bit
-    deterministic hash (training.dedup.md5_long). Two hash
-    aggregations — (group, bucket) max, then group sum — sketch size
-    64 registers per group regardless of input size. Returns
-    (*group_cols, n_registers, hll_estimate)."""
+def hll_registers(df: DataFrame, group_cols: Sequence[str],
+                  hash_col: Column) -> DataFrame:
+    """Per-group HLL register table (group, __b, __m): at most HLL_M
+    rows per group regardless of input size — the persistable,
+    MERGEABLE sketch state (register = MAX rho seen in the bucket =
+    MIN shifted term)."""
     group_cols = list(group_cols)
     bucket, term = hll_terms(hash_col)
-    # register = MAX rho seen in the bucket = MIN shifted term
-    regs = (df.select(*group_cols, bucket.alias("__b"), term.alias("__t"))
+    return (df.select(*group_cols, bucket.alias("__b"), term.alias("__t"))
             .groupBy(*group_cols, "__b")
             .agg(F.min("__t").alias("__m")))
+
+
+def hll_merge(a: DataFrame, b: DataFrame,
+              group_cols: Sequence[str]) -> DataFrame:
+    """Merge two register tables: union + per-register MIN — HLL's
+    defining property (sketch(A ∪ B) == merge(sketch(A), sketch(B))),
+    which is what makes the sketch maintainable incrementally and
+    shard-parallel: O(registers) per refresh, never a rescan."""
+    return (a.unionByName(b)
+            .groupBy(*group_cols, "__b")
+            .agg(F.min("__m").alias("__m")))
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_cols: Sequence[str]) -> DataFrame:
+    """(group, n_registers, hll_estimate) from a register table (raw
+    estimator — ln() correction is not bit-stable across engines)."""
+    group_cols = list(group_cols)
     zero_term = F.lit(1 << HLL_SHIFT).cast("long")
     return (regs.groupBy(*group_cols)
             .agg(F.count(F.lit(1)).cast("long").alias("n_registers"),
@@ -113,6 +127,16 @@ def hll_distinct(df: DataFrame, group_cols: Sequence[str],
             .select(*group_cols, "n_registers",
                     (F.lit(HLL_K) / F.col("__s").cast("double"))
                     .alias("hll_estimate")))
+
+
+def hll_distinct(df: DataFrame, group_cols: Sequence[str],
+                 hash_col: Column) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate. `hash_col` must be a
+    60-bit deterministic hash (training.dedup.md5_long). Two hash
+    aggregations; sketch size 64 registers per group regardless of
+    input size. Returns (*group_cols, n_registers, hll_estimate)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, group_cols, hash_col), group_cols)
 
 
 # --- Count-min sketch ------------------------------------------------------

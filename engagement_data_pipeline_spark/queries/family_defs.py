@@ -88,6 +88,10 @@ _EVENTS_MEMBERS = {
         maintenance_q.events_group_sample,
         maintenance_q.EVENTS_GROUP_SAMPLE_SQL,
         [("event_type", "string"), ("event_id", "bigint")]),
+    "hll_state_merge": (
+        maintenance_q.hll_state_merge, maintenance_q.HLL_STATE_MERGE_SQL,
+        [("event_type", "string"), ("n_registers", "bigint"),
+         ("hll_estimate", "double")]),
 }
 
 # --- training-data extras -------------------------------------------------

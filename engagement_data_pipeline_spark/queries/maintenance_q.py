@@ -80,3 +80,61 @@ SELECT event_type, event_id FROM (
   FROM events
 ) WHERE rn <= {_SAMPLE_K}
 """
+
+
+# --- HLL sketch-state merge ------------------------------------------------
+
+def hll_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-state maintenance proof: HLL registers built separately
+    over two halves of events (event_id parity — a stand-in for two
+    shards or two ingest increments), merged with hll_merge, then
+    estimated. The oracle recomputes the sketch over ALL events in one
+    pass — hash equality is sketch(A ∪ B) == merge(sketch(A),
+    sketch(B)) on real data."""
+    from ..operators.stats import (hll_estimate_from_registers, hll_merge,
+                                   hll_registers)
+    from ..training.dedup import md5_long
+
+    ev = load(spark, sf_dir, "events")
+    apply_runtime_conf(spark)
+    h = md5_long(F.col("user_id").cast("string"))
+    even = hll_registers(ev.where(F.col("event_id") % 2 == 0),
+                         ["event_type"], h)
+    odd = hll_registers(ev.where(F.col("event_id") % 2 == 1),
+                        ["event_type"], h)
+    merged = hll_merge(even, odd, ["event_type"])
+    return hll_estimate_from_registers(merged, ["event_type"])
+
+
+def _hll_state_merge_sql() -> str:
+    from ..operators import stats as ST
+
+    wb = ST.HLL_W_BITS
+    ladder = " ".join(
+        f"WHEN w >= {1 << (wb - r)} THEN {r}" for r in range(1, wb + 1))
+    h = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         {h} & {ST.HLL_M - 1} AS b,
+         {h} >> {ST.HLL_P} AS w
+  FROM events
+),
+terms AS (
+  SELECT event_type, b, CASE {ladder} ELSE {wb + 1} END AS rho FROM hashed
+),
+regs AS (
+  SELECT event_type, b,
+         MIN(CAST(1 AS BIGINT) << ({ST.HLL_SHIFT} - rho)) AS m
+  FROM terms GROUP BY event_type, b
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_registers,
+       {ST.HLL_K!r} / CAST(CAST(SUM(m) + ({ST.HLL_M} - COUNT(*))
+             * (CAST(1 AS BIGINT) << {ST.HLL_SHIFT}) AS BIGINT) AS DOUBLE)
+         AS hll_estimate
+FROM regs GROUP BY event_type
+"""
+
+
+HLL_STATE_MERGE_SQL = _hll_state_merge_sql()

@@ -152,6 +152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_cms_heavy_hitters": sketch_q.doc_cms_heavy_hitters,
     "agg_state_merge": maintenance_q.agg_state_merge,
     "events_group_sample": maintenance_q.events_group_sample,
+    "hll_state_merge": maintenance_q.hll_state_merge,
     "q03_shipping_priority": tpch.q03_shipping_priority,
     "q05_local_supplier": tpch.q05_local_supplier,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
@@ -246,6 +247,7 @@ ORACLES: dict[str, str] = {
     "doc_cms_heavy_hitters": sketch_q.DOC_CMS_HEAVY_HITTERS_SQL,
     "agg_state_merge": maintenance_q.AGG_STATE_MERGE_SQL,
     "events_group_sample": maintenance_q.EVENTS_GROUP_SAMPLE_SQL,
+    "hll_state_merge": maintenance_q.HLL_STATE_MERGE_SQL,
     "r1_model_matrix": regression.R1_MODEL_MATRIX_SQL,
     # r2_logistic_regression, r3_mice_pooled: no oracle — the
     # iterative IRLS fits are not SQL-expressible; the driver records

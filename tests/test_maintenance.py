@@ -66,3 +66,21 @@ def test_group_sample_exact_k_and_reproducible(spark):
 def test_group_sample_small_group_returns_whole_group(spark):
     df = spark.createDataFrame([("g", 1), ("g", 2)], "g string, id long")
     assert deterministic_group_sample(df, ["g"], "id", 10).count() == 2
+
+
+def test_hll_merge_idempotent_and_commutative(spark):
+    from engagement_data_pipeline_spark.operators.stats import (
+        hll_estimate_from_registers, hll_merge, hll_registers)
+    from engagement_data_pipeline_spark.training.dedup import md5_long
+
+    df = spark.createDataFrame([("g", i % 37) for i in range(200)],
+                               "g string, v long")
+    h = md5_long(F.col("v").cast("string"))
+    regs = hll_registers(df, ["g"], h)
+    est = lambda r: hll_estimate_from_registers(r, ["g"]).collect()[0]
+    base = est(regs)
+    # self-merge is identity; merge order does not matter
+    assert est(hll_merge(regs, regs, ["g"])) == base
+    a = hll_registers(df.where(F.col("v") % 2 == 0), ["g"], h)
+    b = hll_registers(df.where(F.col("v") % 2 == 1), ["g"], h)
+    assert est(hll_merge(a, b, ["g"])) == est(hll_merge(b, a, ["g"])) == base
