@@ -468,9 +468,8 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     governance query a curation pipeline runs after any lang-ID
     change."""
     docs = T.spread_narrow_scan(_docs(spark, sf_dir))
-    return (docs.select(F.col("lang"),
-                        T.language_id(F.col("text")).alias("lang_guess"))
-            .groupBy("lang", "lang_guess")
+    guesses = T.language_id_frame(docs, key_cols=("doc_id", "lang"))
+    return (guesses.groupBy("lang", "lang_guess")
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 

@@ -79,9 +79,15 @@ def quality_metrics(text: Column) -> dict[str, Column]:
 
 
 def language_id(text: Column) -> Column:
-    """Marker-word voting language ID. Deterministic argmax: highest
-    hit count wins, ties broken by language code order, zero hits →
-    'und'."""
+    """Marker-word voting language ID as a pure column expression.
+    Deterministic argmax: highest hit count wins, ties broken by
+    language code order, zero hits → 'und'.
+
+    Fine for a handful of plan-literal languages inside a wide
+    projection (document_profile); for corpus-level evaluation or a
+    marker lexicon that outgrows plan literals use `language_id_frame`,
+    which is one pass over words joined to a broadcast marker table
+    instead of |langs| array scans per row."""
     norm = normalize_text(text)
     words = F.split(norm, " ")
     best_lang = F.lit("und")
@@ -92,6 +98,48 @@ def language_id(text: Column) -> Column:
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, score).otherwise(best_score)
     return best_lang
+
+
+def language_id_frame(docs: DataFrame, text_col: str = "text",
+                      key_cols: tuple[str, ...] = ("doc_id",),
+                      markers: dict[str, list[str]] | None = None) -> DataFrame:
+    """DataFrame-level language ID: `key_cols` + `lang_guess`, same
+    semantics as `language_id` (occurrence-count voting, lexicographic
+    tie-break, 'und' on zero hits).
+
+    Shape at scale: ONE pass over words — explode, broadcast-hash-join
+    against a (marker → lang) dimension, then a two-level count/argmax
+    aggregation. Cost is independent of the number of languages, and
+    the marker table is data (broadcastable at any lexicon size), not
+    a plan literal. Map-side combine collapses the exploded rows to
+    ≤|langs|+1 rows per doc before the shuffle, so shuffle volume is
+    O(n_docs · n_langs) regardless of document length. A marker shared
+    by several languages ("la" in es and fr) joins to one row per
+    language, crediting each — identical to the per-language filters.
+    """
+    markers = LANG_MARKERS if markers is None else markers
+    spark = docs.sparkSession
+    langs = sorted(markers)
+    # Smaller language code → larger rank, so max(struct(n, rank, ...))
+    # breaks count ties toward the lexicographically first language.
+    rows = [(m, lang, len(langs) - i)
+            for i, lang in enumerate(langs) for m in markers[lang]]
+    mdf = spark.createDataFrame(rows, "marker string, mlang string, mrank int")
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    exploded = docs.select(*key_cols, F.explode(words).alias("word"))
+    joined = exploded.join(F.broadcast(mdf),
+                           exploded["word"] == mdf["marker"], "left")
+    # count("mlang") skips NULLs: non-marker words group under mlang
+    # NULL with n=0, keeping zero-hit docs alive without a join-back.
+    per_lang = (joined.groupBy(*key_cols, "mlang", "mrank")
+                .agg(F.count("mlang").cast("long").alias("n")))
+    best = F.max(F.when(F.col("mlang").isNotNull(),
+                        F.struct(F.col("n"), F.col("mrank"),
+                                 F.col("mlang").alias("mlang"))))
+    return (per_lang.groupBy(*key_cols)
+            .agg(F.coalesce(best.getField("mlang"), F.lit("und"))
+                 .alias("lang_guess")))
 
 
 def fingerprint(text: Column, char_ngram: int = 8) -> Column:

@@ -90,6 +90,35 @@ def test_document_profile_langid_votes(spark):
     assert out[1] == "und"  # no marker hits
 
 
+def test_language_id_frame_matches_column_impl(spark):
+    """The broadcast-join frame impl and the column expression must
+    agree everywhere: clear winner, shared marker ('la' credits both
+    es and fr), count tie (lexicographic tie-break), zero hits, and
+    empty text."""
+    from engagement_data_pipeline_spark.training.text import (
+        language_id,
+        language_id_frame,
+    )
+
+    texts = [
+        "der hund und die katze ist da",       # de
+        "la casa es que los gatos",            # es beats fr despite 'la'
+        "le chat est la",                      # fr
+        "the cat is la la",                    # tie en=2 (the,is) vs es/fr 'la'×2 → 'es' < 'fr'? argmax decides
+        "xyzzy plugh",                         # und
+        "",                                    # und
+        "und und und the the",                 # de=3 beats en=2
+    ]
+    df = docs(spark, texts)
+    col_out = {r.doc_id: r.guess for r in
+               df.select("doc_id", language_id(F.col("text")).alias("guess")).collect()}
+    frame_out = {r.doc_id: r.lang_guess for r in
+                 language_id_frame(df).collect()}
+    assert frame_out == col_out
+    assert col_out[0] == "de" and col_out[4] == "und" and col_out[5] == "und"
+    assert col_out[6] == "de"
+
+
 def test_ngram_jaccard_pairs_matches_brute_force(spark):
     """With a permissive doc-freq cap, inverted-index blocking finds
     exactly the brute-force pair set, with exact Jaccard values."""
