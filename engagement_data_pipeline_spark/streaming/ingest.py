@@ -1,5 +1,6 @@
 """Streaming ingest: readStream over a landing directory →
-Message-schema normalisation → foreachBatch idempotent merge.
+Message-schema normalisation → foreachBatch idempotent merge into a
+versioned, bucket-partitioned parquet table with ATOMIC commits.
 
 The reference runs its syncs as daily batch jobs with hand-rolled
 watermark caches (SURVEY §2.12); Structured Streaming gives the same
@@ -9,18 +10,46 @@ inside foreachBatch replaces the per-message lookup-before-write
 (rapid_pro_to_engagement_db.py:175-221) — late or replayed files
 cannot double-insert.
 
-At scale: the landing dir is object storage; maxFilesPerTrigger
-bounds micro-batch size. The target table is hash-partitioned on
-``bucket = pmod(xxhash64(origin), n_buckets)`` so each micro-batch
-rewrites ONLY the bucket partitions its keys land in (dynamic
-partition overwrite) — I/O per batch is O(touched buckets), not
-O(table). On a transactional format (Delta/Iceberg) the same merge is
-`MERGE INTO ... WHEN NOT MATCHED INSERT` and the bucketing becomes
-the table's clustering key.
+Commit protocol (the parquet-native stand-in for Delta/Iceberg MERGE;
+the reference gets per-message atomicity from Firestore transactions,
+src/engagement_db_coda_sync/coda_to_engagement_db.py:13-83):
+
+* The table is hash-bucketed on ``pmod(xxhash64(origin), n_buckets)``.
+  Data lives in immutable version directories
+  ``<table>/v<commit>/bucket=<b>/part-*.parquet`` — a merge NEVER
+  rewrites or deletes a file a reader might hold.
+* Each micro-batch reads only the CURRENT directories of the buckets
+  its keys hash to, merges, writes the merged buckets into a NEW
+  version directory, then publishes ``<table>/_log/<commit>.json`` — a
+  full bucket→version mapping (O(n_buckets), so readers never replay a
+  log). The manifest is written to a temp name and renamed; readers
+  take the highest *parseable* manifest, so a crash mid-data-write
+  (unreferenced version dir) or mid-publish (partial/absent manifest)
+  leaves the previous commit fully readable. ``_log`` is
+  underscore-prefixed, so plain parquet scans ignore it.
+* All manifest I/O goes through the Hadoop FileSystem API, so the same
+  code runs on file://, hdfs:// (atomic rename) and s3a:// (PUT of a
+  new key is atomic; rename is copy+delete but the reader's
+  parse-check keeps partial objects invisible).
+* Single writer per table (one streaming query), which foreachBatch
+  already guarantees; the protocol does not arbitrate concurrent
+  committers — that is what a real table format's CAS log is for.
+
+I/O per batch is O(touched buckets), not O(table). `n_buckets` is
+table metadata fixed at creation (recorded in the manifest — later
+merges follow it, whatever the caller passes): buckets must be
+stable because a row's bucket may never change across batches. Size
+with `suggest_n_buckets` (≈0.5-1 GiB per bucket at the table's
+expected steady-state size); grow an outgrown table with
+`rebucket_table` (one logged full rewrite), and bound small-file
+accretion from long availableNow histories with `compact_table` +
+`vacuum_table`.
 """
 
 from __future__ import annotations
 
+import json
+import math
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,15 +59,33 @@ from ..operators.dedup import idempotent_upsert
 
 CSV_LANDING_SCHEMA = "Sender string, Message string, ReceivedOn string"
 
-#: Partition column added to merge targets; a pure function of the
-#: origin key, so a row's bucket never changes across batches.
+#: Partition column of version directories; a pure function of the
+#: origin key, so a row's bucket never changes across batches. Never
+#: stored in data files (partitionBy encodes it in the path) and
+#: recomputed from the origin columns when needed, so merge targets
+#: carry no reserved column names.
 BUCKET_COL = "bucket"
+
+_LOG_DIR = "_log"
+DEFAULT_N_BUCKETS = 16
+#: Sizing target: a bucket is one task's merge unit — big enough to
+#: amortize file overhead, small enough to re-write cheaply per batch.
+TARGET_BUCKET_BYTES = 512 * 1024 * 1024
 
 
 def origin_bucket(origin_cols: Sequence[str], n_buckets: int):
     """Stable bucket id for an origin key: pmod(xxhash64, n)."""
     return F.pmod(F.xxhash64(*[F.col(c) for c in origin_cols]),
                   F.lit(n_buckets)).cast("int")
+
+
+def suggest_n_buckets(expected_table_bytes: int,
+                      target_bucket_bytes: int = TARGET_BUCKET_BYTES) -> int:
+    """Power-of-two bucket count putting ~`target_bucket_bytes` per
+    bucket at the table's expected steady-state size. 100 TB at the
+    default target → 262144 buckets; 1 GB → 2."""
+    n = max(1, math.ceil(expected_table_bytes / target_bucket_bytes))
+    return 1 << (n - 1).bit_length()
 
 
 def stream_csv_source(spark: SparkSession, landing_dir: str,
@@ -53,10 +100,103 @@ def stream_csv_source(spark: SparkSession, landing_dir: str,
     return reader.csv(landing_dir)
 
 
+# --- manifest I/O (Hadoop FileSystem API: file://, hdfs://, s3a://) -------
+
+def _fs(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _read_text(spark: SparkSession, path_str: str) -> str:
+    fs, jvm = _fs(spark, path_str)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_text_atomic(spark: SparkSession, path_str: str, text: str) -> None:
+    fs, jvm = _fs(spark, path_str)
+    tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    final = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs.delete(final, False)  # stale same-name manifest from a crashed retry
+    if not fs.rename(tmp, final):
+        raise IOError(f"manifest rename failed: {path_str}")
+
+
+def _list_commit_ids(spark: SparkSession, table_path: str) -> list[int]:
+    fs, jvm = _fs(spark, table_path)
+    log = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{_LOG_DIR}")
+    try:
+        statuses = fs.listStatus(log)
+    except Exception:
+        return []
+    ids = []
+    for st in statuses:
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            try:
+                ids.append(int(name[:-5]))
+            except ValueError:
+                pass
+    return sorted(ids)
+
+
+def read_table_manifest(spark: SparkSession, table_path: str) -> dict | None:
+    """Latest parseable manifest, or None if the table has no commits.
+    Skips a trailing partial manifest (writer died mid-publish on a
+    store without atomic rename) — readers then see the prior commit.
+    """
+    for commit in reversed(_list_commit_ids(spark, table_path)):
+        try:
+            man = json.loads(_read_text(
+                spark, f"{table_path}/{_LOG_DIR}/{commit:08d}.json"))
+            if {"commit", "n_buckets", "origin", "buckets"} <= man.keys():
+                man["buckets"] = {int(k): int(v)
+                                  for k, v in man["buckets"].items()}
+                return man
+        except Exception:
+            continue
+    return None
+
+
+def _commit(spark: SparkSession, table_path: str, commit: int,
+            n_buckets: int, origin_cols: Sequence[str],
+            buckets: dict[int, int]) -> None:
+    man = {"commit": commit, "n_buckets": n_buckets,
+           "origin": list(origin_cols),
+           "buckets": {str(k): v for k, v in sorted(buckets.items())}}
+    _write_text_atomic(
+        spark, f"{table_path}/{_LOG_DIR}/{commit:08d}.json",
+        json.dumps(man, indent=0))
+
+
+def _bucket_paths(table_path: str, buckets: dict[int, int],
+                  only: Sequence[int] | None = None) -> list[str]:
+    wanted = buckets if only is None else {
+        b: buckets[b] for b in only if b in buckets}
+    return [f"{table_path}/v{ver:08d}/{BUCKET_COL}={b}"
+            for b, ver in sorted(wanted.items())]
+
+
 def read_merged_table(spark: SparkSession, table_path: str) -> DataFrame:
-    """Read a merge target written by `foreach_batch_upsert`, hiding
-    the internal bucket partition column."""
-    return spark.read.parquet(table_path).drop(BUCKET_COL)
+    """Read the committed state of a merge target: resolve the latest
+    manifest and scan only the current version directory of each
+    bucket. Data files carry no internal columns, so the result is
+    exactly the merged rows."""
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        # Pre-manifest layout (or a foreign parquet dir): best effort.
+        df = spark.read.parquet(table_path)
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+    return spark.read.parquet(*_bucket_paths(table_path, man["buckets"]))
 
 
 def dedup_within_watermark(stream: DataFrame, key_cols: Sequence[str],
@@ -76,47 +216,148 @@ def dedup_within_watermark(stream: DataFrame, key_cols: Sequence[str],
             .dropDuplicatesWithinWatermark(list(key_cols)))
 
 
+def _write_version(df: DataFrame, table_path: str, commit: int,
+                   n_files_hint: int) -> None:
+    # One output file per bucket (instead of shuffle-partitions ×
+    # buckets small files). mode=overwrite clears debris from a
+    # crashed attempt at this same (never-published) version.
+    (df.repartition(max(n_files_hint, 1), F.col(BUCKET_COL))
+     .write.mode("overwrite").partitionBy(BUCKET_COL)
+     .parquet(f"{table_path}/v{commit:08d}"))
+
+
 def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                          transform: Callable[[DataFrame], DataFrame] | None = None,
-                         n_buckets: int = 16,
+                         n_buckets: int | None = None,
                          ) -> Callable[[DataFrame, int], None]:
     """A foreachBatch function: normalise the micro-batch (optional
-    `transform`), then merge into the bucket-partitioned parquet table
-    keyed on the origin columns — existing rows win, so replays are
-    no-ops.
+    `transform`), then merge into the versioned bucket table keyed on
+    the origin columns — existing rows win, so replays are no-ops.
 
-    Only the bucket partitions containing batch keys are rewritten
-    (dynamic partition overwrite); untouched buckets' files are left
-    in place. The merged frame is localCheckpoint-ed before the write
-    so the overwrite never re-reads files it is about to replace —
-    an executor loss mid-write cannot recompute lineage from deleted
-    source files.
+    Only the buckets containing batch keys are read and re-written,
+    into a fresh version directory published by an atomic manifest
+    commit (see module docstring): a crash at ANY point leaves the
+    previous commit readable, and the interrupted batch simply re-runs
+    from the stream checkpoint. Because a version is never mutated,
+    the merge also never re-reads files it is deleting — no
+    localCheckpoint lineage break needed.
+
+    `n_buckets` only applies when this call CREATES the table (pick it
+    with `suggest_n_buckets`); an existing table's manifest wins.
     """
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch = transform(batch)
         spark = batch.sparkSession
-        batch = batch.withColumn(BUCKET_COL,
-                                 origin_bucket(origin_cols, n_buckets))
-        try:
-            existing = spark.read.parquet(table_path)
-        except Exception:
-            (batch.write.mode("overwrite")
-             .partitionBy(BUCKET_COL).parquet(table_path))
+        man = read_table_manifest(spark, table_path)
+        nb = man["n_buckets"] if man else (n_buckets or DEFAULT_N_BUCKETS)
+        batch = batch.withColumn(BUCKET_COL, origin_bucket(origin_cols, nb))
+        if man is None:
+            hit = sorted(r[0] for r in
+                         batch.select(BUCKET_COL).distinct().collect())
+            _write_version(batch, table_path, 1, len(hit))
+            _commit(spark, table_path, 1, nb, origin_cols,
+                    {b: 1 for b in hit})
             return
         # Buckets present in this batch — bounded by n_buckets, so the
         # collect is O(n_buckets) regardless of table size.
         hit = sorted(r[0] for r in
                      batch.select(BUCKET_COL).distinct().collect())
-        touched = existing.where(F.col(BUCKET_COL).isin(hit))
-        merged = idempotent_upsert(touched, batch, origin_cols)
-        # One output file per bucket (instead of shuffle-partitions ×
-        # buckets small files), then materialize before overwriting:
-        # the checkpoint truncates lineage so the write cannot lazily
-        # re-read the partitions it deletes.
-        merged = merged.repartition(len(hit) or 1, F.col(BUCKET_COL))
-        merged = merged.localCheckpoint(eager=True)
-        (merged.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy(BUCKET_COL).parquet(table_path))
+        cur = _bucket_paths(table_path, man["buckets"], only=hit)
+        if cur:
+            existing = (spark.read.parquet(*cur)
+                        .withColumn(BUCKET_COL,
+                                    origin_bucket(origin_cols, nb)))
+        else:  # batch only hits never-seen buckets
+            existing = spark.createDataFrame([], batch.schema)
+        merged = idempotent_upsert(existing, batch, origin_cols)
+        commit = man["commit"] + 1
+        _write_version(merged, table_path, commit, len(hit))
+        _commit(spark, table_path, commit, nb, origin_cols,
+                {**man["buckets"], **{b: commit for b in hit}})
     return _merge
+
+
+# --- table maintenance ----------------------------------------------------
+
+def compact_table(spark: SparkSession, table_path: str,
+                  vacuum: bool = True) -> None:
+    """Rewrite every bucket's current data into one fresh version (one
+    file per bucket) and commit — the OPTIMIZE step that bounds file
+    count after long availableNow histories. With `vacuum`, superseded
+    version data is deleted afterwards; post-state is ≤ n_buckets data
+    files."""
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        return
+    df = (spark.read.parquet(*_bucket_paths(table_path, man["buckets"]))
+          .withColumn(BUCKET_COL,
+                      origin_bucket(man["origin"], man["n_buckets"])))
+    commit = man["commit"] + 1
+    _write_version(df, table_path, commit, len(man["buckets"]))
+    _commit(spark, table_path, commit, man["n_buckets"], man["origin"],
+            {b: commit for b in man["buckets"]})
+    if vacuum:
+        vacuum_table(spark, table_path)
+
+
+def rebucket_table(spark: SparkSession, table_path: str,
+                   new_n_buckets: int, vacuum: bool = True) -> None:
+    """Grow (or shrink) an outgrown table's bucket count: one logged
+    full rewrite under the new hash — the explicit maintenance path
+    for a table whose buckets passed ~2× `TARGET_BUCKET_BYTES`.
+    Subsequent merges follow the new manifest automatically."""
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        return
+    df = (spark.read.parquet(*_bucket_paths(table_path, man["buckets"]))
+          .withColumn(BUCKET_COL,
+                      origin_bucket(man["origin"], new_n_buckets)))
+    commit = man["commit"] + 1
+    hit = sorted(r[0] for r in df.select(BUCKET_COL).distinct().collect())
+    _write_version(df, table_path, commit, len(hit))
+    _commit(spark, table_path, commit, new_n_buckets, man["origin"],
+            {b: commit for b in hit})
+    if vacuum:
+        vacuum_table(spark, table_path)
+
+
+def vacuum_table(spark: SparkSession, table_path: str,
+                 keep_manifests: int = 10) -> None:
+    """Delete version/bucket directories no longer referenced by the
+    LATEST manifest, then empty version dirs, then manifests older
+    than the last `keep_manifests`. Safe against the single writer
+    (it only appends new versions); concurrent readers of superseded
+    commits are the same trade Delta's VACUUM makes — retention is the
+    knob."""
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        return
+    fs, jvm = _fs(spark, table_path)
+    hp = jvm.org.apache.hadoop.fs.Path
+    referenced = {(v, b) for b, v in man["buckets"].items()}
+    try:
+        versions = fs.listStatus(hp(table_path))
+    except Exception:
+        return
+    for vst in versions:
+        name = vst.getPath().getName()
+        if not (vst.isDirectory() and name.startswith("v")
+                and name[1:].isdigit()):
+            continue
+        ver = int(name[1:])
+        kept = 0
+        for bst in fs.listStatus(vst.getPath()):
+            bname = bst.getPath().getName()
+            if not bname.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(bname.split("=", 1)[1])
+            if (ver, b) in referenced:
+                kept += 1
+            else:
+                fs.delete(bst.getPath(), True)
+        if kept == 0:  # only _SUCCESS markers remain
+            fs.delete(vst.getPath(), True)
+    for commit in _list_commit_ids(spark, table_path)[:-keep_manifests]:
+        if commit != man["commit"]:
+            fs.delete(hp(f"{table_path}/{_LOG_DIR}/{commit:08d}.json"), False)

@@ -146,6 +146,9 @@ def test_streaming_foreach_batch_merge_is_idempotent(spark, tmp_path):
         foreach_batch_upsert,
         stream_csv_source,
     )
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        read_merged_table,
+    )
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -164,11 +167,11 @@ def test_streaming_foreach_batch_merge_is_idempotent(spark, tmp_path):
         q.awaitTermination(60)
 
     run(ckpt1)
-    first = spark.read.parquet(table).collect()
+    first = read_merged_table(spark, table).collect()
     assert len(first) == 1
     # replay the SAME file from a fresh checkpoint → merge must no-op
     run(str(tmp_path / "ckpt2"))
-    again = spark.read.parquet(table).collect()
+    again = read_merged_table(spark, table).collect()
     assert sorted(again) == sorted(first)
     # a new file arrives → only the new row is added
     (landing / "b.csv").write_text(
@@ -177,17 +180,34 @@ def test_streaming_foreach_batch_merge_is_idempotent(spark, tmp_path):
         "avf-participant-uuid-2,world,6/1/2024 11:00:00\n")
     time.sleep(0.1)
     run(str(tmp_path / "ckpt3"))
-    final = spark.read.parquet(table).collect()
+    final = read_merged_table(spark, table).collect()
     assert len(final) == 2
 
 
-def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
-    """The merge target is hash-partitioned on the origin key; a
-    micro-batch must rewrite only the bucket partitions its keys land
-    in — files in untouched buckets stay byte-for-byte in place."""
+def _current_files(spark, table):
+    """(bucket → {path: mtime}) for the files the LATEST manifest
+    references."""
     import glob
     import os
 
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        _bucket_paths,
+        read_table_manifest,
+    )
+    man = read_table_manifest(spark, table)
+    out = {}
+    for b, path in zip(sorted(man["buckets"]),
+                       _bucket_paths(table, man["buckets"])):
+        out[b] = {p: os.path.getmtime(p)
+                  for p in glob.glob(f"{path}/*.parquet")}
+    return out
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The merge target is hash-bucketed on the origin key; a
+    micro-batch must re-write only the buckets its keys land in —
+    untouched buckets' CURRENT files stay byte-for-byte in place (the
+    new manifest keeps pointing at the same old version dirs)."""
     from engagement_data_pipeline_spark.streaming.ingest import (
         foreach_batch_upsert,
         origin_bucket,
@@ -200,26 +220,126 @@ def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
                                "k string, v int")
     merge(b1, 0)
 
-    def snapshot():
-        return {p: os.path.getmtime(p)
-                for p in glob.glob(f"{table}/bucket=*/*.parquet")}
-
-    snap1 = snapshot()
-    assert len({p.split("bucket=")[1].split("/")[0] for p in snap1}) > 1
+    snap1 = _current_files(spark, table)
+    assert len(snap1) > 1
 
     b2 = spark.createDataFrame([("k1", 999), ("brand-new", 7)],
                                "k string, v int")
     merge(b2, 1)
     touched = {r[0] for r in
                b2.withColumn("b", origin_bucket(["k"], 8)).select("b").collect()}
-    snap2 = snapshot()
+    snap2 = _current_files(spark, table)
     untouched_checked = 0
-    for path, mtime in snap1.items():
-        bucket = int(path.split("bucket=")[1].split("/")[0])
+    for bucket, files in snap1.items():
         if bucket not in touched:
-            assert snap2.get(path) == mtime, f"untouched bucket {bucket} rewritten"
+            assert snap2[bucket] == files, f"untouched bucket {bucket} rewritten"
             untouched_checked += 1
     assert untouched_checked > 0
     # replay semantics: existing k1 wins, the new key is inserted
     out = {r["k"]: r["v"] for r in read_merged_table(spark, table).collect()}
     assert out["k1"] == 1 and out["brand-new"] == 7 and len(out) == 41
+
+
+def test_merge_crash_mid_publish_leaves_prior_commit_readable(spark, tmp_path):
+    """Kill-at-the-worst-point recovery: (a) writer dies AFTER writing
+    the new version's data but BEFORE publishing the manifest — the
+    unreferenced version dir must be invisible and the prior commit
+    fully readable; (b) writer dies mid-manifest leaving a partial
+    JSON — the reader must skip it; (c) the re-run of the interrupted
+    batch (what the stream checkpoint does) converges to the correct
+    merged table."""
+    from unittest import mock
+
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=4)
+    b1 = spark.createDataFrame([(f"k{i}", i) for i in range(20)],
+                               "k string, v int")
+    merge(b1, 0)
+    before = sorted(ing.read_merged_table(spark, table).collect())
+
+    # (a) crash between data write and manifest publish
+    b2 = spark.createDataFrame([("k1", 999), ("new-key", 7)],
+                               "k string, v int")
+    with mock.patch.object(ing, "_commit",
+                           side_effect=IOError("killed mid-publish")):
+        try:
+            merge(b2, 1)
+            raise AssertionError("merge should have died")
+        except IOError:
+            pass
+    assert sorted(ing.read_merged_table(spark, table).collect()) == before
+
+    # (b) partial manifest from a torn write on a non-atomic store
+    (tmp_path / "t" / "_log" / "00000002.json").write_text(
+        '{"commit": 2, "n_buckets": 4, "ori')
+    assert sorted(ing.read_merged_table(spark, table).collect()) == before
+    man = ing.read_table_manifest(spark, table)
+    assert man["commit"] == 1
+
+    # (c) checkpoint re-runs the batch: converges, replay-safe
+    merge(b2, 1)
+    out = {r["k"]: r["v"] for r in
+           ing.read_merged_table(spark, table).collect()}
+    assert out["k1"] == 1 and out["new-key"] == 7 and len(out) == 21
+
+
+def test_compact_and_vacuum_bound_file_count(spark, tmp_path):
+    """N merges accrete ≤1 file per touched bucket per batch;
+    compact_table + vacuum collapses the table to ≤ n_buckets data
+    files with identical contents, and old version dirs are gone."""
+    import glob
+
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=4)
+    for i in range(6):
+        merge(spark.createDataFrame([(f"k{i}-{j}", j) for j in range(5)],
+                                    "k string, v int"), i)
+    before = sorted(ing.read_merged_table(spark, table).collect())
+    n_files_before = len(glob.glob(f"{table}/v*/bucket=*/*.parquet"))
+    assert n_files_before > 4  # accretion actually happened
+
+    ing.compact_table(spark, table)
+    after_files = glob.glob(f"{table}/v*/bucket=*/*.parquet")
+    assert len(after_files) <= 4
+    # every surviving file belongs to the single compacted version
+    assert len({p.split("/bucket=")[0] for p in after_files}) == 1
+    assert sorted(ing.read_merged_table(spark, table).collect()) == before
+
+    # merges keep working after compaction
+    merge(spark.createDataFrame([("post-compact", 1)], "k string, v int"), 99)
+    assert len(ing.read_merged_table(spark, table).collect()) == 31
+
+
+def test_rebucket_table_grows_bucket_count(spark, tmp_path):
+    """rebucket_table re-hashes every row under the new bucket count
+    (the growth path when buckets outgrow the size target); contents
+    are unchanged and subsequent merges follow the NEW manifest even
+    if the caller still passes the stale n_buckets."""
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=2)
+    merge(spark.createDataFrame([(f"k{i}", i) for i in range(30)],
+                                "k string, v int"), 0)
+    before = sorted(ing.read_merged_table(spark, table).collect())
+
+    ing.rebucket_table(spark, table, 8)
+    man = ing.read_table_manifest(spark, table)
+    assert man["n_buckets"] == 8
+    assert len(man["buckets"]) > 2
+    assert sorted(ing.read_merged_table(spark, table).collect()) == before
+
+    # a replayed row + a new row through the OLD callable (stale
+    # n_buckets=2): manifest wins, replay no-ops, insert lands
+    merge(spark.createDataFrame([("k1", 999), ("fresh", 5)],
+                                "k string, v int"), 1)
+    out = {r["k"]: r["v"] for r in
+           ing.read_merged_table(spark, table).collect()}
+    assert out["k1"] == 1 and out["fresh"] == 5 and len(out) == 31
+
+    assert ing.suggest_n_buckets(0) == 1
+    assert ing.suggest_n_buckets(100 * 2**40) == 262144  # 100 TB default
