@@ -73,6 +73,8 @@ def unique(*key_cols: str) -> Rule:
 def expect(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """Evaluate all rules: one scan for the row-local rules plus one
     grouped pass per distinct uniqueness key set."""
+    if not rules:
+        raise ValueError("expect() needs at least one rule")
     row_rules = [r for r in rules if r.violated is not None]
     uniq_rules = [r for r in rules if r.violated is None]
 

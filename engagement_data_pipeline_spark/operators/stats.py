@@ -175,7 +175,10 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
     """Point-estimate each key against a sketch: min over the key's
     depth cells. The sketch is depth*width rows — always broadcast —
     so estimation is a zero-shuffle map over the key set. Guarantees
-    estimate >= true count (the operator never undercounts)."""
+    estimate >= true count (the operator never undercounts): the
+    sketch stores only non-zero cells, so a probed cell absent from it
+    counts as 0 (left join + coalesce) and a key never seen by the
+    sketched corpus estimates to exactly 0 instead of vanishing."""
     probes = keys.select(
         F.col(key_col),
         F.explode(F.array(*[
@@ -184,6 +187,8 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
             for j in range(depth)])).alias("cell"))
     return (probes
             .join(F.broadcast(sketch),
-                  (probes.cell.j == sketch.j) & (probes.cell.pos == sketch.pos))
+                  (probes.cell.j == sketch.j) & (probes.cell.pos == sketch.pos),
+                  "left")
             .groupBy(key_col)
-            .agg(F.min("c").alias("cms_estimate")))
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+                 .alias("cms_estimate")))

@@ -53,9 +53,12 @@ from . import (
 #
 # Defense in depth: positions 1-47 are the 47 highest-value individual
 # queries; positions 48-50 are three FAMILY CHECKSUM queries
-# (queries/families.py) that hash-verify all 31 tail members in one
-# row each. The tail members keep their individual entries after
-# position 50, so a driver without the cap records them too.
+# (queries/families.py) that hash-verify every oracle-backed tail
+# member in one row each — membership lives in family_defs.py (39
+# members as of round 4; only the rows-only R2/R3 fits sit outside).
+# The tail members keep their individual entries after position 50,
+# so a driver without the cap records them too. Any NEW query must
+# either join a family or take an individual slot inside the top 50.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 1-12: engagement spine (S1-S3, F1-F6, §1.4 trace, §2.12 stream,
     # M10/M11 fixpoint, G1/G2 views)

@@ -45,12 +45,16 @@ def apply_runtime_conf(spark: SparkSession, shuffle_partitions: int | None = Non
         # A harness session left on Spark's default 200 pays 200-task
         # scheduling overhead per shuffle on local data; align the
         # initial partition count with the actual slot count (AQE
-        # still coalesces further). Sessions with an explicit non-200
-        # setting are left alone.
+        # still coalesces further). A session whose LAUNCH conf set
+        # the key explicitly (even to 200) is left alone — that intent
+        # is visible in the SparkContext conf. Limitation: an explicit
+        # runtime `spark.conf.set(..., "200")` is indistinguishable
+        # from the default and gets realigned.
         try:
-            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-                conf["spark.sql.shuffle.partitions"] = str(
-                    spark.sparkContext.defaultParallelism)
+            key = "spark.sql.shuffle.partitions"
+            launch_set = spark.sparkContext.getConf().contains(key)
+            if not launch_set and spark.conf.get(key) == "200":
+                conf[key] = str(spark.sparkContext.defaultParallelism)
         except Exception:
             pass
     for k, v in conf.items():

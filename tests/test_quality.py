@@ -65,3 +65,11 @@ def test_row_rules_are_one_aggregation(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     # one scan feeding one global aggregate, fanned out to rule rows
     assert plan.count("Scan ") <= 1 or "ReusedExchange" in plan, plan
+
+
+def test_expect_empty_rule_list_is_an_error(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="at least one rule"):
+        Q.expect(df, [])

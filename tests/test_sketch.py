@@ -48,3 +48,17 @@ def test_no_collisions_means_exact(spark):
            for r in cms_estimate(sk, df.select("token").distinct(),
                                  "token", depth=4, width=256).collect()}
     assert est == counts
+
+
+def test_out_of_corpus_probe_estimates_zero(spark):
+    """A probed key the sketched corpus never saw must surface with
+    its guaranteed >=0 estimate (0 when its cells are all absent from
+    the sparse sketch), not silently vanish from the output."""
+    df = _tokens(spark, {"a": 5, "b": 2})
+    sk = cms_sketch(df, "token", depth=4, width=256)
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen",)], "token string")
+    est = {r.token: r.cms_estimate
+           for r in cms_estimate(sk, probes, "token",
+                                 depth=4, width=256).collect()}
+    assert est == {"a": 5, "never-seen": 0}
