@@ -75,6 +75,14 @@ def logistic_regression_report(model_matrix: DataFrame, theme_col: str,
                .groupBy(*demog_cols, theme_col)
                .agg(F.count(F.lit(1)).alias("n"))
                .collect())
+    # Fix the cell order before any float accumulates: collect() order
+    # follows shuffle partitioning, and the IRLS mat-vecs sum over
+    # rows, so an environment with different partition counts would
+    # otherwise round differently. Sorted cells make the fitted
+    # coefficients bit-identical everywhere (pinned by golden tests).
+    grouped = sorted(grouped,
+                     key=lambda r: tuple(str(r[c])
+                                         for c in [*demog_cols, theme_col]))
     # one-hot layout: per column, alphabetical categories minus the
     # last (dropLast baseline); constant columns carry no information
     cats = {c: sorted({r[c] for r in grouped}) for c in demog_cols}

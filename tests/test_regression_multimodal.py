@@ -161,3 +161,61 @@ def test_k9_facebook_metrics_ordered(spark):
     assert [r.post_id for r in out] == ["post1", "post2", "post3"]
     assert out[0].n_comments == 2 and out[0].n_commenters == 2
     assert out[2].n_comments == 0
+
+
+@pytest.fixture()
+def golden_mm(spark):
+    """Fixed 40-row model matrix for the R2/R3 numeric goldens: theme
+    depends on gender and age; every third participant's gender is
+    'missing' so R3 actually imputes."""
+    rows = []
+    for i in range(40):
+        gender = ["man", "woman", "missing"][i % 3]
+        age = ["18_24", "25_34"][i % 2]
+        y = 1 if (i % 3 == 0 and i % 2 == 0) or i % 7 == 0 else 0
+        rows.append((f"uuid-{i:03d}", y, gender, age))
+    return spark.createDataFrame(
+        rows, "participant_uuid string, theme int, gender string, age string")
+
+
+def test_r2_golden_coefficients(spark, golden_mm):
+    """Pins the IRLS fit's exact values (tolerance 1e-9) so a refactor
+    cannot silently change the fitted coefficients while the rows-only
+    driver check keeps passing. The fit is bit-deterministic: grouped
+    cells are sorted before any float accumulates."""
+    from engagement_data_pipeline_spark.analysis.regression import (
+        logistic_regression_report,
+    )
+    got = {r.feature: r.coefficient
+           for r in logistic_regression_report(
+               golden_mm, "theme", ["gender", "age"]).collect()}
+    expected = {
+        "(intercept)": -2.240822098595421,
+        "age=18_24": 1.4334012927761293,
+        "gender=man": 1.6361523723600342,
+        "gender=missing": -0.32702534218581336,
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_r3_golden_pooled_coefficients(spark, golden_mm):
+    """Same pin for the MICE-lite pooled point estimates; after
+    imputation the 'missing' gender level disappears, so the feature
+    set shrinks to the observed categories."""
+    from engagement_data_pipeline_spark.analysis.regression import (
+        multiple_imputation_report,
+    )
+    got = {r.feature: (r.pooled_coefficient, r.m)
+           for r in multiple_imputation_report(
+               golden_mm, "theme", ["gender", "age"], m=3).collect()}
+    expected = {
+        "(intercept)": -2.2359692826755335,
+        "age=18_24": 1.2858377328709443,
+        "gender=man": 1.114097701801925,
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert got[k][1] == 3
+        assert abs(got[k][0] - v) < 1e-9, (k, got[k][0], v)
