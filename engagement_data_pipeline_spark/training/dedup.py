@@ -316,7 +316,8 @@ def fingerprint_containment_pairs(docs: DataFrame, text_col: str = "text",
 
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                       id_b: str = "id_b",
-                      max_iterations: int = 20) -> DataFrame:
+                      max_iterations: int = 20,
+                      stats: dict | None = None) -> DataFrame:
     """Connected components over the near-duplicate pair graph: the
     step that turns pairwise matches into dedup decisions (cluster →
     keep the representative, drop the rest).
@@ -350,7 +351,9 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
               .localCheckpoint(eager=True))
 
     converged = False
-    for _ in range(max_iterations):
+    for round_no in range(1, max_iterations + 1):
+        if stats is not None:
+            stats["rounds"] = round_no
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src").agg(F.min("label").alias("neighbour_label"))
@@ -397,7 +400,8 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
 
 def near_dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
                            id_b: str = "id_b",
-                           max_iterations: int = 25) -> DataFrame:
+                           max_iterations: int = 25,
+                           stats: dict | None = None) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
     and Beyond") — the scale path `near_dup_clusters` names: label
@@ -461,7 +465,9 @@ def near_dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
 
     sig = _signature(edges)
     converged = False
-    for _ in range(max_iterations):
+    for round_no in range(1, max_iterations + 1):
+        if stats is not None:
+            stats["rounds"] = round_no
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         new_sig = _signature(edges)
         if new_sig == sig:

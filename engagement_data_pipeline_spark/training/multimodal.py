@@ -52,18 +52,47 @@ IMAGE_FEATURES_SCHEMA = StructType([
 ])
 
 
-def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """Decode one encoded image. Real implementation requires PIL /
-    libjpeg (not in this container). The deterministic fake derives
-    structural features from the bytes so the pipeline is testable."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image codec library; "
-            "pass fake=True for the deterministic structural stand-in")
+def _pil_image():
+    """PIL's Image module if the codec library is installed, else
+    None — probed per executor process, imported lazily inside the
+    Arrow kernel so driver and executors resolve it independently."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def _rolling_hash(data: bytes, limit: int = 64) -> int:
     h = 0
-    for b in payload[:64]:
+    for b in data[:limit]:
         h = (h * 131 + b) % (1 << 61)
-    return {"n_bytes": len(payload), "feat_hash": h}
+    return h
+
+
+def decode_image(payload: bytes, fake: bool = False) -> dict:
+    """Decode one encoded image. With `fake=True` (the oracle-tested
+    default throughout the query layer) a deterministic structural
+    stand-in derives features from the encoded bytes alone. The real
+    path decodes via PIL when installed — features are a rolling hash
+    over the decoded RGB pixel bytes, so they are codec-exact and just
+    as deterministic — and raises NotImplementedError when no codec
+    library is present, keeping the boundary explicit rather than
+    silently degrading."""
+    if fake:
+        return {"n_bytes": len(payload), "feat_hash": _rolling_hash(payload)}
+    pil = _pil_image()
+    if pil is None:
+        raise NotImplementedError(
+            "image decoding requires an image codec library (PIL); "
+            "pass fake=True for the deterministic structural stand-in")
+    import io
+
+    with pil.open(io.BytesIO(payload)) as im:
+        rgb = im.convert("RGB")
+        return {"n_bytes": len(payload),
+                "feat_hash": _rolling_hash(rgb.tobytes(), limit=4096),
+                "width": rgb.width, "height": rgb.height}
 
 
 def image_features(media: DataFrame, target: tuple[int, int] = (224, 224),

@@ -89,12 +89,43 @@ def test_r4_factor_frame(spark):
 
 # --- multimodal ----------------------------------------------------------
 
-def test_decode_image_requires_fake():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"abc")
+def test_decode_image_requires_fake_without_codec():
+    from engagement_data_pipeline_spark.training.multimodal import (
+        _pil_image,
+    )
+    if _pil_image() is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"abc")
     out = decode_image(b"abc", fake=True)
     assert out["n_bytes"] == 3
     assert out == decode_image(b"abc", fake=True)  # deterministic
+
+
+def test_decode_image_real_path_with_pil(spark):
+    """Exercises the real codec branch where PIL is installed (skipped
+    in codec-less containers): a tiny generated PNG round-trips through
+    decode_image AND the mapInPandas kernel with fake=False."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    im = PIL.new("RGB", (3, 2), (10, 20, 30))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    out = decode_image(payload)
+    assert out["n_bytes"] == len(payload)
+    assert (out["width"], out["height"]) == (3, 2)
+    assert out == decode_image(payload)  # deterministic
+
+    from engagement_data_pipeline_spark.training.multimodal import (
+        image_features,
+    )
+    media = spark.createDataFrame(
+        [("i1", "image", "image/png", payload, 3, 2, None)], MEDIA_SCHEMA)
+    rows = image_features(media, target=(64, 64), fake=False).collect()
+    assert rows[0].n_bytes == len(payload)
+    assert rows[0].feat_hash == out["feat_hash"]
 
 
 def test_image_features_batch_shape(spark):

@@ -220,6 +220,44 @@ def test_near_dup_clusters_raises_on_iteration_exhaustion(spark):
     assert {r.cluster_rep for r in ok.collect()} == {0}
 
 
+def test_clustering_rounds_scale_shape(spark):
+    """The scale claim behind near_dup_clusters_star (SCALING.md,
+    measured at 5000 nodes by tools/clustering_scale.py): label
+    propagation converges in exactly diameter rounds — LINEAR in chain
+    depth — while star contraction's round count is ~log^2(n) and
+    essentially flat as the depth quadruples. Both must agree on the
+    clustering."""
+    from engagement_data_pipeline_spark.training.dedup import (
+        near_dup_clusters,
+        near_dup_clusters_star,
+    )
+
+    rounds = {}
+    for depth in (6, 24):
+        # 4 chains per depth: ids c*1000+k, so diameter == depth-1
+        pairs = spark.createDataFrame(
+            [(c * 1000 + k, c * 1000 + k + 1)
+             for c in range(4) for k in range(depth - 1)],
+            "id_a long, id_b long")
+        sp, ss = {}, {}
+        plain = sorted((r.doc_id, r.cluster_rep, r.cluster_size)
+                       for r in near_dup_clusters(
+                           pairs, max_iterations=depth + 2,
+                           stats=sp).collect())
+        star = sorted((r.doc_id, r.cluster_rep, r.cluster_size)
+                      for r in near_dup_clusters_star(
+                          pairs, stats=ss).collect())
+        assert plain == star and len(plain) == 4 * depth
+        rounds[depth] = (sp["rounds"], ss["rounds"])
+
+    # plain: one hop per round → rounds == depth (last hop + fixpoint
+    # check); 4x the depth costs 4x the rounds
+    assert rounds[6][0] == 6 and rounds[24][0] == 24
+    # star: flat, small, and far below the diameter at depth 24
+    assert rounds[24][1] <= 8
+    assert rounds[24][1] - rounds[6][1] <= 2
+
+
 def test_jaccard_stop_gram_recall_trade(spark):
     """Pins the documented blocking trade (training/dedup.py): a pair
     whose every shared shingle is a stop-gram (df > max_doc_freq) is
