@@ -135,10 +135,17 @@ def multiple_imputation_report(model_matrix: DataFrame, theme_col: str,
     against the observed category list — then one regression per
     imputed set, coefficients pooled by mean (Rubin's rules' point
     estimate). Deterministic: no RNG, hash-based draws."""
-    observed: dict[str, list[str]] = {}
-    for c in demog_cols:
-        observed[c] = [r[c] for r in model_matrix.select(c).distinct().collect()
-                       if r[c] != "missing"] or ["missing"]
+    # The matrix feeds one observed-categories aggregation plus m
+    # grouped fits; without a cache each job re-derives its full
+    # lineage (participants_view upward). Everything downstream
+    # collects eagerly inside this function, so the cache's lifetime
+    # is exactly this call.
+    model_matrix = model_matrix.cache()
+    # All category sets in ONE job instead of one distinct per column.
+    sets = model_matrix.agg(
+        *[F.collect_set(c).alias(c) for c in demog_cols]).collect()[0]
+    observed = {c: [v for v in sets[c] if v != "missing"] or ["missing"]
+                for c in demog_cols}
     reports = []
     for i in range(m):
         df = model_matrix
@@ -150,6 +157,7 @@ def multiple_imputation_report(model_matrix: DataFrame, theme_col: str,
                 fill = F.when(bucket == j, F.lit(cat)).otherwise(fill)
             df = df.withColumn(c, F.when(F.col(c) == "missing", fill).otherwise(F.col(c)))
         reports.append(logistic_regression_report(df, theme_col, demog_cols))
+    model_matrix.unpersist()
     un = reports[0]
     for r in reports[1:]:
         un = un.unionByName(r)
