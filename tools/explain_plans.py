@@ -40,6 +40,7 @@ HEADLINE = [
     "events_rollup",            # grouping sets: one Expand + one agg
     "events_funnel",            # chained windows: one exchange
     "doc_repetition",           # explode + two-level agg
+    "doc_lang_confusion",       # explode + broadcast marker join + argmax
     "doc_top_terms",            # tf/df re-group + broadcast-back
     "seq_packing",              # pack placement: one window shuffle
     "doc_chunks",               # chunk plan: zero-shuffle explode
