@@ -192,3 +192,89 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
                  .alias("cms_estimate")))
+
+
+# --- HDR-histogram quantile sketch ----------------------------------------
+
+# Relative-error knob: values inside one power of two are split into
+# HDR_K linear sub-buckets, so a quantile read off the bucket's lower
+# edge is within 1/HDR_K of the true value. 16 sub-buckets → ≤6.25%,
+# and at most 63*HDR_K cells per group regardless of input size.
+HDR_K = 16
+
+
+def hdr_bucket(value, k: int = HDR_K):
+    """Bucket id for a positive integer metric: e*k + sub, where
+    e = floor(log2(x)) and sub linearly splits [2^e, 2^(e+1)).
+
+    Pure int64 arithmetic — floor(log2(x)) is length(bin(x)) - 1 and
+    the sub-bucket is an integer division — so Spark and any SQL
+    oracle agree bit-for-bit (a float-log bucket boundary, as in
+    DDSketch's gamma^i, would not survive two engines' libm)."""
+    assert k & (k - 1) == 0, "k must be a power of two (exactness)"
+    x = F.col(value).cast("long") if isinstance(value, str) else value.cast("long")
+    e = (F.length(F.bin(x)) - 1).cast("int")
+    # 2^e via pow: exact for every power of two a long can hold (both
+    # engines' pow returns representable integer results exactly).
+    p2 = F.pow(F.lit(2.0), e.cast("double")).cast("long")
+    # (x-p2)/p2*k is pure exponent arithmetic (divisor and k are
+    # powers of two), hence bit-exact for metrics below 2^53 — the
+    # stated domain; beyond that a sub-bucket edge could round.
+    sub = F.floor((x - p2).cast("double") / p2.cast("double") * k)
+    return (e * k + sub).cast("int")
+
+
+def hdr_sketch(df: DataFrame, group_cols: Sequence[str], value_col: str,
+               k: int = HDR_K) -> DataFrame:
+    """Mergeable quantile sketch: (group..., bucket, c) from ONE
+    hash aggregation with map-side combine. Rows with value < 1 are
+    out of the sketch's positive domain and excluded (count them
+    separately if the metric can be zero). The fixed cell bound makes
+    the sketch broadcastable and cheap to store per partition/day for
+    later merging — the quantile analog of the HLL register frame."""
+    x = F.col(value_col).cast("long")
+    return (df.where(x >= 1)
+            .select(*group_cols, hdr_bucket(x, k).alias("bucket"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+
+def hdr_merge(sketches: Sequence[DataFrame],
+              group_cols: Sequence[str]) -> DataFrame:
+    """Merge sketches by summing per-cell counts — associative and
+    commutative, so partial sketches from any partitioning of the data
+    (days, sources, incremental batches) combine into exactly the
+    sketch of the union; `hdr_state_merge` pins merge == recompute."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy(*group_cols, "bucket")
+            .agg(F.sum("c").cast("long").alias("c")))
+
+
+def hdr_quantiles(sketch: DataFrame, group_cols: Sequence[str],
+                  qs: Sequence[float], k: int = HDR_K) -> DataFrame:
+    """Per-group quantile estimates from a sketch: for each q, the
+    lower edge of the first bucket whose cumulative count reaches rank
+    floor(q*(n-1)) + 1. One window pass over the (bounded) sketch plus
+    a literal-array explode — never touches the original data.
+    Estimates are exact doubles of exact integers (2^e * (1 + sub/k)
+    with one fixed-order division), so two engines agree bitwise."""
+    group_cols = list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = sketch.select(
+        *group_cols, "bucket",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(*group_cols)).alias("n"))
+    expanded = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"))
+    rank = F.floor(F.col("q") * (F.col("n") - 1).cast("double")) + 1
+    picked = (expanded.groupBy(*group_cols, "q")
+              .agg(F.max("n").cast("long").alias("n"),
+                   F.min(F.when(F.col("cum") >= rank, F.col("bucket")))
+                   .alias("bucket")))
+    e = F.floor(F.col("bucket") / k).cast("int")
+    sub = F.col("bucket") % k
+    est = (F.pow(F.lit(2.0), e.cast("double"))
+           * (F.lit(1.0) + sub.cast("double") / F.lit(float(k))))
+    return picked.select(*group_cols, "q", "n", est.alias("est"))

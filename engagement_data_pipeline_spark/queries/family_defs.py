@@ -92,6 +92,14 @@ _EVENTS_MEMBERS = {
         maintenance_q.hll_state_merge, maintenance_q.HLL_STATE_MERGE_SQL,
         [("event_type", "string"), ("n_registers", "bigint"),
          ("hll_estimate", "double")]),
+    "doc_hdr_quantiles": (
+        stats_q.doc_hdr_quantiles, stats_q.DOC_HDR_QUANTILES_SQL,
+        [("source", "string"), ("q", "double"), ("n", "bigint"),
+         ("est", "double")]),
+    "hdr_state_merge": (
+        stats_q.hdr_state_merge, stats_q.HDR_STATE_MERGE_SQL,
+        [("source", "string"), ("q", "double"), ("n", "bigint"),
+         ("est_merged", "double"), ("est_full", "double")]),
 }
 
 # --- training-data extras -------------------------------------------------

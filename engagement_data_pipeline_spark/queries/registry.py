@@ -158,6 +158,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_state_merge": maintenance_q.hll_state_merge,
     "q03_shipping_priority": tpch.q03_shipping_priority,
     "q05_local_supplier": tpch.q05_local_supplier,
+    "doc_hdr_quantiles": stats_q.doc_hdr_quantiles,
+    "hdr_state_merge": stats_q.hdr_state_merge,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
     "r2_logistic_regression": regression.r2_logistic_regression,
     "r3_mice_pooled": regression.r3_mice_pooled,
@@ -257,6 +259,8 @@ ORACLES: dict[str, str] = {
     # rows-only checks.
     "q03_shipping_priority": tpch.Q03_SQL,
     "q05_local_supplier": tpch.Q05_SQL,
+    "doc_hdr_quantiles": stats_q.DOC_HDR_QUANTILES_SQL,
+    "hdr_state_merge": stats_q.HDR_STATE_MERGE_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"

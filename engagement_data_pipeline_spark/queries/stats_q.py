@@ -102,3 +102,107 @@ FROM sums s JOIN exact e ON s.event_type = e.event_type
 
 
 EVENTS_HLL_DISTINCT_SQL = _hll_sql()
+
+
+# --- HDR-histogram quantile sketch ----------------------------------------
+
+_HDR_QS = (0.5, 0.9, 0.99)
+
+
+def doc_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles read from the mergeable
+    HDR sketch (operators/stats.py:hdr_sketch): the bounded-size,
+    integer-exact quantile summary a 100 TB curation run stores per
+    partition and merges at read time, instead of re-sorting the
+    corpus. Estimates carry a proven ≤1/HDR_K relative error."""
+    docs = t(spark, sf_dir, "documents")
+    sk = ST.hdr_sketch(docs, ["source"], "n_chars")
+    return ST.hdr_quantiles(sk, ["source"], _HDR_QS)
+
+
+def hdr_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge == recompute, oracle-proven: sketch the corpus in two
+    independent halves, merge the sketches, and emit the merged
+    quantiles next to the full-recompute quantiles — the hash-checked
+    witness that the sketch state is safely maintainable
+    incrementally (the quantile analog of hll_state_merge)."""
+    docs = t(spark, sf_dir, "documents")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    merged = ST.hdr_merge(
+        [ST.hdr_sketch(half_a, ["source"], "n_chars"),
+         ST.hdr_sketch(half_b, ["source"], "n_chars")], ["source"])
+    qm = (ST.hdr_quantiles(merged, ["source"], _HDR_QS)
+          .withColumnRenamed("est", "est_merged"))
+    qf = (ST.hdr_quantiles(ST.hdr_sketch(docs, ["source"], "n_chars"),
+                           ["source"], _HDR_QS)
+          .select("source", "q", F.col("est").alias("est_full")))
+    return qm.join(qf, ["source", "q"]).select(
+        "source", "q", "n", "est_merged", "est_full")
+
+
+def _hdr_cells_sql(where: str = "") -> str:
+    k = ST.HDR_K
+    return f"""
+  SELECT source,
+         CAST((length(bin(n_chars)) - 1) * {k}
+              + floor((n_chars - pow(2, length(bin(n_chars)) - 1))
+                      / pow(2, length(bin(n_chars)) - 1) * {k}) AS INT)
+             AS bucket
+  FROM documents WHERE n_chars >= 1{where}
+"""
+
+
+def _hdr_quantile_sql(sketch_cte: str, est_name: str = "est") -> str:
+    k = ST.HDR_K
+    qs = ", ".join(f"CAST({q} AS DOUBLE)" for q in _HDR_QS)
+    return f"""
+cum_{est_name} AS (
+  SELECT source, bucket,
+         SUM(c) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM {sketch_cte}
+),
+picked_{est_name} AS (
+  SELECT source, q, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN cum >= floor(q * (n - 1)) + 1
+                  THEN bucket END) AS bucket
+  FROM cum_{est_name} CROSS JOIN (SELECT unnest([{qs}]) AS q) qs
+  GROUP BY source, q
+),
+q_{est_name} AS (
+  SELECT source, q, n,
+         pow(2, floor(bucket / {k}))
+           * (1.0 + CAST(bucket % {k} AS DOUBLE) / {float(k)}) AS {est_name}
+  FROM picked_{est_name}
+)"""
+
+
+DOC_HDR_QUANTILES_SQL = f"""
+WITH cells AS ({_hdr_cells_sql()}),
+sk AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+       FROM cells GROUP BY source, bucket),
+{_hdr_quantile_sql('sk')[1:]}
+SELECT source, q, n, est FROM q_est
+"""
+
+HDR_STATE_MERGE_SQL = f"""
+WITH cells_a AS ({_hdr_cells_sql(" AND doc_id % 2 = 0")}),
+cells_b AS ({_hdr_cells_sql(" AND doc_id % 2 = 1")}),
+sk_a AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         FROM cells_a GROUP BY source, bucket),
+sk_b AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         FROM cells_b GROUP BY source, bucket),
+sk_merged AS (
+  SELECT source, bucket, CAST(SUM(c) AS BIGINT) AS c
+  FROM (SELECT * FROM sk_a UNION ALL SELECT * FROM sk_b)
+  GROUP BY source, bucket),
+cells_full AS ({_hdr_cells_sql()}),
+sk_full AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+            FROM cells_full GROUP BY source, bucket),
+{_hdr_quantile_sql('sk_merged', 'est_merged')[1:]},
+{_hdr_quantile_sql('sk_full', 'est_full')[1:]}
+SELECT m.source, m.q, m.n, m.est_merged, f.est_full
+FROM q_est_merged m JOIN q_est_full f
+  ON m.source = f.source AND m.q = f.q
+"""

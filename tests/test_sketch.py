@@ -62,3 +62,44 @@ def test_out_of_corpus_probe_estimates_zero(spark):
            for r in cms_estimate(sk, probes, "token",
                                  depth=4, width=256).collect()}
     assert est == {"a": 5, "never-seen": 0}
+
+
+def test_hdr_bucket_exact_cells(spark):
+    """Pinned bucket ids: e*k + sub with e = floor(log2 x) and linear
+    sub-buckets — pure integer/exponent arithmetic."""
+    from engagement_data_pipeline_spark.operators.stats import hdr_bucket
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (16,), (17,), (31,), (1023,)], "x long")
+    got = {r.x: r.b for r in
+           df.select("x", hdr_bucket("x").alias("b")).collect()}
+    # x=1: e=0,sub=0 → 0 ; x=3: e=1,sub=floor(1/2*16)=8 → 24
+    # x=17: e=4,sub=1 → 65 ; x=31: e=4,sub=15 → 79
+    assert got == {1: 0, 2: 16, 3: 24, 16: 64, 17: 65, 31: 79, 1023: 159}
+
+
+def test_hdr_quantiles_error_bound_and_merge(spark):
+    """The quantile estimate is the containing bucket's lower edge:
+    est <= exact < est * (k+1)/k for every q. Merging per-half
+    sketches equals sketching the whole corpus cell-for-cell."""
+    from engagement_data_pipeline_spark.operators.stats import (
+        HDR_K,
+        hdr_merge,
+        hdr_quantiles,
+        hdr_sketch,
+    )
+
+    values = [((i * 2654435761) % 9973) + 1 for i in range(2000)]
+    df = spark.createDataFrame([("g", v, i) for i, v in enumerate(values)],
+                               "g string, v long, i long")
+    sk = hdr_sketch(df, ["g"], "v")
+    qs = (0.5, 0.9, 0.99)
+    got = {r.q: r.est for r in hdr_quantiles(sk, ["g"], qs).collect()}
+    s = sorted(values)
+    for q in qs:
+        exact = s[int(q * (len(s) - 1))]
+        assert got[q] <= exact < got[q] * (HDR_K + 1) / HDR_K, (q, got[q], exact)
+
+    halves = [df.where(F.col("i") % 2 == 0), df.where(F.col("i") % 2 == 1)]
+    merged = hdr_merge([hdr_sketch(h, ["g"], "v") for h in halves], ["g"])
+    assert sorted(merged.collect()) == sorted(sk.collect())
