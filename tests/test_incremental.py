@@ -314,6 +314,28 @@ def test_compact_and_vacuum_bound_file_count(spark, tmp_path):
     assert len(ing.read_merged_table(spark, table).collect()) == 31
 
 
+def test_reader_snapshot_survives_concurrent_merge(spark, tmp_path):
+    """MVCC property of the versioned layout: a reader that resolved
+    its bucket paths from commit N keeps reading exactly commit N's
+    rows even after a later merge commits N+1 — superseded files are
+    only removed by vacuum, never by a merge."""
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=4)
+    merge(spark.createDataFrame([(f"k{i}", i) for i in range(10)],
+                                "k string, v int"), 0)
+    snapshot = ing.read_merged_table(spark, table)  # lazy: paths resolved now
+
+    merge(spark.createDataFrame([("k1", 999), ("late", 7)],
+                                "k string, v int"), 1)
+    # the pre-merge snapshot still collects the commit-1 state
+    assert len(snapshot.collect()) == 10
+    assert {r["k"] for r in snapshot.collect()} == {f"k{i}" for i in range(10)}
+    # a fresh reader sees commit 2
+    assert len(ing.read_merged_table(spark, table).collect()) == 11
+
+
 def test_rebucket_table_grows_bucket_count(spark, tmp_path):
     """rebucket_table re-hashes every row under the new bucket count
     (the growth path when buckets outgrow the size target); contents
