@@ -54,7 +54,7 @@ from . import (
 # Defense in depth: positions 1-47 are the 47 highest-value individual
 # queries; positions 48-50 are three FAMILY CHECKSUM queries
 # (queries/families.py) that hash-verify every oracle-backed tail
-# member in one row each — membership lives in family_defs.py (39
+# member in one row each — membership lives in family_defs.py (41
 # members as of round 4; only the rows-only R2/R3 fits sit outside).
 # The tail members keep their individual entries after position 50,
 # so a driver without the cap records them too. Any NEW query must
