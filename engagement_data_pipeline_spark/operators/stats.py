@@ -278,3 +278,82 @@ def hdr_quantiles(sketch: DataFrame, group_cols: Sequence[str],
     est = (F.pow(F.lit(2.0), e.cast("double"))
            * (F.lit(1.0) + sub.cast("double") / F.lit(float(k))))
     return picked.select(*group_cols, "q", "n", est.alias("est"))
+
+
+# --- Bloom filter ---------------------------------------------------------
+
+# Bits sized for the synthetic corpora (sf0.01: ~21k distinct shingle
+# keys -> ~0.6% false-positive rate at 4 hashes). At 100 TB size m at
+# ~10 bits/key for ~1% fpr — the sketch stays m/32 rows (one BIGINT
+# word per row) regardless of corpus size, and build/merge/probe cost
+# is unchanged. Bits-per-word is 32 so a set bit is always a positive
+# BIGINT (no sign games two engines could disagree on).
+BLOOM_HASHES = 4
+BLOOM_BITS = 1 << 18
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_pos(key: Column, j: int, m: int) -> Column:
+    from ..training.dedup import md5_long
+    return md5_long(F.concat(F.lit(f"bf{j}:"), key)) % m
+
+
+def _bloom_cells(key: Column, n_hashes: int, m: int) -> Column:
+    """array of (word, bit-mask) cells for one key — a pure projection."""
+    cells = []
+    for j in range(n_hashes):
+        pos = _bloom_pos(key, j, m)
+        # 2^bit via pow: exact for bit <= 31 (shiftleft needs a
+        # literal shift amount; pow of two is IEEE-exact here).
+        cells.append(F.struct(
+            (pos / BLOOM_WORD_BITS).cast("long").alias("word"),
+            F.pow(F.lit(2.0), (pos % BLOOM_WORD_BITS).cast("double"))
+            .cast("long").alias("mask")))
+    return F.array(*cells)
+
+
+def bloom_sketch(df: DataFrame, key_col: str,
+                 n_hashes: int = BLOOM_HASHES,
+                 m: int = BLOOM_BITS) -> DataFrame:
+    """Bloom-filter membership sketch of a key column: at most m/32
+    rows (word, bits) from ONE hash aggregation with map-side combine
+    (bit_or is associative+commutative, so partial aggregation is
+    exact). Deterministic md5-derived positions — two engines build
+    identical words, so the sketch itself is oracle-checkable, not
+    just its error bound. Zero rows for zero input; absent words mean
+    all-zero bits."""
+    return (df.select(F.explode(_bloom_cells(F.col(key_col), n_hashes, m))
+                      .alias("cell"))
+            .groupBy(F.col("cell.word").alias("word"))
+            .agg(F.bit_or(F.col("cell.mask")).cast("long").alias("bits")))
+
+
+def bloom_merge(sketches: Sequence[DataFrame]) -> DataFrame:
+    """OR-merge partial sketches: union + per-word bit_or — Bloom's
+    defining property (sketch(A ∪ B) == merge(sketch(A), sketch(B))),
+    so shards/batches sketch independently and combine in O(words)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy("word")
+            .agg(F.bit_or("bits").cast("long").alias("bits")))
+
+
+def bloom_probe(sketch: DataFrame, keys: DataFrame, key_col: str,
+                n_hashes: int = BLOOM_HASHES,
+                m: int = BLOOM_BITS) -> DataFrame:
+    """Membership probe: key maybe-present iff ALL its bits are set.
+    The sketch is ≤ m/32 rows — broadcast — so probing is a
+    zero-shuffle map over the key set. Never a false negative (every
+    inserted key's bits are set by construction); false positives at
+    the designed rate. Returns (key_col, bloom_hit boolean)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(_bloom_cells(F.col(key_col), n_hashes, m)).alias("cell"))
+    hit = ((F.coalesce(F.col("bits"), F.lit(0).cast("long"))
+            .bitwiseAND(F.col("cell.mask"))) != 0).cast("int")
+    return (probes
+            .join(F.broadcast(sketch), probes.cell.word == sketch.word,
+                  "left")
+            .groupBy(key_col)
+            .agg((F.min(hit) == 1).alias("bloom_hit")))

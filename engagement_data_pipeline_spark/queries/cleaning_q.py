@@ -1,0 +1,145 @@
+"""Registry queries for corpus cleaning (C4-style boilerplate-span
+removal) and BM25 ranking, with exact DuckDB oracles mirroring the
+same md5 / IEEE-double arithmetic (training/cleaning.py,
+training/ranking.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import load
+from ..training import cleaning as C
+from ..training import ranking as R
+from ._helpers import apply_runtime_conf
+
+_MD5_LONG = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_NORM_CTE = r"""
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+)
+"""
+
+
+# --- C4-style duplicate-span removal --------------------------------------
+
+def doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return C.boilerplate_clean(load(spark, sf_dir, "documents"))
+
+
+def _c4_sql(span_words: int = C.SPAN_WORDS,
+            max_span_docs: int = C.MAX_SPAN_DOCS) -> str:
+    span_h = _MD5_LONG.format(x="span")
+    return "WITH " + _NORM_CTE + f""",
+w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM norm),
+spans AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS span_idx,
+         array_to_string(
+           list_slice(words, (i-1)*{span_words} + 1, i*{span_words}),
+           ' ') AS span
+  FROM w, unnest(generate_series(
+    1, GREATEST(CAST(ceil(len(words) / {span_words}.0) AS BIGINT), 1)))
+    AS t(i)
+),
+hashed AS (SELECT doc_id, span_idx, span, {span_h} AS span_h FROM spans),
+dfc AS (
+  SELECT span_h, COUNT(DISTINCT doc_id) AS span_docs
+  FROM hashed GROUP BY span_h
+),
+flagged AS (
+  SELECT h.doc_id, h.span_idx, h.span,
+         (d.span_docs > {max_span_docs}) AS is_boiler
+  FROM hashed h JOIN dfc d USING (span_h)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CAST(is_boiler AS BIGINT)) AS BIGINT) AS n_removed,
+         COALESCE(array_to_string(
+           list(span ORDER BY span_idx) FILTER (WHERE NOT is_boiler),
+           ' '), '') AS clean_text,
+         COUNT(*) FILTER (WHERE NOT is_boiler) AS n_kept
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, n_spans, n_removed,
+       CAST(CASE WHEN n_kept > 0
+                 THEN len(string_split(clean_text, ' '))
+                 ELSE 0 END AS BIGINT) AS clean_n_words,
+       md5(clean_text) AS clean_md5
+FROM agg
+"""
+
+
+DOC_C4_CLEAN_SQL = _c4_sql()
+
+
+# --- BM25 top-k -----------------------------------------------------------
+
+BM25_QUERIES = {
+    "q_merge": ["merge", "batch"],
+    "q_scan": ["scan", "fast", "value"],
+    "q_spark": ["spark", "table"],
+}
+BM25_K = 10
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return R.bm25_topk(load(spark, sf_dir, "documents"), BM25_QUERIES,
+                       k=BM25_K)
+
+
+def _bm25_sql(k: int = BM25_K, k1: float = R.BM25_K1,
+              b: float = R.BM25_B) -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in sorted(BM25_QUERIES.items())
+        for t in sorted(set(terms)))
+    # Literals rendered via repr() of the exact Python doubles the
+    # Spark plan uses (k1+1.0 is computed in Python there), so both
+    # engines parse the identical IEEE value.
+    k1_plus_1, one_minus_b = repr(k1 + 1.0), repr(1.0 - b)
+    return "WITH " + _NORM_CTE + f""",
+w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM norm),
+ex AS (SELECT doc_id, len(words) AS dl, unnest(words) AS term FROM w),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(ANY_VALUE(dl) AS BIGINT) AS dl
+  FROM ex GROUP BY doc_id, term
+),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM tf GROUP BY doc_id)
+),
+q(query_id, term) AS (VALUES {qvals}),
+pt AS (
+  SELECT q.query_id, tf.doc_id, tf.term,
+         ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+          / (CAST(df AS DOUBLE) + 0.5))
+         * (CAST(tf AS DOUBLE) * {k1_plus_1})
+         / (CAST(tf AS DOUBLE)
+            + {repr(k1)} * ({one_minus_b}
+                            + {repr(b)} * CAST(dl AS DOUBLE)
+                              / (CAST(sum_dl AS DOUBLE)
+                                 / CAST(n_docs AS DOUBLE)))) AS w
+  FROM tf JOIN q USING (term) JOIN dft USING (term) CROSS JOIN corpus
+),
+scored AS (
+  SELECT query_id, doc_id,
+         list_sum(list(w ORDER BY term, w)) AS score
+  FROM pt GROUP BY query_id, doc_id
+)
+SELECT * FROM (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+DOC_BM25_TOPK_SQL = _bm25_sql()

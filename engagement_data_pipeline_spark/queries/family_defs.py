@@ -15,9 +15,10 @@ per-query evidence is present too, and local tooling
 
 from __future__ import annotations
 
-from . import (adapters_extra, cdc_q, maintenance_q,  # noqa: F401
-               multimodal_q, packing_q, quality_q, sessions_q, similarity,
-               sketch_q, skew_q, stats_q, temporal_q, tpch, training)
+from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
+               maintenance_q, multimodal_q, packing_q, quality_q, sessions_q,
+               similarity, sketch_q, skew_q, stats_q, temporal_q, tpch,
+               training)
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -170,6 +171,24 @@ _TRAINING_MEMBERS = {
         sketch_q.doc_cms_heavy_hitters, sketch_q.DOC_CMS_HEAVY_HITTERS_SQL,
         [("token", "string"), ("n_exact", "bigint"),
          ("cms_estimate", "bigint")]),
+    "doc_c4_clean": (
+        cleaning_q.doc_c4_clean, cleaning_q.DOC_C4_CLEAN_SQL,
+        [("doc_id", "bigint"), ("n_spans", "bigint"),
+         ("n_removed", "bigint"), ("clean_n_words", "bigint"),
+         ("clean_md5", "string")]),
+    "doc_bm25_topk": (
+        cleaning_q.doc_bm25_topk, cleaning_q.DOC_BM25_TOPK_SQL,
+        [("query_id", "string"), ("doc_id", "bigint"),
+         ("score", "double"), ("rank", "int")]),
+    "doc_bloom_contamination": (
+        sketch_q.doc_bloom_contamination,
+        sketch_q.DOC_BLOOM_CONTAMINATION_SQL,
+        [("probe_doc_id", "bigint"), ("n_shingles", "bigint"),
+         ("n_bloom_hits", "bigint"), ("n_exact_hits", "bigint")]),
+    "bloom_state_merge": (
+        sketch_q.bloom_state_merge, sketch_q.BLOOM_STATE_MERGE_SQL,
+        [("word", "bigint"), ("bits_merged", "bigint"),
+         ("bits_full", "bigint")]),
 }
 
 # --- similarity / multimodal ---------------------------------------------

@@ -18,6 +18,7 @@ from . import (
     adapters_extra,
     analysis,
     cdc_q,
+    cleaning_q,
     engagement,
     family_defs,
     maintenance_q,
@@ -54,7 +55,7 @@ from . import (
 # Defense in depth: positions 1-47 are the 47 highest-value individual
 # queries; positions 48-50 are three FAMILY CHECKSUM queries
 # (queries/families.py) that hash-verify every oracle-backed tail
-# member in one row each — membership lives in family_defs.py (41
+# member in one row each — membership lives in family_defs.py (45
 # members as of round 4; only the rows-only R2/R3 fits sit outside).
 # The tail members keep their individual entries after position 50,
 # so a driver without the cap records them too. Any NEW query must
@@ -160,6 +161,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05_local_supplier": tpch.q05_local_supplier,
     "doc_hdr_quantiles": stats_q.doc_hdr_quantiles,
     "hdr_state_merge": stats_q.hdr_state_merge,
+    "doc_c4_clean": cleaning_q.doc_c4_clean,
+    "doc_bm25_topk": cleaning_q.doc_bm25_topk,
+    "doc_bloom_contamination": sketch_q.doc_bloom_contamination,
+    "bloom_state_merge": sketch_q.bloom_state_merge,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
     "r2_logistic_regression": regression.r2_logistic_regression,
     "r3_mice_pooled": regression.r3_mice_pooled,
@@ -261,6 +266,10 @@ ORACLES: dict[str, str] = {
     "q05_local_supplier": tpch.Q05_SQL,
     "doc_hdr_quantiles": stats_q.DOC_HDR_QUANTILES_SQL,
     "hdr_state_merge": stats_q.HDR_STATE_MERGE_SQL,
+    "doc_c4_clean": cleaning_q.DOC_C4_CLEAN_SQL,
+    "doc_bm25_topk": cleaning_q.DOC_BM25_TOPK_SQL,
+    "doc_bloom_contamination": sketch_q.DOC_BLOOM_CONTAMINATION_SQL,
+    "bloom_state_merge": sketch_q.BLOOM_STATE_MERGE_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"

@@ -1,0 +1,109 @@
+"""BM25 relevance ranking over the documents corpus.
+
+The reference exports "sample messages per code" for analysts
+(`src/engagement_db_to_analysis/automated_analysis.py:102-106` — an
+unranked LIMIT per group); a training-data pipeline needs the ranked
+version: given a set of keyword queries, return the top-k most
+relevant documents per query. BM25 (Robertson-Sparck-Jones) is the
+standard lexical ranker.
+
+Shape at scale (100 TB): one explode (docs → terms), one hash
+aggregation for per-(doc, term) tf + per-doc length, one corpus agg
+for df + avgdl (collapses to |vocab| + 1 rows), a BROADCAST join of
+the tiny query-term table against the tf table (the only touch of
+the full corpus), and one top-k window per query. The df table is
+|vocab|-sized — broadcast it too; the plan has exactly one wide
+shuffle (the tf groupBy).
+
+Cross-engine exactness: the oracle-checked scoring path uses a
+RATIONAL idf surrogate, ``idf = (N - df + 0.5) / (df + 0.5)`` —
+the argument of the classical ``ln`` idf, monotone in it per term —
+because ``ln`` is not bit-stable across engines (same trade as the
+HLL raw estimator, operators/stats.py). Every op in the score is
+IEEE-defined (+ * /), so Spark and DuckDB agree bitwise. The
+classical ``ln`` variant is available via ``log_idf=True`` (pytest
+covers that both variants rank identically per single-term queries).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+from ..operators.topk import top_k_per_group
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def term_stats(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """(tf, df) tables for BM25: tf = (doc_id, term, tf, dl) with one
+    row per distinct term per doc; df = (term, df) corpus document
+    frequencies. One explode + two hash aggs (df is a subset re-group
+    of tf, so AQE chains them without an extra exchange)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(words).alias("dl"),
+        F.explode(words).alias("term"))
+    tf = (exploded.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+               F.first("dl").cast("long").alias("dl")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return tf, df
+
+
+def bm25_topk(docs: DataFrame, queries: Mapping[str, Sequence[str]],
+              k: int = 10, k1: float = BM25_K1, b: float = BM25_B,
+              text_col: str = "text", id_col: str = "doc_id",
+              log_idf: bool = False) -> DataFrame:
+    """Top-k documents per keyword query, scored by BM25.
+
+    `queries` maps query_id -> list of terms. Returns
+    (query_id, doc_id, score, rank), rank 1-based, ties broken by
+    doc_id ascending. Scoring order is fixed: per-term weights are
+    summed over the query's terms sorted lexically, so the float sum
+    is reproducible (and mirrored by the oracle).
+    """
+    spark = docs.sparkSession
+    tf, df = term_stats(docs, text_col, id_col)
+
+    n_docs_avgdl = tf.groupBy("doc_id").agg(F.first("dl").alias("dl")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("dl").cast("long").alias("sum_dl"))
+    qrows = [(qid, t) for qid, terms in sorted(queries.items())
+             for t in sorted(set(terms))]
+    qdf = spark.createDataFrame(qrows, "query_id string, term string")
+
+    idf_num = (F.col("n_docs").cast("double") - F.col("df").cast("double")
+               + F.lit(0.5))
+    idf_den = F.col("df").cast("double") + F.lit(0.5)
+    idf = F.log(idf_num / idf_den) if log_idf else idf_num / idf_den
+    dl_norm = (F.lit(1.0 - b)
+               + F.lit(b) * F.col("dl").cast("double")
+               / (F.col("sum_dl").cast("double")
+                  / F.col("n_docs").cast("double")))
+    w = (idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+         / (F.col("tf").cast("double") + F.lit(k1) * dl_norm))
+
+    per_term = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs_avgdl))
+        .select("query_id", "doc_id", "term", w.alias("w"))
+    )
+    # Deterministic left-to-right sum in term order (array fold, not
+    # SUM(): parallel partial aggregation would reorder the adds).
+    scored = (
+        per_term.groupBy("query_id", "doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "w"))).alias("ws"))
+        .select("query_id", "doc_id",
+                F.aggregate(F.col("ws"), F.lit(0.0),
+                            lambda acc, s: acc + s["w"]).alias("score"))
+    )
+    return top_k_per_group(scored, ["query_id"],
+                           [F.col("score").desc(), F.col("doc_id")], k,
+                           rank_col="rank")
