@@ -1,0 +1,132 @@
+"""Registry queries for k-means clustering and semantic near-dup over
+`embeddings`, with exact DuckDB oracles that re-run the whole Lloyd
+fit in SQL (micro-quantized integer sufficient statistics make the
+iterative fit bit-reproducible — training/clustering.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import load
+from ..training import clustering as C
+from ._helpers import apply_runtime_conf
+
+# Data-dependent knob: the synthetic embeddings have no true
+# duplicates, so "near-dup" is pinned at the far tail of the pair-
+# cosine distribution (cf. NEAR_DUP_THRESHOLD=0.35 for the LSH
+# variant); real corpora use ~0.9+.
+SEMANTIC_THRESHOLD = 0.4
+
+_SEED_IN = "(" + ", ".join(str(i) for i in C.KMEANS_SEED_IDS) + ")"
+
+_DOT_VC = ("list_sum(list_transform(generate_series(1, len({v})), "
+           "i -> {v}[i] * {c}[i]))")
+_NORM_L = "sqrt(list_sum(list_transform({l}, x -> x * x)))"
+
+
+def _cos(v: str, c: str) -> str:
+    return (f"{_DOT_VC.format(v=v, c=c)}"
+            f" / ({_NORM_L.format(l=v)} * {_NORM_L.format(l=c)})")
+
+
+def _fit_ctes(iters: int = C.KMEANS_ITERS) -> str:
+    """CTE chain: e, c0, then per-iteration assign/update/coalesce
+    (a{i}, s{i}, c{i}) — `c{iters}` is the fitted centroid table."""
+    parts = [f"""
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+  FROM e WHERE vec_id IN {_SEED_IN}
+)"""]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f"""
+a{i} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos('e.v', 'c.cvec')} DESC, c.cid)
+             AS rn
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+s{i} AS (
+  SELECT a.cluster, t.dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t.q) AS BIGINT) AS s
+  FROM a{i} a JOIN e USING (vec_id),
+       unnest(list_transform(generate_series(1, len(v)),
+              i -> {{'dim': CAST(i - 1 AS BIGINT),
+                    'q': CAST(floor(v[i] * {float(C.MICRO)!r}) AS BIGINT)}}))
+         AS u(t)
+  GROUP BY a.cluster, t.dim
+),
+c{i} AS (
+  SELECT c0.cid,
+         COALESCE(n.cvec, p.cvec) AS cvec
+  FROM c0
+  JOIN {prev} p USING (cid)
+  LEFT JOIN (
+    SELECT cluster AS cid,
+           list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {float(C.MICRO)!r})
+                ORDER BY dim) AS cvec
+    FROM s{i} GROUP BY cluster
+  ) n USING (cid)
+)""")
+    return "WITH " + ",".join(parts)
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    cents = C.kmeans_fit(emb)
+    return C.kmeans_assign(emb, cents)
+
+
+def _kmeans_sql(iters: int = C.KMEANS_ITERS) -> str:
+    return _fit_ctes(iters) + f"""
+SELECT vec_id, cluster, cosine FROM (
+  SELECT e.vec_id, c.cid AS cluster,
+         {_cos('e.v', 'c.cvec')} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cos('e.v', 'c.cvec')} DESC, c.cid)
+           AS rn
+  FROM e CROSS JOIN c{iters} c
+) WHERE rn = 1
+"""
+
+
+EMB_KMEANS_SQL = _kmeans_sql()
+
+
+def emb_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    cents = C.kmeans_fit(emb)
+    return C.semantic_neardup_pairs(emb, cents,
+                                    threshold=SEMANTIC_THRESHOLD)
+
+
+def _semantic_sql(iters: int = C.KMEANS_ITERS) -> str:
+    return _fit_ctes(iters) + f""",
+assigned AS (
+  SELECT vec_id, cluster, v FROM (
+    SELECT e.vec_id, c.cid AS cluster, e.v,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos('e.v', 'c.cvec')} DESC, c.cid)
+             AS rn
+    FROM e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+         {_cos('a.v', 'b.v')} AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+) WHERE cosine >= {SEMANTIC_THRESHOLD!r}
+"""
+
+
+EMB_SEMANTIC_NEARDUP_SQL = _semantic_sql()

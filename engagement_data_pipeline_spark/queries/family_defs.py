@@ -16,9 +16,9 @@ per-query evidence is present too, and local tooling
 from __future__ import annotations
 
 from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
-               maintenance_q, multimodal_q, packing_q, quality_q, sessions_q,
-               similarity, sketch_q, skew_q, stats_q, temporal_q, tpch,
-               training)
+               clustering_q, maintenance_q, multimodal_q, packing_q,
+               quality_q, sessions_q, similarity, sketch_q, skew_q, stats_q,
+               temporal_q, tpch, training)
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -194,6 +194,15 @@ _TRAINING_MEMBERS = {
 # --- similarity / multimodal ---------------------------------------------
 
 _SIMILARITY_MM_MEMBERS = {
+    "emb_kmeans": (
+        clustering_q.emb_kmeans, clustering_q.EMB_KMEANS_SQL,
+        [("vec_id", "bigint"), ("cluster", "bigint"),
+         ("cosine", "double")]),
+    "emb_semantic_neardup": (
+        clustering_q.emb_semantic_neardup,
+        clustering_q.EMB_SEMANTIC_NEARDUP_SQL,
+        [("id_a", "bigint"), ("id_b", "bigint"), ("cluster", "bigint"),
+         ("cosine", "double")]),
     "doc_embedding_neardup": (
         similarity.doc_embedding_neardup, similarity.DOC_EMBEDDING_NEARDUP_SQL,
         [("id_a", "bigint"), ("id_b", "bigint"), ("cosine", "double")]),

@@ -19,6 +19,7 @@ from . import (
     analysis,
     cdc_q,
     cleaning_q,
+    clustering_q,
     engagement,
     family_defs,
     maintenance_q,
@@ -55,7 +56,7 @@ from . import (
 # Defense in depth: positions 1-47 are the 47 highest-value individual
 # queries; positions 48-50 are three FAMILY CHECKSUM queries
 # (queries/families.py) that hash-verify every oracle-backed tail
-# member in one row each — membership lives in family_defs.py (45
+# member in one row each — membership lives in family_defs.py (47
 # members as of round 4; only the rows-only R2/R3 fits sit outside).
 # The tail members keep their individual entries after position 50,
 # so a driver without the cap records them too. Any NEW query must
@@ -165,6 +166,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25_topk": cleaning_q.doc_bm25_topk,
     "doc_bloom_contamination": sketch_q.doc_bloom_contamination,
     "bloom_state_merge": sketch_q.bloom_state_merge,
+    "emb_kmeans": clustering_q.emb_kmeans,
+    "emb_semantic_neardup": clustering_q.emb_semantic_neardup,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
     "r2_logistic_regression": regression.r2_logistic_regression,
     "r3_mice_pooled": regression.r3_mice_pooled,
@@ -270,6 +273,8 @@ ORACLES: dict[str, str] = {
     "doc_bm25_topk": cleaning_q.DOC_BM25_TOPK_SQL,
     "doc_bloom_contamination": sketch_q.DOC_BLOOM_CONTAMINATION_SQL,
     "bloom_state_merge": sketch_q.BLOOM_STATE_MERGE_SQL,
+    "emb_kmeans": clustering_q.EMB_KMEANS_SQL,
+    "emb_semantic_neardup": clustering_q.EMB_SEMANTIC_NEARDUP_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"
