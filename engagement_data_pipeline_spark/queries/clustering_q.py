@@ -78,11 +78,26 @@ c{i} AS (
     return "WITH " + ",".join(parts)
 
 
+# Both registry queries need the fitted centroid table; memoize it
+# per (session, sf_dir) so the Lloyd iterations run once (same
+# pattern as the engagement spine's caches — applicationId, not
+# id(spark), see queries/engagement.py).
+_FIT_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _fitted(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _FIT_CACHE.get(key)
+    if cents is None:
+        cents = C.kmeans_fit(load(spark, sf_dir, "embeddings"))
+        _FIT_CACHE[key] = cents
+    return cents
+
+
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
-    cents = C.kmeans_fit(emb)
-    return C.kmeans_assign(emb, cents)
+    return C.kmeans_assign(emb, _fitted(spark, sf_dir))
 
 
 def _kmeans_sql(iters: int = C.KMEANS_ITERS) -> str:
@@ -104,8 +119,7 @@ EMB_KMEANS_SQL = _kmeans_sql()
 def emb_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
-    cents = C.kmeans_fit(emb)
-    return C.semantic_neardup_pairs(emb, cents,
+    return C.semantic_neardup_pairs(emb, _fitted(spark, sf_dir),
                                     threshold=SEMANTIC_THRESHOLD)
 
 

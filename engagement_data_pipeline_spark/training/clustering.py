@@ -73,7 +73,13 @@ def kmeans_assign(embeddings: DataFrame,
                   id_col: str = "vec_id",
                   emb_col: str = "embedding") -> DataFrame:
     """(vec_id, cluster, cosine): each vector's nearest centroid by
-    cosine (ties → lowest cluster id). Pure projection — no shuffle."""
+    cosine (ties → lowest cluster id). Pure projection — no shuffle.
+    The scan is spread first (same as `cosine_topk_ivf`): the
+    assignment is CPU-heavy and a small single-file scan would
+    otherwise run it on one task; on a real cluster the scan is
+    already split."""
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    embeddings = embeddings.repartition(par)
     best = F.get(_ranked_cells(F.col(emb_col), cents), 0)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -110,6 +116,8 @@ def kmeans_fit(embeddings: DataFrame,
     members keeps its previous centroid (documented Lloyd edge case)."""
     cents = _seed_centroids(embeddings, seed_ids, id_col, emb_col)
     k = len(cents)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    embeddings = embeddings.repartition(par)  # spread the narrow scan
     for _ in range(iters):
         best = F.get(_ranked_cells(F.col(emb_col), cents), 0)
         # Two-step select: a generator (posexplode) in the same select
@@ -154,6 +162,8 @@ def semantic_neardup_pairs(embeddings: DataFrame,
     blocks). Returns (id_a, id_b, cluster, cosine)."""
     from .similarity import cosine
 
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    embeddings = embeddings.repartition(par)  # parallel assign + probe side
     best = F.get(_ranked_cells(F.col(emb_col), cents), 0)
     assigned = embeddings.select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),

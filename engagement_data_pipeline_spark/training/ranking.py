@@ -44,9 +44,14 @@ def term_stats(docs: DataFrame, text_col: str = "text",
     """(tf, df) tables for BM25: tf = (doc_id, term, tf, dl) with one
     row per distinct term per doc; df = (term, df) corpus document
     frequencies. One explode + two hash aggs (df is a subset re-group
-    of tf, so AQE chains them without an extra exchange)."""
+    of tf, so AQE chains them without an extra exchange). The narrow
+    scan is spread first so the explode's map side parallelizes even
+    off a single input file; at warehouse scale, persist `tf` when
+    both outputs are consumed (it is recomputed per consumer here)."""
+    from .text import spread_narrow_scan
+
     words = F.split(normalize_text(F.col(text_col)), " ")
-    exploded = docs.select(
+    exploded = spread_narrow_scan(docs).select(
         F.col(id_col).alias("doc_id"), F.size(words).alias("dl"),
         F.explode(words).alias("term"))
     tf = (exploded.groupBy("doc_id", "term")
@@ -69,14 +74,31 @@ def bm25_topk(docs: DataFrame, queries: Mapping[str, Sequence[str]],
     is reproducible (and mirrored by the oracle).
     """
     spark = docs.sparkSession
-    tf, df = term_stats(docs, text_col, id_col)
+    tf, _ = term_stats(docs, text_col, id_col)
 
-    n_docs_avgdl = tf.groupBy("doc_id").agg(F.first("dl").alias("dl")) \
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-             F.sum("dl").cast("long").alias("sum_dl"))
+    # Corpus length stats straight off the doc scan (one projection +
+    # one scalar agg) — equivalent to re-grouping tf to doc grain
+    # (every doc emits >= 1 tf row, dl is constant per doc) but
+    # without re-running the explode.
+    dl_words = F.split(normalize_text(F.col(text_col)), " ")
+    n_docs_avgdl = (docs.select(F.size(dl_words).alias("dl"))
+                    .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                         F.sum("dl").cast("long").alias("sum_dl")))
     qrows = [(qid, t) for qid, terms in sorted(queries.items())
              for t in sorted(set(terms))]
     qdf = spark.createDataFrame(qrows, "query_id string, term string")
+
+    # ONE corpus pass: broadcast-filter tf to the query terms first,
+    # then take df as a count window over the surviving rows (the
+    # full per-term df table would force a second explode — Catalyst
+    # does not reuse the tf exchange across the two consumers). The
+    # window partitions on ≤ |query terms| keys of already-tiny data.
+    from pyspark.sql import Window
+
+    qterms = qdf.select("term").distinct()
+    tf = (tf.join(F.broadcast(qterms), "term")
+          .withColumn("df", F.count(F.lit(1))
+                      .over(Window.partitionBy("term")).cast("long")))
 
     idf_num = (F.col("n_docs").cast("double") - F.col("df").cast("double")
                + F.lit(0.5))
@@ -91,7 +113,6 @@ def bm25_topk(docs: DataFrame, queries: Mapping[str, Sequence[str]],
 
     per_term = (
         tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n_docs_avgdl))
         .select("query_id", "doc_id", "term", w.alias("w"))
     )

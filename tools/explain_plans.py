@@ -48,6 +48,11 @@ HEADLINE = [
     "dq_messages",              # expectations: one agg, stack-unpivoted
     "agg_state_merge",          # state maintenance: union + one combine
     "doc_cms_heavy_hitters",    # CMS: fixed cells, broadcast probe
+    "doc_c4_clean",             # span df + hash-keyed back-join + reassembly
+    "doc_bm25_topk",            # tf/df aggs + broadcast query/corpus dims
+    "doc_bloom_contamination",  # bitmap build: one bit_or agg; broadcast probe
+    "emb_kmeans",               # literal-centroid assign: zero-shuffle project
+    "emb_semantic_neardup",     # cluster-blocked self-join, exact verify
 ]
 
 
