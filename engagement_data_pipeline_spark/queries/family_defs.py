@@ -16,9 +16,9 @@ per-query evidence is present too, and local tooling
 from __future__ import annotations
 
 from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
-               clustering_q, maintenance_q, multimodal_q, packing_q,
-               quality_q, sessions_q, similarity, sketch_q, skew_q, stats_q,
-               temporal_q, tpch, training)
+               clustering_q, export_q, maintenance_q, multimodal_q,
+               packing_q, quality_q, sessions_q, similarity, sketch_q,
+               skew_q, stats_q, temporal_q, tpch, training)
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -101,6 +101,10 @@ _EVENTS_MEMBERS = {
         stats_q.hdr_state_merge, stats_q.HDR_STATE_MERGE_SQL,
         [("source", "string"), ("q", "double"), ("n", "bigint"),
          ("est_merged", "double"), ("est_full", "double")]),
+    "cust_fuzzy_match": (
+        export_q.cust_fuzzy_match, export_q.CUST_FUZZY_MATCH_SQL,
+        [("left_key", "bigint"), ("right_key", "bigint"),
+         ("dist", "int")]),
 }
 
 # --- training-data extras -------------------------------------------------
@@ -189,6 +193,16 @@ _TRAINING_MEMBERS = {
         sketch_q.bloom_state_merge, sketch_q.BLOOM_STATE_MERGE_SQL,
         [("word", "bigint"), ("bits_merged", "bigint"),
          ("bits_full", "bigint")]),
+    "doc_shard_plan": (
+        export_q.doc_shard_plan, export_q.DOC_SHARD_PLAN_SQL,
+        [("doc_id", "bigint"), ("shuffle_key", "bigint"),
+         ("shard", "int"), ("pos_in_shard", "bigint")]),
+    "doc_mixture_plan": (
+        export_q.doc_mixture_plan, export_q.DOC_MIXTURE_PLAN_SQL,
+        [("stratum", "string"), ("n_docs", "bigint"),
+         ("target_num", "int"), ("target_den", "int"),
+         ("budget_total", "bigint"), ("thr", "bigint"),
+         ("n_kept", "bigint")]),
 }
 
 # --- similarity / multimodal ---------------------------------------------

@@ -21,6 +21,7 @@ from . import (
     cleaning_q,
     clustering_q,
     engagement,
+    export_q,
     family_defs,
     maintenance_q,
     multimodal_q,
@@ -56,7 +57,7 @@ from . import (
 # Defense in depth: positions 1-47 are the 47 highest-value individual
 # queries; positions 48-50 are three FAMILY CHECKSUM queries
 # (queries/families.py) that hash-verify every oracle-backed tail
-# member in one row each — membership lives in family_defs.py (47
+# member in one row each — membership lives in family_defs.py (50
 # members as of round 4; only the rows-only R2/R3 fits sit outside).
 # The tail members keep their individual entries after position 50,
 # so a driver without the cap records them too. Any NEW query must
@@ -168,6 +169,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_state_merge": sketch_q.bloom_state_merge,
     "emb_kmeans": clustering_q.emb_kmeans,
     "emb_semantic_neardup": clustering_q.emb_semantic_neardup,
+    "doc_shard_plan": export_q.doc_shard_plan,
+    "doc_mixture_plan": export_q.doc_mixture_plan,
+    "cust_fuzzy_match": export_q.cust_fuzzy_match,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
     "r2_logistic_regression": regression.r2_logistic_regression,
     "r3_mice_pooled": regression.r3_mice_pooled,
@@ -275,6 +279,9 @@ ORACLES: dict[str, str] = {
     "bloom_state_merge": sketch_q.BLOOM_STATE_MERGE_SQL,
     "emb_kmeans": clustering_q.EMB_KMEANS_SQL,
     "emb_semantic_neardup": clustering_q.EMB_SEMANTIC_NEARDUP_SQL,
+    "doc_shard_plan": export_q.DOC_SHARD_PLAN_SQL,
+    "doc_mixture_plan": export_q.DOC_MIXTURE_PLAN_SQL,
+    "cust_fuzzy_match": export_q.CUST_FUZZY_MATCH_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"
