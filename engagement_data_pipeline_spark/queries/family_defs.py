@@ -16,9 +16,10 @@ per-query evidence is present too, and local tooling
 from __future__ import annotations
 
 from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
-               clustering_q, export_q, maintenance_q, multimodal_q,
-               packing_q, quality_q, sessions_q, similarity, sketch_q,
-               skew_q, stats_q, temporal_q, tpch, training)
+               clustering_q, export_q, lm_q, maintenance_q,
+               multimodal_q, packing_q, quality_q, sessions_q,
+               similarity, sketch_q, skew_q, stats_q, streaming_q,
+               temporal_q, tpch, training)
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -105,6 +106,11 @@ _EVENTS_MEMBERS = {
         export_q.cust_fuzzy_match, export_q.CUST_FUZZY_MATCH_SQL,
         [("left_key", "bigint"), ("right_key", "bigint"),
          ("dist", "int")]),
+    "table_changes_feed": (
+        streaming_q.table_changes_feed, streaming_q.TABLE_CHANGES_FEED_SQL,
+        [("origin_id", "string"), ("op", "string"),
+         ("changed_cols", "string"), ("participant_uuid", "string"),
+         ("text", "string"), ("received_on", "string")]),
 }
 
 # --- training-data extras -------------------------------------------------
@@ -203,7 +209,13 @@ _TRAINING_MEMBERS = {
          ("target_num", "int"), ("target_den", "int"),
          ("budget_total", "bigint"), ("thr", "bigint"),
          ("n_kept", "bigint")]),
+    "doc_lm_score": (
+        lm_q.doc_lm_score, lm_q.DOC_LM_SCORE_SQL,
+        [("doc_id", "bigint"), ("n_bigrams", "bigint"),
+         ("n_seen", "bigint"), ("sum_p", "double"),
+         ("mean_p", "double")]),
 }
+
 
 # --- similarity / multimodal ---------------------------------------------
 

@@ -91,3 +91,64 @@ SELECT DISTINCT
        sender AS participant_uuid, message AS text, received_on
 FROM rows
 """
+
+
+# --- change-data-feed over the versioned merge table ----------------------
+
+def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the same merge table in TWO separately-triggered
+    availableNow runs (file a = commit 1, file b = commit 2 — the
+    checkpoint carries progress across the restarts, pinning the
+    commit order that a single multi-file trigger would leave to file
+    listing), then read `table_changes` from commit 1: exactly the
+    rows file b introduced, as op='insert' — the overlap slice
+    (event_id % 4 == 1) replays and must NOT re-appear. The oracle is
+    the set difference over the same parquet-derived fixture."""
+    from ..streaming.ingest import table_changes
+
+    apply_runtime_conf(spark)
+    base = tempfile.mkdtemp(prefix="edp-cdf-")
+    landing = os.path.join(base, "landing")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing)
+
+    rows = _fixture_rows(spark, sf_dir)
+    merge = foreach_batch_upsert(table, ["origin_id"], transform=_add_origin)
+    for fname, mods in (("a.csv", (0, 1)), ("b.csv", (1, 2))):
+        pdf = (rows.where((F.col("event_id") % 4).isin(list(mods)))
+               .orderBy("event_id")
+               .select("Sender", "Message", "ReceivedOn").toPandas())
+        pdf.to_csv(os.path.join(landing, fname), index=False)
+        src = stream_csv_source(spark, landing)
+        q = (src.writeStream.foreachBatch(merge)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    return table_changes(spark, table, from_commit=1)
+
+
+TABLE_CHANGES_FEED_SQL = """
+WITH rows AS (
+  SELECT event_id % 4 AS slot,
+         'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
+         'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
+  FROM events WHERE event_id % 16 < 4
+),
+keyed AS (
+  SELECT slot,
+         'csv:' || sha256(sender || '|' || message || '|' || received_on)
+           AS origin_id,
+         sender, message, received_on
+  FROM rows
+),
+a AS (SELECT DISTINCT origin_id FROM keyed WHERE slot IN (0, 1)),
+b AS (SELECT DISTINCT origin_id, sender, message, received_on
+      FROM keyed WHERE slot IN (1, 2))
+SELECT b.origin_id, 'insert' AS op, '' AS changed_cols,
+       b.sender AS participant_uuid, b.message AS text,
+       b.received_on AS received_on
+FROM b LEFT JOIN a ON b.origin_id = a.origin_id
+WHERE a.origin_id IS NULL
+"""

@@ -278,6 +278,66 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
     return _merge
 
 
+def _manifest_at(spark: SparkSession, table_path: str, commit: int) -> dict:
+    """The exact manifest of `commit` (not the latest). Raises if the
+    manifest is missing or unparseable — unlike the reader path, a
+    changes feed must not silently fall back to a different commit."""
+    man = json.loads(_read_text(
+        spark, f"{table_path}/{_LOG_DIR}/{commit:08d}.json"))
+    if not {"commit", "n_buckets", "origin", "buckets"} <= man.keys():
+        raise ValueError(f"manifest {commit} of {table_path} is incomplete")
+    man["buckets"] = {int(k): int(v) for k, v in man["buckets"].items()}
+    return man
+
+
+def table_changes(spark: SparkSession, table_path: str, from_commit: int,
+                  to_commit: int | None = None) -> DataFrame:
+    """Row-level changes between two commits of a versioned merge
+    table — the Delta/Iceberg change-data-feed analog, derived purely
+    from the commit log plus the immutable version directories (the
+    reference reads its incremental feed per-message from Firestore
+    timestamps, SURVEY §2.1 S2; here the table's own history is the
+    feed).
+
+    Returns the `snapshot_diff` changeset (key cols + op +
+    changed_cols) joined back to the NEW snapshot's payload columns
+    (null payload for deletes). Cost is O(changed buckets), never
+    O(table): only buckets whose version advanced between the two
+    manifests are read, on both sides. Version directories are
+    immutable, so a bucket with an unchanged version is byte-identical
+    and cannot contain a change; a compaction/rebucket commit rewrites
+    buckets without changing logical rows and yields an EMPTY
+    changeset (keyed diff, not file diff). Requires the `from`
+    commit's referenced versions to still exist — `vacuum_table`
+    trades old-commit readability for space exactly like Delta's
+    VACUUM breaks CDF past the retention horizon.
+    """
+    from ..operators.cdc import snapshot_diff
+
+    man_from = _manifest_at(spark, table_path, from_commit)
+    man_to = (_manifest_at(spark, table_path, to_commit)
+              if to_commit is not None
+              else read_table_manifest(spark, table_path))
+    if man_to is None:
+        raise ValueError(f"{table_path} has no commits")
+    old_b, new_b = man_from["buckets"], man_to["buckets"]
+    changed = sorted(b for b in set(old_b) | set(new_b)
+                     if old_b.get(b) != new_b.get(b))
+    new_paths = _bucket_paths(table_path, new_b, only=changed)
+    old_paths = _bucket_paths(table_path, old_b, only=changed)
+    if new_paths:
+        new_df = spark.read.parquet(*new_paths)
+    else:  # nothing changed: empty changeset with the table's schema
+        new_df = read_merged_table(spark, table_path).limit(0)
+    old_df = (spark.read.parquet(*old_paths) if old_paths
+              else spark.createDataFrame([], new_df.schema))
+    keys = list(man_to["origin"])
+    payload = [c for c in new_df.columns if c not in keys]
+    diff = snapshot_diff(old_df, new_df, keys, payload)
+    return diff.join(new_df, keys, "left").select(
+        *keys, diff["op"], diff["changed_cols"], *payload)
+
+
 # --- table maintenance ----------------------------------------------------
 
 def compact_table(spark: SparkSession, table_path: str,

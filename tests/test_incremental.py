@@ -365,3 +365,55 @@ def test_rebucket_table_grows_bucket_count(spark, tmp_path):
 
     assert ing.suggest_n_buckets(0) == 1
     assert ing.suggest_n_buckets(100 * 2**40) == 262144  # 100 TB default
+
+
+def test_table_changes_emits_only_new_rows(spark, tmp_path):
+    """CDF between commits: batch-2 inserts appear as op='insert',
+    replayed keys (existing-wins merge) produce NO change row."""
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=4)
+    merge(spark.createDataFrame([(f"k{i}", i) for i in range(10)],
+                                "k string, v int"), 0)
+    # replay k1 with a different payload (must lose) + two new keys
+    merge(spark.createDataFrame([("k1", 999), ("n1", 100), ("n2", 200)],
+                                "k string, v int"), 1)
+    ch = ing.table_changes(spark, table, from_commit=1)
+    rows = {r["k"]: (r["op"], r["v"]) for r in ch.collect()}
+    assert rows == {"n1": ("insert", 100), "n2": ("insert", 200)}
+    assert set(ch.columns) == {"k", "op", "changed_cols", "v"}
+
+
+def test_table_changes_compaction_is_logical_noop(spark, tmp_path):
+    """Compaction rewrites every bucket into a new commit but changes
+    no logical row — the keyed changeset across that commit is empty,
+    and the full from=1 feed still shows exactly the later inserts."""
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=4)
+    merge(spark.createDataFrame([(f"k{i}", i) for i in range(10)],
+                                "k string, v int"), 0)
+    merge(spark.createDataFrame([("x", 1)], "k string, v int"), 1)
+    man_before = ing.read_table_manifest(spark, table)["commit"]
+    ing.compact_table(spark, table, vacuum=False)
+    assert ing.table_changes(spark, table,
+                             from_commit=man_before).count() == 0
+    feed = {r["k"] for r in
+            ing.table_changes(spark, table, from_commit=1).collect()}
+    assert feed == {"x"}
+
+
+def test_table_changes_same_commit_empty_and_missing_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=2)
+    merge(spark.createDataFrame([("a", 1)], "k string, v int"), 0)
+    assert ing.table_changes(spark, table, from_commit=1,
+                             to_commit=1).count() == 0
+    with _pytest.raises(Exception):
+        ing.table_changes(spark, table, from_commit=99)
