@@ -20,6 +20,7 @@ from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
                multimodal_q, packing_q, quality_q, sessions_q,
                similarity, sketch_q, skew_q, stats_q, streaming_q,
                temporal_q, tpch, training)
+from . import layout_q  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -111,6 +112,9 @@ _EVENTS_MEMBERS = {
         [("origin_id", "string"), ("op", "string"),
          ("changed_cols", "string"), ("participant_uuid", "string"),
          ("text", "string"), ("received_on", "string")]),
+    "events_zorder_key": (
+        layout_q.events_zorder_key, layout_q.EVENTS_ZORDER_KEY_SQL,
+        [("event_id", "bigint"), ("zkey", "bigint")]),
 }
 
 # --- training-data extras -------------------------------------------------

@@ -59,6 +59,56 @@ def write_partitioned(df: DataFrame, path: str,
      .parquet(path))
 
 
+def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) key: bit-interleave `bits` low bits of each
+    integer column into one bigint. Files sorted by this key cover a
+    contiguous Z-range = a stack of small rectangles in the key space,
+    so parquet min/max stats stay tight on EVERY interleaved dimension
+    at once — a filter on any single dimension skips most files,
+    which a linear sort can only offer for its leading column (the
+    Delta OPTIMIZE ZORDER BY idea, here as a pure column expression).
+
+    Callers pass already-bounded ints (e.g. ``user_id % 2**bits``, a
+    day number); values above 2**bits wrap via their low bits, which
+    preserves locality only within a wrap — bound the domain first.
+    The expression is `len(cols) * bits` disjoint shifted bits summed
+    together: whole-stage-codegen arithmetic, no UDF, and exactly
+    mirrorable in SQL (& >> << are IEEE-free integer ops).
+    """
+    ndims = len(cols)
+    if not (1 <= ndims * bits <= 63):
+        raise ValueError("zorder_key needs 1 <= dims*bits <= 63")
+    parts = []
+    for d, c in enumerate(cols):
+        x = (F.col(c) if isinstance(c, str) else c).cast("long")
+        x = x.bitwiseAND(F.lit((1 << bits) - 1))
+        for i in range(bits):
+            bit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+            parts.append(F.shiftleft(bit, i * ndims + d))
+    key = parts[0]
+    for p in parts[1:]:
+        key = key + p  # disjoint bit positions: + == |
+    return key.cast("long")
+
+
+def write_zordered(df: DataFrame, path: str,
+                   zcols: Sequence[Column | str], n_files: int,
+                   bits: int = 16) -> None:
+    """Write `df` as `n_files` parquet files range-partitioned AND
+    sorted by the Z-order key of `zcols` — multi-dimensional
+    clustering for a table probed on several independent keys.
+    `repartitionByRange` samples the key distribution, so files hold
+    balanced row counts even when the key space is sparse. The key
+    itself is not persisted: it is a pure function of the columns,
+    recomputed at read time if ever needed."""
+    key = zorder_key(zcols, bits)
+    (df.withColumn("__zkey", key)
+     .repartitionByRange(n_files, F.col("__zkey"))
+     .sortWithinPartitions("__zkey")
+     .drop("__zkey")
+     .write.mode("overwrite").parquet(path))
+
+
 def read_layout(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
@@ -76,6 +126,38 @@ def prune_evidence(df: DataFrame) -> dict[str, str]:
         return m.group(1) if m else ""
     return {"partition_filters": grab("PartitionFilters"),
             "pushed_filters": grab("PushedFilters")}
+
+
+def file_range_skip_evidence(path: str, column: str,
+                             lo: int, hi: int) -> tuple[int, int]:
+    """(files whose footer min/max intersects [lo, hi], total files) —
+    read straight from the parquet footers with pyarrow. This is the
+    machine-checkable form of "a reader with min/max skipping touches
+    only k of n files for this predicate": engine-independent (any
+    parquet reader sees the same footers), and unlike the scan-node
+    `numFiles` metric it witnesses STATS tightness, which Spark only
+    exploits per row-group (every file is still opened)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    touched = total = 0
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema != column or col.statistics is None:
+                    continue
+                st = col.statistics
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+        total += 1
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            touched += 1  # no stats → must read
+    return touched, total
 
 
 def files_read(df: DataFrame) -> int:

@@ -70,3 +70,59 @@ def test_layout_salted_split_bounds_partition_file_count(spark, tmp_path):
         assert 1 <= len(files) <= 4
     total = read_layout(spark, path).count()
     assert total == 5000
+
+
+# --- Z-order ---------------------------------------------------------------
+
+def test_zorder_key_interleaves_bits(spark):
+    from engagement_data_pipeline_spark.sinks.layout import zorder_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0b101, 0b011)], "x long, y long").select(
+        zorder_key(["x", "y"], bits=3).alias("z"))
+    # x bits at even positions, y bits at odd: x=101,y=011 →
+    # z = 1·2^0 + 1·2^1 + 0·2^2 + 1·2^3 + 1·2^4 + 0·2^5 = 0b011011
+    assert df.first()["z"] == 0b011011
+
+
+def test_zorder_key_bounds(spark):
+    import pytest as _pytest
+
+    from engagement_data_pipeline_spark.sinks.layout import zorder_key
+    with _pytest.raises(ValueError):
+        zorder_key(["a", "b"], bits=32)  # 64 bits > 63
+
+
+def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
+    """The point of Z-order vs linear sort: with footer min/max
+    skipping, a filter on EITHER dimension touches a strict subset of
+    a Z-ordered table's files, while the linear layout only skips on
+    its leading sort column."""
+    from pyspark.sql import functions as F
+
+    from engagement_data_pipeline_spark.sinks.layout import (
+        file_range_skip_evidence, write_zordered)
+
+    n, bits, files = 4096, 6, 16
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.floor(F.col("id") / 64)).cast("long").alias("y"),
+        F.col("id").alias("payload"))
+
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, [F.col("x"), F.col("y")], files, bits=bits)
+    lpath = str(tmp_path / "linear")
+    (df.repartitionByRange(files, "x").sortWithinPartitions("x")
+     .write.parquet(lpath))
+
+    zx = file_range_skip_evidence(zpath, "x", 3, 4)
+    zy = file_range_skip_evidence(zpath, "y", 3, 4)
+    lx = file_range_skip_evidence(lpath, "x", 3, 4)
+    ly = file_range_skip_evidence(lpath, "y", 3, 4)
+    assert zx[1] == files and zy[1] == files
+    # z-order skips on both dimensions…
+    assert zx[0] <= files // 2 and zy[0] <= files // 2
+    # …the linear layout only on its sort column
+    assert lx[0] <= files // 2
+    assert ly[0] == ly[1]
