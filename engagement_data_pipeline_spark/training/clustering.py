@@ -78,8 +78,9 @@ def kmeans_assign(embeddings: DataFrame,
     assignment is CPU-heavy and a small single-file scan would
     otherwise run it on one task; on a real cluster the scan is
     already split."""
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    embeddings = embeddings.repartition(par)
+    from .text import spread_narrow_scan
+
+    embeddings = spread_narrow_scan(embeddings)
     best = F.get(_ranked_cells(F.col(emb_col), cents), 0)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -114,10 +115,11 @@ def kmeans_fit(embeddings: DataFrame,
     aggregation of micro-quantized component sums; only the k·d
     sufficient statistics reach the driver. A cluster that loses all
     members keeps its previous centroid (documented Lloyd edge case)."""
+    from .text import spread_narrow_scan
+
     cents = _seed_centroids(embeddings, seed_ids, id_col, emb_col)
     k = len(cents)
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    embeddings = embeddings.repartition(par)  # spread the narrow scan
+    embeddings = spread_narrow_scan(embeddings)  # no-op if already wide
     for _ in range(iters):
         best = F.get(_ranked_cells(F.col(emb_col), cents), 0)
         # Two-step select: a generator (posexplode) in the same select
@@ -162,8 +164,9 @@ def semantic_neardup_pairs(embeddings: DataFrame,
     blocks). Returns (id_a, id_b, cluster, cosine)."""
     from .similarity import cosine
 
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    embeddings = embeddings.repartition(par)  # parallel assign + probe side
+    from .text import spread_narrow_scan
+
+    embeddings = spread_narrow_scan(embeddings)  # parallel assign+probe
     best = F.get(_ranked_cells(F.col(emb_col), cents), 0)
     assigned = embeddings.select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
