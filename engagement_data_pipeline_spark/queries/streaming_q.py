@@ -96,35 +96,23 @@ FROM rows
 # --- change-data-feed over the versioned merge table ----------------------
 
 def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the same merge table in TWO separately-triggered
-    availableNow runs (file a = commit 1, file b = commit 2 — the
-    checkpoint carries progress across the restarts, pinning the
-    commit order that a single multi-file trigger would leave to file
-    listing), then read `table_changes` from commit 1: exactly the
-    rows file b introduced, as op='insert' — the overlap slice
-    (event_id % 4 == 1) replays and must NOT re-appear. The oracle is
-    the set difference over the same parquet-derived fixture."""
+    """Apply the two fixture slices as DIRECT foreachBatch merges
+    (slice a = commit 1, slice b = commit 2 — a foreachBatch function
+    is just a function, so the commit order is pinned without paying
+    stream startup twice; the streaming path itself is certified by
+    `s2_streaming_merge`), then read `table_changes` from commit 1:
+    exactly the rows slice b introduced, as op='insert' — the overlap
+    slice (event_id % 4 == 1) replays through the existing-wins merge
+    and must NOT re-appear. The oracle is the set difference over the
+    same parquet-derived fixture."""
     from ..streaming.ingest import table_changes
 
     apply_runtime_conf(spark)
-    base = tempfile.mkdtemp(prefix="edp-cdf-")
-    landing = os.path.join(base, "landing")
-    table = os.path.join(base, "table")
-    ckpt = os.path.join(base, "ckpt")
-    os.makedirs(landing)
-
+    table = os.path.join(tempfile.mkdtemp(prefix="edp-cdf-"), "table")
     rows = _fixture_rows(spark, sf_dir)
     merge = foreach_batch_upsert(table, ["origin_id"], transform=_add_origin)
-    for fname, mods in (("a.csv", (0, 1)), ("b.csv", (1, 2))):
-        pdf = (rows.where((F.col("event_id") % 4).isin(list(mods)))
-               .orderBy("event_id")
-               .select("Sender", "Message", "ReceivedOn").toPandas())
-        pdf.to_csv(os.path.join(landing, fname), index=False)
-        src = stream_csv_source(spark, landing)
-        q = (src.writeStream.foreachBatch(merge)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+    for batch_id, mods in enumerate([(0, 1), (1, 2)]):
+        merge(rows.where((F.col("event_id") % 4).isin(list(mods))), batch_id)
     return table_changes(spark, table, from_commit=1)
 
 
