@@ -20,7 +20,7 @@ from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
                multimodal_q, packing_q, quality_q, sessions_q,
                similarity, sketch_q, skew_q, stats_q, streaming_q,
                temporal_q, tpch, training)
-from . import layout_q  # noqa: F401
+from . import layout_q, splits_q  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -218,6 +218,10 @@ _TRAINING_MEMBERS = {
         [("doc_id", "bigint"), ("n_bigrams", "bigint"),
          ("n_seen", "bigint"), ("sum_p", "double"),
          ("mean_p", "double")]),
+    "doc_split_assign": (
+        splits_q.doc_split_assign, splits_q.DOC_SPLIT_ASSIGN_SQL,
+        [("doc_id", "bigint"), ("source", "string"),
+         ("split", "string")]),
 }
 
 

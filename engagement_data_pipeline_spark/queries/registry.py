@@ -37,6 +37,7 @@ from . import (
     skew_q,
     sources_adapters,
     sources_rp,
+    splits_q,
     stats_q,
     streaming_q,
     sync_back,
@@ -59,7 +60,7 @@ from . import (
 # Defense in depth: positions 1-47 are the 47 highest-value individual
 # queries; positions 48-50 are three FAMILY CHECKSUM queries
 # (queries/families.py) that hash-verify every oracle-backed tail
-# member in one row each — membership lives in family_defs.py (53
+# member in one row each — membership lives in family_defs.py (54
 # members as of round 4; only the rows-only R2/R3 fits sit outside).
 # The tail members keep their individual entries after position 50,
 # so a driver without the cap records them too. Any NEW query must
@@ -177,6 +178,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lm_score": lm_q.doc_lm_score,
     "table_changes_feed": streaming_q.table_changes_feed,
     "events_zorder_key": layout_q.events_zorder_key,
+    "doc_split_assign": splits_q.doc_split_assign,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
     "r2_logistic_regression": regression.r2_logistic_regression,
     "r3_mice_pooled": regression.r3_mice_pooled,
@@ -290,6 +292,7 @@ ORACLES: dict[str, str] = {
     "doc_lm_score": lm_q.DOC_LM_SCORE_SQL,
     "table_changes_feed": streaming_q.TABLE_CHANGES_FEED_SQL,
     "events_zorder_key": layout_q.EVENTS_ZORDER_KEY_SQL,
+    "doc_split_assign": splits_q.DOC_SPLIT_ASSIGN_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"
