@@ -222,6 +222,11 @@ _TRAINING_MEMBERS = {
         splits_q.doc_split_assign, splits_q.DOC_SPLIT_ASSIGN_SQL,
         [("doc_id", "bigint"), ("source", "string"),
          ("split", "string")]),
+    "doc_importance_weights": (
+        lm_q.doc_importance_weights, lm_q.DOC_IMPORTANCE_WEIGHTS_SQL,
+        [("doc_id", "bigint"), ("n_bigrams", "bigint"),
+         ("sum_p_target", "double"), ("sum_p_raw", "double"),
+         ("importance", "double")]),
 }
 
 

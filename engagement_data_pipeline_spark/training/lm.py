@@ -95,6 +95,82 @@ def bigram_model(target_docs: DataFrame,
     return bigrams, prefixes, consts
 
 
+def importance_weights(target_docs: DataFrame, raw_docs: DataFrame,
+                       score_docs: DataFrame | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       broadcast_model: bool = False) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): weight each
+    document by how much more likely its text is under the TARGET
+    domain's model than under the RAW corpus's model, then sample
+    proportionally to shift the mixture toward the domain.
+
+    Scores `score_docs` (default: the raw corpus itself) under BOTH
+    add-one bigram models in ONE pass: the scored corpus is exploded
+    once and joined to the two count tables side by side — the
+    marginal cost over a single-model score is two extra hash joins,
+    not a second explode/fold pipeline. Returns
+    (doc_id, n_bigrams, sum_p_target, sum_p_raw, importance) with
+    importance = sum_p_target / sum_p_raw (an exact single division of
+    the two position-ordered fold sums; the log-domain ratio is
+    monotone in it for fixed doc length, and ``ln`` is not bit-stable
+    across engines — same trade as `bigram_lm_score`). Docs with no
+    bigrams get importance 1.0 (no evidence either way).
+    """
+    if score_docs is None:
+        score_docs = raw_docs
+    bg_t, cp_t, v_t = bigram_model(target_docs, text_col)
+    bg_r, cp_r, v_r = bigram_model(raw_docs, text_col)
+    bg_t = bg_t.withColumnRenamed("n_bg", "n_bg_t")
+    cp_t = cp_t.withColumnRenamed("n_prefix", "n_prefix_t")
+    bg_r = bg_r.withColumnRenamed("n_bg", "n_bg_r")
+    cp_r = cp_r.withColumnRenamed("n_prefix", "n_prefix_r")
+    consts = (v_t.withColumnRenamed("vocab_n", "vocab_t")
+              .crossJoin(v_r.withColumnRenamed("vocab_n", "vocab_r")))
+    if broadcast_model:
+        bg_t, cp_t = F.broadcast(bg_t), F.broadcast(cp_t)
+        bg_r, cp_r = F.broadcast(bg_r), F.broadcast(cp_r)
+
+    ex = (spread_narrow_scan(score_docs)
+          .select(F.col(id_col).alias("doc_id"),
+                  F.explode(_bigram_structs(text_col)).alias("s"))
+          .select("doc_id", "s.pos", "s.bg_h", "s.w1_h"))
+    joined = (ex.join(bg_t, "bg_h", "left").join(cp_t, "w1_h", "left")
+              .join(bg_r, "bg_h", "left").join(cp_r, "w1_h", "left")
+              .crossJoin(F.broadcast(consts)))
+
+    def p(nbg: str, npre: str, vocab: str):
+        return ((F.coalesce(F.col(nbg), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.coalesce(F.col(npre), F.lit(0))
+                   + F.col(vocab)).cast("double"))
+
+    per = (joined.select(
+        "doc_id", "pos",
+        p("n_bg_t", "n_prefix_t", "vocab_t").alias("pt"),
+        p("n_bg_r", "n_prefix_r", "vocab_r").alias("pr"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+             F.array_sort(F.collect_list(F.struct("pos", "pt", "pr")))
+             .alias("ps")))
+    per = per.select(
+        "doc_id", "n_bigrams",
+        F.aggregate(F.col("ps"), F.lit(0.0),
+                    lambda acc, s: acc + s["pt"]).alias("sum_p_target"),
+        F.aggregate(F.col("ps"), F.lit(0.0),
+                    lambda acc, s: acc + s["pr"]).alias("sum_p_raw"))
+    ids = score_docs.select(F.col(id_col).alias("doc_id"))
+    return (ids.join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("sum_p_target", F.lit(0.0))
+                    .alias("sum_p_target"),
+                    F.coalesce("sum_p_raw", F.lit(0.0)).alias("sum_p_raw"),
+                    F.when(F.col("n_bigrams").isNull() | (F.col("sum_p_raw") == 0),
+                           F.lit(1.0))
+                    .otherwise(F.col("sum_p_target") / F.col("sum_p_raw"))
+                    .alias("importance")))
+
+
 def bigram_lm_score(target_docs: DataFrame, score_docs: DataFrame,
                     text_col: str = "text", id_col: str = "doc_id",
                     broadcast_model: bool = False) -> DataFrame:

@@ -6,6 +6,7 @@ import math
 
 from pyspark.sql import functions as F
 
+from engagement_data_pipeline_spark.training import lm as LMI
 from engagement_data_pipeline_spark.training.lm import (
     bigram_lm_score, bigram_model)
 
@@ -72,3 +73,42 @@ def test_broadcast_model_same_result(spark):
     bcast = bigram_lm_score(target, probe,
                             broadcast_model=True).orderBy("doc_id").collect()
     assert plain == bcast
+
+
+def test_importance_weights_favor_target_like_docs(spark):
+    target = _docs(spark, [(1, "the cat sat on the mat"),
+                           (2, "the dog sat on the rug")])
+    raw = _docs(spark, [(3, "alpha beta gamma delta"),
+                        (4, "beta gamma delta epsilon")] +
+                [(i, "filler words here now") for i in range(10, 20)])
+    probe = _docs(spark, [(100, "the cat sat on the mat"),
+                          (101, "alpha beta gamma delta")])
+    out = {r["doc_id"]: r["importance"]
+           for r in LMI.importance_weights(target, raw, probe).collect()}
+    assert out[100] > 1.0 > out[101]
+
+
+def test_importance_matches_two_single_model_scores(spark):
+    """The one-pass dual join must equal the ratio of two independent
+    single-model scores."""
+    target = _docs(spark, [(1, "a b c a b")])
+    raw = _docs(spark, [(2, "c d e"), (3, "a c d")])
+    probe = _docs(spark, [(9, "a b d"), (10, "zz yy")])
+    dual = {r["doc_id"]: r for r in LMI.importance_weights(
+        target, raw, probe).collect()}
+    st = {r["doc_id"]: r["sum_p"] for r in bigram_lm_score(
+        target, probe).collect()}
+    sr = {r["doc_id"]: r["sum_p"] for r in bigram_lm_score(
+        raw, probe).collect()}
+    for d in (9, 10):
+        assert dual[d]["sum_p_target"] == st[d]
+        assert dual[d]["sum_p_raw"] == sr[d]
+        assert dual[d]["importance"] == st[d] / sr[d]
+
+
+def test_importance_no_bigrams_is_neutral(spark):
+    target = _docs(spark, [(1, "a b")])
+    raw = _docs(spark, [(2, "c d")])
+    out = LMI.importance_weights(target, raw,
+                                 _docs(spark, [(9, "solo")])).first()
+    assert out["n_bigrams"] == 0 and out["importance"] == 1.0
