@@ -266,6 +266,10 @@ _SIMILARITY_MM_MEMBERS = {
         multimodal_q.mm_audio_chunks, multimodal_q.MM_AUDIO_CHUNKS_SQL,
         [("media_id", "string"), ("chunk_start_ms", "bigint"),
          ("chunk_end_ms", "bigint")]),
+    "ann_recall_eval": (
+        similarity.ann_recall_eval, similarity.ANN_RECALL_EVAL_SQL,
+        [("query_id", "bigint"), ("n_hits", "bigint"),
+         ("recall_at_k", "double"), ("rr", "double")]),
 }
 
 

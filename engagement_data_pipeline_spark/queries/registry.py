@@ -60,7 +60,7 @@ from . import (
 # Defense in depth: positions 1-47 are the 47 highest-value individual
 # queries; positions 48-50 are three FAMILY CHECKSUM queries
 # (queries/families.py) that hash-verify every oracle-backed tail
-# member in one row each — membership lives in family_defs.py (55
+# member in one row each — membership lives in family_defs.py (56
 # members as of round 4; only the rows-only R2/R3 fits sit outside).
 # The tail members keep their individual entries after position 50,
 # so a driver without the cap records them too. Any NEW query must
@@ -177,6 +177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cust_fuzzy_match": export_q.cust_fuzzy_match,
     "doc_lm_score": lm_q.doc_lm_score,
     "doc_importance_weights": lm_q.doc_importance_weights,
+    "ann_recall_eval": similarity.ann_recall_eval,
     "table_changes_feed": streaming_q.table_changes_feed,
     "events_zorder_key": layout_q.events_zorder_key,
     "doc_split_assign": splits_q.doc_split_assign,
@@ -292,6 +293,7 @@ ORACLES: dict[str, str] = {
     "cust_fuzzy_match": export_q.CUST_FUZZY_MATCH_SQL,
     "doc_lm_score": lm_q.DOC_LM_SCORE_SQL,
     "doc_importance_weights": lm_q.DOC_IMPORTANCE_WEIGHTS_SQL,
+    "ann_recall_eval": similarity.ANN_RECALL_EVAL_SQL,
     "table_changes_feed": streaming_q.TABLE_CHANGES_FEED_SQL,
     "events_zorder_key": layout_q.EVENTS_ZORDER_KEY_SQL,
     "doc_split_assign": splits_q.DOC_SPLIT_ASSIGN_SQL,

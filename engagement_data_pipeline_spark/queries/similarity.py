@@ -293,3 +293,43 @@ SELECT label, s.dim AS dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        / (CAST(COUNT(*) AS DOUBLE) * {_MICRO}) AS mean_value
 FROM ex GROUP BY label, s.dim
 """
+
+
+# --- retrieval eval (recall@k / MRR of LSH vs brute force) ----------------
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k and reciprocal rank of the LSH index against the
+    brute-force ground truth on the same query set
+    (training/similarity.py:retrieval_eval)."""
+    apply_runtime_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    approx = S.cosine_topk_lsh(emb, QUERY_IDS, K,
+                               nbits=LSH_QUERY_BITS, dim=EMB_DIM)
+    exact = S.cosine_topk(emb, QUERY_IDS, K)
+    return S.retrieval_eval(approx, exact)
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH approx AS ({ANN_TOPK_LSH_SQL}),
+exact AS ({ANN_TOPK_BRUTEFORCE_SQL}),
+top1 AS (SELECT query_id, vec_id AS best_vec FROM exact WHERE rank = 1),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM approx a JOIN exact t USING (query_id, vec_id)
+  GROUP BY a.query_id
+),
+kq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
+       FROM exact GROUP BY query_id),
+rr AS (
+  SELECT a.query_id, 1.0 / CAST(MIN(a.rank) AS DOUBLE) AS rr
+  FROM approx a JOIN top1 USING (query_id)
+  WHERE a.vec_id = top1.best_vec
+  GROUP BY a.query_id
+)
+SELECT kq.query_id,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / CAST(kq.k AS DOUBLE)
+         AS recall_at_k,
+       COALESCE(rr.rr, 0.0) AS rr
+FROM kq LEFT JOIN hits USING (query_id) LEFT JOIN rr USING (query_id)
+"""

@@ -268,3 +268,37 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                 cosine(F.col("a.emb"), F.col("b.emb")).alias("cosine"))
         .where(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def retrieval_eval(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Retrieval-quality metrics of an ANN result against brute-force
+    ground truth — the eval harness run after any index/nbits change.
+
+    Both inputs are (query_id, vec_id, rank) top-k tables. Returns one
+    row per query: n_hits (approx ∩ truth), recall_at_k (n_hits / k,
+    k taken per query from the TRUTH's row count so a truncated
+    approximate list is penalized, not hidden) and rr (reciprocal
+    rank of the TRUE nearest neighbor inside the approx list; 0.0
+    when missed). Shape: two semi-join-sized hash joins keyed on
+    (query_id, vec_id) + one per-query aggregation — the metric cost
+    is O(|results|), independent of corpus size."""
+    a = approx.select("query_id", "vec_id", "rank")
+    t = exact.select("query_id", "vec_id")
+    top1 = (exact.where(F.col("rank") == 1)
+            .select("query_id", F.col("vec_id").alias("best_vec")))
+    hits = a.join(t, ["query_id", "vec_id"], "left_semi")
+    n_hits = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"))
+    k_per_q = t.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k"))
+    rr = (a.join(top1, "query_id")
+          .where(F.col("vec_id") == F.col("best_vec"))
+          .groupBy("query_id")
+          .agg((F.lit(1.0) / F.min("rank").cast("double")).alias("rr")))
+    return (k_per_q.join(n_hits, "query_id", "left")
+            .join(rr, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)).cast("double")
+                     / F.col("k").cast("double")).alias("recall_at_k"),
+                    F.coalesce("rr", F.lit(0.0)).alias("rr")))

@@ -96,3 +96,25 @@ def test_lsh_bucket_literal_path_matches_runtime_hashing(spark):
 
     with pytest.raises(Exception, match="embedding length"):
         emb.select(lsh_bucket(F.col("embedding"), 4, dim=32)).collect()
+
+
+def test_retrieval_eval_metrics(spark):
+    from engagement_data_pipeline_spark.training.similarity import (
+        retrieval_eval)
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id long, vec_id long, rank long")
+    # q1: approx finds 2 of 3, true best at rank 2 -> rr 0.5
+    # q2: approx finds none -> recall 0, rr 0
+    approx = spark.createDataFrame(
+        [(1, 99, 1), (1, 10, 2), (1, 12, 3),
+         (2, 98, 1), (2, 97, 2), (2, 96, 3)],
+        "query_id long, vec_id long, rank long")
+    out = {r["query_id"]: r for r in
+           retrieval_eval(approx, exact).collect()}
+    assert out[1]["n_hits"] == 2 and out[1]["recall_at_k"] == 2 / 3
+    assert out[1]["rr"] == 0.5
+    assert out[2]["n_hits"] == 0 and out[2]["recall_at_k"] == 0.0
+    assert out[2]["rr"] == 0.0
