@@ -20,7 +20,7 @@ from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
                multimodal_q, packing_q, quality_q, sessions_q,
                similarity, sketch_q, skew_q, stats_q, streaming_q,
                temporal_q, tpch, training)
-from . import layout_q, splits_q  # noqa: F401
+from . import layout_q, profile_q, splits_q  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -115,6 +115,11 @@ _EVENTS_MEMBERS = {
     "events_zorder_key": (
         layout_q.events_zorder_key, layout_q.EVENTS_ZORDER_KEY_SQL,
         [("event_id", "bigint"), ("zkey", "bigint")]),
+    "orders_col_stats": (
+        profile_q.orders_col_stats, profile_q.ORDERS_COL_STATS_SQL,
+        [("column", "string"), ("n_rows", "bigint"),
+         ("n_nulls", "bigint"), ("n_distinct", "bigint"),
+         ("min_value", "double"), ("max_value", "double")]),
 }
 
 # --- training-data extras -------------------------------------------------

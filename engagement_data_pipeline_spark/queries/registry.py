@@ -28,6 +28,7 @@ from . import (
     maintenance_q,
     multimodal_q,
     packing_q,
+    profile_q,
     quality_q,
     regression,
     sketch_q,
@@ -60,7 +61,7 @@ from . import (
 # Defense in depth: positions 1-47 are the 47 highest-value individual
 # queries; positions 48-50 are three FAMILY CHECKSUM queries
 # (queries/families.py) that hash-verify every oracle-backed tail
-# member in one row each — membership lives in family_defs.py (56
+# member in one row each — membership lives in family_defs.py (57
 # members as of round 4; only the rows-only R2/R3 fits sit outside).
 # The tail members keep their individual entries after position 50,
 # so a driver without the cap records them too. Any NEW query must
@@ -178,6 +179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lm_score": lm_q.doc_lm_score,
     "doc_importance_weights": lm_q.doc_importance_weights,
     "ann_recall_eval": similarity.ann_recall_eval,
+    "orders_col_stats": profile_q.orders_col_stats,
     "table_changes_feed": streaming_q.table_changes_feed,
     "events_zorder_key": layout_q.events_zorder_key,
     "doc_split_assign": splits_q.doc_split_assign,
@@ -294,6 +296,7 @@ ORACLES: dict[str, str] = {
     "doc_lm_score": lm_q.DOC_LM_SCORE_SQL,
     "doc_importance_weights": lm_q.DOC_IMPORTANCE_WEIGHTS_SQL,
     "ann_recall_eval": similarity.ANN_RECALL_EVAL_SQL,
+    "orders_col_stats": profile_q.ORDERS_COL_STATS_SQL,
     "table_changes_feed": streaming_q.TABLE_CHANGES_FEED_SQL,
     "events_zorder_key": layout_q.EVENTS_ZORDER_KEY_SQL,
     "doc_split_assign": splits_q.DOC_SPLIT_ASSIGN_SQL,

@@ -73,3 +73,31 @@ def test_expect_empty_rule_list_is_an_error(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="at least one rule"):
         Q.expect(df, [])
+
+
+# --- column_stats (operators/profile.py) ----------------------------------
+
+def test_column_stats_one_pass_values(spark):
+    from engagement_data_pipeline_spark.operators.profile import column_stats
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", None), (3, None, 8.0), (3, "b", 8.0)],
+        "k long, s string, v double")
+    out = {r["column"]: r for r in column_stats(df).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 3
+    assert (out["k"]["min_value"], out["k"]["max_value"]) == (1.0, 3.0)
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_value"] is None  # non-numeric: no min/max
+    assert out["v"]["n_nulls"] == 1
+    assert (out["v"]["min_value"], out["v"]["max_value"]) == (2.0, 8.0)
+
+
+def test_column_stats_approx_close(spark):
+    from engagement_data_pipeline_spark.operators.profile import column_stats
+
+    df = spark.range(5000).selectExpr("id", "id % 97 AS m")
+    out = {r["column"]: r for r in
+           column_stats(df, approx=True).collect()}
+    assert abs(out["id"]["n_distinct"] - 5000) / 5000 < 0.15  # rsd=0.05, 3 sigma
+    assert abs(out["m"]["n_distinct"] - 97) / 97 < 0.15
