@@ -186,6 +186,15 @@ def _bucket_paths(table_path: str, buckets: dict[int, int],
             for b, ver in sorted(wanted.items())]
 
 
+def _read_buckets(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
+    """Scan version directories with mergeSchema: buckets written
+    before a schema evolution keep their old file schema, and the
+    union schema must come from all footers, not the first one the
+    reader happens to open. Footer cost is bounded by the files read
+    (per batch: touched buckets only)."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def read_merged_table(spark: SparkSession, table_path: str) -> DataFrame:
     """Read the committed state of a merge target: resolve the latest
     manifest and scan only the current version directory of each
@@ -196,7 +205,20 @@ def read_merged_table(spark: SparkSession, table_path: str) -> DataFrame:
         # Pre-manifest layout (or a foreign parquet dir): best effort.
         df = spark.read.parquet(table_path)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
-    return spark.read.parquet(*_bucket_paths(table_path, man["buckets"]))
+    return _read_buckets(spark, _bucket_paths(table_path, man["buckets"]))
+
+
+def read_table_at(spark: SparkSession, table_path: str,
+                  commit: int) -> DataFrame:
+    """Time travel: read the table exactly as of `commit`. Version
+    directories are immutable and manifests are retained, so any
+    commit whose data `vacuum_table` has not reclaimed reads back
+    byte-identical — the Delta ``VERSION AS OF`` analog, implemented
+    by resolving the historical manifest instead of the latest."""
+    man = _manifest_at(spark, table_path, commit)
+    if not man["buckets"]:
+        return read_merged_table(spark, table_path).limit(0)
+    return _read_buckets(spark, _bucket_paths(table_path, man["buckets"]))
 
 
 def dedup_within_watermark(stream: DataFrame, key_cols: Sequence[str],
@@ -265,11 +287,23 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                      batch.select(BUCKET_COL).distinct().collect())
         cur = _bucket_paths(table_path, man["buckets"], only=hit)
         if cur:
-            existing = (spark.read.parquet(*cur)
+            existing = (_read_buckets(spark, cur)
                         .withColumn(BUCKET_COL,
                                     origin_bucket(origin_cols, nb)))
         else:  # batch only hits never-seen buckets
             existing = spark.createDataFrame([], batch.schema)
+        if set(existing.columns) != set(batch.columns):
+            # Schema evolution (Delta mergeSchema analog): align both
+            # sides to the union of columns — historical rows read a
+            # newly-added column as NULL, new rows NULL-fill columns
+            # the batch dropped. Union-with-empty adds the missing
+            # columns without touching any row.
+            existing = existing.unionByName(
+                spark.createDataFrame([], batch.schema),
+                allowMissingColumns=True)
+            batch = batch.unionByName(
+                spark.createDataFrame([], existing.schema),
+                allowMissingColumns=True)
         merged = idempotent_upsert(existing, batch, origin_cols)
         commit = man["commit"] + 1
         _write_version(merged, table_path, commit, len(hit))
@@ -326,10 +360,10 @@ def table_changes(spark: SparkSession, table_path: str, from_commit: int,
     new_paths = _bucket_paths(table_path, new_b, only=changed)
     old_paths = _bucket_paths(table_path, old_b, only=changed)
     if new_paths:
-        new_df = spark.read.parquet(*new_paths)
+        new_df = _read_buckets(spark, new_paths)
     else:  # nothing changed: empty changeset with the table's schema
         new_df = read_merged_table(spark, table_path).limit(0)
-    old_df = (spark.read.parquet(*old_paths) if old_paths
+    old_df = (_read_buckets(spark, old_paths) if old_paths
               else spark.createDataFrame([], new_df.schema))
     keys = list(man_to["origin"])
     payload = [c for c in new_df.columns if c not in keys]
@@ -350,7 +384,7 @@ def compact_table(spark: SparkSession, table_path: str,
     man = read_table_manifest(spark, table_path)
     if man is None:
         return
-    df = (spark.read.parquet(*_bucket_paths(table_path, man["buckets"]))
+    df = (_read_buckets(spark, _bucket_paths(table_path, man["buckets"]))
           .withColumn(BUCKET_COL,
                       origin_bucket(man["origin"], man["n_buckets"])))
     commit = man["commit"] + 1
@@ -370,7 +404,7 @@ def rebucket_table(spark: SparkSession, table_path: str,
     man = read_table_manifest(spark, table_path)
     if man is None:
         return
-    df = (spark.read.parquet(*_bucket_paths(table_path, man["buckets"]))
+    df = (_read_buckets(spark, _bucket_paths(table_path, man["buckets"]))
           .withColumn(BUCKET_COL,
                       origin_bucket(man["origin"], new_n_buckets)))
     commit = man["commit"] + 1

@@ -417,3 +417,41 @@ def test_table_changes_same_commit_empty_and_missing_raises(spark, tmp_path):
                              to_commit=1).count() == 0
     with _pytest.raises(Exception):
         ing.table_changes(spark, table, from_commit=99)
+
+
+def test_time_travel_reads_each_commit(spark, tmp_path):
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=4)
+    merge(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), 0)
+    merge(spark.createDataFrame([("c", 3)], "k string, v int"), 1)
+    merge(spark.createDataFrame([("a", 99), ("d", 4)],
+                                "k string, v int"), 2)
+    v1 = {r["k"] for r in ing.read_table_at(spark, table, 1).collect()}
+    v2 = {r["k"] for r in ing.read_table_at(spark, table, 2).collect()}
+    v3 = {r["k"]: r["v"]
+          for r in ing.read_table_at(spark, table, 3).collect()}
+    assert v1 == {"a", "b"} and v2 == {"a", "b", "c"}
+    assert v3 == {"a": 1, "b": 2, "c": 3, "d": 4}  # existing-wins
+    latest = {r["k"]: r["v"]
+              for r in ing.read_merged_table(spark, table).collect()}
+    assert latest == v3
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=4)
+    merge(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), 0)
+    merge(spark.createDataFrame([("c", 3, "x")],
+                                "k string, v int, extra string"), 1)
+    rows = {r["k"]: (r["v"], r["extra"])
+            for r in ing.read_merged_table(spark, table).collect()}
+    assert rows == {"a": (1, None), "b": (2, None), "c": (3, "x")}
+    # a later narrow batch still merges: dropped column NULL-fills
+    merge(spark.createDataFrame([("d", 4)], "k string, v int"), 2)
+    rows = {r["k"]: (r["v"], r["extra"])
+            for r in ing.read_merged_table(spark, table).collect()}
+    assert rows["d"] == (4, None) and rows["c"] == (3, "x")
