@@ -120,6 +120,12 @@ _EVENTS_MEMBERS = {
         [("column", "string"), ("n_rows", "bigint"),
          ("n_nulls", "bigint"), ("n_distinct", "bigint"),
          ("min_value", "double"), ("max_value", "double")]),
+    "events_anomaly_days": (
+        temporal_q.events_anomaly_days, temporal_q.EVENTS_ANOMALY_DAYS_SQL,
+        [("event_type", "string"), ("day_us", "bigint"),
+         ("n_events", "bigint"), ("baseline_days", "bigint"),
+         ("baseline_mean", "double"), ("z", "double"),
+         ("is_anomaly", "boolean")]),
 }
 
 # --- training-data extras -------------------------------------------------

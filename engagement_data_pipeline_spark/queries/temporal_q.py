@@ -272,3 +272,73 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day_us
              RANGE BETWEEN {(_TRAIL_DAYS - 1) * _DAY_US} PRECEDING
                        AND CURRENT ROW)
 """
+
+
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic anomaly detection: flag (event_type, day) cells whose
+    daily count deviates from the trailing-week baseline by more than
+    2σ. The monitoring query a pipeline operator runs over ingest
+    volumes (the reference eyeballs its A7 traffic export; this is
+    the alerting form).
+
+    Exactness: the baseline window carries INTEGER sums (Σc, Σc²), so
+    the 2σ test is the integer inequality
+    (n·c − S)² > 4·(n·Q − S²) — no float compare at the decision
+    boundary; the reported z uses sqrt, which IEEE requires correctly
+    rounded, over exact-integer-derived doubles, so both engines agree
+    bitwise. Shape: one hash aggregation to daily grain, then a
+    window over |types|×|days| rows — trivial at any corpus size."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"))
+    daily = ev.groupBy("event_type", "day_us").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    w = (Window.partitionBy("event_type").orderBy("day_us")
+         .rangeBetween(-7 * _DAY_US, -_DAY_US))
+    base = daily.select(
+        "event_type", "day_us", "c",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("c").over(w).cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("long").alias("q"))
+    base = base.where(F.col("n") >= 3)
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")  # n²·var
+    z = F.when(
+        var_n2 > 0,
+        dev.cast("double") / F.sqrt(var_n2.cast("double"))
+    ).otherwise(F.lit(None).cast("double"))
+    return base.select(
+        "event_type", "day_us", F.col("c").alias("n_events"),
+        F.col("n").alias("baseline_days"),
+        (F.col("s").cast("double") / F.col("n").cast("double"))
+        .alias("baseline_mean"),
+        z.alias("z"),
+        (dev * dev > F.lit(4) * var_n2).alias("is_anomaly"))
+
+
+EVENTS_ANOMALY_DAYS_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, day_us, c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(c) OVER w AS BIGINT) AS s,
+         CAST(SUM(c * c) OVER w AS BIGINT) AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_us
+               RANGE BETWEEN {7 * _DAY_US} PRECEDING
+                         AND {_DAY_US} PRECEDING)
+)
+SELECT event_type, day_us, c AS n_events,
+       n AS baseline_days,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS baseline_mean,
+       CASE WHEN n * q - s * s > 0
+            THEN CAST(n * c - s AS DOUBLE)
+                 / sqrt(CAST(n * q - s * s AS DOUBLE))
+            ELSE NULL END AS z,
+       (n * c - s) * (n * c - s) > 4 * (n * q - s * s) AS is_anomaly
+FROM base WHERE n >= 3
+"""

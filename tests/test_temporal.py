@@ -150,3 +150,40 @@ def test_range_join_matches_naive_quadratic_reference(spark):
     want = {(i, j) for i, lk, lts in left for j, rk, rts in right
             if lk == rk and 0 <= lts - rts <= win}
     assert got == want
+
+
+def test_anomaly_days_integer_boundary(spark, tmp_path):
+    """A spike > 2 sigma over the trailing-week baseline flags; a flat
+    series never does; the decision is the integer inequality, not a
+    float compare."""
+    import datetime as dt
+
+    from engagement_data_pipeline_spark.queries.temporal_q import (
+        events_anomaly_days)
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for day in range(10):
+        n = 100 if day < 9 else 250   # big spike on the last day
+        for _ in range(n):
+            rows.append((eid, eid % 7, base + dt.timedelta(days=day),
+                         "visit", 1.0))
+            eid += 1
+    for day in range(10):             # a flat control series
+        for _ in range(50):
+            rows.append((eid, eid % 7, base + dt.timedelta(days=day),
+                         "flat", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    path = str(tmp_path / "ev")
+    df.write.parquet(path + "/events.parquet")
+    out = events_anomaly_days(spark, path).collect()
+    spikes = [r for r in out if r["is_anomaly"]]
+    assert [(r["event_type"], r["n_events"]) for r in spikes] == [
+        ("visit", 250)]
+    flat = [r for r in out if r["event_type"] == "flat"]
+    assert flat and all(not r["is_anomaly"] for r in flat)
+    assert all(r["z"] is None for r in flat)  # zero variance baseline
