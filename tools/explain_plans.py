@@ -53,6 +53,13 @@ HEADLINE = [
     "doc_bloom_contamination",  # bitmap build: one bit_or agg; broadcast probe
     "emb_kmeans",               # literal-centroid assign: zero-shuffle project
     "emb_semantic_neardup",     # cluster-blocked self-join, exact verify
+    "doc_lm_score",             # bigram LM: explode + 2 hash joins + fold
+    "doc_importance_weights",   # dual-model scoring in one exploded pass
+    "doc_split_assign",         # exact split: one strata-keyed window
+    "events_zorder_key",        # Morton key: pure codegen projection
+    "orders_col_stats",         # one-agg ANALYZE: Expand for exact NDVs
+    "events_anomaly_days",      # daily agg + trailing window, int-exact 2s
+    "ann_recall_eval",          # metric joins over top-k results
 ]
 
 
