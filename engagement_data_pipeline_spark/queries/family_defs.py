@@ -20,7 +20,7 @@ from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
                multimodal_q, packing_q, quality_q, sessions_q,
                similarity, sketch_q, skew_q, stats_q, streaming_q,
                temporal_q, tpch, training)
-from . import layout_q, profile_q, splits_q  # noqa: F401
+from . import curation_q, layout_q, profile_q, splits_q  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -238,6 +238,10 @@ _TRAINING_MEMBERS = {
         [("doc_id", "bigint"), ("n_bigrams", "bigint"),
          ("sum_p_target", "double"), ("sum_p_raw", "double"),
          ("importance", "double")]),
+    "doc_curation_report": (
+        curation_q.doc_curation_report, curation_q.DOC_CURATION_REPORT_SQL,
+        [("doc_id", "bigint"), ("source", "string"),
+         ("disposition", "string"), ("split", "string")]),
 }
 
 

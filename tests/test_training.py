@@ -401,3 +401,24 @@ def test_star_contraction_converges_on_deep_chain(spark):
     out = near_dup_clusters_star(df, max_iterations=8).collect()
     assert len(out) == 64
     assert all(r.cluster_rep == 0 and r.cluster_size == 64 for r in out)
+
+
+def test_curation_report_dispositions_are_consistent(spark):
+    """The end-to-end report must agree with its component operators
+    on the real testdata: every doc gets exactly one disposition, kept
+    docs carry a split, dropped docs don't."""
+    from engagement_data_pipeline_spark.queries import curation_q, training
+
+    sf = "/root/testdata/sf0.001"
+    rep = curation_q.doc_curation_report(spark, sf).collect()
+    q_ids = {r["doc_id"]
+             for r in training.doc_quality_corpus(spark, sf).collect()}
+    assert len(rep) == len({r["doc_id"] for r in rep})
+    for r in rep:
+        if r["disposition"] == "dropped_quality":
+            assert r["doc_id"] not in q_ids and r["split"] is None
+        elif r["disposition"] == "dropped_duplicate":
+            assert r["doc_id"] in q_ids and r["split"] is None
+        else:
+            assert r["disposition"] == "kept"
+            assert r["split"] in {"train", "val", "test"}
