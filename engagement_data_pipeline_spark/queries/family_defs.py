@@ -21,6 +21,7 @@ from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
                similarity, sketch_q, skew_q, stats_q, streaming_q,
                temporal_q, tpch, training)
 from . import curation_q, layout_q, profile_q, splits_q  # noqa: F401
+from . import collocations_q  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -242,6 +243,12 @@ _TRAINING_MEMBERS = {
         curation_q.doc_curation_report, curation_q.DOC_CURATION_REPORT_SQL,
         [("doc_id", "bigint"), ("source", "string"),
          ("disposition", "string"), ("split", "string")]),
+    "doc_pmi_collocations": (
+        collocations_q.doc_pmi_collocations,
+        collocations_q.DOC_PMI_COLLOCATIONS_SQL,
+        [("w1", "string"), ("w2", "string"), ("n_pair", "bigint"),
+         ("n_w1", "bigint"), ("n_w2", "bigint"),
+         ("pmi_ratio", "double")]),
 }
 
 

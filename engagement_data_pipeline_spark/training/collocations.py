@@ -1,0 +1,76 @@
+"""PMI collocation extraction: the adjacent word pairs most
+associated beyond chance — the classic corpus-linguistics tool for
+tokenizer-merge audits (which pairs deserve a single token) and
+phrase mining.
+
+Score is the PMI's argument as an exact rational surrogate,
+    ratio = (c(xy)/B) / ((c(x)/N) · (c(y)/N)),
+computed with a FIXED operand order of IEEE divisions/multiplies of
+exact integers so both engines agree bitwise; ``log`` of it (the
+textbook PMI) is monotone in it and not bit-stable across engines —
+the same trade as the BM25 rational idf. Numerators are never
+multiplied out (c·N² would overflow int64 on a 10^13-token corpus);
+each factor is normalized into double first, where magnitude is not a
+correctness concern.
+
+Shape at scale: one token explode + one bigram explode (each a hash
+aggregation with map-side combine), a two-key join of the bigram
+counts against the unigram counts (shuffles on word keys; pass
+``broadcast_unigrams=True`` when the vocabulary fits), scalar totals
+broadcast, and a TakeOrderedAndProject top-k — no window over the
+full vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.topk import top_k_rows
+from .dedup import normalize_text
+from .text import spread_narrow_scan
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 5, k: int = 50,
+                     broadcast_unigrams: bool = False) -> DataFrame:
+    """Top-k adjacent-pair collocations by the rational PMI surrogate.
+    Returns (w1, w2, n_pair, n_w1, n_w2, pmi_ratio), ties broken by
+    (w1, w2)."""
+    docs = spread_narrow_scan(docs)
+    words = F.split(normalize_text(F.col(text_col)), " ")
+
+    toks = docs.select(F.explode(words).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    totals_n = toks.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+
+    bg = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.struct(
+                        F.element_at(words, i).alias("w1"),
+                        F.element_at(words, i + 1).alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = docs.select(F.explode(bg).alias("p")).select("p.w1", "p.w2")
+    pair_counts = (pairs.groupBy("w1", "w2")
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_pair")))
+    totals_b = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
+
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    if broadcast_unigrams:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
+    scored = (pair_counts.where(F.col("n_pair") >= min_count)
+              .join(u1, "w1").join(u2, "w2")
+              .crossJoin(F.broadcast(totals_n))
+              .crossJoin(F.broadcast(totals_b)))
+    ratio = ((F.col("n_pair").cast("double")
+              / F.col("n_bigrams").cast("double"))
+             / ((F.col("n_w1").cast("double")
+                 / F.col("n_tokens").cast("double"))
+                * (F.col("n_w2").cast("double")
+                   / F.col("n_tokens").cast("double"))))
+    scored = scored.select("w1", "w2", "n_pair", "n_w1", "n_w2",
+                           ratio.alias("pmi_ratio"))
+    return top_k_rows(scored, [F.col("pmi_ratio").desc(),
+                               F.col("w1"), F.col("w2")], k)

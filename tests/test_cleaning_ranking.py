@@ -117,3 +117,30 @@ def test_bm25_multi_term_sums_per_term_weights(spark):
     for doc_id, s in both.items():
         expect = single_a.get(doc_id, 0.0) + single_b.get(doc_id, 0.0)
         assert abs(s - expect) < 1e-12
+
+
+# --- PMI collocations -----------------------------------------------------
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    """A pair that always co-occurs outranks a pair of independently
+    frequent words."""
+    from engagement_data_pipeline_spark.training.collocations import (
+        pmi_collocations)
+
+    rows = [(i, "hong kong is big and big and busy") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, min_count=5, k=5).collect()
+    top = (out[0]["w1"], out[0]["w2"])
+    assert top == ("hong", "kong")
+    scores = {(r["w1"], r["w2"]): r["pmi_ratio"] for r in out}
+    assert scores[("hong", "kong")] > scores.get(("and", "big"), 0.0)
+
+
+def test_pmi_min_count_filters(spark):
+    from engagement_data_pipeline_spark.training.collocations import (
+        pmi_collocations)
+
+    docs = spark.createDataFrame(
+        [(1, "rare pair here"), (2, "other words")],
+        "doc_id long, text string")
+    assert pmi_collocations(docs, min_count=2, k=10).count() == 0
