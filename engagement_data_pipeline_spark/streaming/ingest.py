@@ -365,6 +365,14 @@ def table_changes(spark: SparkSession, table_path: str, from_commit: int,
         new_df = read_merged_table(spark, table_path).limit(0)
     old_df = (_read_buckets(spark, old_paths) if old_paths
               else spark.createDataFrame([], new_df.schema))
+    if set(old_df.columns) != set(new_df.columns):
+        # Schema evolved between the commits: align both sides to the
+        # column union (NULL-filled) so the diff sees an added column
+        # as a change on rows that later set it, not a select error.
+        old_df = old_df.unionByName(spark.createDataFrame([], new_df.schema),
+                                    allowMissingColumns=True)
+        new_df = new_df.unionByName(spark.createDataFrame([], old_df.schema),
+                                    allowMissingColumns=True)
     keys = list(man_to["origin"])
     payload = [c for c in new_df.columns if c not in keys]
     diff = snapshot_diff(old_df, new_df, keys, payload)

@@ -455,3 +455,16 @@ def test_merge_schema_evolution_adds_column(spark, tmp_path):
     rows = {r["k"]: (r["v"], r["extra"])
             for r in ing.read_merged_table(spark, table).collect()}
     assert rows["d"] == (4, None) and rows["c"] == (3, "x")
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=4)
+    merge(spark.createDataFrame([("a", 1)], "k string, v int"), 0)
+    merge(spark.createDataFrame([("b", 2, "x")],
+                                "k string, v int, extra string"), 1)
+    ch = {r["k"]: (r["op"], r["extra"]) for r in
+          ing.table_changes(spark, table, from_commit=1).collect()}
+    assert ch == {"b": ("insert", "x")}
