@@ -113,6 +113,11 @@ _EVENTS_MEMBERS = {
         [("origin_id", "string"), ("op", "string"),
          ("changed_cols", "string"), ("participant_uuid", "string"),
          ("text", "string"), ("received_on", "string")]),
+    "table_agg_incremental": (
+        streaming_q.table_agg_incremental,
+        streaming_q.TABLE_AGG_INCREMENTAL_SQL,
+        [("participant_uuid", "string"), ("n_messages", "bigint"),
+         ("first_received", "string"), ("last_received", "string")]),
     "events_zorder_key": (
         layout_q.events_zorder_key, layout_q.EVENTS_ZORDER_KEY_SQL,
         [("event_id", "bigint"), ("zkey", "bigint")]),

@@ -140,3 +140,62 @@ SELECT b.origin_id, 'insert' AS op, '' AS changed_cols,
 FROM b LEFT JOIN a ON b.origin_id = a.origin_id
 WHERE a.origin_id IS NULL
 """
+
+
+# --- incremental MV maintenance driven by the change feed -----------------
+
+def table_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained aggregate OVER THE MERGE TABLE: three
+    direct merges build the table commit by commit; the per-sender
+    rollup is initialized from commit 1 and then folded forward using
+    ONLY `table_changes` between consecutive commits (aggregate_state
+    + merge_aggregate_state) — the change feed powering a materialized
+    view, each refresh O(state + changes), never O(table). The oracle
+    recomputes the rollup from scratch over the DISTINCT union of the
+    slices, so the hash match IS feed-driven-maintenance ==
+    full-recompute."""
+    from ..operators.incremental import (aggregate_state,
+                                         merge_aggregate_state)
+    from ..streaming.ingest import read_table_at, table_changes
+
+    apply_runtime_conf(spark)
+    table = os.path.join(tempfile.mkdtemp(prefix="edp-mv-"), "table")
+    rows = _fixture_rows(spark, sf_dir)
+    merge = foreach_batch_upsert(table, ["origin_id"], transform=_add_origin)
+    for batch_id, mods in enumerate([(0,), (1, 2), (2, 3)]):
+        merge(rows.where((F.col("event_id") % 4).isin(list(mods))), batch_id)
+
+    group = ["participant_uuid"]
+    metrics = {"n_messages": ("origin_id", "count"),
+               "first_received": ("received_on", "min"),
+               "last_received": ("received_on", "max")}
+    state = aggregate_state(read_table_at(spark, table, 1), group, metrics)
+    for commit in (2, 3):
+        inserts = (table_changes(spark, table, commit - 1, commit)
+                   .where(F.col("op") == "insert")
+                   .select("origin_id", "participant_uuid", "received_on"))
+        state = merge_aggregate_state(
+            state, aggregate_state(inserts, group, metrics), group, metrics)
+    return state
+
+
+TABLE_AGG_INCREMENTAL_SQL = """
+WITH rows AS (
+  SELECT 'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
+         'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
+  FROM events WHERE event_id % 16 < 4 AND event_id % 4 IN (0, 1, 2, 3)
+),
+merged AS (
+  SELECT DISTINCT
+         'csv:' || sha256(sender || '|' || message || '|' || received_on)
+           AS origin_id,
+         sender AS participant_uuid, received_on
+  FROM rows
+)
+SELECT participant_uuid,
+       CAST(COUNT(origin_id) AS BIGINT) AS n_messages,
+       MIN(received_on) AS first_received,
+       MAX(received_on) AS last_received
+FROM merged GROUP BY participant_uuid
+"""

@@ -221,6 +221,39 @@ def read_table_at(spark: SparkSession, table_path: str,
     return _read_buckets(spark, _bucket_paths(table_path, man["buckets"]))
 
 
+def lookup_origin(spark: SparkSession, table_path: str,
+                  key: Sequence[str]) -> DataFrame:
+    """Point lookup by origin key in O(one bucket): the bucket id is a
+    pure function of the key, so the read touches exactly one version
+    directory however large the table is — the reference's per-message
+    Firestore get (engagement_db get_messages by origin,
+    SURVEY §2.1 S1) re-expressed against the bucketed layout. Hash
+    bucketing spreads every VALUE range across all buckets, so
+    min/max-style pruning can never help here; key-derived bucket
+    addressing is the lookup path this layout buys instead. Origin
+    keys are strings throughout this engine (origin ids); a non-string
+    origin column would hash differently from the string literal and
+    needs a typed key row instead."""
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    origin = list(man["origin"])
+    if len(key) != len(origin):
+        raise ValueError(f"key arity {len(key)} != origin {origin}")
+    one = spark.createDataFrame([tuple(key)], ", ".join(
+        f"{c} string" for c in origin))
+    b = one.select(origin_bucket(origin, man["n_buckets"])).first()[0]
+    if b not in man["buckets"]:
+        return read_merged_table(spark, table_path).limit(0)
+    df = _read_buckets(spark, _bucket_paths(table_path, man["buckets"],
+                                            only=[b]))
+    cond = None
+    for c, v in zip(origin, key):
+        eq = F.col(c) == F.lit(v)
+        cond = eq if cond is None else cond & eq
+    return df.where(cond)
+
+
 def dedup_within_watermark(stream: DataFrame, key_cols: Sequence[str],
                            ts_col: str, delay: str = "10 minutes") -> DataFrame:
     """Streaming F1/K1 twin: drop duplicate origin keys arriving

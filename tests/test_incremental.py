@@ -468,3 +468,20 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
     ch = {r["k"]: (r["op"], r["extra"]) for r in
           ing.table_changes(spark, table, from_commit=1).collect()}
     assert ch == {"b": ("insert", "x")}
+
+
+def test_lookup_origin_reads_one_bucket(spark, tmp_path):
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=8)
+    merge(spark.createDataFrame([(f"k{i}", i) for i in range(64)],
+                                "k string, v int"), 0)
+    hit = ing.lookup_origin(spark, table, ["k7"])
+    rows = hit.collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("k7", 7)]
+    # the scan relation holds exactly one bucket directory's files
+    files = {f.rsplit("/bucket=", 1)[1].split("/")[0]
+             for f in hit.inputFiles()}
+    assert len(files) == 1
+    assert ing.lookup_origin(spark, table, ["nope"]).count() == 0
