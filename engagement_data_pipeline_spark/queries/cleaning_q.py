@@ -143,3 +143,28 @@ SELECT * FROM (
 
 
 DOC_BM25_TOPK_SQL = _bm25_sql()
+
+
+# --- BM25 over a prebuilt persistent index --------------------------------
+
+def doc_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranking as `doc_bm25_topk` but served from a materialized
+    postings index (build once, query without touching the corpus) —
+    shares doc_bm25_topk's oracle, so the hash match certifies
+    index-serving == direct-scan scoring."""
+    import os
+    import tempfile
+
+    apply_runtime_conf(spark)
+    cache = getattr(doc_bm25_indexed, "_index", {})
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = cache.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="edp-idx-"), "text")
+        R.build_text_index(load(spark, sf_dir, "documents"), path)
+        cache[key] = path
+        doc_bm25_indexed._index = cache
+    return R.bm25_topk_indexed(spark, path, BM25_QUERIES, k=BM25_K)
+
+
+DOC_BM25_INDEXED_SQL = DOC_BM25_TOPK_SQL

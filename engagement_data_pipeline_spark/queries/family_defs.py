@@ -211,6 +211,10 @@ _TRAINING_MEMBERS = {
         cleaning_q.doc_bm25_topk, cleaning_q.DOC_BM25_TOPK_SQL,
         [("query_id", "string"), ("doc_id", "bigint"),
          ("score", "double"), ("rank", "int")]),
+    "doc_bm25_indexed": (
+        cleaning_q.doc_bm25_indexed, cleaning_q.DOC_BM25_INDEXED_SQL,
+        [("query_id", "string"), ("doc_id", "bigint"),
+         ("score", "double"), ("rank", "int")]),
     "doc_bloom_contamination": (
         sketch_q.doc_bloom_contamination,
         sketch_q.DOC_BLOOM_CONTAMINATION_SQL,

@@ -128,3 +128,68 @@ def bm25_topk(docs: DataFrame, queries: Mapping[str, Sequence[str]],
     return top_k_per_group(scored, ["query_id"],
                            [F.col("score").desc(), F.col("doc_id")], k,
                            rank_col="rank")
+
+
+def build_text_index(docs: DataFrame, path: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_term_buckets: int = 32) -> None:
+    """Materialize the BM25 index: the tf postings (doc_id, term, tf,
+    dl) hash-distributed into term-keyed parquet groups plus a one-row
+    corpus-stats table (n_docs, sum_dl). Build cost = the one corpus
+    explode, paid ONCE; every later query reads postings instead of
+    re-scanning 100 TB of text. Postings are repartitioned by term
+    hash and written as one file per group, so a query's broadcast
+    semi-join touches well-clustered row groups; a real deployment
+    would layer `sinks.layout.write_partitioned` pruning on top."""
+    tf, _ = term_stats(docs, text_col, id_col)
+    (tf.repartition(n_term_buckets, F.col("term"))
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(f"{path}/postings"))
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    (docs.select(F.size(words).alias("dl"))
+     .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+          F.sum("dl").cast("long").alias("sum_dl"))
+     .write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def bm25_topk_indexed(spark, index_path: str,
+                      queries: Mapping[str, Sequence[str]], k: int = 10,
+                      k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """BM25 over a prebuilt index: identical scores to `bm25_topk`
+    (same fold order — the equivalence is pinned by test and by
+    sharing the oracle), but the corpus text is never touched — the
+    plan is a broadcast semi-join of the query terms against the
+    postings scan plus the same window/fold, so query latency scales
+    with |postings of the query terms|, not corpus size."""
+    from pyspark.sql import Window
+
+    tf = spark.read.parquet(f"{index_path}/postings")
+    n_docs_avgdl = spark.read.parquet(f"{index_path}/stats")
+    qrows = [(qid, t) for qid, terms in sorted(queries.items())
+             for t in sorted(set(terms))]
+    qdf = spark.createDataFrame(qrows, "query_id string, term string")
+    qterms = qdf.select("term").distinct()
+    tf = (tf.join(F.broadcast(qterms), "term")
+          .withColumn("df", F.count(F.lit(1))
+                      .over(Window.partitionBy("term")).cast("long")))
+    idf = ((F.col("n_docs").cast("double") - F.col("df").cast("double")
+            + F.lit(0.5)) / (F.col("df").cast("double") + F.lit(0.5)))
+    dl_norm = (F.lit(1.0 - b)
+               + F.lit(b) * F.col("dl").cast("double")
+               / (F.col("sum_dl").cast("double")
+                  / F.col("n_docs").cast("double")))
+    w = (idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+         / (F.col("tf").cast("double") + F.lit(k1) * dl_norm))
+    per_term = (tf.join(F.broadcast(qdf), "term")
+                .crossJoin(F.broadcast(n_docs_avgdl))
+                .select("query_id", "doc_id", "term", w.alias("w")))
+    scored = (
+        per_term.groupBy("query_id", "doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "w"))).alias("ws"))
+        .select("query_id", "doc_id",
+                F.aggregate(F.col("ws"), F.lit(0.0),
+                            lambda acc, s: acc + s["w"]).alias("score"))
+    )
+    return top_k_per_group(scored, ["query_id"],
+                           [F.col("score").desc(), F.col("doc_id")], k,
+                           rank_col="rank")

@@ -144,3 +144,23 @@ def test_pmi_min_count_filters(spark):
         [(1, "rare pair here"), (2, "other words")],
         "doc_id long, text string")
     assert pmi_collocations(docs, min_count=2, k=10).count() == 0
+
+
+def test_indexed_bm25_equals_direct(spark, tmp_path):
+    from engagement_data_pipeline_spark.training.ranking import (
+        bm25_topk, bm25_topk_indexed, build_text_index)
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data across the cluster"),
+         (2, "the cluster runs spark jobs"),
+         (3, "ducks swim on the pond"),
+         (4, "spark spark spark everywhere")],
+        "doc_id long, text string")
+    queries = {"q1": ["spark", "cluster"], "q2": ["pond"]}
+    direct = bm25_topk(docs, queries, k=3).orderBy(
+        "query_id", "rank").collect()
+    path = str(tmp_path / "idx")
+    build_text_index(docs, path, n_term_buckets=4)
+    indexed = bm25_topk_indexed(spark, path, queries, k=3).orderBy(
+        "query_id", "rank").collect()
+    assert direct == indexed
