@@ -60,6 +60,9 @@ HEADLINE = [
     "orders_col_stats",         # one-agg ANALYZE: Expand for exact NDVs
     "events_anomaly_days",      # daily agg + trailing window, int-exact 2s
     "ann_recall_eval",          # metric joins over top-k results
+    "doc_pmi_collocations",     # token+bigram aggs, rational PMI top-k
+    "doc_curation_report",      # 3 doc_id-keyed left joins of components
+    "doc_bm25_indexed",         # postings-index serve: broadcast semi-join
 ]
 
 
