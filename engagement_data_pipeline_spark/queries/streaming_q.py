@@ -110,7 +110,10 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     table = os.path.join(tempfile.mkdtemp(prefix="edp-cdf-"), "table")
     rows = _fixture_rows(spark, sf_dir)
-    merge = foreach_batch_upsert(table, ["origin_id"], transform=_add_origin)
+    # n_buckets per suggest_n_buckets for a few-MB fixture table —
+    # the 100 TB default (16+) only adds per-bucket file overhead here
+    merge = foreach_batch_upsert(table, ["origin_id"],
+                                 transform=_add_origin, n_buckets=4)
     for batch_id, mods in enumerate([(0, 1), (1, 2)]):
         merge(rows.where((F.col("event_id") % 4).isin(list(mods))), batch_id)
     return table_changes(spark, table, from_commit=1)
@@ -161,7 +164,8 @@ def table_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     table = os.path.join(tempfile.mkdtemp(prefix="edp-mv-"), "table")
     rows = _fixture_rows(spark, sf_dir)
-    merge = foreach_batch_upsert(table, ["origin_id"], transform=_add_origin)
+    merge = foreach_batch_upsert(table, ["origin_id"],
+                                 transform=_add_origin, n_buckets=4)
     for batch_id, mods in enumerate([(0,), (1, 2), (2, 3)]):
         merge(rows.where((F.col("event_id") % 4).isin(list(mods))), batch_id)
 
