@@ -21,7 +21,7 @@ from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
                similarity, sketch_q, skew_q, stats_q, streaming_q,
                temporal_q, tpch, training)
 from . import curation_q, layout_q, profile_q, splits_q  # noqa: F401
-from . import collocations_q  # noqa: F401
+from . import classifier_q, collocations_q  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -258,6 +258,11 @@ _TRAINING_MEMBERS = {
         [("w1", "string"), ("w2", "string"), ("n_pair", "bigint"),
          ("n_w1", "bigint"), ("n_w2", "bigint"),
          ("pmi_ratio", "double")]),
+    "doc_classifier_margin": (
+        classifier_q.doc_classifier_margin,
+        classifier_q.DOC_CLASSIFIER_MARGIN_SQL,
+        [("doc_id", "bigint"), ("margin", "double"),
+         ("keep", "boolean")]),
 }
 
 

@@ -18,6 +18,7 @@ from . import (
     adapters_extra,
     analysis,
     cdc_q,
+    classifier_q,
     cleaning_q,
     clustering_q,
     collocations_q,
@@ -63,7 +64,7 @@ from . import (
 # Defense in depth: positions 1-47 are the 47 highest-value individual
 # queries; positions 48-50 are three FAMILY CHECKSUM queries
 # (queries/families.py) that hash-verify every oracle-backed tail
-# member in one row each — membership lives in family_defs.py (62
+# member in one row each — membership lives in family_defs.py (63
 # members as of round 4; only the rows-only R2/R3 fits sit outside).
 # The tail members keep their individual entries after position 50,
 # so a driver without the cap records them too. Any NEW query must
@@ -187,6 +188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pmi_collocations": collocations_q.doc_pmi_collocations,
     "table_agg_incremental": streaming_q.table_agg_incremental,
     "doc_bm25_indexed": cleaning_q.doc_bm25_indexed,
+    "doc_classifier_margin": classifier_q.doc_classifier_margin,
     "table_changes_feed": streaming_q.table_changes_feed,
     "events_zorder_key": layout_q.events_zorder_key,
     "doc_split_assign": splits_q.doc_split_assign,
@@ -309,6 +311,7 @@ ORACLES: dict[str, str] = {
     "doc_pmi_collocations": collocations_q.DOC_PMI_COLLOCATIONS_SQL,
     "table_agg_incremental": streaming_q.TABLE_AGG_INCREMENTAL_SQL,
     "doc_bm25_indexed": cleaning_q.DOC_BM25_INDEXED_SQL,
+    "doc_classifier_margin": classifier_q.DOC_CLASSIFIER_MARGIN_SQL,
     "table_changes_feed": streaming_q.TABLE_CHANGES_FEED_SQL,
     "events_zorder_key": layout_q.EVENTS_ZORDER_KEY_SQL,
     "doc_split_assign": splits_q.DOC_SPLIT_ASSIGN_SQL,
