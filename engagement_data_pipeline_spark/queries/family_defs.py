@@ -304,8 +304,9 @@ _SIMILARITY_MM_MEMBERS = {
          ("chunk_end_ms", "bigint")]),
     "ann_recall_eval": (
         similarity.ann_recall_eval, similarity.ANN_RECALL_EVAL_SQL,
-        [("query_id", "bigint"), ("n_hits", "bigint"),
-         ("recall_at_k", "double"), ("rr", "double")]),
+        [("index", "string"), ("query_id", "bigint"),
+         ("n_hits", "bigint"), ("recall_at_k", "double"),
+         ("rr", "double")]),
 }
 
 

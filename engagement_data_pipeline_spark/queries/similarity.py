@@ -295,41 +295,55 @@ FROM ex GROUP BY label, s.dim
 """
 
 
-# --- retrieval eval (recall@k / MRR of LSH vs brute force) ----------------
+# --- retrieval eval (recall@k / MRR of both indexes vs brute force) -------
 
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k and reciprocal rank of the LSH index against the
-    brute-force ground truth on the same query set
-    (training/similarity.py:retrieval_eval)."""
+    """Recall@k and reciprocal rank of BOTH approximate indexes (LSH
+    and IVF) against the brute-force ground truth on the same query
+    set (training/similarity.py:retrieval_eval) — one eval frame per
+    index, labeled, so an index/nbits change shows its quality delta
+    side by side."""
+    from pyspark.sql import functions as F
+
     apply_runtime_conf(spark)
     emb = load(spark, sf_dir, "embeddings")
-    approx = S.cosine_topk_lsh(emb, QUERY_IDS, K,
-                               nbits=LSH_QUERY_BITS, dim=EMB_DIM)
     exact = S.cosine_topk(emb, QUERY_IDS, K)
-    return S.retrieval_eval(approx, exact)
+    evals = []
+    for name, approx in (
+            ("lsh", S.cosine_topk_lsh(emb, QUERY_IDS, K,
+                                      nbits=LSH_QUERY_BITS, dim=EMB_DIM)),
+            ("ivf", S.cosine_topk_ivf(emb, QUERY_IDS, K))):
+        evals.append(S.retrieval_eval(approx, exact)
+                     .select(F.lit(name).alias("index"), "*"))
+    return evals[0].unionByName(evals[1])
 
 
-ANN_RECALL_EVAL_SQL = f"""
-WITH approx AS ({ANN_TOPK_LSH_SQL}),
-exact AS ({ANN_TOPK_BRUTEFORCE_SQL}),
-top1 AS (SELECT query_id, vec_id AS best_vec FROM exact WHERE rank = 1),
-hits AS (
-  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-  FROM approx a JOIN exact t USING (query_id, vec_id)
-  GROUP BY a.query_id
-),
-kq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
-       FROM exact GROUP BY query_id),
-rr AS (
-  SELECT a.query_id, 1.0 / CAST(MIN(a.rank) AS DOUBLE) AS rr
-  FROM approx a JOIN top1 USING (query_id)
-  WHERE a.vec_id = top1.best_vec
-  GROUP BY a.query_id
-)
-SELECT kq.query_id,
+def _eval_block(name: str, approx_sql: str) -> str:
+    return f"""
+SELECT '{name}' AS index, kq.query_id,
        COALESCE(hits.n_hits, 0) AS n_hits,
        CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / CAST(kq.k AS DOUBLE)
          AS recall_at_k,
        COALESCE(rr.rr, 0.0) AS rr
-FROM kq LEFT JOIN hits USING (query_id) LEFT JOIN rr USING (query_id)
-"""
+FROM (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
+      FROM exact GROUP BY query_id) kq
+LEFT JOIN (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM ({approx_sql}) a JOIN exact t USING (query_id, vec_id)
+  GROUP BY a.query_id
+) hits USING (query_id)
+LEFT JOIN (
+  SELECT a.query_id, 1.0 / CAST(MIN(a.rank) AS DOUBLE) AS rr
+  FROM ({approx_sql}) a
+  JOIN (SELECT query_id, vec_id AS best_vec
+        FROM exact WHERE rank = 1) top1 USING (query_id)
+  WHERE a.vec_id = top1.best_vec
+  GROUP BY a.query_id
+) rr USING (query_id)"""
+
+
+ANN_RECALL_EVAL_SQL = (
+    f"WITH exact AS ({ANN_TOPK_BRUTEFORCE_SQL})"
+    + _eval_block("lsh", ANN_TOPK_LSH_SQL)
+    + " UNION ALL " + _eval_block("ivf", ANN_TOPK_IVF_SQL)
+)
