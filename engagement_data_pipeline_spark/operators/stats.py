@@ -357,3 +357,46 @@ def bloom_probe(sketch: DataFrame, keys: DataFrame, key_col: str,
                   "left")
             .groupBy(key_col)
             .agg((F.min(hit) == 1).alias("bloom_hit")))
+
+
+def hdr_percentile_assign(df: DataFrame, sketch: DataFrame,
+                          value_col: str,
+                          k: int = HDR_K) -> DataFrame:
+    """Assign every row its percentile WITHOUT a global sort: join the
+    row's HDR bucket against the broadcast cumulative histogram and
+    report the strictly-below fraction (and its bucket's mass, so
+    callers see the resolution). The 100 TB way to quantile-normalize
+    a signal — a window over the corpus sorts everything; this is one
+    zero-skew broadcast join against ≤63k cells, exact to bucket
+    resolution (≤1/k relative error on the value axis, the sketch's
+    own bound). Rows below the sketch domain (< 1) get percentile 0.0.
+
+    Output: df columns + `pct_below` (double in [0,1)) +
+    `pct_bucket_mass` (fraction of rows sharing the bucket).
+    Exactness: both fractions are single divisions of exact integer
+    counts from the (corpus-wide) sketch — bit-identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    cum = (sketch.select("bucket", "c")
+           .withColumn("below", F.coalesce(F.sum("c").over(w),
+                                           F.lit(0)).cast("long"))
+           .crossJoin(F.broadcast(
+               sketch.agg(F.sum("c").cast("long").alias("total")))))
+    x = F.col(value_col).cast("long")
+    bucketed = df.withColumn(
+        "__b", F.when(x >= 1, hdr_bucket(x, k)).otherwise(F.lit(-1)))
+    joined = bucketed.join(
+        F.broadcast(cum.withColumnRenamed("bucket", "__b")), "__b", "left")
+    return (joined
+            .withColumn("pct_below",
+                        F.when(F.col("__b") < 0, F.lit(0.0))
+                        .otherwise(F.col("below").cast("double")
+                                   / F.col("total").cast("double")))
+            .withColumn("pct_bucket_mass",
+                        F.when(F.col("__b") < 0, F.lit(0.0))
+                        .otherwise(F.col("c").cast("double")
+                                   / F.col("total").cast("double")))
+            .drop("__b", "c", "below", "total"))

@@ -104,6 +104,11 @@ _EVENTS_MEMBERS = {
         stats_q.hdr_state_merge, stats_q.HDR_STATE_MERGE_SQL,
         [("source", "string"), ("q", "double"), ("n", "bigint"),
          ("est_merged", "double"), ("est_full", "double")]),
+    "doc_length_percentiles": (
+        stats_q.doc_length_percentiles,
+        stats_q.DOC_LENGTH_PERCENTILES_SQL,
+        [("doc_id", "bigint"), ("n_chars", "bigint"),
+         ("pct_below", "double"), ("pct_bucket_mass", "double")]),
     "cust_fuzzy_match": (
         export_q.cust_fuzzy_match, export_q.CUST_FUZZY_MATCH_SQL,
         [("left_key", "bigint"), ("right_key", "bigint"),

@@ -64,7 +64,7 @@ from . import (
 # Defense in depth: positions 1-47 are the 47 highest-value individual
 # queries; positions 48-50 are three FAMILY CHECKSUM queries
 # (queries/families.py) that hash-verify every oracle-backed tail
-# member in one row each — membership lives in family_defs.py (63
+# member in one row each — membership lives in family_defs.py (64
 # members as of round 4; only the rows-only R2/R3 fits sit outside).
 # The tail members keep their individual entries after position 50,
 # so a driver without the cap records them too. Any NEW query must
@@ -189,6 +189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_agg_incremental": streaming_q.table_agg_incremental,
     "doc_bm25_indexed": cleaning_q.doc_bm25_indexed,
     "doc_classifier_margin": classifier_q.doc_classifier_margin,
+    "doc_length_percentiles": stats_q.doc_length_percentiles,
     "table_changes_feed": streaming_q.table_changes_feed,
     "events_zorder_key": layout_q.events_zorder_key,
     "doc_split_assign": splits_q.doc_split_assign,
@@ -312,6 +313,7 @@ ORACLES: dict[str, str] = {
     "table_agg_incremental": streaming_q.TABLE_AGG_INCREMENTAL_SQL,
     "doc_bm25_indexed": cleaning_q.DOC_BM25_INDEXED_SQL,
     "doc_classifier_margin": classifier_q.DOC_CLASSIFIER_MARGIN_SQL,
+    "doc_length_percentiles": stats_q.DOC_LENGTH_PERCENTILES_SQL,
     "table_changes_feed": streaming_q.TABLE_CHANGES_FEED_SQL,
     "events_zorder_key": layout_q.EVENTS_ZORDER_KEY_SQL,
     "doc_split_assign": splits_q.DOC_SPLIT_ASSIGN_SQL,

@@ -206,3 +206,46 @@ SELECT m.source, m.q, m.n, m.est_merged, f.est_full
 FROM q_est_merged m JOIN q_est_full f
   ON m.source = f.source AND m.q = f.q
 """
+
+
+# --- sketch-driven percentile normalization --------------------------------
+
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's length percentile WITHOUT a corpus sort:
+    bucket join against the broadcast cumulative HDR histogram
+    (operators/stats.py:hdr_percentile_assign) — the way a 100 TB run
+    quantile-normalizes a quality signal."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sk = ST.hdr_sketch(docs, [], "n_chars")
+    return ST.hdr_percentile_assign(docs, sk, "n_chars")
+
+
+DOC_LENGTH_PERCENTILES_SQL = f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         CAST((length(bin(n_chars)) - 1) * {ST.HDR_K}
+              + floor((n_chars - pow(2, length(bin(n_chars)) - 1))
+                      / pow(2, length(bin(n_chars)) - 1) * {ST.HDR_K})
+              AS INT) AS bucket
+  FROM documents WHERE n_chars >= 1
+),
+sk AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bucket),
+cum AS (
+  SELECT bucket, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below,
+         CAST(SUM(c) OVER () AS BIGINT) AS total
+  FROM sk
+)
+SELECT d.doc_id, d.n_chars,
+       CASE WHEN b.bucket IS NULL THEN 0.0
+            ELSE CAST(cum.below AS DOUBLE) / CAST(cum.total AS DOUBLE)
+            END AS pct_below,
+       CASE WHEN b.bucket IS NULL THEN 0.0
+            ELSE CAST(cum.c AS DOUBLE) / CAST(cum.total AS DOUBLE)
+            END AS pct_bucket_mass
+FROM documents d
+LEFT JOIN b ON d.doc_id = b.doc_id
+LEFT JOIN cum ON b.bucket = cum.bucket
+"""

@@ -103,3 +103,27 @@ def test_hdr_quantiles_error_bound_and_merge(spark):
     halves = [df.where(F.col("i") % 2 == 0), df.where(F.col("i") % 2 == 1)]
     merged = hdr_merge([hdr_sketch(h, ["g"], "v") for h in halves], ["g"])
     assert sorted(merged.collect()) == sorted(sk.collect())
+
+
+def test_hdr_percentile_assign_orders_and_bounds(spark):
+    """Percentiles are monotone in the value, bounded in [0,1), and a
+    row's pct_below + its bucket mass accounts for all rows at or
+    below its bucket."""
+    from engagement_data_pipeline_spark.operators.stats import (
+        hdr_percentile_assign, hdr_sketch)
+
+    df = spark.range(1, 1001).selectExpr("id AS doc_id",
+                                         "id * 3 AS metric")
+    sk = hdr_sketch(df, [], "metric")
+    out = hdr_percentile_assign(df, sk, "metric").collect()
+    by_val = sorted(out, key=lambda r: r["metric"])
+    last = -1.0
+    for r in by_val:
+        assert 0.0 <= r["pct_below"] < 1.0
+        assert r["pct_below"] >= last
+        last = r["pct_below"]
+        assert r["pct_below"] + r["pct_bucket_mass"] <= 1.0 + 1e-12
+    # sub-domain rows pin to 0.0
+    zero = spark.createDataFrame([(1, 0)], "doc_id long, metric long")
+    z = hdr_percentile_assign(zero, sk, "metric").first()
+    assert z["pct_below"] == 0.0 and z["pct_bucket_mass"] == 0.0
