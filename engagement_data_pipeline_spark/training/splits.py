@@ -104,3 +104,22 @@ def split_assign_exact(docs: DataFrame,
     last = splits[-1][0]
     split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return out.withColumn("split", split).drop("__r", "__n")
+
+
+def split_assign_exact_groups(docs: DataFrame, group_col: str,
+                              splits: Sequence[tuple[str, int]] = DEFAULT_SPLITS,
+                              den: int = DEFAULT_DEN,
+                              strata_cols: Sequence[str] = (),
+                              salt: str = "split-v1") -> DataFrame:
+    """Exact-count + leakage-guarded: assign whole GROUPS (all rows of
+    a participant/source document share one split) with exact integer
+    counts at group granularity — the combination neither base variant
+    offers (hash = cohesive but approximate; exact = precise but
+    row-grained). One distinct over (strata, group) + the strata-keyed
+    window of `split_assign_exact` + one join back keyed on the group
+    — all shuffles on the group/strata keys."""
+    keys = [*strata_cols, group_col]
+    groups = docs.select(*keys).distinct()
+    assigned = split_assign_exact(groups, splits, den, id_col=group_col,
+                                  strata_cols=strata_cols, salt=salt)
+    return docs.join(assigned.select(*keys, "split"), keys)

@@ -68,3 +68,21 @@ def test_bad_weights_raise(spark):
     with pytest.raises(ValueError):
         split_assign_exact(_docs(spark, 10), splits=(("a", -1), ("b", 21)),
                            den=20)
+
+
+def test_group_exact_split_cohesive_and_exact(spark):
+    from engagement_data_pipeline_spark.training.splits import (
+        split_assign_exact_groups)
+
+    df = _docs(spark, 500)  # 5 groups of 100 rows
+    out = split_assign_exact_groups(df, "grp")
+    per_group = (out.groupBy("grp")
+                 .agg(F.count_distinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_group)
+    # exact counts at GROUP granularity: 5 groups -> 4/0/1 split
+    gsplits = {r["grp"]: r["split"] for r in
+               out.select("grp", "split").distinct().collect()}
+    from collections import Counter
+    c = Counter(gsplits.values())
+    assert c["train"] == (5 * 18) // 20 and c["test"] == 5 - (5 * 19) // 20
+    assert len(out.collect()) == 500
