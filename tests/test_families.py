@@ -74,3 +74,28 @@ def test_family_query_unions_all_members(spark, tmp_path):
     rows = {r.member: r for r in fam(spark, str(tmp_path)).collect()}
     assert set(rows) == {"one", "two"}
     assert rows["one"].n_rows == 1 and rows["two"].n_rows == 2
+
+
+def test_every_oracle_backed_tail_query_is_family_covered():
+    """Registry hygiene, automated: the driver records only the first
+    50 registry rows, so every oracle-backed query past position 50
+    MUST be a member of one of the three checksum families (or the
+    driver has no evidence for it). This test turns the by-hand rule
+    in registry.py's header into a failing build."""
+    from engagement_data_pipeline_spark.queries import family_defs, registry
+
+    names = list(registry.QUERIES)
+    tail = set(names[50:])
+    oracle_backed_tail = {n for n in tail if n in registry.ORACLES}
+    covered = (set(family_defs._EVENTS_MEMBERS)
+               | set(family_defs._TRAINING_MEMBERS)
+               | set(family_defs._SIMILARITY_MM_MEMBERS))
+    missing = oracle_backed_tail - covered
+    assert not missing, (
+        f"oracle-backed tail queries outside every family: {sorted(missing)}")
+    # families must not reference queries that left the registry
+    stale = covered - set(names)
+    assert not stale, f"family members missing from registry: {sorted(stale)}"
+    # and the head must contain the three family rows themselves
+    assert {"family_events", "family_training",
+            "family_similarity_mm"} <= set(names[:50])
