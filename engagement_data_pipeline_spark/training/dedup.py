@@ -566,3 +566,25 @@ def minhash_incremental_matches(corpus: DataFrame, batch: DataFrame,
                 (inter.cast("double") / union.cast("double")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def solve_lsh_params(threshold: float, n_hashes: int = NUM_HASHES
+                     ) -> tuple[int, int]:
+    """(bands, rows) for a target Jaccard threshold: among the
+    divisor pairs b·r = n_hashes, pick the banding whose S-curve
+    inflection (1/b)^(1/r) sits closest to the threshold — the
+    standard MMDS §3.4.3 tuning rule, so operators size BANDS from
+    the dedup policy instead of guessing. Deterministic ties break
+    toward more bands (higher recall at the threshold)."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        inflection = (1.0 / b) ** (1.0 / r)
+        key = (abs(inflection - threshold), -b)
+        if best is None or key < best[0]:
+            best = (key, (b, r))
+    return best[1]

@@ -422,3 +422,24 @@ def test_curation_report_dispositions_are_consistent(spark):
         else:
             assert r["disposition"] == "kept"
             assert r["split"] in {"train", "val", "test"}
+
+
+def test_solve_lsh_params_s_curve_rule():
+    from engagement_data_pipeline_spark.training.dedup import (
+        NUM_HASHES, solve_lsh_params)
+
+    b, r = solve_lsh_params(0.5, NUM_HASHES)
+    assert b * r == NUM_HASHES
+    assert (1.0 / b) ** (1.0 / r) == min(
+        ((1.0 / bb) ** (bb / NUM_HASHES) for bb in range(1, NUM_HASHES + 1)
+         if NUM_HASHES % bb == 0),
+        key=lambda x: abs(x - 0.5))
+    # higher thresholds want fewer bands (stricter buckets)
+    assert solve_lsh_params(0.9, NUM_HASHES)[0] <= b
+    # the shipped BANDS=4 banding sits ABOVE the solver's 0.5 pick on
+    # purpose (precision-leaning; exact-Jaccard verify restores
+    # recall) — the solver documents the trade rather than hiding it
+    assert solve_lsh_params(0.63, NUM_HASHES) == (4, 3)
+    import pytest
+    with pytest.raises(ValueError):
+        solve_lsh_params(0.0)
