@@ -63,6 +63,8 @@ HEADLINE = [
     "doc_pmi_collocations",     # token+bigram aggs, rational PMI top-k
     "doc_curation_report",      # 3 doc_id-keyed left joins of components
     "doc_bm25_indexed",         # postings-index serve: broadcast semi-join
+    "doc_classifier_margin",    # linear inference: zero-shuffle projection
+    "doc_length_percentiles",   # percentile via broadcast HDR histogram
 ]
 
 
