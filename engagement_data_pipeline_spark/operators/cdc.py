@@ -94,3 +94,47 @@ def versioned_changeset(versioned: DataFrame, key_cols: Sequence[str],
                 F.when(in_old, changed).otherwise(F.lit(""))
                 .alias("changed_cols"))
             .where((F.col("op") != "update") | (F.col("changed_cols") != "")))
+
+
+def scd2_from_versions(versioned: DataFrame, key_cols: Sequence[str],
+                       ts_col: str,
+                       state_cols: Sequence[str]) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build from a versioned
+    history: one row per (key, distinct consecutive state) with
+    `valid_from` / `valid_to` / `is_current` — the warehouse shape for
+    "what did this message look like on date X" questions the
+    reference answers by re-reading old Firestore exports (SURVEY
+    §2.1 S1's full-table snapshots).
+
+    Two steps, ONE shuffle on the key:
+    1. Change compression — consecutive versions whose `state_cols`
+       all match null-safely collapse into the earlier row (a
+       re-snapshot without a change must not open a new validity
+       interval).
+    2. Interval assembly — `valid_to` = next surviving row's
+       `valid_from` (half-open intervals, so `valid_from <= t <
+       valid_to` partitions time exactly); the last row per key is
+       `is_current` with NULL `valid_to`.
+
+    Both windows share the same partitioning, so the second pays no
+    extra exchange. Ties on `ts_col` are broken by the key columns for
+    determinism; a true duplicate (same key + ts) should be resolved
+    upstream by F1 `latest_snapshot`.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.row_number().over(w) == 1
+    for c in state_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    # Window expressions can't sit in WHERE: project the flag, filter.
+    compressed = (versioned.withColumn("__scd2_open", changed)
+                  .where(F.col("__scd2_open")).drop("__scd2_open"))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    valid_to = F.lead(ts_col).over(w2)
+    return compressed.select(
+        *key_cols, *state_cols,
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"))

@@ -83,3 +83,59 @@ diff AS (
 SELECT message_id, op, changed_cols FROM diff
 WHERE op <> 'update' OR changed_cols <> ''
 """
+
+
+# --- SCD Type-2 dimension build ------------------------------------------
+
+#: Tracked dimension state. The synthetic v2 snapshots re-code labels
+#: (changed) but rarely change dataset/status (unchanged unless
+#: moved), so change compression is exercised in both directions:
+#: some re-snapshots open a new interval, others collapse away.
+_SCD2_STATE = ["dataset", "status", "label_code"]
+
+
+def scd2_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history over the versioned messages table: one row
+    per (message, distinct consecutive state) with half-open
+    validity intervals and an `is_current` flag — `scd2_from_versions`
+    compresses unchanged re-snapshots and assembles intervals in one
+    key-partitioned shuffle (operators/cdc.py)."""
+    from ..operators.cdc import scd2_from_versions
+
+    msgs = engagement._messages(spark, sf_dir)
+    flat = msgs.select(
+        "message_id", "dataset", "status",
+        F.get(F.col("labels"), 0)["code_id"].alias("label_code"),
+        micros("last_updated").alias("lu_us"))
+    return (scd2_from_versions(flat, ["message_id"], "lu_us", _SCD2_STATE)
+            .select("message_id", *_SCD2_STATE,
+                    F.col("valid_from").alias("valid_from_us"),
+                    F.col("valid_to").alias("valid_to_us"),
+                    "is_current"))
+
+
+SCD2_MESSAGES_SQL = "WITH " + latest_cte() + """,
+flat AS (
+  SELECT message_id, dataset, status,
+         COALESCE(label2_code, label_code) AS label_code,
+         epoch_us(last_updated) AS lu_us
+  FROM messages
+),
+marked AS (
+  SELECT *,
+         (ROW_NUMBER() OVER w = 1
+          OR dataset    IS DISTINCT FROM LAG(dataset)    OVER w
+          OR status     IS DISTINCT FROM LAG(status)     OVER w
+          OR label_code IS DISTINCT FROM LAG(label_code) OVER w) AS opens
+  FROM flat
+  WINDOW w AS (PARTITION BY message_id ORDER BY lu_us, message_id)
+),
+compressed AS (SELECT * FROM marked WHERE opens)
+SELECT message_id, dataset, status, label_code,
+       lu_us AS valid_from_us,
+       LEAD(lu_us) OVER (PARTITION BY message_id
+                         ORDER BY lu_us, message_id) AS valid_to_us,
+       (LEAD(lu_us) OVER (PARTITION BY message_id
+                          ORDER BY lu_us, message_id) IS NULL) AS is_current
+FROM compressed
+"""

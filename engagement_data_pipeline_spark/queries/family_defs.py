@@ -21,7 +21,7 @@ from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
                similarity, sketch_q, skew_q, stats_q, streaming_q,
                temporal_q, tpch, training)
 from . import curation_q, layout_q, profile_q, splits_q  # noqa: F401
-from . import classifier_q, collocations_q  # noqa: F401
+from . import classifier_q, collocations_q, hybrid_q  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -118,6 +118,17 @@ _EVENTS_MEMBERS = {
         [("origin_id", "string"), ("op", "string"),
          ("changed_cols", "string"), ("participant_uuid", "string"),
          ("text", "string"), ("received_on", "string")]),
+    "table_delete_feed": (
+        streaming_q.table_delete_feed, streaming_q.TABLE_DELETE_FEED_SQL,
+        [("origin_id", "string"), ("op", "string"),
+         ("changed_cols", "string"), ("participant_uuid", "string"),
+         ("text", "string"), ("received_on", "string")]),
+    "scd2_messages": (
+        cdc_q.scd2_messages, cdc_q.SCD2_MESSAGES_SQL,
+        [("message_id", "string"), ("dataset", "string"),
+         ("status", "string"), ("label_code", "string"),
+         ("valid_from_us", "bigint"), ("valid_to_us", "bigint"),
+         ("is_current", "boolean")]),
     "table_agg_incremental": (
         streaming_q.table_agg_incremental,
         streaming_q.TABLE_AGG_INCREMENTAL_SQL,
@@ -198,6 +209,11 @@ _TRAINING_MEMBERS = {
         [("doc_id", "bigint"), ("shard", "bigint"), ("n_tokens", "bigint"),
          ("start_offset", "bigint"), ("seq_first", "bigint"),
          ("seq_last", "bigint")]),
+    "doc_batch_plan": (
+        packing_q.doc_batch_plan, packing_q.DOC_BATCH_PLAN_SQL,
+        [("bucket_cap", "bigint"), ("shard", "bigint"),
+         ("batch_id", "bigint"), ("n_docs", "bigint"),
+         ("sum_tokens", "bigint"), ("padding_waste", "bigint")]),
     "doc_chunks": (
         packing_q.doc_chunks, packing_q.DOC_CHUNKS_SQL,
         [("doc_id", "bigint"), ("chunk_idx", "int"), ("tok_start", "bigint"),
@@ -274,6 +290,14 @@ _TRAINING_MEMBERS = {
 # --- similarity / multimodal ---------------------------------------------
 
 _SIMILARITY_MM_MEMBERS = {
+    "doc_hybrid_rrf": (
+        hybrid_q.doc_hybrid_rrf, hybrid_q.DOC_HYBRID_RRF_SQL,
+        [("query_id", "string"), ("doc_id", "bigint"),
+         ("rrf_score", "double"), ("rank", "int")]),
+    "emb_quantize": (
+        similarity.emb_quantize, similarity.EMB_QUANTIZE_SQL,
+        [("vec_id", "bigint"), ("codes", "string"),
+         ("max_abs_err", "double")]),
     "emb_kmeans": (
         clustering_q.emb_kmeans, clustering_q.EMB_KMEANS_SQL,
         [("vec_id", "bigint"), ("cluster", "bigint"),

@@ -6,8 +6,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..tables import load
-from ..training.packing import (chunk_plan, chunk_plan_sql, pack_plan,
-                                pack_plan_sql)
+from ..training.packing import (batch_plan_sql, chunk_plan, chunk_plan_sql,
+                                pack_plan, pack_plan_sql)
 from ._helpers import apply_runtime_conf
 
 
@@ -33,3 +33,15 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_CHUNKS_SQL = chunk_plan_sql()
+
+
+def doc_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching with per-batch padding-waste
+    accounting: one window per (cap, shard) + a subset regroup — the
+    serving-side twin of seq_packing (training/packing.py:batch_plan)."""
+    from ..training.packing import batch_plan
+
+    return batch_plan(_docs(spark, sf_dir))
+
+
+DOC_BATCH_PLAN_SQL = batch_plan_sql()

@@ -26,6 +26,7 @@ from . import (
     engagement,
     export_q,
     family_defs,
+    hybrid_q,
     layout_q,
     lm_q,
     maintenance_q,
@@ -193,6 +194,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_changes_feed": streaming_q.table_changes_feed,
     "events_zorder_key": layout_q.events_zorder_key,
     "doc_split_assign": splits_q.doc_split_assign,
+    "scd2_messages": cdc_q.scd2_messages,
+    "table_delete_feed": streaming_q.table_delete_feed,
+    "doc_hybrid_rrf": hybrid_q.doc_hybrid_rrf,
+    "doc_batch_plan": packing_q.doc_batch_plan,
+    "emb_quantize": similarity.emb_quantize,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
     "r2_logistic_regression": regression.r2_logistic_regression,
     "r3_mice_pooled": regression.r3_mice_pooled,
@@ -317,6 +323,11 @@ ORACLES: dict[str, str] = {
     "table_changes_feed": streaming_q.TABLE_CHANGES_FEED_SQL,
     "events_zorder_key": layout_q.EVENTS_ZORDER_KEY_SQL,
     "doc_split_assign": splits_q.DOC_SPLIT_ASSIGN_SQL,
+    "scd2_messages": cdc_q.SCD2_MESSAGES_SQL,
+    "table_delete_feed": streaming_q.TABLE_DELETE_FEED_SQL,
+    "doc_hybrid_rrf": hybrid_q.DOC_HYBRID_RRF_SQL,
+    "doc_batch_plan": packing_q.DOC_BATCH_PLAN_SQL,
+    "emb_quantize": similarity.EMB_QUANTIZE_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"

@@ -347,3 +347,59 @@ ANN_RECALL_EVAL_SQL = (
     + _eval_block("lsh", ANN_TOPK_LSH_SQL)
     + " UNION ALL " + _eval_block("ivf", ANN_TOPK_IVF_SQL)
 )
+
+
+# --- int8 scalar quantization --------------------------------------------
+
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine uint8 quantization of the embedding corpus
+    (training/quantize.py): fit = one 2·d-expression aggregation,
+    codes + midpoint reconstruction error = one zero-shuffle
+    projection against the broadcast stats row. All arithmetic is
+    IEEE doubles in pinned operand order, so codes AND the error
+    column hash-match the DuckDB re-derivation exactly."""
+    from pyspark.sql import functions as F
+
+    from ..training import quantize as Q
+
+    apply_runtime_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    stats = Q.quantize_fit(emb, EMB_DIM)
+    out = Q.dequant_error(emb, stats, EMB_DIM)
+    # codes as a comma-joined string: family checksums and the driver
+    # canonicalise scalar cells, not nested lists
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform(F.col("codes"),
+                                 lambda c: c.cast("string")), ",")
+        .alias("codes"),
+        "max_abs_err")
+
+
+EMB_QUANTIZE_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, {EMB_DIM + 1}) t(i)
+),
+stats AS (
+  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY i
+),
+sc AS (
+  SELECT i, mn,
+         CASE WHEN mx - mn = CAST(0 AS DOUBLE) THEN CAST(1 AS DOUBLE)
+              ELSE mx - mn END AS s
+  FROM stats
+),
+coded AS (
+  SELECT ex.vec_id, ex.i, ex.x, sc.mn, sc.s,
+         GREATEST(0, LEAST(255, CAST(FLOOR(
+           (ex.x - sc.mn) / sc.s * CAST(255 AS DOUBLE)) AS INTEGER)))
+           AS code
+  FROM ex JOIN sc USING (i)
+)
+SELECT vec_id,
+       array_to_string(list(code ORDER BY i), ',') AS codes,
+       MAX(ABS(x - (mn + (CAST(code AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         * (s / CAST(255 AS DOUBLE))))) AS max_abs_err
+FROM coded GROUP BY vec_id
+"""

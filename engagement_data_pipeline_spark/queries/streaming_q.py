@@ -203,3 +203,48 @@ SELECT participant_uuid,
        MAX(received_on) AS last_received
 FROM merged GROUP BY participant_uuid
 """
+
+
+# --- GDPR delete commit observed through the change feed ------------------
+
+def table_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the versioned merge table: build the
+    table from the two fixture slices (commits 1-2), then
+    `delete_origins` every key that only slice a carried (slot 0) as
+    commit 3, and return `table_changes` across the delete commit —
+    exactly those keys as op='delete' with NULL payload (the feed a
+    downstream index/MV consumes to forget the same rows). The
+    reference can only mask withdrawn participants at read time
+    (SURVEY §2.6 M8); the versioned table physically removes them.
+    The oracle is the slot-0 key set over the same parquet fixture."""
+    from ..streaming.ingest import delete_origins, table_changes
+
+    apply_runtime_conf(spark)
+    table = os.path.join(tempfile.mkdtemp(prefix="edp-del-"), "table")
+    rows = _fixture_rows(spark, sf_dir)
+    merge = foreach_batch_upsert(table, ["origin_id"],
+                                 transform=_add_origin, n_buckets=4)
+    for batch_id, mods in enumerate([(0, 1), (1, 2)]):
+        merge(rows.where((F.col("event_id") % 4).isin(list(mods))), batch_id)
+    keys = (_add_origin(rows.where(F.col("event_id") % 4 == 0))
+            .select("origin_id"))
+    delete_origins(spark, table, keys)
+    return table_changes(spark, table, from_commit=2, to_commit=3)
+
+
+TABLE_DELETE_FEED_SQL = """
+WITH rows AS (
+  SELECT 'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
+         'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
+  FROM events WHERE event_id % 16 < 4 AND event_id % 4 = 0
+)
+SELECT DISTINCT
+       'csv:' || sha256(sender || '|' || message || '|' || received_on)
+         AS origin_id,
+       'delete' AS op, '' AS changed_cols,
+       CAST(NULL AS VARCHAR) AS participant_uuid,
+       CAST(NULL AS VARCHAR) AS text,
+       CAST(NULL AS VARCHAR) AS received_on
+FROM rows
+"""

@@ -415,6 +415,67 @@ def table_changes(spark: SparkSession, table_path: str, from_commit: int,
 
 # --- table maintenance ----------------------------------------------------
 
+def delete_origins(spark: SparkSession, table_path: str,
+                   keys: DataFrame, vacuum: bool = False) -> int:
+    """Delete rows by origin key — the right-to-be-forgotten path the
+    reference handles via consent-withdrawal filtering at read time
+    (SURVEY §2.6 M8; analysis filters drop opted-out participants but
+    the stored messages remain). A versioned table can do better: a
+    DELETE commit physically removes the rows from the current
+    snapshot, and `vacuum_table` afterwards reclaims every superseded
+    version directory that still holds them — physical erasure, not
+    just masking.
+
+    Cost is O(touched buckets), never O(table): each key hashes to
+    exactly one bucket, only those buckets are read, anti-joined and
+    rewritten into a fresh immutable version, and the commit is the
+    same atomic manifest publish as a merge — a crash mid-delete
+    leaves the prior commit fully readable. A bucket whose rows are
+    all deleted leaves the manifest entirely (readers never resolve a
+    path that no longer exists). `table_changes` across the delete
+    commit reports the removed keys as op='delete' with NULL payload.
+
+    `keys` is a DataFrame holding exactly the table's origin columns
+    (any other columns are ignored). Returns the new commit id.
+    Erasure caveat, same trade as Delta: until `vacuum_table` runs
+    (pass ``vacuum=True`` or call it per retention policy), prior
+    version directories and time travel still expose the deleted
+    rows; vacuum is the erasure step.
+    """
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    nb, origin = man["n_buckets"], list(man["origin"])
+    keys = (keys.select(*origin).distinct()
+            .withColumn(BUCKET_COL, origin_bucket(origin, nb)))
+    # O(n_buckets) regardless of key-set size, like the merge path.
+    hit = sorted(r[0] for r in keys.select(BUCKET_COL).distinct().collect()
+                 if r[0] in man["buckets"])
+    commit = man["commit"] + 1
+    if not hit:  # nothing stored under any of these keys: empty commit
+        _commit(spark, table_path, commit, nb, origin, man["buckets"])
+        return commit
+    existing = (_read_buckets(spark,
+                              _bucket_paths(table_path, man["buckets"],
+                                            only=hit))
+                .withColumn(BUCKET_COL, origin_bucket(origin, nb)))
+    remaining = existing.join(keys.select(*origin), origin, "left_anti")
+    _write_version(remaining, table_path, commit, len(hit))
+    # A fully-emptied bucket writes no directory — drop it from the
+    # mapping instead of pointing readers at a missing path.
+    survived = {r[0] for r in
+                remaining.select(BUCKET_COL).distinct().collect()}
+    buckets = {**man["buckets"],
+               **{b: commit for b in hit if b in survived}}
+    for b in hit:
+        if b not in survived:
+            buckets.pop(b, None)
+    _commit(spark, table_path, commit, nb, origin, buckets)
+    if vacuum:
+        vacuum_table(spark, table_path, keep_manifests=1)
+    return commit
+
+
 def compact_table(spark: SparkSession, table_path: str,
                   vacuum: bool = True) -> None:
     """Rewrite every bucket's current data into one fresh version (one

@@ -165,3 +165,114 @@ SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
          AS chunk_md5
 FROM ex
 """
+
+
+#: Inference-batching defaults, sized for the synthetic docs; serving
+#: values are caps like (512, 1024, 2048, 4096) and batch_size per
+#: accelerator memory.
+BATCH_CAPS = (32, 64, 128)
+BATCH_SIZE = 8
+BATCH_SHARDS = 4
+
+
+def batch_plan(docs: DataFrame, caps: tuple[int, ...] = BATCH_CAPS,
+               batch_size: int = BATCH_SIZE, n_shards: int = BATCH_SHARDS,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length-bucketed inference batching: assign every document to a
+    fixed-shape batch (bucket_cap, shard, batch_id) and report each
+    batch's padding waste — the serving-side sibling of `pack_plan`
+    (batch inference over a 100 TB corpus dies on padding if short and
+    long sequences share a batch; bucketing by length cap bounds the
+    waste to cap - longest-real-length per row).
+
+    * bucket_cap = smallest configured cap >= n_tokens (docs longer
+      than the largest cap are truncated to it: n_tokens_eff).
+    * shard = md5-hash partition inside a bucket, so batch numbering
+      needs no global sequence: each (cap, shard) windows
+      independently — parallelism = |caps| x n_shards, and any shard's
+      batches can be re-planned without touching the rest. The cost is
+      <= one ragged tail batch per (cap, shard) instead of per cap.
+    * within a shard, docs order by (n_tokens_eff DESC, doc_id) —
+      deterministic, and near-homogeneous batches if the runner pads
+      dynamically instead of to the cap.
+
+    Returns batch-grain rows (bucket_cap, shard, batch_id, n_docs,
+    sum_tokens, padding_waste) — all integer arithmetic, so the plan
+    is bit-reproducible cross-engine. ONE shuffle (the per-(cap,shard)
+    window), then a subset-regroup aggregation on the same keys.
+    """
+    from .dedup import md5_long
+
+    ntok = F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long")
+    cap_expr = None
+    for cap in sorted(caps):
+        cond = F.col("n_tokens") <= F.lit(cap)
+        cap_expr = (F.when(cond, F.lit(cap)) if cap_expr is None
+                    else cap_expr.when(cond, F.lit(cap)))
+    cap_expr = cap_expr.otherwise(F.lit(max(caps))).cast("long")
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        ntok.alias("n_tokens"))
+            .select("doc_id", "n_tokens", cap_expr.alias("bucket_cap"))
+            .select("doc_id", "bucket_cap",
+                    F.least(F.col("n_tokens"),
+                            F.col("bucket_cap")).alias("n_tokens_eff"),
+                    F.pmod(md5_long(F.concat(F.lit("batch:"),
+                                             F.col("doc_id").cast("string"))),
+                           F.lit(n_shards)).cast("long").alias("shard")))
+    w = Window.partitionBy("bucket_cap", "shard").orderBy(
+        F.col("n_tokens_eff").desc(), F.col("doc_id"))
+    placed = base.select(
+        "bucket_cap", "shard", "n_tokens_eff",
+        F.row_number().over(w).alias("rn")
+    ).select("bucket_cap", "shard", "n_tokens_eff",
+             # integer `div`: exact batch numbering, no double rounding
+             F.expr(f"(rn - 1) div {int(batch_size)}").cast("long")
+             .alias("batch_id"))
+    return (placed.groupBy("bucket_cap", "shard", "batch_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens_eff").cast("long").alias("sum_tokens"))
+            .select("bucket_cap", "shard", "batch_id", "n_docs", "sum_tokens",
+                    (F.col("bucket_cap") * F.col("n_docs")
+                     - F.col("sum_tokens")).alias("padding_waste")))
+
+
+def batch_plan_sql(caps: tuple[int, ...] = BATCH_CAPS,
+                   batch_size: int = BATCH_SIZE,
+                   n_shards: int = BATCH_SHARDS) -> str:
+    """DuckDB mirror of `batch_plan` over the `documents` view."""
+    cap_case = "CASE " + " ".join(
+        f"WHEN n_tokens <= {c} THEN {c}" for c in sorted(caps)
+    ) + f" ELSE {max(caps)} END"
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5('batch:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {n_shards} AS shard
+  FROM norm
+),
+capped AS (
+  SELECT doc_id, shard,
+         CAST({cap_case} AS BIGINT) AS bucket_cap,
+         CAST(LEAST(n_tokens, {max(caps)}) AS BIGINT) AS n_tokens_eff
+  FROM tok
+),
+placed AS (
+  SELECT bucket_cap, shard, n_tokens_eff,
+         CAST((ROW_NUMBER() OVER (
+             PARTITION BY bucket_cap, shard
+             ORDER BY n_tokens_eff DESC, doc_id) - 1) // {batch_size}
+           AS BIGINT) AS batch_id
+  FROM capped
+)
+SELECT bucket_cap, shard, batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens_eff) AS BIGINT) AS sum_tokens,
+       CAST(bucket_cap * COUNT(*) - SUM(n_tokens_eff) AS BIGINT)
+         AS padding_waste
+FROM placed GROUP BY bucket_cap, shard, batch_id
+"""

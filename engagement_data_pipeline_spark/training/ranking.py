@@ -193,3 +193,39 @@ def bm25_topk_indexed(spark, index_path: str,
     return top_k_per_group(scored, ["query_id"],
                            [F.col("score").desc(), F.col("doc_id")], k,
                            rank_col="rank")
+
+
+def rrf_fuse(rankings: Sequence[DataFrame], k0: int = 60,
+             k: int | None = None, query_col: str = "query_id",
+             doc_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion of N ranked result lists — the standard
+    way to combine lexical (BM25) and vector (ANN) retrieval into one
+    hybrid ranking (Cormack et al., SIGIR'09): fused score =
+    Σ_lists 1/(k0 + rank), lists where the doc is absent contribute 0.
+
+    Each input needs (query_col, doc_col, rank). Inputs are top-k
+    lists — k·|queries| rows each — so the full-outer join chain and
+    re-rank window run on data that is tiny regardless of corpus
+    size; the corpus-scale work already happened inside the rankers.
+    The sum is evaluated in list order (fixed operand order), and
+    1/(k0+rank) divides exact integers, so the score is
+    bit-reproducible cross-engine. Ties break by doc_col ascending.
+    Returns (query_col, doc_col, rrf_score, rank<=k)."""
+    fused = None
+    contribs = []
+    for i, r in enumerate(rankings):
+        r = r.select(F.col(query_col), F.col(doc_col),
+                     F.col("rank").alias(f"__rank_{i}"))
+        fused = r if fused is None else fused.join(
+            r, [query_col, doc_col], "full_outer")
+        contribs.append(F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"__rank_{i}")).cast("double"),
+            F.lit(0.0)))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    scored = fused.select(query_col, doc_col, score.alias("rrf_score"))
+    return top_k_per_group(
+        scored, [query_col],
+        [F.col("rrf_score").desc(), F.col(doc_col)],
+        k if k is not None else 1 << 30, rank_col="rank")

@@ -1,0 +1,228 @@
+"""Round-5 operators: GDPR delete on the versioned merge table, SCD
+Type-2 build, RRF hybrid fusion, length-bucketed batch planning, and
+int8 embedding quantization."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.operators.cdc import scd2_from_versions
+from engagement_data_pipeline_spark.streaming.ingest import (
+    delete_origins, foreach_batch_upsert, read_merged_table, read_table_at,
+    table_changes, vacuum_table)
+from engagement_data_pipeline_spark.training.packing import batch_plan
+from engagement_data_pipeline_spark.training.quantize import (
+    dequant_error, quantize_codes, quantize_fit)
+from engagement_data_pipeline_spark.training.ranking import rrf_fuse
+
+
+# --- delete_origins -------------------------------------------------------
+
+def _mk_table(spark, tmp_path, rows, n_buckets=4):
+    table = str(tmp_path / "table")
+    merge = foreach_batch_upsert(table, ["origin"], n_buckets=n_buckets)
+    merge(spark.createDataFrame(rows, "origin string, payload string"), 0)
+    return table
+
+
+def _files(table):
+    return {p: os.path.getmtime(p) for p in
+            glob.glob(f"{table}/v*/bucket=*/*.parquet")}
+
+
+def test_delete_removes_only_named_keys(spark, tmp_path):
+    rows = [(f"k{i}", f"p{i}") for i in range(20)]
+    table = _mk_table(spark, tmp_path, rows)
+    keys = spark.createDataFrame([("k3",), ("k7",), ("missing",)],
+                                 "origin string")
+    commit = delete_origins(spark, table, keys)
+    assert commit == 2
+    left = {r.origin for r in read_merged_table(spark, table).collect()}
+    assert left == {f"k{i}" for i in range(20)} - {"k3", "k7"}
+
+
+def test_delete_leaves_untouched_buckets_byte_identical(spark, tmp_path):
+    rows = [(f"k{i}", f"p{i}") for i in range(40)]
+    table = _mk_table(spark, tmp_path, rows, n_buckets=8)
+    before = _files(table)
+    keys = spark.createDataFrame([("k0",)], "origin string")
+    delete_origins(spark, table, keys)
+    after = _files(table)
+    # every pre-delete file still exists unmodified (immutability);
+    # the delete only ADDED a new version dir for the one hit bucket
+    assert set(before) <= set(after)
+    assert all(after[p] == before[p] for p in before)
+    new_dirs = {p.split("/bucket=")[0] for p in set(after) - set(before)}
+    assert len(new_dirs) == 1
+
+
+def test_delete_drops_fully_emptied_bucket_from_manifest(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        origin_bucket, read_table_manifest)
+
+    rows = [(f"k{i}", f"p{i}") for i in range(30)]
+    table = _mk_table(spark, tmp_path, rows)
+    df = spark.createDataFrame(rows, "origin string, payload string")
+    target = (df.select("origin",
+                        origin_bucket(["origin"], 4).alias("b"))
+              .where(F.col("b") == 2))
+    n_in_bucket = target.count()
+    assert n_in_bucket > 0
+    delete_origins(spark, table, target.select("origin"))
+    man = read_table_manifest(spark, table)
+    assert 2 not in man["buckets"]
+    assert read_merged_table(spark, table).count() == 30 - n_in_bucket
+
+
+def test_delete_feeds_cdc_and_time_travel_then_vacuum_erases(spark, tmp_path):
+    rows = [(f"k{i}", f"p{i}") for i in range(10)]
+    table = _mk_table(spark, tmp_path, rows)
+    keys = spark.createDataFrame([("k1",), ("k2",)], "origin string")
+    delete_origins(spark, table, keys)
+    feed = table_changes(spark, table, from_commit=1, to_commit=2)
+    got = {(r.origin, r.op) for r in feed.collect()}
+    assert got == {("k1", "delete"), ("k2", "delete")}
+    # pre-delete commit still readable (retention trade)...
+    assert read_table_at(spark, table, 1).count() == 10
+    # ...until vacuum, which is the physical-erasure step
+    vacuum_table(spark, table, keep_manifests=1)
+    with pytest.raises(Exception):
+        read_table_at(spark, table, 1).collect()
+
+
+def test_delete_requires_existing_table(spark, tmp_path):
+    keys = spark.createDataFrame([("k",)], "origin string")
+    with pytest.raises(ValueError):
+        delete_origins(spark, str(tmp_path / "nope"), keys)
+
+
+# --- SCD Type-2 -----------------------------------------------------------
+
+_V = "k string, t long, s string"
+
+
+def test_scd2_compresses_and_tiles(spark):
+    rows = [
+        ("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y"), ("a", 4, "y"),
+        ("a", 5, "x"),
+        ("b", 10, None), ("b", 11, None), ("b", 12, "z"),
+        ("c", 7, "only"),
+    ]
+    out = scd2_from_versions(spark.createDataFrame(rows, _V),
+                             ["k"], "t", ["s"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(
+            (r.valid_from, r.valid_to, r.s, r.is_current))
+    assert by_key["a"] == [(1, 3, "x", False), (3, 5, "y", False),
+                           (5, None, "x", True)]
+    # NULL == NULL must compress (null-safe compare)
+    assert by_key["b"] == [(10, 12, None, False), (12, None, "z", True)]
+    assert by_key["c"] == [(7, None, "only", True)]
+    # exactly one current row per key; intervals half-open + gapless
+    for ivs in by_key.values():
+        assert sum(1 for iv in ivs if iv[3]) == 1
+        for (f1, t1, _, _), (f2, _, _, _) in zip(ivs, ivs[1:]):
+            assert t1 == f2
+
+
+def test_scd2_multi_state_columns(spark):
+    rows = [("a", 1, "x", 1), ("a", 2, "x", 2), ("a", 3, "x", 2)]
+    out = scd2_from_versions(
+        spark.createDataFrame(rows, "k string, t long, s string, v long"),
+        ["k"], "t", ["s", "v"]).collect()
+    assert [(r.valid_from, r.valid_to) for r in
+            sorted(out, key=lambda r: r.valid_from)] == [(1, 2), (2, None)]
+
+
+# --- RRF fusion -----------------------------------------------------------
+
+_RANK = "query_id string, doc_id long, rank int"
+
+
+def test_rrf_scores_and_single_list_docs(spark):
+    lex = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], _RANK)
+    sem = spark.createDataFrame(
+        [("q", 2, 1), ("q", 3, 2)], _RANK)
+    out = {r.doc_id: (r.rrf_score, r.rank)
+           for r in rrf_fuse([lex, sem], k0=60).collect()}
+    assert out[2][0] == pytest.approx(1 / 62 + 1 / 61)
+    assert out[1][0] == pytest.approx(1 / 61)
+    assert out[3][0] == pytest.approx(1 / 62)
+    # doc in both lists outranks docs in one
+    assert out[2][1] == 1
+    # tie (docs 1 and 3 differ) -> strict order by score then id
+    assert out[1][1] == 2 and out[3][1] == 3
+
+
+def test_rrf_k_truncates(spark):
+    lex = spark.createDataFrame(
+        [("q", d, r) for r, d in enumerate([5, 6, 7], 1)], _RANK)
+    out = rrf_fuse([lex], k0=60, k=2).collect()
+    assert len(out) == 2
+
+
+# --- batch_plan -----------------------------------------------------------
+
+def test_batch_plan_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (3 + (i * 7) % 200)) for i in range(300)],
+        "doc_id long, text string")
+    out = batch_plan(docs, caps=(8, 32, 128), batch_size=4,
+                     n_shards=2).collect()
+    # every doc lands in exactly one batch
+    assert sum(r.n_docs for r in out) == 300
+    for r in out:
+        assert r.n_docs <= 4
+        assert r.padding_waste == r.bucket_cap * r.n_docs - r.sum_tokens
+        assert r.padding_waste >= 0
+        assert r.bucket_cap in (8, 32, 128)
+    # at most one ragged batch per (cap, shard)
+    ragged = {}
+    for r in out:
+        if r.n_docs < 4:
+            ragged[(r.bucket_cap, r.shard)] = \
+                ragged.get((r.bucket_cap, r.shard), 0) + 1
+    assert all(v == 1 for v in ragged.values())
+
+
+def test_batch_plan_truncates_over_cap(spark):
+    docs = spark.createDataFrame([(1, "w " * 500)],
+                                 "doc_id long, text string")
+    [r] = batch_plan(docs, caps=(8, 16), batch_size=4, n_shards=1).collect()
+    assert r.bucket_cap == 16 and r.sum_tokens == 16 and r.padding_waste == 0
+
+
+# --- int8 quantization ----------------------------------------------------
+
+def _emb(spark):
+    rows = [(i, [float(i % 7) - 3.0, float(i) / 10.0, 5.0])
+            for i in range(50)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_quantize_codes_in_range_and_constant_dim(spark):
+    emb = _emb(spark)
+    stats = quantize_fit(emb, 3)
+    out = quantize_codes(emb, stats, 3).collect()
+    for r in out:
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert r.codes[2] == 0  # constant dimension -> code 0, not NaN
+    # monotone: larger value -> larger-or-equal code in that dim
+    by_id = {r.vec_id: r.codes for r in out}
+    assert by_id[40][1] >= by_id[10][1]
+
+
+def test_dequant_error_bound(spark):
+    emb = _emb(spark)
+    stats = quantize_fit(emb, 3)
+    mn, mx = stats.first()
+    spans = [b - a for a, b in zip(mn, mx)]
+    bound = max(s / 510 for s in spans) + 1e-9
+    for r in dequant_error(emb, stats, 3).collect():
+        assert r.max_abs_err <= bound
