@@ -298,6 +298,9 @@ _SIMILARITY_MM_MEMBERS = {
         similarity.emb_quantize, similarity.EMB_QUANTIZE_SQL,
         [("vec_id", "bigint"), ("codes", "string"),
          ("max_abs_err", "double")]),
+    "emb_gram": (
+        similarity.emb_gram, similarity.EMB_GRAM_SQL,
+        [("i", "int"), ("j", "int"), ("s", "string")]),
     "emb_kmeans": (
         clustering_q.emb_kmeans, clustering_q.EMB_KMEANS_SQL,
         [("vec_id", "bigint"), ("cluster", "bigint"),

@@ -199,6 +199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_hybrid_rrf": hybrid_q.doc_hybrid_rrf,
     "doc_batch_plan": packing_q.doc_batch_plan,
     "emb_quantize": similarity.emb_quantize,
+    "emb_gram": similarity.emb_gram,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
     "r2_logistic_regression": regression.r2_logistic_regression,
     "r3_mice_pooled": regression.r3_mice_pooled,
@@ -328,6 +329,7 @@ ORACLES: dict[str, str] = {
     "doc_hybrid_rrf": hybrid_q.DOC_HYBRID_RRF_SQL,
     "doc_batch_plan": packing_q.DOC_BATCH_PLAN_SQL,
     "emb_quantize": similarity.EMB_QUANTIZE_SQL,
+    "emb_gram": similarity.EMB_GRAM_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"

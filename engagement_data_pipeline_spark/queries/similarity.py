@@ -403,3 +403,46 @@ SELECT vec_id,
                          * (s / CAST(255 AS DOUBLE))))) AS max_abs_err
 FROM coded GROUP BY vec_id
 """
+
+
+# --- PCA sufficient statistics -------------------------------------------
+
+def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact integer sufficient statistics PCA fits from
+    (training/pca.py:gram_stats): row count, per-dim quantized sums,
+    upper-triangle second-moment products — d(d+1)/2 + d + 1
+    DECIMAL(38,0) cells from ONE corpus pass. The oracle re-derives
+    every cell, so a hash match certifies the entire distributed part
+    of the PCA fit; the driver-side eigendecomposition consumes these
+    same cells (pinned separately by pytest)."""
+    from ..training.pca import gram_stats
+
+    apply_runtime_conf(spark)
+    return gram_stats(load(spark, sf_dir, "embeddings"), EMB_DIM)
+
+
+EMB_GRAM_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qx
+  FROM embeddings
+),
+cnt AS (
+  SELECT CAST(-1 AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
+         CAST(CAST(COUNT(*) AS DECIMAL(38,0)) AS VARCHAR) AS s
+  FROM q
+),
+sums AS (
+  SELECT CAST(t.i AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
+         CAST(SUM(CAST(qx[t.i + 1] AS DECIMAL(38,0))) AS VARCHAR) AS s
+  FROM q, range(0, {EMB_DIM}) t(i) GROUP BY t.i
+),
+prods AS (
+  SELECT CAST(t1.i AS INTEGER) AS i, CAST(t2.j AS INTEGER) AS j,
+         CAST(SUM(CAST(qx[t1.i + 1] * qx[t2.j + 1] AS DECIMAL(38,0)))
+              AS VARCHAR) AS s
+  FROM q, range(0, {EMB_DIM}) t1(i), range(0, {EMB_DIM}) t2(j)
+  WHERE t2.j >= t1.i GROUP BY t1.i, t2.j
+)
+SELECT * FROM cnt UNION ALL SELECT * FROM sums UNION ALL SELECT * FROM prods
+"""

@@ -1,0 +1,129 @@
+"""Distributed PCA over an embedding column via exact sufficient
+statistics.
+
+The corpus-scale work is ONE pass: micro-quantize each component to
+an integer (floor(x·2^20) — the same cross-engine-exact convention as
+`clustering.kmeans_fit`), emit the upper-triangle second-moment
+products plus first-moment sums plus the row count as (i, j, value)
+triples from a single generator, and hash-aggregate them into
+d·(d+1)/2 + d + 1 DECIMAL(38,0) cells. Integer sums are
+order-insensitive, so the statistics — and everything derived from
+them — are bit-reproducible however Spark partitions the corpus, and
+a plain-SQL engine can re-derive them exactly (the `emb_gram` oracle
+does).
+
+Only those ~2k cells reach the driver; the eigendecomposition runs on
+the d×d covariance there (numpy, microseconds), and the projection
+returns to the cluster as a pure zero-shuffle literal-matrix
+projection. The corpus is never shuffled and never visited twice.
+
+Scale note: the generator emits d(d+1)/2 + d + 1 values per row
+(2145 at d=64) straight into map-side partial aggregation — no join,
+no materialized intermediate. That linear-in-d² factor is the right
+trade to d≈128; past that, block the triangle into column ranges and
+run one pass per block (same cells, bounded generator width), or
+fall back to float treeAggregate when bit-reproducibility is not
+required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 2^20: exact in binary floating point, so floor(x * MICRO) is the
+#: same integer in every engine (a decimal 1e6 would also work; the
+#: power of two keeps the scaling itself lossless for |x| < 2^32).
+PCA_MICRO = 1 << 20
+_DEC = "decimal(38,0)"
+
+
+def gram_stats(emb: DataFrame, dim: int,
+               vec_col: str = "embedding") -> DataFrame:
+    """(i, j, s) exact integer sufficient statistics:
+    (-1,-1) row count; (i,-1) sum of quantized component i;
+    (i,j) for i<=j sum of quantized products. `s` is DECIMAL(38,0)
+    rendered as a digit string (cross-engine canonical form)."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(PCA_MICRO)))
+        .cast("long"))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    prods = F.flatten(F.transform(idx, lambda i: F.transform(
+        F.sequence(i, F.lit(dim - 1)),
+        lambda j: F.struct(i.cast("int").alias("i"),
+                           j.cast("int").alias("j"),
+                           (F.element_at(F.col("__q"), i + 1)
+                            * F.element_at(F.col("__q"), j + 1))
+                           .alias("v")))))
+    sums = F.transform(idx, lambda i: F.struct(
+        i.cast("int").alias("i"), F.lit(-1).cast("int").alias("j"),
+        F.element_at(F.col("__q"), i + 1).alias("v")))
+    cnt = F.array(F.struct(F.lit(-1).cast("int").alias("i"),
+                           F.lit(-1).cast("int").alias("j"),
+                           F.lit(1).cast("long").alias("v")))
+    cells = (emb.select(q.alias("__q"))
+             .select(F.explode(F.concat(cnt, sums, prods)).alias("c"))
+             .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+             .agg(F.sum(F.col("c.v").cast(_DEC)).alias("__s")))
+    return cells.select("i", "j", F.col("__s").cast("string").alias("s"))
+
+
+def pca_fit(emb: DataFrame, dim: int, n_components: int,
+            vec_col: str = "embedding") -> dict:
+    """Fit PCA from the exact statistics: returns {mean: [d], components:
+    [k][d] (rows = principal axes, unit norm, sign-fixed so each
+    axis's largest-|w| weight is positive), explained_variance: [k]}.
+    Deterministic for a given corpus: the statistics are exact
+    integers and numpy's symmetric eigensolver sees bit-identical
+    input whatever the partitioning."""
+    import numpy as np
+
+    rows = gram_stats(emb, dim, vec_col).collect()
+    n = None
+    s1 = np.zeros(dim)
+    s2 = np.zeros((dim, dim))
+    for r in rows:
+        v = float(int(r.s))
+        if r.i == -1:
+            n = v
+        elif r.j == -1:
+            s1[r.i] = v
+        else:
+            s2[r.i, r.j] = s2[r.j, r.i] = v
+    if not n or n < 2:
+        raise ValueError("pca_fit needs >= 2 rows")
+    mean_q = s1 / n
+    cov = (s2 - np.outer(mean_q, s1)) / ((n - 1) * float(PCA_MICRO) ** 2)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = []
+    for k in order:
+        w = evecs[:, k]
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w = -w
+        comps.append(w)
+    return {"mean": (mean_q / PCA_MICRO).tolist(),
+            "components": [c.tolist() for c in comps],
+            "explained_variance": evals[order].tolist()}
+
+
+def pca_project(emb: DataFrame, model: dict,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(id, scores array<double>): centered projection onto the
+    fitted axes. Pure projection — the model enters the plan as
+    literal arrays, zero shuffle, zero joins; the fold over
+    dimensions runs in index order so scores are deterministic."""
+    mean = F.lit(model["mean"])
+    out_cols = []
+    for k, w in enumerate(model["components"]):
+        wk = F.lit(list(w))
+        score = F.aggregate(
+            F.zip_with(F.zip_with(F.col(vec_col), mean,
+                                  lambda x, m: x.cast("double") - m),
+                       wk, lambda cx, wi: cx * wi),
+            F.lit(0.0), lambda acc, x: acc + x)
+        out_cols.append(score.alias(f"pc{k}"))
+    return emb.select(F.col(id_col),
+                      F.array(*out_cols).alias("scores"))

@@ -226,3 +226,54 @@ def test_dequant_error_bound(spark):
     bound = max(s / 510 for s in spans) + 1e-9
     for r in dequant_error(emb, stats, 3).collect():
         assert r.max_abs_err <= bound
+
+
+# --- PCA on exact sufficient statistics -----------------------------------
+
+def _pca_corpus(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.randn(120, 3) @ np.diag([5.0, 1.0, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    return (spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            base.astype("float32").astype("float64"))
+
+
+def test_pca_fit_matches_numpy_and_is_partition_invariant(spark):
+    import numpy as np
+    from engagement_data_pipeline_spark.training.pca import (PCA_MICRO,
+                                                             pca_fit)
+
+    emb, x = _pca_corpus(spark)
+    model = pca_fit(emb, 3, 2)
+    # numpy reference on the same quantized values
+    q = np.floor(x * PCA_MICRO)
+    cov = np.cov(q, rowvar=False) / PCA_MICRO ** 2
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert model["explained_variance"] == pytest.approx(evals[:2].tolist())
+    assert (model["explained_variance"][0]
+            > model["explained_variance"][1])
+    comps = np.array(model["components"])
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-9)
+    # exact partition invariance: integer statistics cannot drift
+    model2 = pca_fit(emb.repartition(7), 3, 2)
+    assert model2 == model
+
+
+def test_pca_project_centers_and_projects(spark):
+    import numpy as np
+    from engagement_data_pipeline_spark.training.pca import (pca_fit,
+                                                             pca_project)
+
+    emb, x = _pca_corpus(spark)
+    model = pca_fit(emb, 3, 2)
+    got = {r.vec_id: r.scores for r in pca_project(emb, model).collect()}
+    w = np.array(model["components"])
+    mean = np.array(model["mean"])
+    for i in range(0, 120, 17):
+        ref = w @ (x[i] - mean)
+        assert got[i] == pytest.approx(ref.tolist(), abs=1e-6)
+    # projected scores are near-uncorrelated with variance ~ eigvals
+    s = np.array([got[i] for i in range(120)])
+    pcov = np.cov(s, rowvar=False)
+    assert abs(pcov[0, 1]) < 1e-2
