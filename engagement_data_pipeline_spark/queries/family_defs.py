@@ -21,7 +21,7 @@ from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
                similarity, sketch_q, skew_q, stats_q, streaming_q,
                temporal_q, tpch, training)
 from . import curation_q, layout_q, profile_q, splits_q  # noqa: F401
-from . import classifier_q, collocations_q, hybrid_q  # noqa: F401
+from . import classifier_q, collocations_q, hybrid_q, linkage_q  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -109,6 +109,12 @@ _EVENTS_MEMBERS = {
         stats_q.DOC_LENGTH_PERCENTILES_SQL,
         [("doc_id", "bigint"), ("n_chars", "bigint"),
          ("pct_below", "double"), ("pct_bucket_mass", "double")]),
+    "cust_linkage": (
+        linkage_q.cust_linkage, linkage_q.CUST_LINKAGE_SQL,
+        [("clean_key", "bigint"), ("dirty_key", "bigint"),
+         ("agree_name", "boolean"), ("agree_segment", "boolean"),
+         ("agree_balance", "boolean"), ("score", "double"),
+         ("decision", "string")]),
     "cust_fuzzy_match": (
         export_q.cust_fuzzy_match, export_q.CUST_FUZZY_MATCH_SQL,
         [("left_key", "bigint"), ("right_key", "bigint"),

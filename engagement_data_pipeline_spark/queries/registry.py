@@ -27,6 +27,7 @@ from . import (
     export_q,
     family_defs,
     hybrid_q,
+    linkage_q,
     layout_q,
     lm_q,
     maintenance_q,
@@ -200,6 +201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_batch_plan": packing_q.doc_batch_plan,
     "emb_quantize": similarity.emb_quantize,
     "emb_gram": similarity.emb_gram,
+    "cust_linkage": linkage_q.cust_linkage,
     # rows-only (iterative IRLS fits, not SQL-expressible) sit last
     "r2_logistic_regression": regression.r2_logistic_regression,
     "r3_mice_pooled": regression.r3_mice_pooled,
@@ -330,6 +332,7 @@ ORACLES: dict[str, str] = {
     "doc_batch_plan": packing_q.DOC_BATCH_PLAN_SQL,
     "emb_quantize": similarity.EMB_QUANTIZE_SQL,
     "emb_gram": similarity.EMB_GRAM_SQL,
+    "cust_linkage": linkage_q.CUST_LINKAGE_SQL,
 }
 
 FLAGSHIP = "q01_pricing_summary"

@@ -277,3 +277,51 @@ def test_pca_project_centers_and_projects(spark):
     s = np.array([got[i] for i in range(120)])
     pcov = np.cov(s, rowvar=False)
     assert abs(pcov[0, 1]) < 1e-2
+
+
+# --- Fellegi-Sunter linkage ----------------------------------------------
+
+def test_fs_link_scores_and_decisions(spark):
+    from engagement_data_pipeline_spark.operators.linkage import fs_link
+
+    left = spark.createDataFrame(
+        [("b1", 1, "alice", "NY"), ("b1", 2, "bob", "LA")],
+        "blk string, id long, name string, city string")
+    right = spark.createDataFrame(
+        [("b1", 10, "alice", "NY"), ("b1", 20, "carol", "SF")],
+        "blk string, id long, name string, city string")
+    mu = {"name": (0.9, 0.1), "city": (0.8, 0.2)}
+    out = fs_link(left, right, ["blk"],
+                  {"name": lambda: F.col("l_name") == F.col("r_name"),
+                   "city": lambda: F.col("l_city") == F.col("r_city")},
+                  mu, match_threshold=30.0, possible_threshold=1.0)
+    got = {(r.l_id, r.r_id): (r.score, r.decision) for r in out.collect()}
+    assert len(got) == 4  # full block product
+    assert got[(1, 10)][0] == pytest.approx(9.0 * 4.0)
+    assert got[(1, 10)][1] == "match"
+    assert got[(2, 20)][1] == "non_match"
+    # both-fields-disagree pairs share the same (lowest) score
+    s_low = (1 - 0.9) / (1 - 0.1) * ((1 - 0.8) / (1 - 0.2))
+    assert got[(2, 10)][0] == pytest.approx(s_low)
+    assert got[(1, 20)][0] == pytest.approx(s_low)
+
+
+def test_cust_linkage_separates_true_pairs_from_decoys(spark):
+    from engagement_data_pipeline_spark.queries.linkage_q import cust_linkage
+
+    # sf0.01: decoys need id pairs 1000 apart in one nation
+    out = cust_linkage(spark, "/root/testdata/sf0.01").collect()
+    true_pairs = [r for r in out if r.clean_key == r.dirty_key]
+    decoys = [r for r in out if r.clean_key != r.dirty_key]
+    assert true_pairs and decoys
+    # every true pair agrees on the ed<=1 name (the injected typo is
+    # ed 1); decoys MAY too (ids 1000 apart differ by one digit) —
+    # balance is what separates them, and no decoy crosses 'match'
+    assert all(r.agree_name for r in true_pairs)
+    assert not any(r.agree_balance for r in decoys)
+    assert not any(r.decision == "match" for r in decoys)
+    # a typo'd name alone cannot demote a true pair below 'possible'
+    assert all(r.decision in ("match", "possible") for r in true_pairs)
+    # decisions are monotone in score
+    lo = min(r.score for r in true_pairs if r.decision == "match")
+    assert all(r.score < lo for r in out if r.decision != "match")
