@@ -21,7 +21,7 @@ from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
                similarity, sketch_q, skew_q, stats_q, streaming_q,
                temporal_q, tpch, training)
 from . import curation_q, layout_q, profile_q, splits_q  # noqa: F401
-from . import classifier_q, collocations_q, hybrid_q, linkage_q  # noqa: F401
+from . import bpe_q, classifier_q, collocations_q, hybrid_q, linkage_q  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -215,6 +215,9 @@ _TRAINING_MEMBERS = {
         [("doc_id", "bigint"), ("shard", "bigint"), ("n_tokens", "bigint"),
          ("start_offset", "bigint"), ("seq_first", "bigint"),
          ("seq_last", "bigint")]),
+    "doc_bpe_tokens": (
+        bpe_q.doc_bpe_tokens, bpe_q.DOC_BPE_TOKENS_SQL,
+        [("token", "string"), ("total_count", "bigint")]),
     "doc_batch_plan": (
         packing_q.doc_batch_plan, packing_q.DOC_BATCH_PLAN_SQL,
         [("bucket_cap", "bigint"), ("shard", "bigint"),

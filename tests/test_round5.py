@@ -325,3 +325,49 @@ def test_cust_linkage_separates_true_pairs_from_decoys(spark):
     # decisions are monotone in score
     lo = min(r.score for r in true_pairs if r.decision == "match")
     assert all(r.score < lo for r in out if r.decision != "match")
+
+
+# --- BPE tokenizer fit ----------------------------------------------------
+
+def _bpe_docs(spark, corpus):
+    return spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+
+
+def test_bpe_learns_canonical_merges(spark):
+    from engagement_data_pipeline_spark.training.bpe import bpe_fit
+
+    corpus = ("low " * 5 + "lower " * 2 + "newest " * 6
+              + "widest " * 3).strip()
+    merges, _ = bpe_fit(_bpe_docs(spark, corpus), 5)
+    got = [(m["left"], m["right"]) for m in merges]
+    # the Sennrich et al. worked example (with </w> markers)
+    assert got == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                   ("l", "o"), ("lo", "w")]
+    assert merges[0]["pair_count"] == 9  # 6x newest + 3x widest
+
+
+def test_bpe_greedy_overlap_is_leftmost_nonoverlapping(spark):
+    from engagement_data_pipeline_spark.training.bpe import (bpe_encode,
+                                                             bpe_fit)
+
+    merges, _ = bpe_fit(_bpe_docs(spark, "aaaa aaaa aaa"), 1)
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+    [r] = bpe_encode(_bpe_docs(spark, "aaaaa"), merges).collect()
+    # 5 a's -> aa aa a (never aa a aa or overlapping merges)
+    assert r.tokens == ["aa", "aa", "a", "</w>"]
+
+
+def test_bpe_encode_conserves_text(spark):
+    from engagement_data_pipeline_spark.training.bpe import (END_OF_WORD,
+                                                             bpe_encode,
+                                                             bpe_fit)
+
+    corpus = "the quick brown fox the quick fox"
+    merges, _ = bpe_fit(_bpe_docs(spark, corpus), 6)
+    [r] = bpe_encode(_bpe_docs(spark, corpus), merges).collect()
+    joined = "".join(t for t in r.tokens)
+    assert joined.replace(END_OF_WORD, " ").strip() == corpus
+    # more merges -> never more tokens
+    merges2, _ = bpe_fit(_bpe_docs(spark, corpus), 2)
+    [r2] = bpe_encode(_bpe_docs(spark, corpus), merges2).collect()
+    assert len(r.tokens) <= len(r2.tokens)
