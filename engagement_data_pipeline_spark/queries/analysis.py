@@ -176,3 +176,33 @@ WHERE consent_withdrawn = 'false' AND (
     f"(dataset = '{d.name}' AND {cc.coded_field} NOT IN {_CONTROL_IN})"
     for d, cc in _RQA_CCS
 ) + ")"
+
+
+# --- A4 + k-anonymity small-cell suppression ------------------------------
+
+KANON_K = 5
+
+
+def a4_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 demographic distributions gated by small-cell suppression
+    (operators/privacy.py): cells under k=5 participants fold into
+    one '__suppressed__' rollup per field (count NULL when even the
+    rollup would disclose) — the statistical-disclosure-control step
+    the reference's published CSVs skip."""
+    from ..operators.privacy import suppress_small_groups
+
+    dist = demographic_distributions(spark, sf_dir)
+    return suppress_small_groups(dist, ["field"], "code",
+                                 "n_participants", KANON_K)
+
+
+A4_KANON_SQL = f"""
+WITH dist AS ({DEMOGRAPHIC_DISTRIBUTIONS_SQL})
+SELECT field, code, n_participants FROM dist
+WHERE n_participants >= {KANON_K}
+UNION ALL
+SELECT field, '__suppressed__' AS code,
+       CASE WHEN SUM(n_participants) >= {KANON_K}
+            THEN CAST(SUM(n_participants) AS BIGINT) END AS n_participants
+FROM dist WHERE n_participants < {KANON_K} GROUP BY field
+"""

@@ -92,7 +92,8 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_sql(k: int = BM25_K, k1: float = R.BM25_K1,
-              b: float = R.BM25_B) -> str:
+              b: float = R.BM25_B, prelude: str = "",
+              src: str = "documents") -> str:
     qvals = ", ".join(
         f"('{qid}', '{t}')"
         for qid, terms in sorted(BM25_QUERIES.items())
@@ -101,7 +102,8 @@ def _bm25_sql(k: int = BM25_K, k1: float = R.BM25_K1,
     # Spark plan uses (k1+1.0 is computed in Python there), so both
     # engines parse the identical IEEE value.
     k1_plus_1, one_minus_b = repr(k1 + 1.0), repr(1.0 - b)
-    return "WITH " + _NORM_CTE + f""",
+    norm_cte = _NORM_CTE.replace("FROM documents", f"FROM {src}")
+    return "WITH " + prelude + norm_cte + f""",
 w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM norm),
 ex AS (SELECT doc_id, len(words) AS dl, unnest(words) AS term FROM w),
 tf AS (
@@ -168,3 +170,53 @@ def doc_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_BM25_INDEXED_SQL = DOC_BM25_TOPK_SQL
+
+
+# --- BM25 over an incrementally-maintained index --------------------------
+
+def doc_bm25_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from an index maintained by LSM delta segments:
+    base built on 3/4 of the corpus, delta 1 inserts the remaining
+    quarter, delta 2 updates every 10th doc (text gains ' spark
+    merge', shifting its q_spark/q_merge relevance) and deletes every
+    20th-plus-one — queries resolve candidates against tombstones at
+    the term level, never rescanning the index. The oracle scores the
+    FINAL corpus directly with the certified BM25 SQL, so the hash
+    match proves delta-maintained == rebuilt-from-scratch."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    apply_runtime_conf(spark)
+    cache = getattr(doc_bm25_incr, "_index", {})
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = cache.get(key)
+    docs = load(spark, sf_dir, "documents")
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="edp-incr-"), "text")
+        k = F.col("doc_id")
+        R.build_text_index(docs.where(k % 4 != 3), path)
+        R.update_text_index(spark, path,
+                            new_docs=docs.where(k % 4 == 3),
+                            removed_docs=None)
+        upd = (docs.where(k % 10 == 0)
+               .withColumn("text", F.concat(F.col("text"),
+                                            F.lit(" spark merge"))))
+        removed = docs.where((k % 10 == 0) | (k % 20 == 1))
+        R.update_text_index(spark, path, new_docs=upd,
+                            removed_docs=removed)
+        cache[key] = path
+        doc_bm25_incr._index = cache
+    return R.bm25_topk_indexed(spark, path, BM25_QUERIES, k=BM25_K)
+
+
+_INCR_PRELUDE = """corpus_incr AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' spark merge'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 20 <> 1
+),
+"""
+
+DOC_BM25_INCR_SQL = _bm25_sql(prelude=_INCR_PRELUDE, src="corpus_incr")

@@ -15,7 +15,7 @@ per-query evidence is present too, and local tooling
 
 from __future__ import annotations
 
-from . import (adapters_extra, cdc_q, cleaning_q,  # noqa: F401
+from . import (adapters_extra, analysis, cdc_q, cleaning_q,  # noqa: F401
                clustering_q, export_q, lm_q, maintenance_q,
                multimodal_q, packing_q, quality_q, sessions_q,
                similarity, sketch_q, skew_q, stats_q, streaming_q,
@@ -124,6 +124,10 @@ _EVENTS_MEMBERS = {
         [("origin_id", "string"), ("op", "string"),
          ("changed_cols", "string"), ("participant_uuid", "string"),
          ("text", "string"), ("received_on", "string")]),
+    "a4_kanon": (
+        analysis.a4_kanon, analysis.A4_KANON_SQL,
+        [("field", "string"), ("code", "string"),
+         ("n_participants", "bigint")]),
     "table_delete_feed": (
         streaming_q.table_delete_feed, streaming_q.TABLE_DELETE_FEED_SQL,
         [("origin_id", "string"), ("op", "string"),
@@ -215,6 +219,10 @@ _TRAINING_MEMBERS = {
         [("doc_id", "bigint"), ("shard", "bigint"), ("n_tokens", "bigint"),
          ("start_offset", "bigint"), ("seq_first", "bigint"),
          ("seq_last", "bigint")]),
+    "doc_bm25_incr": (
+        cleaning_q.doc_bm25_incr, cleaning_q.DOC_BM25_INCR_SQL,
+        [("query_id", "string"), ("doc_id", "bigint"),
+         ("score", "double"), ("rank", "int")]),
     "doc_bpe_tokens": (
         bpe_q.doc_bpe_tokens, bpe_q.DOC_BPE_TOKENS_SQL,
         [("token", "string"), ("total_count", "bigint")]),

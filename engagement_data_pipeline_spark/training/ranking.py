@@ -163,15 +163,16 @@ def bm25_topk_indexed(spark, index_path: str,
     with |postings of the query terms|, not corpus size."""
     from pyspark.sql import Window
 
-    tf = spark.read.parquet(f"{index_path}/postings")
-    n_docs_avgdl = spark.read.parquet(f"{index_path}/stats")
     qrows = [(qid, t) for qid, terms in sorted(queries.items())
              for t in sorted(set(terms))]
     qdf = spark.createDataFrame(qrows, "query_id string, term string")
     qterms = qdf.select("term").distinct()
-    tf = (tf.join(F.broadcast(qterms), "term")
+    # deltas/tombstones resolve on the query terms' candidates only
+    # (no deltas -> plain base scan, the original path)
+    tf = (_resolved_postings(spark, index_path, qterms)
           .withColumn("df", F.count(F.lit(1))
                       .over(Window.partitionBy("term")).cast("long")))
+    n_docs_avgdl = _index_stats(spark, index_path)
     idf = ((F.col("n_docs").cast("double") - F.col("df").cast("double")
             + F.lit(0.5)) / (F.col("df").cast("double") + F.lit(0.5)))
     dl_norm = (F.lit(1.0 - b)
@@ -229,3 +230,140 @@ def rrf_fuse(rankings: Sequence[DataFrame], k0: int = 60,
         scored, [query_col],
         [F.col("rrf_score").desc(), F.col(doc_col)],
         k if k is not None else 1 << 30, rank_col="rank")
+
+
+# --- incremental index maintenance (LSM-style delta segments) -------------
+#
+# A 100 TB postings index cannot be rebuilt per ingest batch, and
+# updating a TERM-clustered layout in place scatters every changed
+# document across the whole term space. The standard answer (Lucene
+# segments) is log-structured: each refresh appends a DELTA segment
+# (full postings of the new/updated docs, sequence-stamped) plus a
+# doc-level TOMBSTONE list for the superseded versions, and corpus
+# stats are carried forward cumulatively. Query-time resolution
+# happens AFTER the term semi-join, so it runs on the query terms'
+# candidate rows joined against the (small, broadcast) tombstone
+# list — never on the whole index; `compact_text_index` periodically
+# folds deltas into a fresh base to keep both lists short.
+#
+# Refresh cost is O(changed docs) throughout: the caller feeds the
+# OLD text of updated/deleted docs (read from the versioned merge
+# table's pre-change snapshot — O(changed buckets) there), so stats
+# adjust by exact integer deltas without touching the index.
+
+def _delta_seqs(spark, index_path: str) -> list[int]:
+    from py4j.protocol import Py4JJavaError
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/deltas")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        return sorted(int(st.getPath().getName()[1:])
+                      for st in fs.listStatus(p)
+                      if st.getPath().getName().startswith("d"))
+    except Py4JJavaError:
+        return []
+
+
+def _index_stats(spark, index_path: str):
+    seqs = _delta_seqs(spark, index_path)
+    src = (f"{index_path}/deltas/d{seqs[-1]:04d}/stats" if seqs
+           else f"{index_path}/stats")
+    return spark.read.parquet(src)
+
+
+def update_text_index(spark, index_path: str, new_docs: DataFrame | None,
+                      removed_docs: DataFrame | None,
+                      text_col: str = "text", id_col: str = "doc_id") -> int:
+    """Append one delta segment. `new_docs` = inserted + updated docs
+    (NEW text); `removed_docs` = updated + deleted docs (OLD text —
+    needed only for its doc lengths, so stats adjust in O(changes)).
+    Returns the delta sequence number."""
+    seqs = _delta_seqs(spark, index_path)
+    seq = (seqs[-1] + 1) if seqs else 1
+    d = f"{index_path}/deltas/d{seq:04d}"
+    # read the carried-forward stats BEFORE creating this delta's
+    # directory — _index_stats resolves the latest existing delta
+    cur = _index_stats(spark, index_path).first()
+
+    def _dl_count(docs: DataFrame):
+        words = F.split(normalize_text(F.col(text_col)), " ")
+        return docs.select(F.size(words).cast("long").alias("dl")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s")
+        ).first()
+
+    n_new = s_new = n_rm = s_rm = 0
+    if new_docs is not None:
+        tf, _ = term_stats(new_docs, text_col, id_col)
+        tf.write.mode("overwrite").parquet(f"{d}/postings")
+        r = _dl_count(new_docs)
+        n_new, s_new = r["n"], r["s"]
+    else:
+        spark.createDataFrame(
+            [], "doc_id long, term string, tf long, dl long"
+        ).write.mode("overwrite").parquet(f"{d}/postings")
+    if removed_docs is not None:
+        (removed_docs.select(F.col(id_col).alias("doc_id")).distinct()
+         .write.mode("overwrite").parquet(f"{d}/removed"))
+        r = _dl_count(removed_docs)
+        n_rm, s_rm = r["n"], r["s"]
+    else:
+        spark.createDataFrame([], "doc_id long").write.mode(
+            "overwrite").parquet(f"{d}/removed")
+    (spark.createDataFrame(
+        [(int(cur["n_docs"]) + n_new - n_rm,
+          int(cur["sum_dl"]) + s_new - s_rm)],
+        "n_docs long, sum_dl long")
+     .write.mode("overwrite").parquet(f"{d}/stats"))
+    return seq
+
+
+def _resolved_postings(spark, index_path: str,
+                       qterms: DataFrame | None = None) -> DataFrame:
+    """Postings with superseded/deleted doc versions resolved away.
+    With `qterms`, the term semi-join applies FIRST so resolution
+    runs on candidate rows only (the query path); without, resolves
+    the full index (the compaction path)."""
+    segs = [(0, f"{index_path}/postings")] + [
+        (s, f"{index_path}/deltas/d{s:04d}/postings")
+        for s in _delta_seqs(spark, index_path)]
+    parts = []
+    for seq, path in segs:
+        df = spark.read.parquet(path)
+        if qterms is not None:
+            df = df.join(F.broadcast(qterms), "term")
+        parts.append(df.withColumn("__seq", F.lit(seq).cast("int")))
+    posts = parts[0]
+    for p in parts[1:]:
+        posts = posts.unionByName(p)
+    delta_seqs = _delta_seqs(spark, index_path)
+    if not delta_seqs:
+        return posts.drop("__seq")
+    # one row per removed doc with the LATEST removal sequence
+    tombs = None
+    for s in delta_seqs:
+        t = (spark.read.parquet(f"{index_path}/deltas/d{s:04d}/removed")
+             .withColumn("__rseq", F.lit(s).cast("int")))
+        tombs = t if tombs is None else tombs.unionByName(t)
+    tombs = tombs.groupBy("doc_id").agg(F.max("__rseq").alias("__rseq"))
+    # a posting survives unless a removal with a LATER sequence names
+    # its doc (an update tombstones at the same seq it re-inserts, so
+    # strict inequality keeps the re-inserted rows)
+    cond = ((posts["doc_id"] == tombs["doc_id"])
+            & (tombs["__rseq"] > posts["__seq"]))
+    return posts.join(F.broadcast(tombs), cond, "left_anti").drop("__seq")
+
+
+def compact_text_index(spark, index_path: str) -> None:
+    """Fold all delta segments into a fresh base (one full resolved
+    rewrite — the amortized cost that keeps query-time candidate and
+    tombstone lists short), then drop the deltas."""
+    resolved = _resolved_postings(spark, index_path).localCheckpoint()
+    stats = _index_stats(spark, index_path).localCheckpoint()
+    (resolved.repartition(32, F.col("term")).sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(f"{index_path}/postings"))
+    stats.write.mode("overwrite").parquet(f"{index_path}/stats")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/deltas")
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)

@@ -371,3 +371,80 @@ def test_bpe_encode_conserves_text(spark):
     merges2, _ = bpe_fit(_bpe_docs(spark, corpus), 2)
     [r2] = bpe_encode(_bpe_docs(spark, corpus), merges2).collect()
     assert len(r.tokens) <= len(r2.tokens)
+
+
+# --- k-anonymity suppression ----------------------------------------------
+
+def test_suppress_small_groups(spark):
+    from engagement_data_pipeline_spark.operators.privacy import (
+        SUPPRESSED, suppress_small_groups)
+
+    dist = spark.createDataFrame(
+        [("f1", "a", 10), ("f1", "b", 2), ("f1", "c", 4),
+         ("f2", "x", 7), ("f2", "y", 1),
+         ("f3", "z", 2)],
+        "field string, code string, n long")
+    out = suppress_small_groups(dist, ["field"], "code", "n", 5).collect()
+    by = {(r.field, r.code): r.n for r in out}
+    assert by[("f1", "a")] == 10 and by[("f2", "x")] == 7
+    # f1 small cells (2+4=6 >= k) publish as a rollup with the total
+    assert by[("f1", SUPPRESSED)] == 6
+    # f2/f3 rollups are below k -> count withheld (NULL), row present
+    assert by[("f2", SUPPRESSED)] is None
+    assert by[("f3", SUPPRESSED)] is None
+    # no published non-rollup cell is ever below k
+    assert all(n >= 5 for (f, c), n in by.items() if c != SUPPRESSED)
+    # totals reconcile where the rollup is published
+    assert sum(n for (f, c), n in by.items() if f == "f1") == 16
+
+
+# --- incremental BM25 index maintenance -----------------------------------
+
+def _score_map(df):
+    return {(r.query_id, r.doc_id): r.score for r in df.collect()}
+
+
+def test_incremental_index_equals_rebuild_and_survives_compaction(
+        spark, tmp_path):
+    from engagement_data_pipeline_spark.training.ranking import (
+        bm25_topk, bm25_topk_indexed, build_text_index,
+        compact_text_index, update_text_index)
+
+    docs = [(1, "spark merges tables"), (2, "duck reads fast"),
+            (3, "spark scans fast"), (4, "merge batch spark")]
+    d = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string")
+    queries = {"q": ["spark", "fast"]}
+    idx = str(tmp_path / "idx")
+
+    build_text_index(d(docs[:2]), idx)
+    # delta 1: insert docs 3-4; delta 2: update doc 1, delete doc 2
+    update_text_index(spark, idx, new_docs=d(docs[2:]), removed_docs=None)
+    new1 = (1, "spark merges fast tables")
+    update_text_index(spark, idx, new_docs=d([new1]),
+                      removed_docs=d([docs[0], docs[1]]))
+
+    final = [new1, docs[2], docs[3]]
+    want = _score_map(bm25_topk(d(final), queries))
+    got = _score_map(bm25_topk_indexed(spark, idx, queries))
+    assert got == want  # bit-identical scores, not approx
+
+    compact_text_index(spark, idx)
+    import glob
+    assert not glob.glob(f"{idx}/deltas/*")
+    assert _score_map(bm25_topk_indexed(spark, idx, queries)) == want
+
+
+def test_incremental_index_delete_only_delta(spark, tmp_path):
+    from engagement_data_pipeline_spark.training.ranking import (
+        bm25_topk, bm25_topk_indexed, build_text_index, update_text_index)
+
+    rows = [(i, f"doc number {i} spark") for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx2")
+    build_text_index(d, idx)
+    update_text_index(spark, idx, new_docs=None,
+                      removed_docs=d.where("doc_id >= 4"))
+    queries = {"q": ["spark"]}
+    want = _score_map(bm25_topk(d.where("doc_id < 4"), queries))
+    assert _score_map(bm25_topk_indexed(spark, idx, queries)) == want

@@ -65,6 +65,13 @@ HEADLINE = [
     "doc_bm25_indexed",         # postings-index serve: broadcast semi-join
     "doc_classifier_margin",    # linear inference: zero-shuffle projection
     "doc_length_percentiles",   # percentile via broadcast HDR histogram
+    "scd2_messages",            # SCD2: change-compress + intervals, 1 shuffle
+    "doc_hybrid_rrf",           # RRF fusion: tiny top-k full-outer + re-rank
+    "doc_batch_plan",           # length-bucketed batching: sharded windows
+    "emb_quantize",             # int8 quantize: broadcast stats, projection
+    "emb_gram",                 # PCA stats: one explode into d^2 cells
+    "cust_linkage",             # FS linkage: blocked equi-join + projection
+    "doc_bpe_tokens",           # BPE: final vocab explode+agg (fit upstream)
 ]
 
 
