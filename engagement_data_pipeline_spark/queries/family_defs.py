@@ -351,6 +351,9 @@ _SIMILARITY_MM_MEMBERS = {
         multimodal_q.mm_audio_chunks, multimodal_q.MM_AUDIO_CHUNKS_SQL,
         [("media_id", "string"), ("chunk_start_ms", "bigint"),
          ("chunk_end_ms", "bigint")]),
+    "mm_phash_pairs": (
+        multimodal_q.mm_phash_pairs, multimodal_q.MM_PHASH_PAIRS_SQL,
+        [("id_a", "string"), ("id_b", "string"), ("dist", "int")]),
     "ann_recall_eval": (
         similarity.ann_recall_eval, similarity.ANN_RECALL_EVAL_SQL,
         [("index", "string"), ("query_id", "bigint"),

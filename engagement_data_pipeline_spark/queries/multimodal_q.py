@@ -108,3 +108,80 @@ FROM media,
      UNNEST(generate_series(0, GREATEST(duration_ms - {_OVERLAP_MS + 1}, 0),
                             {_CHUNK_MS - _OVERLAP_MS})) AS t(chunk_start_ms)
 """
+
+
+# --- perceptual-hash image near-dup ---------------------------------------
+#
+# Fixture with REAL near-duplicate structure: 64-byte payloads over a
+# bimodal {a,z} alphabet, pattern keyed on a well-mixed group hash;
+# odd-parity members flip exactly two positions, so intra-group pairs
+# sit at hamming distance 0 or 2 and unrelated groups ~32 bits apart.
+# The byte-level aHash (training/multimodal.py:perceptual_hash_bytes)
+# is mirrored in SQL; the oracle finds pairs by BRUTE FORCE, so the
+# hash match certifies the banded join's pigeonhole-exact recall.
+
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..training.dedup import md5_long
+
+    apply_runtime_conf(spark)
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 3 == 1)
+    grp = (F.col("event_id") / 24).cast("long")
+    par = (F.col("event_id") % 2 == 1)
+    # base pattern = the group's md5 bits: i.i.d. across groups, so
+    # unrelated groups sit ~30 bits apart (no accidental near-dups —
+    # a linear congruential pattern here correlated adjacent groups
+    # and produced 27x more pairs)
+    gh = md5_long(grp.cast("string"))
+    chars = []
+    for j in range(64):
+        base = (F.shiftrightunsigned(gh, j).bitwiseAND(F.lit(1)) == 1
+                if j < 60 else F.lit(False))
+        flip = F.lit(j in (10, 40)) & par
+        chars.append(F.when(base != flip, F.lit("z")).otherwise(F.lit("a")))
+    return ev.select(
+        F.concat(F.lit("media-"), F.col("event_id").cast("string"))
+        .alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.concat(*chars), "UTF-8").alias("payload"))
+
+
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: aHash per image via the Arrow
+    kernel, then all pairs within hamming distance 3 via the banded
+    join (training/dedup.py:hamming_pairs — exact by pigeonhole, so
+    the brute-force oracle is the ground truth it must equal)."""
+    from ..training.dedup import hamming_pairs
+    from ..training.multimodal import image_phash
+
+    hashed = image_phash(_phash_media(spark, sf_dir))
+    return hamming_pairs(hashed, "media_id", "phash",
+                         max_dist=3, n_bands=4)
+
+
+_PH_GH_SQL = ("CAST(('0x' || substr(md5(CAST(event_id // 24 AS VARCHAR)), "
+              "1, 15)) AS BIGINT)")
+
+_PH_BYTES_SQL = f"""list_transform(generate_series(0, 63), j ->
+      CASE WHEN (j < 60 AND (({_PH_GH_SQL} >> j) & 1) = 1)
+                != (event_id % 2 = 1 AND (j = 10 OR j = 40))
+           THEN 122 ELSE 97 END)"""
+
+MM_PHASH_PAIRS_SQL = f"""
+WITH img AS (
+  SELECT 'media-' || CAST(event_id AS VARCHAR) AS media_id,
+         {_PH_BYTES_SQL} AS bytes
+  FROM events WHERE event_id % 3 = 1
+),
+ph AS (
+  SELECT media_id,
+         (SELECT COALESCE(SUM(CASE WHEN bytes[i + 1]
+                        >= CAST(list_sum(bytes) AS DOUBLE) / 64
+                   THEN CAST(1 AS BIGINT) << i ELSE 0 END), 0)
+          FROM generate_series(0, 62) t(i)) AS phash
+  FROM img
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS dist
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""

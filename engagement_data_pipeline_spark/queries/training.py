@@ -348,12 +348,17 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("token"))
           .groupBy("doc_id", "token")
           .agg(F.count(F.lit(1)).cast("long").alias("tf")))
-    dfreq = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df_docs"))
+    # ONE corpus explode: df and the per-doc top-k are both windows
+    # over the same tf frame (Catalyst does not share a relation
+    # across two groupBy consumers — the previous df-as-regroup plan
+    # re-ran the explode, 2x the map work; the window form re-keys
+    # the already-collapsed tf rows instead, the same one-pass trade
+    # as bm25_topk's in-plan df, training/ranking.py)
+    tf = tf.withColumn("df_docs", F.count(F.lit(1)).over(
+        Window.partitionBy("token")).cast("long"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "token")
-    top = (tf.withColumn("rank", F.row_number().over(w))
-           .where(F.col("rank") <= _TOP_TERMS_K))
-    return (top.join(F.broadcast(dfreq), "token")
+    return (tf.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_TERMS_K)
             .select("doc_id", F.col("rank").cast("int").alias("rank"),
                     "token", "tf", "df_docs"))
 

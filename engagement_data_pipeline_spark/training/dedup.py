@@ -588,3 +588,44 @@ def solve_lsh_params(threshold: float, n_hashes: int = NUM_HASHES
         if best is None or key < best[0]:
             best = (key, (b, r))
     return best[1]
+
+
+def hamming_pairs(hashed: DataFrame, id_col: str, hash_col: str,
+                  max_dist: int = 3, n_bands: int = 4,
+                  bits: int = 64) -> DataFrame:
+    """All pairs whose `hash_col` values differ in <= `max_dist` bits
+    (id_a < id_b) — EXACT when max_dist < n_bands, by pigeonhole: a
+    pair differing in fewer bits than there are bands must agree
+    exactly on at least one band, so banding loses nothing (the same
+    guarantee shape as `fuzzy_pairs_ed1`'s deletion neighborhoods;
+    the brute-force O(n^2) scan IS the oracle). Candidates join only
+    within (band_idx, band_bits) buckets; the verify is one
+    bit_count(xor) per candidate. The hamming sibling of the MinHash
+    band join, for SimHash / perceptual-hash columns."""
+    if max_dist >= n_bands:
+        raise ValueError(
+            f"max_dist {max_dist} >= n_bands {n_bands}: banding would "
+            "miss pairs (pigeonhole guarantee needs max_dist < n_bands)")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned(F.col(hash_col), i * band_bits)
+                 .bitwiseAND(F.lit(mask)).alias("key"))
+        for i in range(n_bands)])
+    keyed = (hashed.select(F.col(id_col).alias("id"),
+                           F.col(hash_col).alias("h"),
+                           F.explode(bands).alias("b"))
+             .select("id", "h", F.col("b.band").alias("band"),
+                     F.col("b.key").alias("key")))
+    left = keyed
+    right = (keyed.withColumnRenamed("id", "id_b")
+             .withColumnRenamed("h", "h_b"))
+    cand = (left.join(right, ["band", "key"])
+            .where(F.col("id") < F.col("id_b"))
+            .select(F.col("id").alias("id_a"), F.col("id_b"),
+                    F.col("h"), F.col("h_b"))
+            .distinct())
+    dist = F.bit_count(F.col("h").bitwiseXOR(F.col("h_b")))
+    return (cand.select("id_a", "id_b", dist.cast("int").alias("dist"))
+            .where(F.col("dist") <= max_dist))

@@ -164,3 +164,63 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 30_000,
             F.least(F.col("chunk_start_ms") + chunk_ms,
                     F.col("duration_ms")).alias("chunk_end_ms"))
     )
+
+
+PHASH_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("phash", LongType()),
+])
+
+
+def perceptual_hash_bytes(data: bytes, n_bits: int = 64) -> int:
+    """Average-hash over 64 evenly-sampled byte positions: bit i set
+    iff the sampled byte is >= the payload's mean byte value. On the
+    real path the same formula runs over decoded grayscale pixels
+    (PIL resize to 8x8), which is the classical aHash; on the fake
+    path it runs over the encoded bytes — still locality-sensitive
+    (a small payload edit flips few sampled bits), which is what the
+    dedup plumbing needs and what the SQL oracle mirrors exactly."""
+    n = len(data)
+    if n == 0:
+        return 0
+    mean = sum(data) / n  # double division, IEEE-identical in SQL
+    h = 0
+    for i in range(n_bits):
+        if data[(i * n) // n_bits] >= mean:
+            h |= 1 << i
+    # keep the sign bit clear so cross-engine integer semantics never
+    # involve negative hashes (bit 63 unused: 63 sampled positions
+    # of signal is plenty for near-dup blocking)
+    return h & ((1 << 63) - 1)
+
+
+def image_phash(media: DataFrame, fake: bool = True) -> DataFrame:
+    """(media_id, phash): perceptual hash per image row via the same
+    Arrow kernel boundary as `image_features`. Real path: PIL 8x8
+    grayscale resize, aHash over the 64 pixels; fake path (oracle-
+    mirrored): aHash over the encoded payload bytes."""
+
+    def one(payload: bytes) -> int:
+        if not fake:
+            pil = _pil_image()
+            if pil is None:
+                raise NotImplementedError(
+                    "image decoding requires an image codec library "
+                    "(PIL); pass fake=True for the byte-level stand-in")
+            import io
+
+            with pil.open(io.BytesIO(payload)) as im:
+                px = im.convert("L").resize((8, 8)).tobytes()
+            return perceptual_hash_bytes(px)
+        return perceptual_hash_bytes(payload)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "phash": [one(p) for p in pdf["payload"]],
+            })
+
+    images = media.where(F.col("media_type") == "image") \
+        .select("media_id", "payload")
+    return images.mapInPandas(kernel, PHASH_SCHEMA)

@@ -448,3 +448,47 @@ def test_incremental_index_delete_only_delta(spark, tmp_path):
     queries = {"q": ["spark"]}
     want = _score_map(bm25_topk(d.where("doc_id < 4"), queries))
     assert _score_map(bm25_topk_indexed(spark, idx, queries)) == want
+
+
+# --- perceptual hash + hamming band join ----------------------------------
+
+def test_hamming_pairs_exact_vs_brute_force(spark):
+    import itertools
+    import random
+
+    from engagement_data_pipeline_spark.training.dedup import hamming_pairs
+
+    rng = random.Random(11)
+    rows = [(i, rng.getrandbits(63)) for i in range(80)]
+    # plant near-dups: flip <=3 bits of row 0's hash
+    rows += [(100 + k, rows[0][1] ^ (1 << (5 * k + 1)) ^ (k and 1 << 50))
+             for k in range(3)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in hamming_pairs(df, "id", "h", max_dist=3).collect()}
+    want = {(a, b, bin(ha ^ hb).count("1"))
+            for (a, ha), (b, hb) in itertools.combinations(rows, 2)
+            if bin(ha ^ hb).count("1") <= 3}
+    assert got == want  # pigeonhole: banding loses nothing
+    assert want  # the planted near-dups are actually found
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hamming_pairs(df, "id", "h", max_dist=4, n_bands=4)
+
+
+def test_phash_kernel_is_locality_sensitive(spark):
+    from engagement_data_pipeline_spark.training.multimodal import (
+        perceptual_hash_bytes)
+
+    base = bytes([97, 122] * 32)
+    tweaked = bytearray(base)
+    tweaked[10] = 122  # flip one sampled byte upward
+    far = bytes([122, 97] * 32)
+    h0 = perceptual_hash_bytes(base)
+    h1 = perceptual_hash_bytes(bytes(tweaked))
+    h2 = perceptual_hash_bytes(far)
+    assert bin(h0 ^ h1).count("1") <= 2
+    assert bin(h0 ^ h2).count("1") > 20
+    assert 0 <= h0 < (1 << 63)
+    assert perceptual_hash_bytes(b"") == 0
