@@ -58,6 +58,18 @@ _EVENTS_MEMBERS = {
         stats_q.events_hll_distinct, stats_q.EVENTS_HLL_DISTINCT_SQL,
         [("event_type", "string"), ("n_exact", "bigint"),
          ("n_registers", "bigint"), ("hll_estimate", "double")]),
+    "events_gapfill": (
+        temporal_q.events_gapfill, temporal_q.EVENTS_GAPFILL_SQL,
+        [("event_type", "string"), ("day_us", "bigint"),
+         ("n_events", "bigint"), ("cum_events", "bigint")]),
+    "events_json_props": (
+        temporal_q.events_json_props, temporal_q.EVENTS_JSON_PROPS_SQL,
+        [("event_type", "string"), ("n", "bigint"), ("n_parsed", "bigint"),
+         ("sum_k", "bigint"), ("min_k", "int"), ("max_k", "int")]),
+    "events_pivot": (
+        temporal_q.events_pivot, temporal_q.EVENTS_PIVOT_SQL,
+        [("day_us", "bigint")] + [(f"n_{ty}", "bigint") for ty in
+                                  temporal_q._PIVOT_TYPES]),
     "events_retention": (
         temporal_q.events_retention, temporal_q.EVENTS_RETENTION_SQL,
         [("cohort_day_us", "bigint"), ("offset_days", "int"),

@@ -342,3 +342,133 @@ SELECT event_type, day_us, c AS n_events,
        (n * c - s) * (n * c - s) > 4 * (n * q - s * s) AS is_anomaly
 FROM base WHERE n >= 3
 """
+
+
+# --- time-series gap filling ---------------------------------------------
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event type: missing days between each
+    type's first and last activity materialize with n_events = 0,
+    then a cumulative total runs over the dense axis — the
+    gap-filling step every downstream charting/anomaly consumer
+    needs (a trailing window over a sparse axis silently shortens
+    its horizon on quiet days).
+
+    Shape: one hash aggregation to daily grain, a per-type min/max
+    regroup (|types| rows) exploded into the dense day axis via
+    `sequence` (zero shuffle — the axis is tiny), one broadcast-ready
+    left join of the daily counts back onto it, one window. Every
+    post-aggregate structure is |types| x |days| rows regardless of
+    corpus size."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"))
+    daily = ev.groupBy("event_type", "day_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"))
+    axis = (daily.groupBy("event_type")
+            .agg(F.min("day_us").alias("lo"), F.max("day_us").alias("hi"))
+            .select("event_type",
+                    F.explode(F.sequence(F.col("lo"), F.col("hi"),
+                                         F.lit(_DAY_US))).alias("day_us")))
+    dense = (axis.join(daily, ["event_type", "day_us"], "left")
+             .select("event_type", "day_us",
+                     F.coalesce("n_events", F.lit(0)).cast("long")
+                     .alias("n_events")))
+    w = Window.partitionBy("event_type").orderBy("day_us") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return dense.select(
+        "event_type", "day_us", "n_events",
+        F.sum("n_events").over(w).cast("long").alias("cum_events"))
+
+
+EVENTS_GAPFILL_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, epoch_us(date_trunc('day', ts))
+),
+axis AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, {_DAY_US})) AS day_us
+  FROM (SELECT event_type, MIN(day_us) AS lo, MAX(day_us) AS hi
+        FROM daily GROUP BY event_type)
+),
+dense AS (
+  SELECT a.event_type, a.day_us,
+         CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+  FROM axis a LEFT JOIN daily d USING (event_type, day_us)
+)
+SELECT event_type, day_us, n_events,
+       CAST(SUM(n_events) OVER (
+           PARTITION BY event_type ORDER BY day_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_events
+FROM dense
+"""
+
+
+# --- semi-structured JSON extraction --------------------------------------
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON `props` column: `from_json` with
+    an explicit schema (vectorized JVM parse — never a Python UDF),
+    then a per-type rollup of the extracted field. Malformed rows
+    parse to NULL and are counted rather than dropped, which is the
+    ingest posture a 100 TB semi-structured column needs."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("k").cast("long").alias("n_parsed"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"))
+
+
+EVENTS_JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_parsed,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS INTEGER) AS min_k,
+       CAST(MAX(k) AS INTEGER) AS max_k
+FROM (SELECT event_type,
+             CAST(props ->> '$.k' AS INTEGER) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+# --- pivot (wide daily matrix) --------------------------------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily wide matrix: one column per event type via the relational
+    pivot. The value list is supplied explicitly, so Spark skips the
+    extra distinct-values job and the plan is a single hash
+    aggregation with one row per day — the A5 cross-tab generalized
+    to the pivot API surface."""
+    ev = t(spark, sf_dir, "events").select(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        "event_type")
+    wide = (ev.groupBy("day_us")
+            .pivot("event_type", _PIVOT_TYPES)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0))
+    for ty in _PIVOT_TYPES:
+        wide = wide.withColumn(f"n_{ty}", F.col(ty).cast("long")) \
+                   .drop(ty)
+    return wide
+
+
+EVENTS_PIVOT_SQL = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+""" + ",\n".join(
+    f"       CAST(COUNT(*) FILTER (WHERE event_type = '{ty}') AS BIGINT)"
+    f" AS n_{ty}" for ty in _PIVOT_TYPES
+) + """
+FROM events GROUP BY epoch_us(date_trunc('day', ts))
+"""
