@@ -61,3 +61,38 @@ def column_stats(df: DataFrame, cols: Sequence[str] | None = None,
     return (wide.select(F.explode(F.array(*rows)).alias("s"))
             .select("s.column", "s.n_rows", "s.n_nulls", "s.n_distinct",
                     "s.min_value", "s.max_value"))
+
+
+def schema_drift(old, new) -> list[dict]:
+    """Column-level drift between two schemas (StructType or
+    DataFrame): added / removed / type_changed / nullability_changed,
+    in new-schema column order then removed columns. Pure metadata —
+    no jobs run — which is what a contract check in front of a 100 TB
+    write should cost; pair with `operators/quality.expect` for the
+    value-level rules and `streaming/ingest.foreach_batch_upsert`'s
+    union-schema evolution for the apply side."""
+    os_ = old.schema if hasattr(old, "schema") else old
+    ns = new.schema if hasattr(new, "schema") else new
+    of = {f.name: f for f in os_.fields}
+    nf = {f.name: f for f in ns.fields}
+    drift = []
+    for name, f in nf.items():
+        o = of.get(name)
+        if o is None:
+            drift.append({"column": name, "change": "added",
+                          "old_type": None,
+                          "new_type": f.dataType.simpleString()})
+        elif o.dataType != f.dataType:
+            drift.append({"column": name, "change": "type_changed",
+                          "old_type": o.dataType.simpleString(),
+                          "new_type": f.dataType.simpleString()})
+        elif o.nullable != f.nullable:
+            drift.append({"column": name, "change": "nullability_changed",
+                          "old_type": o.dataType.simpleString(),
+                          "new_type": f.dataType.simpleString()})
+    for name, o in of.items():
+        if name not in nf:
+            drift.append({"column": name, "change": "removed",
+                          "old_type": o.dataType.simpleString(),
+                          "new_type": None})
+    return drift

@@ -492,3 +492,32 @@ def test_phash_kernel_is_locality_sensitive(spark):
     assert bin(h0 ^ h2).count("1") > 20
     assert 0 <= h0 < (1 << 63)
     assert perceptual_hash_bytes(b"") == 0
+
+
+# --- schema drift + corrupt-record ingest ---------------------------------
+
+def test_schema_drift_report(spark):
+    from engagement_data_pipeline_spark.operators.profile import schema_drift
+
+    old = spark.createDataFrame([], "a int, b string, c double")
+    new = spark.createDataFrame([], "a long, b string, d boolean")
+    got = {d["column"]: d["change"] for d in schema_drift(old, new)}
+    assert got == {"a": "type_changed", "d": "added", "c": "removed"}
+    assert schema_drift(old, old) == []
+
+
+def test_csv_permissive_corrupt_records(spark, tmp_path):
+    # PERMISSIVE ingest posture: malformed rows land in the rescue
+    # column instead of failing the 100 TB load or silently vanishing
+    p = tmp_path / "in.csv"
+    p.write_text("sender,amount\nalice,3\nbob,notanumber\ncarol,5\n")
+    df = (spark.read.schema(
+            "sender string, amount int, _corrupt_record string")
+          .option("header", True)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(str(p))).cache()
+    ok = df.where("_corrupt_record IS NULL")
+    bad = df.where("_corrupt_record IS NOT NULL")
+    assert {r.sender for r in ok.collect()} == {"alice", "carol"}
+    assert [r._corrupt_record for r in bad.collect()] == ["bob,notanumber"]
