@@ -125,3 +125,21 @@ def assert_expectations(df: DataFrame, rules: Sequence[Rule]) -> None:
         raise AssertionError(
             "expectations violated: "
             + "; ".join(f"{n} ({v} rows)" for n, v in bad))
+
+
+def row_quarantine(df: DataFrame, rules: Sequence[Rule]
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (valid, quarantined) on the ROW-LOCAL rules —
+    the dead-letter-queue gate in front of a merge/sink: bad rows are
+    diverted with a `failed_rules` column (comma-joined rule names)
+    instead of failing the load or silently vanishing. One projection,
+    zero shuffle; uniqueness rules are table-level and stay with
+    `expect`/`assert_expectations`."""
+    row_rules = [r for r in rules if r.violated is not None]
+    if not row_rules:
+        raise ValueError("row_quarantine needs at least one row-local rule")
+    failed = F.concat_ws(",", *[
+        F.when(r.violated, F.lit(r.name)) for r in row_rules])
+    flagged = df.withColumn("failed_rules", failed)
+    valid = flagged.where(F.col("failed_rules") == "").drop("failed_rules")
+    return valid, flagged.where(F.col("failed_rules") != "")

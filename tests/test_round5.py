@@ -521,3 +521,25 @@ def test_csv_permissive_corrupt_records(spark, tmp_path):
     bad = df.where("_corrupt_record IS NOT NULL")
     assert {r.sender for r in ok.collect()} == {"alice", "carol"}
     assert [r._corrupt_record for r in bad.collect()] == ["bob,notanumber"]
+
+
+# --- columnar format round-trips ------------------------------------------
+
+def test_orc_roundtrip_preserves_nested_types(spark, tmp_path):
+    # ORC is the second built-in columnar format Spark ships; the
+    # engine's tables must survive it with nested labels intact
+    rows = [(1, ["a", "b"], {"scheme": "s1", "checked": True}),
+            (2, [], {"scheme": None, "checked": False})]
+    df = spark.createDataFrame(
+        rows, "id long, tags array<string>, "
+              "label struct<scheme: string, checked: boolean>")
+    path = str(tmp_path / "orc")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema
+    assert sorted([r.asDict() for r in back.collect()],
+                  key=lambda d: d["id"]) == \
+        sorted([r.asDict() for r in df.collect()], key=lambda d: d["id"])
+    # predicate pushdown reaches the ORC scan too
+    plan = back.where("id = 1")._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()

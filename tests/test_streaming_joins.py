@@ -91,3 +91,37 @@ def test_stream_join_expired_state_never_matches(spark, tmp_path):
            ["user_id", "buy_ts"])
     got2 = _run_join(spark, clicks_dir, buys_dir, tmp_path / "ck")
     assert (1, "10:00", "10:04") not in got2
+
+
+def test_dead_letter_queue_merge(spark, tmp_path):
+    """DLQ posture for the streaming merge: the expectations gate
+    splits each micro-batch; valid rows take the idempotent merge,
+    invalid rows append to a dead-letter dir with their failure
+    reasons — nothing is dropped, nothing fails the load."""
+    from engagement_data_pipeline_spark.operators.quality import (
+        matches, not_null, row_quarantine)
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        foreach_batch_upsert, read_merged_table)
+
+    table = str(tmp_path / "table")
+    dlq = str(tmp_path / "dlq")
+    rules = [not_null("origin", "text"),
+             matches("origin", "^msg-[0-9]+$")]
+    inner = foreach_batch_upsert(table, ["origin"], n_buckets=2)
+
+    def gated(batch, batch_id):
+        valid, bad = row_quarantine(batch, rules)
+        (bad.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(dlq))
+        inner(valid, batch_id)
+
+    rows = [("msg-1", "hello"), ("msg-2", None),
+            ("not!an!id", "x"), ("msg-3", "ok")]
+    gated(spark.createDataFrame(rows, "origin string, text string"), 0)
+
+    merged = {r.origin for r in read_merged_table(spark, table).collect()}
+    assert merged == {"msg-1", "msg-3"}
+    dead = {(r.origin, r.failed_rules)
+            for r in spark.read.parquet(dlq).collect()}
+    assert dead == {("msg-2", "not_null(origin,text)"),
+                    ("not!an!id", "matches(origin)")}
