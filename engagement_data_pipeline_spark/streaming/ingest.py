@@ -169,20 +169,40 @@ def read_table_manifest(spark: SparkSession, table_path: str) -> dict | None:
 
 def _commit(spark: SparkSession, table_path: str, commit: int,
             n_buckets: int, origin_cols: Sequence[str],
-            buckets: dict[int, int]) -> None:
+            buckets: dict[int, int], op: str = "merge",
+            bases: dict[int, str] | None = None) -> None:
+    import time
+
     man = {"commit": commit, "n_buckets": n_buckets,
-           "origin": list(origin_cols),
+           "origin": list(origin_cols), "op": op,
+           "ts_ms": int(time.time() * 1000),
            "buckets": {str(k): v for k, v in sorted(buckets.items())}}
+    # foreign roots (shallow clone): keep only still-referenced ones
+    live = {v for v in buckets.values()}
+    bases = {v: r for v, r in (bases or {}).items() if v in live}
+    if bases:
+        man["bases"] = {str(v): r for v, r in sorted(bases.items())}
     _write_text_atomic(
         spark, f"{table_path}/{_LOG_DIR}/{commit:08d}.json",
         json.dumps(man, indent=0))
 
 
+def _bases(man: dict | None) -> dict[int, str]:
+    """Per-version foreign roots from a manifest ('bases' field, set
+    by `clone_table`): version -> table root holding its data.
+    Versions absent from the map live under the table's own root."""
+    if not man:
+        return {}
+    return {int(k): v for k, v in man.get("bases", {}).items()}
+
+
 def _bucket_paths(table_path: str, buckets: dict[int, int],
-                  only: Sequence[int] | None = None) -> list[str]:
+                  only: Sequence[int] | None = None,
+                  bases: dict[int, str] | None = None) -> list[str]:
     wanted = buckets if only is None else {
         b: buckets[b] for b in only if b in buckets}
-    return [f"{table_path}/v{ver:08d}/{BUCKET_COL}={b}"
+    bases = bases or {}
+    return [f"{bases.get(ver, table_path)}/v{ver:08d}/{BUCKET_COL}={b}"
             for b, ver in sorted(wanted.items())]
 
 
@@ -205,7 +225,8 @@ def read_merged_table(spark: SparkSession, table_path: str) -> DataFrame:
         # Pre-manifest layout (or a foreign parquet dir): best effort.
         df = spark.read.parquet(table_path)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
-    return _read_buckets(spark, _bucket_paths(table_path, man["buckets"]))
+    return _read_buckets(spark, _bucket_paths(table_path, man["buckets"],
+                                              bases=_bases(man)))
 
 
 def read_table_at(spark: SparkSession, table_path: str,
@@ -218,7 +239,8 @@ def read_table_at(spark: SparkSession, table_path: str,
     man = _manifest_at(spark, table_path, commit)
     if not man["buckets"]:
         return read_merged_table(spark, table_path).limit(0)
-    return _read_buckets(spark, _bucket_paths(table_path, man["buckets"]))
+    return _read_buckets(spark, _bucket_paths(table_path, man["buckets"],
+                                              bases=_bases(man)))
 
 
 def lookup_origin(spark: SparkSession, table_path: str,
@@ -246,7 +268,7 @@ def lookup_origin(spark: SparkSession, table_path: str,
     if b not in man["buckets"]:
         return read_merged_table(spark, table_path).limit(0)
     df = _read_buckets(spark, _bucket_paths(table_path, man["buckets"],
-                                            only=[b]))
+                                            only=[b], bases=_bases(man)))
     cond = None
     for c, v in zip(origin, key):
         eq = F.col(c) == F.lit(v)
@@ -318,7 +340,8 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
         # collect is O(n_buckets) regardless of table size.
         hit = sorted(r[0] for r in
                      batch.select(BUCKET_COL).distinct().collect())
-        cur = _bucket_paths(table_path, man["buckets"], only=hit)
+        cur = _bucket_paths(table_path, man["buckets"], only=hit,
+                            bases=_bases(man))
         if cur:
             existing = (_read_buckets(spark, cur)
                         .withColumn(BUCKET_COL,
@@ -341,7 +364,8 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
         commit = man["commit"] + 1
         _write_version(merged, table_path, commit, len(hit))
         _commit(spark, table_path, commit, nb, origin_cols,
-                {**man["buckets"], **{b: commit for b in hit}})
+                {**man["buckets"], **{b: commit for b in hit}},
+                bases=_bases(man))
     return _merge
 
 
@@ -390,8 +414,10 @@ def table_changes(spark: SparkSession, table_path: str, from_commit: int,
     old_b, new_b = man_from["buckets"], man_to["buckets"]
     changed = sorted(b for b in set(old_b) | set(new_b)
                      if old_b.get(b) != new_b.get(b))
-    new_paths = _bucket_paths(table_path, new_b, only=changed)
-    old_paths = _bucket_paths(table_path, old_b, only=changed)
+    new_paths = _bucket_paths(table_path, new_b, only=changed,
+                              bases=_bases(man_to))
+    old_paths = _bucket_paths(table_path, old_b, only=changed,
+                              bases=_bases(man_from))
     if new_paths:
         new_df = _read_buckets(spark, new_paths)
     else:  # nothing changed: empty changeset with the table's schema
@@ -453,11 +479,12 @@ def delete_origins(spark: SparkSession, table_path: str,
                  if r[0] in man["buckets"])
     commit = man["commit"] + 1
     if not hit:  # nothing stored under any of these keys: empty commit
-        _commit(spark, table_path, commit, nb, origin, man["buckets"])
+        _commit(spark, table_path, commit, nb, origin, man["buckets"],
+                op="delete", bases=_bases(man))
         return commit
     existing = (_read_buckets(spark,
                               _bucket_paths(table_path, man["buckets"],
-                                            only=hit))
+                                            only=hit, bases=_bases(man)))
                 .withColumn(BUCKET_COL, origin_bucket(origin, nb)))
     remaining = existing.join(keys.select(*origin), origin, "left_anti")
     _write_version(remaining, table_path, commit, len(hit))
@@ -470,7 +497,8 @@ def delete_origins(spark: SparkSession, table_path: str,
     for b in hit:
         if b not in survived:
             buckets.pop(b, None)
-    _commit(spark, table_path, commit, nb, origin, buckets)
+    _commit(spark, table_path, commit, nb, origin, buckets, op="delete",
+            bases=_bases(man))
     if vacuum:
         vacuum_table(spark, table_path, keep_manifests=1)
     return commit
@@ -486,13 +514,14 @@ def compact_table(spark: SparkSession, table_path: str,
     man = read_table_manifest(spark, table_path)
     if man is None:
         return
-    df = (_read_buckets(spark, _bucket_paths(table_path, man["buckets"]))
+    df = (_read_buckets(spark, _bucket_paths(table_path, man["buckets"],
+                                             bases=_bases(man)))
           .withColumn(BUCKET_COL,
                       origin_bucket(man["origin"], man["n_buckets"])))
     commit = man["commit"] + 1
     _write_version(df, table_path, commit, len(man["buckets"]))
     _commit(spark, table_path, commit, man["n_buckets"], man["origin"],
-            {b: commit for b in man["buckets"]})
+            {b: commit for b in man["buckets"]}, op="compact")
     if vacuum:
         vacuum_table(spark, table_path)
 
@@ -506,14 +535,15 @@ def rebucket_table(spark: SparkSession, table_path: str,
     man = read_table_manifest(spark, table_path)
     if man is None:
         return
-    df = (_read_buckets(spark, _bucket_paths(table_path, man["buckets"]))
+    df = (_read_buckets(spark, _bucket_paths(table_path, man["buckets"],
+                                             bases=_bases(man)))
           .withColumn(BUCKET_COL,
                       origin_bucket(man["origin"], new_n_buckets)))
     commit = man["commit"] + 1
     hit = sorted(r[0] for r in df.select(BUCKET_COL).distinct().collect())
     _write_version(df, table_path, commit, len(hit))
     _commit(spark, table_path, commit, new_n_buckets, man["origin"],
-            {b: commit for b in hit})
+            {b: commit for b in hit}, op="rebucket")
     if vacuum:
         vacuum_table(spark, table_path)
 
@@ -557,3 +587,58 @@ def vacuum_table(spark: SparkSession, table_path: str,
     for commit in _list_commit_ids(spark, table_path)[:-keep_manifests]:
         if commit != man["commit"]:
             fs.delete(hp(f"{table_path}/{_LOG_DIR}/{commit:08d}.json"), False)
+
+
+def table_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """Commit log as a frame — the DESCRIBE HISTORY analog: (commit,
+    op, ts_ms, n_buckets, n_buckets_touched, n_buckets_total), newest
+    first. Reads only the O(commits) manifest files; pre-`op`
+    manifests (older tables) report op 'merge' and ts_ms NULL.
+    `n_buckets_touched` counts buckets whose version equals the
+    commit — exactly the data written by it — so write amplification
+    per commit is auditable from metadata alone."""
+    rows = []
+    for commit in _list_commit_ids(spark, table_path):
+        try:
+            man = json.loads(_read_text(
+                spark, f"{table_path}/{_LOG_DIR}/{commit:08d}.json"))
+        except Exception:
+            continue  # trailing partial manifest: invisible, like reads
+        if not {"commit", "n_buckets", "origin", "buckets"} <= man.keys():
+            continue
+        touched = sum(1 for v in man["buckets"].values()
+                      if int(v) == int(man["commit"]))
+        rows.append((int(man["commit"]), man.get("op", "merge"),
+                     man.get("ts_ms"), int(man["n_buckets"]),
+                     touched, len(man["buckets"])))
+    return (spark.createDataFrame(
+        rows, "commit int, op string, ts_ms long, n_buckets int, "
+              "n_buckets_touched int, n_buckets_total int")
+        .orderBy(F.col("commit").desc()))
+
+
+def clone_table(spark: SparkSession, src_path: str, dst_path: str) -> None:
+    """SHALLOW CLONE: create `dst_path` as a zero-copy view of the
+    source's current commit — one manifest write, no data movement,
+    however large the table (the Delta CLONE analog; the reference
+    copies whole Firestore exports to branch an environment). The
+    clone's manifest maps every inherited version to the SOURCE root
+    (`bases`); versions the clone writes itself live under its own
+    root, and its commit counter starts past the source's so version
+    numbers never collide. Divergence is copy-on-write at bucket
+    granularity: a merge/delete on the clone rewrites only touched
+    buckets locally and keeps referencing source data for the rest.
+
+    Hazards, identical to Delta shallow clones: `vacuum_table` on the
+    SOURCE can reclaim versions the clone still references (vacuum on
+    the clone itself only ever touches the clone's own root, so it is
+    always safe); `compact_table` on the clone materializes it fully
+    local and drops the dependency."""
+    man = read_table_manifest(spark, src_path)
+    if man is None:
+        raise ValueError(f"{src_path} has no commits")
+    src_bases = _bases(man)
+    bases = {ver: src_bases.get(ver, src_path)
+             for ver in set(man["buckets"].values())}
+    _commit(spark, dst_path, man["commit"], man["n_buckets"],
+            man["origin"], man["buckets"], op="clone", bases=bases)

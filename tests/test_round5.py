@@ -543,3 +543,63 @@ def test_orc_roundtrip_preserves_nested_types(spark, tmp_path):
     # predicate pushdown reaches the ORC scan too
     plan = back.where("id = 1")._jdf.queryExecution().executedPlan().toString()
     assert "orc" in plan.lower()
+
+
+# --- table history --------------------------------------------------------
+
+def test_table_history_reports_ops_and_write_amplification(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        compact_table, table_history)
+
+    rows = [(f"k{i}", f"p{i}") for i in range(20)]
+    table = _mk_table(spark, tmp_path, rows)          # commit 1: merge
+    keys = spark.createDataFrame([("k3",)], "origin string")
+    delete_origins(spark, table, keys)                # commit 2: delete
+    compact_table(spark, table, vacuum=False)         # commit 3: compact
+    hist = table_history(spark, table).collect()
+    assert [(r.commit, r.op) for r in hist] == \
+        [(3, "compact"), (2, "delete"), (1, "merge")]
+    # compaction touches every bucket; the delete only the key's one
+    assert hist[0].n_buckets_touched == hist[0].n_buckets_total
+    assert hist[1].n_buckets_touched == 1
+    assert all(r.ts_ms is not None for r in hist)
+
+
+# --- shallow clone --------------------------------------------------------
+
+def test_clone_is_zero_copy_and_diverges_copy_on_write(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        clone_table, compact_table, read_merged_table, table_history,
+        vacuum_table)
+
+    rows = [(f"k{i}", f"p{i}") for i in range(20)]
+    src = _mk_table(spark, tmp_path, rows)
+    dst = str(tmp_path / "clone")
+    clone_table(spark, src, dst)
+
+    # zero data copied: the clone holds ONLY its manifest
+    assert not glob.glob(f"{dst}/v*"), "clone must not copy data"
+    assert {r.origin for r in read_merged_table(spark, dst).collect()} == \
+        {f"k{i}" for i in range(20)}
+    assert table_history(spark, dst).first().op == "clone"
+
+    # copy-on-write divergence: delete on the clone...
+    keys = spark.createDataFrame([("k1",)], "origin string")
+    delete_origins(spark, dst, keys)
+    assert {r.origin for r in read_merged_table(spark, dst).collect()} == \
+        {f"k{i}" for i in range(20)} - {"k1"}
+    # ...never touches the source
+    assert {r.origin for r in read_merged_table(spark, src).collect()} == \
+        {f"k{i}" for i in range(20)}
+    # the clone now holds exactly its one rewritten bucket locally
+    assert len(glob.glob(f"{dst}/v*")) == 1
+
+    # vacuum on the clone is safe for the source; compaction then
+    # materializes the clone fully local
+    vacuum_table(spark, dst, keep_manifests=1)
+    assert read_merged_table(spark, src).count() == 20
+    compact_table(spark, dst)
+    from engagement_data_pipeline_spark.streaming.ingest import \
+        read_table_manifest
+    assert "bases" not in read_table_manifest(spark, dst)
+    assert read_merged_table(spark, dst).count() == 19
