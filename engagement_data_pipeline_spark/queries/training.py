@@ -281,8 +281,11 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id",
                                        _augmented_text().alias("text"))
     cols = T.scrub_pii(F.col("text"))
-    return docs.select("doc_id",
-                       *[c.alias(name) for name, c in cols.items()])
+    # pinned column list: the operator dict also carries the raw
+    # redacted text (for pipeline composition), which this report
+    # summarizes via clean_md5/clean_len instead of shipping
+    keep = ["n_urls", "n_emails", "n_phones", "clean_md5", "clean_len"]
+    return docs.select("doc_id", *[cols[k].alias(k) for k in keep])
 
 
 _AUG_SQL = """

@@ -201,6 +201,7 @@ def scrub_pii(text: Column) -> dict[str, Column]:
         "n_urls": F.regexp_count(norm, F.lit(PII_URL)).cast("long"),
         "n_emails": F.regexp_count(norm, F.lit(PII_EMAIL)).cast("long"),
         "n_phones": F.regexp_count(norm, F.lit(PII_PHONE)).cast("long"),
+        "redacted": redacted,
         "clean_md5": F.md5(redacted),
         "clean_len": F.length(redacted).cast("long"),
     }

@@ -603,3 +603,52 @@ def test_clone_is_zero_copy_and_diverges_copy_on_write(spark, tmp_path):
         read_table_manifest
     assert "bases" not in read_table_manifest(spark, dst)
     assert read_merged_table(spark, dst).count() == 19
+
+
+# --- one-call curation pipeline -------------------------------------------
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    from engagement_data_pipeline_spark.training.pipeline import \
+        curate_corpus
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = base.count()
+    # inject: an exact duplicate of doc 0, a short junk doc, and use
+    # doc 1's text as an eval probe (decontamination must drop doc 1)
+    d0 = base.where("doc_id = 0").first()
+    extra = spark.createDataFrame(
+        [(100000, d0.text, d0.lang, d0.source, d0.n_chars),
+         (100001, "x y", d0.lang, d0.source, 3)],
+        base.schema)
+    docs = base.unionByName(extra)
+    probes = spark.createDataFrame(
+        [(1, base.where("doc_id = 1").first().text)],
+        "doc_id long, text string")
+
+    out = str(tmp_path / "curated")
+    run = curate_corpus(docs, out, min_words=5, probes=probes)
+    rep = {r.doc_id: (r.disposition, r.split)
+           for r in run.report.collect()}
+    assert len(rep) == n0 + 2  # every input row accounted for
+    assert rep[100001][0] == "dropped_quality"
+    # the injected exact dup loses to the lower original id
+    assert rep[100000][0] in ("dropped_exact_duplicate",
+                              "dropped_near_duplicate")
+    assert rep[0][0] == "kept"
+    assert rep[1][0] == "dropped_contaminated"
+    # kept rows have splits; dropped rows don't
+    assert all((d == "kept") == (s is not None)
+               for d, s in rep.values())
+
+    # written corpus is split-partitioned, text is the scrubbed text
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert set(corpus.columns) >= {"doc_id", "text", "split",
+                                   "n_pii_redactions"}
+    assert corpus.count() == sum(1 for d, _ in rep.values() if d == "kept")
+    import glob as g
+    assert g.glob(f"{out}/corpus/split=*")
+
+    # stats reconcile with the report
+    stats = {r.disposition: r.n_docs for r in run.stats.collect()}
+    from collections import Counter
+    assert stats == dict(Counter(d for d, _ in rep.values()))
