@@ -170,13 +170,20 @@ def read_table_manifest(spark: SparkSession, table_path: str) -> dict | None:
 def _commit(spark: SparkSession, table_path: str, commit: int,
             n_buckets: int, origin_cols: Sequence[str],
             buckets: dict[int, int], op: str = "merge",
-            bases: dict[int, str] | None = None) -> None:
+            bases: dict[int, str] | None = None,
+            txn: dict | None = None) -> None:
     import time
 
     man = {"commit": commit, "n_buckets": n_buckets,
            "origin": list(origin_cols), "op": op,
            "ts_ms": int(time.time() * 1000),
            "buckets": {str(k): v for k, v in sorted(buckets.items())}}
+    if txn:
+        # stream-transaction watermarks (exactly-once replay skip);
+        # EVERY commit type must carry these forward — dropping them
+        # would let a restarted stream re-apply an old batch after an
+        # intervening delete and resurrect its rows
+        man["txn"] = dict(txn)
     # foreign roots (shallow clone): keep only still-referenced ones
     live = {v for v in buckets.values()}
     bases = {v: r for v, r in (bases or {}).items() if v in live}
@@ -306,6 +313,7 @@ def _write_version(df: DataFrame, table_path: str, commit: int,
 def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                          transform: Callable[[DataFrame], DataFrame] | None = None,
                          n_buckets: int | None = None,
+                         txn_app_id: str | None = None,
                          ) -> Callable[[DataFrame, int], None]:
     """A foreachBatch function: normalise the micro-batch (optional
     `transform`), then merge into the versioned bucket table keyed on
@@ -321,12 +329,27 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
 
     `n_buckets` only applies when this call CREATES the table (pick it
     with `suggest_n_buckets`); an existing table's manifest wins.
+
+    `txn_app_id` enables transactional replay skipping (the Delta
+    `txnAppId`/`txnVersion` idiom): the manifest records the highest
+    batch_id applied per app id, and a replayed batch at or below the
+    watermark returns WITHOUT committing. Without it, replays are
+    still merge-idempotent (existing-wins) — but only txn tracking
+    makes them metadata-idempotent too, and only txn tracking keeps a
+    checkpoint-restart replay from re-inserting rows that a later
+    `delete_origins` removed.
     """
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch = transform(batch)
         spark = batch.sparkSession
         man = read_table_manifest(spark, table_path)
+        txn = dict((man or {}).get("txn", {}))
+        if txn_app_id is not None:
+            applied = txn.get(txn_app_id)
+            if applied is not None and batch_id <= applied:
+                return  # checkpoint replay of an already-applied batch
+            txn[txn_app_id] = batch_id
         nb = man["n_buckets"] if man else (n_buckets or DEFAULT_N_BUCKETS)
         batch = batch.withColumn(BUCKET_COL, origin_bucket(origin_cols, nb))
         if man is None:
@@ -334,7 +357,7 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                          batch.select(BUCKET_COL).distinct().collect())
             _write_version(batch, table_path, 1, len(hit))
             _commit(spark, table_path, 1, nb, origin_cols,
-                    {b: 1 for b in hit})
+                    {b: 1 for b in hit}, txn=txn)
             return
         # Buckets present in this batch — bounded by n_buckets, so the
         # collect is O(n_buckets) regardless of table size.
@@ -365,7 +388,7 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
         _write_version(merged, table_path, commit, len(hit))
         _commit(spark, table_path, commit, nb, origin_cols,
                 {**man["buckets"], **{b: commit for b in hit}},
-                bases=_bases(man))
+                bases=_bases(man), txn=txn)
     return _merge
 
 
@@ -480,7 +503,7 @@ def delete_origins(spark: SparkSession, table_path: str,
     commit = man["commit"] + 1
     if not hit:  # nothing stored under any of these keys: empty commit
         _commit(spark, table_path, commit, nb, origin, man["buckets"],
-                op="delete", bases=_bases(man))
+                op="delete", bases=_bases(man), txn=man.get("txn"))
         return commit
     existing = (_read_buckets(spark,
                               _bucket_paths(table_path, man["buckets"],
@@ -498,7 +521,7 @@ def delete_origins(spark: SparkSession, table_path: str,
         if b not in survived:
             buckets.pop(b, None)
     _commit(spark, table_path, commit, nb, origin, buckets, op="delete",
-            bases=_bases(man))
+            bases=_bases(man), txn=man.get("txn"))
     if vacuum:
         vacuum_table(spark, table_path, keep_manifests=1)
     return commit
@@ -521,7 +544,8 @@ def compact_table(spark: SparkSession, table_path: str,
     commit = man["commit"] + 1
     _write_version(df, table_path, commit, len(man["buckets"]))
     _commit(spark, table_path, commit, man["n_buckets"], man["origin"],
-            {b: commit for b in man["buckets"]}, op="compact")
+            {b: commit for b in man["buckets"]}, op="compact",
+            txn=man.get("txn"))
     if vacuum:
         vacuum_table(spark, table_path)
 
@@ -543,7 +567,7 @@ def rebucket_table(spark: SparkSession, table_path: str,
     hit = sorted(r[0] for r in df.select(BUCKET_COL).distinct().collect())
     _write_version(df, table_path, commit, len(hit))
     _commit(spark, table_path, commit, new_n_buckets, man["origin"],
-            {b: commit for b in hit}, op="rebucket")
+            {b: commit for b in hit}, op="rebucket", txn=man.get("txn"))
     if vacuum:
         vacuum_table(spark, table_path)
 
@@ -641,4 +665,5 @@ def clone_table(spark: SparkSession, src_path: str, dst_path: str) -> None:
     bases = {ver: src_bases.get(ver, src_path)
              for ver in set(man["buckets"].values())}
     _commit(spark, dst_path, man["commit"], man["n_buckets"],
-            man["origin"], man["buckets"], op="clone", bases=bases)
+            man["origin"], man["buckets"], op="clone", bases=bases,
+            txn=man.get("txn"))

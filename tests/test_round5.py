@@ -652,3 +652,39 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     stats = {r.disposition: r.n_docs for r in run.stats.collect()}
     from collections import Counter
     assert stats == dict(Counter(d for d, _ in rep.values()))
+
+
+# --- transactional replay skip --------------------------------------------
+
+def test_txn_tracking_skips_replays_and_protects_deletes(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        read_table_manifest, table_history)
+
+    table = str(tmp_path / "table")
+    merge = foreach_batch_upsert(table, ["origin"], n_buckets=2,
+                                 txn_app_id="stream-A")
+    d = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "origin string, payload string")
+    merge(d([("k1", "p1"), ("k2", "p2")]), 0)
+    merge(d([("k3", "p3")]), 1)
+    assert read_table_manifest(spark, table)["commit"] == 2
+
+    # replaying batch 1 after a checkpoint restart: NO new commit
+    merge(d([("k3", "p3")]), 1)
+    assert read_table_manifest(spark, table)["commit"] == 2
+
+    # delete k1, then replay batch 0 (which inserted it): the txn
+    # watermark must keep the replay from resurrecting the row
+    delete_origins(spark, table,
+                   spark.createDataFrame([("k1",)], "origin string"))
+    merge(d([("k1", "p1"), ("k2", "p2")]), 0)
+    left = {r.origin for r in read_merged_table(spark, table).collect()}
+    assert left == {"k2", "k3"}
+
+    # a NEW batch id still applies, and history shows no extra commits
+    merge(d([("k4", "p4")]), 2)
+    assert {r.origin
+            for r in read_merged_table(spark, table).collect()} == \
+        {"k2", "k3", "k4"}
+    assert [r.op for r in table_history(spark, table).collect()] == \
+        ["merge", "delete", "merge", "merge"]
