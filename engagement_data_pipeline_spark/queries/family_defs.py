@@ -238,6 +238,10 @@ _TRAINING_MEMBERS = {
     "doc_bpe_tokens": (
         bpe_q.doc_bpe_tokens, bpe_q.DOC_BPE_TOKENS_SQL,
         [("token", "string"), ("total_count", "bigint")]),
+    "doc_bpe_ids": (
+        bpe_q.doc_bpe_ids, bpe_q.DOC_BPE_IDS_SQL,
+        [("doc_id", "bigint"), ("n_tokens", "bigint"),
+         ("ids", "string")]),
     "doc_batch_plan": (
         packing_q.doc_batch_plan, packing_q.DOC_BATCH_PLAN_SQL,
         [("bucket_cap", "bigint"), ("shard", "bigint"),
