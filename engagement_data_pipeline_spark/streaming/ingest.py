@@ -661,6 +661,9 @@ def clone_table(spark: SparkSession, src_path: str, dst_path: str) -> None:
     man = read_table_manifest(spark, src_path)
     if man is None:
         raise ValueError(f"{src_path} has no commits")
+    if read_table_manifest(spark, dst_path) is not None:
+        raise ValueError(f"{dst_path} already exists; clone only "
+                         "creates new tables")
     src_bases = _bases(man)
     bases = {ver: src_bases.get(ver, src_path)
              for ver in set(man["buckets"].values())}

@@ -688,3 +688,12 @@ def test_txn_tracking_skips_replays_and_protects_deletes(spark, tmp_path):
         {"k2", "k3", "k4"}
     assert [r.op for r in table_history(spark, table).collect()] == \
         ["merge", "delete", "merge", "merge"]
+
+
+def test_clone_refuses_existing_destination(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming.ingest import clone_table
+
+    src = _mk_table(spark, tmp_path, [("k1", "p1")])
+    dst = _mk_table(spark, tmp_path / "other", [("k2", "p2")])
+    with pytest.raises(ValueError):
+        clone_table(spark, src, dst)
