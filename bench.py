@@ -83,6 +83,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": [r[0] for r in runs],
     }))

@@ -697,3 +697,52 @@ def test_clone_refuses_existing_destination(spark, tmp_path):
     dst = _mk_table(spark, tmp_path / "other", [("k2", "p2")])
     with pytest.raises(ValueError):
         clone_table(spark, src, dst)
+
+
+# --- model-based merge-table check ----------------------------------------
+
+def test_merge_table_random_op_sequences_match_dict_model(spark, tmp_path):
+    """Random interleavings of merge / delete / compact / rebucket
+    against a plain-dict model: after every operation the committed
+    table must equal the model exactly (existing-wins upserts,
+    physical deletes). Catches cross-op interactions no single-op
+    test sees — manifest bases, emptied buckets, txn carry-through."""
+    import random
+
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        compact_table, rebucket_table)
+
+    rng = random.Random(29)
+    table = str(tmp_path / "model")
+    merge = foreach_batch_upsert(table, ["origin"], n_buckets=4,
+                                 txn_app_id="model")
+    model: dict[str, str] = {}
+    batch_id = 0
+    keys = [f"k{i}" for i in range(30)]
+
+    def check():
+        got = {(r.origin, r.payload)
+               for r in read_merged_table(spark, table).collect()}
+        assert got == set(model.items())
+
+    for step in range(14):
+        op = rng.choice(["merge", "merge", "merge", "delete",
+                         "compact", "rebucket"])
+        if op == "merge" or not model:
+            rows = [(k, f"v{step}") for k in rng.sample(keys, 6)]
+            merge(spark.createDataFrame(
+                rows, "origin string, payload string"), batch_id)
+            batch_id += 1
+            for k, v in rows:
+                model.setdefault(k, v)  # existing-wins
+        elif op == "delete":
+            del_keys = rng.sample(sorted(model), min(4, len(model)))
+            delete_origins(spark, table, spark.createDataFrame(
+                [(k,) for k in del_keys], "origin string"))
+            for k in del_keys:
+                model.pop(k)
+        elif op == "compact":
+            compact_table(spark, table)
+        else:
+            rebucket_table(spark, table, rng.choice([2, 4, 8]))
+        check()

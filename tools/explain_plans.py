@@ -72,6 +72,12 @@ HEADLINE = [
     "emb_gram",                 # PCA stats: one explode into d^2 cells
     "cust_linkage",             # FS linkage: blocked equi-join + projection
     "doc_bpe_tokens",           # BPE: final vocab explode+agg (fit upstream)
+    "doc_bm25_incr",            # LSM index serve: deltas + broadcast tombstones
+    "a4_kanon",                 # small-cell suppression over the A4 report
+    "events_gapfill",           # dense axis: tiny sequence explode + window
+    "events_json_props",        # from_json schema-on-read + rollup
+    "events_pivot",             # explicit-list pivot: one hash agg
+    "mm_phash_pairs",           # banded hamming join, pigeonhole-exact
 ]
 
 
