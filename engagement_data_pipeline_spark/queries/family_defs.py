@@ -70,6 +70,10 @@ _EVENTS_MEMBERS = {
         temporal_q.events_pivot, temporal_q.EVENTS_PIVOT_SQL,
         [("day_us", "bigint")] + [(f"n_{ty}", "bigint") for ty in
                                   temporal_q._PIVOT_TYPES]),
+    "events_attribution": (
+        temporal_q.events_attribution, temporal_q.EVENTS_ATTRIBUTION_SQL,
+        [("day_us", "bigint"), ("n_credited_touches", "bigint"),
+         ("credited_cents", "bigint")]),
     "events_retention": (
         temporal_q.events_retention, temporal_q.EVENTS_RETENTION_SQL,
         [("cohort_day_us", "bigint"), ("offset_days", "int"),

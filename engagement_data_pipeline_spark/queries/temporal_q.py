@@ -472,3 +472,75 @@ SELECT epoch_us(date_trunc('day', ts)) AS day_us,
 ) + """
 FROM events GROUP BY epoch_us(date_trunc('day', ts))
 """
+
+
+# --- multi-touch attribution ----------------------------------------------
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    across every click by the same user in the 10 minutes before it
+    (the certified bucketed range join), integer-exactly — cents are
+    divided with the remainder going to the EARLIEST touches (largest-
+    remainder rule), so credited cents sum exactly to the purchase
+    and the whole computation is bit-reproducible. Output: credited
+    cents + touch counts per click day. Post-join structures are one
+    window over the (tiny) pair set + one hash aggregation."""
+    ev = t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", F.col("ts").alias("purchase_ts"),
+                         F.round(F.col("value") * 100).cast("long")
+                         .alias("cents")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts")))
+    pairs = range_join(purchases, clicks, on=["user_id"],
+                       left_ts="purchase_ts", right_ts="click_ts",
+                       window_seconds=_RANGE_WINDOW_S)
+    wp = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    credited = pairs.select(
+        "click_ts", "cents",
+        F.count(F.lit(1)).over(wp).alias("n_touch"),
+        F.row_number().over(wr).alias("touch_rank"))
+    credit = (F.expr("cents div n_touch")
+              + F.when(F.col("touch_rank") <= F.col("cents") % F.col("n_touch"),
+                       F.lit(1)).otherwise(F.lit(0)))
+    return (credited
+            .select(F.unix_micros(F.date_trunc("day", F.col("click_ts")))
+                    .alias("day_us"), credit.alias("credit_cents"))
+            .groupBy("day_us")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_credited_touches"),
+                 F.sum("credit_cents").cast("long").alias("credited_cents")))
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT p.purchase_id, p.cents, c.click_ts, c.click_id
+  FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+  WHERE epoch_us(p.purchase_ts) - epoch_us(c.click_ts)
+        BETWEEN 0 AND {_RANGE_WINDOW_S} * 1000000
+),
+credited AS (
+  SELECT click_ts, cents,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n_touch,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY click_ts, click_id) AS touch_rank
+  FROM pairs
+)
+SELECT epoch_us(date_trunc('day', click_ts)) AS day_us,
+       CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+       CAST(SUM(cents // n_touch
+                + CASE WHEN touch_rank <= cents % n_touch
+                       THEN 1 ELSE 0 END) AS BIGINT) AS credited_cents
+FROM credited GROUP BY epoch_us(date_trunc('day', click_ts))
+"""
