@@ -746,3 +746,50 @@ def test_merge_table_random_op_sequences_match_dict_model(spark, tmp_path):
         else:
             rebucket_table(spark, table, rng.choice([2, 4, 8]))
         check()
+
+
+# --- CDF -> incremental index composition ---------------------------------
+
+def test_change_feed_drives_index_maintenance(spark, tmp_path):
+    """The intended production wiring: the versioned merge table's
+    change feed is the ONLY input the LSM text index needs — inserts
+    come from the feed's new payloads, and removed docs' old text
+    comes from the pre-change snapshot via time travel (O(changed
+    buckets) there). After each refresh, index-served BM25 must equal
+    direct scoring of the table's current state."""
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        read_table_at, table_changes)
+    from engagement_data_pipeline_spark.training.ranking import (
+        bm25_topk, bm25_topk_indexed, build_text_index, update_text_index)
+
+    table = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    merge = foreach_batch_upsert(table, ["origin"], n_buckets=2)
+    d = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "origin string, doc_id long, text string")
+    queries = {"q": ["spark", "merge"]}
+
+    merge(d([("a", 1, "spark merges tables"),
+             ("b", 2, "ducks read fast")]), 0)
+    build_text_index(read_merged_table(spark, table), idx)
+
+    # commit 2: one new doc + one replayed (must not re-index)
+    merge(d([("b", 2, "ducks read fast"),
+             ("c", 3, "merge spark batches")]), 1)
+    inserts = (table_changes(spark, table, 1, 2)
+               .where("op = 'insert'").select("doc_id", "text"))
+    update_text_index(spark, idx, new_docs=inserts, removed_docs=None)
+
+    # commit 3: GDPR delete of doc a; old text via time travel
+    delete_origins(spark, table,
+                   spark.createDataFrame([("a",)], "origin string"))
+    deletes = table_changes(spark, table, 2, 3).where("op = 'delete'")
+    old = (read_table_at(spark, table, 2)
+           .join(deletes.select("origin"), "origin")
+           .select("doc_id", "text"))
+    update_text_index(spark, idx, new_docs=None, removed_docs=old)
+
+    want = _score_map(bm25_topk(
+        read_merged_table(spark, table).select("doc_id", "text"), queries))
+    got = _score_map(bm25_topk_indexed(spark, idx, queries))
+    assert got == want and 1 not in {doc for _, doc in got}
