@@ -1,0 +1,60 @@
+"""Structural plan invariants for headline queries: the properties
+PLANS.md audits by hand, pinned so a refactor cannot silently
+reintroduce a slow shape. Explain-only — no query executes (the
+fixture-building and fit-collecting queries are excluded on
+purpose)."""
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+#: query -> (max shuffle exchanges, cartesian/NLJ allowed?)
+#: NLJ allowance = the deliberate one-row/broadcast-literal cross
+#: joins (stats rows, query sets) — never a data-data product.
+CASES = {
+    "q01_pricing_summary": (2, False),
+    "messages_resolved": (4, False),
+    "doc_minhash_pairs": (8, False),
+    "doc_jaccard_pairs": (8, False),
+    "events_asof_join": (3, False),
+    "events_range_join": (2, False),
+    "events_attribution": (4, False),
+    "events_gapfill": (4, False),
+    "doc_batch_plan": (3, False),
+    "emb_quantize": (2, True),
+    "emb_gram": (2, False),
+    "cust_linkage": (2, False),
+    "doc_hybrid_rrf": (14, True),
+    "scd2_messages": (4, False),
+    "mm_phash_pairs": (4, False),
+    "events_pivot": (3, False),
+    "events_json_props": (2, False),
+}
+
+
+def _plan(spark, name):
+    from engagement_data_pipeline_spark.queries.registry import QUERIES
+
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_plan_shape(spark, name):
+    max_exchanges, nlj_ok = CASES[name]
+    plan = _plan(spark, name)
+    # never a row-at-a-time Python UDF; the only Python stages in the
+    # engine are the Arrow multimodal kernels
+    assert "BatchEvalPython" not in plan
+    if "ArrowEvalPython" in plan or "MapInPandas" in plan:
+        assert name.startswith("mm_"), f"unexpected python stage in {name}"
+    if not nlj_ok:
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    n_exch = len(re.findall(r"\n[^\n]*\bExchange hashpartitioning", plan)) \
+        + len(re.findall(r"\n[^\n]*\bExchange rangepartitioning", plan)) \
+        + len(re.findall(r"\n[^\n]*\bExchange SinglePartition", plan))
+    assert n_exch <= max_exchanges, (
+        f"{name}: {n_exch} shuffle exchanges > budget {max_exchanges}")
