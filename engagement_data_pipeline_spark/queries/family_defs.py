@@ -70,6 +70,14 @@ _EVENTS_MEMBERS = {
         temporal_q.events_pivot, temporal_q.EVENTS_PIVOT_SQL,
         [("day_us", "bigint")] + [(f"n_{ty}", "bigint") for ty in
                                   temporal_q._PIVOT_TYPES]),
+    "events_weekly_topk": (
+        temporal_q.events_weekly_topk, temporal_q.EVENTS_WEEKLY_TOPK_SQL,
+        [("week_us", "bigint"), ("user_id", "bigint"), ("cents", "bigint"),
+         ("n_purchases", "bigint"), ("rank", "int")]),
+    "events_user_growth": (
+        temporal_q.events_user_growth, temporal_q.EVENTS_USER_GROWTH_SQL,
+        [("day_us", "bigint"), ("new_users", "bigint"),
+         ("total_users", "bigint")]),
     "events_attribution": (
         temporal_q.events_attribution, temporal_q.EVENTS_ATTRIBUTION_SQL,
         [("day_us", "bigint"), ("n_credited_touches", "bigint"),

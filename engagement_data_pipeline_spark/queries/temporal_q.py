@@ -544,3 +544,83 @@ SELECT epoch_us(date_trunc('day', click_ts)) AS day_us,
                        THEN 1 ELSE 0 END) AS BIGINT) AS credited_cents
 FROM credited GROUP BY epoch_us(date_trunc('day', click_ts))
 """
+
+
+# --- weekly top spenders ---------------------------------------------------
+
+_WEEKLY_K = 3
+
+
+def events_weekly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 purchasing users per ISO week by cents spent (integer-
+    exact money, total order by cents desc then user) — the grouped
+    top-k shape over a time bucket: one hash aggregation + one
+    bounded window per week partition."""
+    from ..operators.topk import top_k_per_group
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    weekly = (ev.select(
+        F.unix_micros(F.date_trunc("week", F.col("ts"))).alias("week_us"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .groupBy("week_us", "user_id")
+        .agg(F.sum("cents").cast("long").alias("cents"),
+             F.count(F.lit(1)).cast("long").alias("n_purchases")))
+    return top_k_per_group(weekly, ["week_us"],
+                           [F.col("cents").desc(), F.col("user_id")],
+                           _WEEKLY_K, rank_col="rank")
+
+
+EVENTS_WEEKLY_TOPK_SQL = f"""
+WITH weekly AS (
+  SELECT epoch_us(date_trunc('week', ts)) AS week_us, user_id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY epoch_us(date_trunc('week', ts)), user_id
+)
+SELECT * FROM (
+  SELECT week_us, user_id, cents, n_purchases,
+         ROW_NUMBER() OVER (PARTITION BY week_us
+                            ORDER BY cents DESC, user_id) AS rank
+  FROM weekly
+) WHERE rank <= {_WEEKLY_K}
+"""
+
+
+# --- cumulative user growth ------------------------------------------------
+
+def events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time WITHOUT a distinct-
+    accumulating window (quadratic at scale): each user contributes
+    once at their first-seen day, so the growth curve is daily new
+    users + one running sum over the tiny daily axis."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"))
+    first_seen = ev.groupBy("user_id").agg(F.min("day_us").alias("day_us"))
+    daily = first_seen.groupBy("day_us").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = Window.orderBy("day_us").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    return daily.select(
+        "day_us", "new_users",
+        F.sum("new_users").over(w).cast("long").alias("total_users"))
+
+
+EVENTS_USER_GROWTH_SQL = """
+WITH first_seen AS (
+  SELECT user_id, MIN(epoch_us(date_trunc('day', ts))) AS day_us
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT day_us, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY day_us
+)
+SELECT day_us, new_users,
+       CAST(SUM(new_users) OVER (
+           ORDER BY day_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS total_users
+FROM daily
+"""
