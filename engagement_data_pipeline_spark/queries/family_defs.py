@@ -99,6 +99,14 @@ _EVENTS_MEMBERS = {
         tpch.q05_local_supplier, tpch.Q05_SQL,
         [("n_name", "string"), ("revenue", "double"),
          ("n_items", "bigint")]),
+    "q06_forecast_revenue": (
+        tpch.q06_forecast_revenue, tpch.Q06_SQL,
+        [("revenue", "double"), ("n_items", "bigint")]),
+    "q10_returned_items": (
+        tpch.q10_returned_items, tpch.Q10_SQL,
+        [("c_custkey", "bigint"), ("c_name", "string"),
+         ("n_name", "string"), ("c_acctbal", "double"),
+         ("revenue", "double")]),
     "cdc_changeset": (
         cdc_q.cdc_changeset, cdc_q.CDC_CHANGESET_SQL,
         [("message_id", "string"), ("op", "string"),

@@ -147,3 +147,80 @@ WHERE r.r_name = 'AFRICA'
   AND o.o_orderdate < TIMESTAMP '1999-01-01'
 GROUP BY n.n_name
 """
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecasting revenue change — the pure
+    filter-pushdown showcase: every predicate (date range, discount
+    band, quantity cap) reaches the parquet scan, then ONE scalar
+    aggregate; revenue in exact DECIMAL exported through the digit
+    string."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(decimal_to_double(
+            F.sum(money("l_extendedprice") * money("l_discount")))
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items")))
+
+
+Q06_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR)
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter — fact-fact join (orders x lineitem, shuffle on orderkey)
+    with the customer/nation dimensions broadcast, then a grouped
+    decimal aggregation and a deterministic top-k."""
+    from ..operators.topk import top_k_rows
+
+    li = (t(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R"))
+    orders = (t(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= F.lit("1996-01-01")
+                      .cast("timestamp"))
+                     & (F.col("o_orderdate") < F.lit("1996-04-01")
+                        .cast("timestamp"))))
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    rev = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(cust),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(nation),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+           .agg(decimal_to_double(F.sum(_disc_price()))
+                .alias("revenue")))
+    return top_k_rows(rev, [F.col("revenue").desc(), F.col("c_custkey")],
+                      20)
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
