@@ -793,3 +793,47 @@ def test_change_feed_drives_index_maintenance(spark, tmp_path):
         read_merged_table(spark, table).select("doc_id", "text"), queries))
     got = _score_map(bm25_topk_indexed(spark, idx, queries))
     assert got == want and 1 not in {doc for _, doc in got}
+
+
+# --- closing-query properties ---------------------------------------------
+
+def test_attribution_conserves_purchase_cents(spark):
+    from engagement_data_pipeline_spark.queries.temporal_q import (
+        _RANGE_WINDOW_S, events_attribution)
+    from engagement_data_pipeline_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    out = events_attribution(spark, sf).collect()
+    ev = load(spark, sf, "events")
+    # recompute the credited total independently: purchases with >= 1
+    # click in-window contribute their full cents, nothing else
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts"))
+    touched = (purchases.join(
+        clicks, (purchases.u == clicks.u)
+        & (F.unix_micros("pts") - F.unix_micros("cts") >= 0)
+        & (F.unix_micros("pts") - F.unix_micros("cts")
+           <= _RANGE_WINDOW_S * 1_000_000))
+        .select("pid", "cents").distinct())
+    want = touched.agg(F.sum("cents")).first()[0] or 0
+    assert sum(r.credited_cents for r in out) == want
+
+
+def test_user_growth_is_monotone_and_totals(spark):
+    from engagement_data_pipeline_spark.queries.temporal_q import (
+        events_user_growth)
+    from engagement_data_pipeline_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(events_user_growth(spark, sf).collect(),
+                  key=lambda r: r.day_us)
+    totals = [r.total_users for r in rows]
+    assert totals == sorted(totals)
+    assert totals[-1] == sum(r.new_users for r in rows)
+    n_users = (load(spark, sf, "events")
+               .select("user_id").distinct().count())
+    assert totals[-1] == n_users
