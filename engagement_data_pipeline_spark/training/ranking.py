@@ -132,7 +132,7 @@ def bm25_topk(docs: DataFrame, queries: Mapping[str, Sequence[str]],
 
 def build_text_index(docs: DataFrame, path: str,
                      text_col: str = "text", id_col: str = "doc_id",
-                     n_term_buckets: int = 32) -> None:
+                     n_term_buckets: int | None = None) -> None:
     """Materialize the BM25 index: the tf postings (doc_id, term, tf,
     dl) hash-distributed into term-keyed parquet groups plus a one-row
     corpus-stats table (n_docs, sum_dl). Build cost = the one corpus
@@ -142,6 +142,12 @@ def build_text_index(docs: DataFrame, path: str,
     semi-join touches well-clustered row groups; a real deployment
     would layer `sinks.layout.write_partitioned` pruning on top."""
     tf, _ = term_stats(docs, text_col, id_col)
+    if n_term_buckets is None:
+        # ~1 bucket per 1000 docs, clamped: a small corpus otherwise
+        # pays 32 near-empty sorted files of pure task overhead, and a
+        # 100 TB corpus should pass an explicit count sized like
+        # suggest_n_buckets (streaming/ingest.py)
+        n_term_buckets = max(4, min(32, docs.count() // 1000))
     (tf.repartition(n_term_buckets, F.col("term"))
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(f"{path}/postings"))
