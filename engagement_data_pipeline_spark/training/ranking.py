@@ -291,6 +291,12 @@ def update_text_index(spark, index_path: str, new_docs: DataFrame | None,
     # read the carried-forward stats BEFORE creating this delta's
     # directory — _index_stats resolves the latest existing delta
     cur = _index_stats(spark, index_path).first()
+    # one row per doc: a replayed/duplicated row in the change feed
+    # must not double-count in the carried stats
+    if new_docs is not None:
+        new_docs = new_docs.dropDuplicates([id_col])
+    if removed_docs is not None:
+        removed_docs = removed_docs.dropDuplicates([id_col])
 
     def _dl_count(docs: DataFrame):
         words = F.split(normalize_text(F.col(text_col)), " ")
