@@ -99,6 +99,10 @@ _EVENTS_MEMBERS = {
         tpch.q05_local_supplier, tpch.Q05_SQL,
         [("n_name", "string"), ("revenue", "double"),
          ("n_items", "bigint")]),
+    "q14_promo_revenue": (
+        tpch.q14_promo_revenue, tpch.Q14_SQL,
+        [("promo_revenue", "double"), ("total_revenue", "double"),
+         ("promo_pct", "double")]),
     "q06_forecast_revenue": (
         tpch.q06_forecast_revenue, tpch.Q06_SQL,
         [("revenue", "double"), ("n_items", "bigint")]),

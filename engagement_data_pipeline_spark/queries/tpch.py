@@ -224,3 +224,53 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name, c_acctbal
 ORDER BY revenue DESC, c_custkey LIMIT 20
 """
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion-type revenue share for one month —
+    lineitem x part with the part dimension BROADCAST, revenue split
+    by p_type in exact decimals, and the final percentage as the
+    ratio of two digit-string-exported doubles (the one
+    engine-defined float op). Closes coverage of the last otherwise
+    unused base table."""
+    li = (t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-03-01")
+                  .cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01")
+                    .cast("timestamp"))))
+    part = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        decimal_to_double(F.sum(F.when(F.col("p_type") == "PROMO",
+                                       _disc_price())
+                                .otherwise(F.lit(0).cast(MONEY))))
+        .alias("promo_revenue"),
+        decimal_to_double(F.sum(_disc_price())).alias("total_revenue"))
+    return agg.select(
+        "promo_revenue", "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue")
+         / F.col("total_revenue")).alias("promo_pct"))
+
+
+Q14_SQL = """
+WITH agg AS (
+  SELECT
+    CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,4))
+                          - CAST(l_discount AS DECIMAL(18,4)))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+      AS promo_revenue,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR)
+         AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT promo_revenue, total_revenue,
+       CAST(100 AS DOUBLE) * promo_revenue / total_revenue AS promo_pct
+FROM agg
+"""
