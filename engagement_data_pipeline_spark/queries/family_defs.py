@@ -35,6 +35,10 @@ _EVENTS_MEMBERS = {
         [("user_id", "bigint"), ("session_idx", "bigint"),
          ("n_events", "bigint"), ("session_start_us", "bigint"),
          ("session_end_us", "bigint")]),
+    "sessionize_native": (
+        sessions_q.sessionize_native, sessions_q.SESSIONIZE_NATIVE_SQL,
+        [("user_id", "bigint"), ("win_start_us", "bigint"),
+         ("win_end_us", "bigint"), ("n_events", "bigint")]),
     "events_asof_join": (
         temporal_q.events_asof_join, temporal_q.EVENTS_ASOF_JOIN_SQL,
         [("event_id", "bigint"), ("user_id", "bigint"), ("ts_us", "bigint"),

@@ -385,13 +385,13 @@ stats AS (
   SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY i
 ),
 sc AS (
-  SELECT i, mn,
+  SELECT i, mn, mx - mn = CAST(0 AS DOUBLE) AS const,
          CASE WHEN mx - mn = CAST(0 AS DOUBLE) THEN CAST(1 AS DOUBLE)
               ELSE mx - mn END AS s
   FROM stats
 ),
 coded AS (
-  SELECT ex.vec_id, ex.i, ex.x, sc.mn, sc.s,
+  SELECT ex.vec_id, ex.i, ex.x, sc.mn, sc.s, sc.const,
          GREATEST(0, LEAST(255, CAST(FLOOR(
            (ex.x - sc.mn) / sc.s * CAST(255 AS DOUBLE)) AS INTEGER)))
            AS code
@@ -399,8 +399,9 @@ coded AS (
 )
 SELECT vec_id,
        array_to_string(list(code ORDER BY i), ',') AS codes,
-       MAX(ABS(x - (mn + (CAST(code AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                         * (s / CAST(255 AS DOUBLE))))) AS max_abs_err
+       MAX(ABS(x - CASE WHEN const THEN mn
+                   ELSE mn + (CAST(code AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        * (s / CAST(255 AS DOUBLE)) END)) AS max_abs_err
 FROM coded GROUP BY vec_id
 """
 

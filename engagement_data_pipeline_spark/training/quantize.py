@@ -70,9 +70,15 @@ def dequant_error(emb: DataFrame, stats: DataFrame, dim: int,
     code = lambda i: F.greatest(F.lit(0), F.least(F.lit(255), F.floor(
         (x(i) - F.col("min_vec")[i]) / _scale(i) * F.lit(255.0))
         .cast("int")))  # noqa: E731
-    recon = lambda i: (F.col("min_vec")[i]  # noqa: E731
-                       + (code(i).cast("double") + F.lit(0.5))
-                       * (_scale(i) / F.lit(255.0)))
+    # a constant dimension reconstructs exactly (the midpoint shift
+    # of the scale-1 fallback would otherwise cost 1/510 of error on
+    # a dimension that carries none — caught by hypothesis)
+    span = lambda i: F.col("max_vec")[i] - F.col("min_vec")[i]  # noqa: E731
+    recon = lambda i: F.when(  # noqa: E731
+        span(i) == 0.0, F.col("min_vec")[i]).otherwise(
+        F.col("min_vec")[i]
+        + (code(i).cast("double") + F.lit(0.5))
+        * (_scale(i) / F.lit(255.0)))
     err = F.greatest(*[F.abs(x(i) - recon(i)) for i in range(dim)])
     return (emb.crossJoin(F.broadcast(stats))
             .select(F.col(id_col),
