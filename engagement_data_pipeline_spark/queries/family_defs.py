@@ -107,6 +107,10 @@ _EVENTS_MEMBERS = {
         tpch.q14_promo_revenue, tpch.Q14_SQL,
         [("promo_revenue", "double"), ("total_revenue", "double"),
          ("promo_pct", "double")]),
+    "cust_balance_deciles": (
+        tpch.cust_balance_deciles, tpch.CUST_BALANCE_DECILES_SQL,
+        [("c_custkey", "bigint"), ("c_acctbal", "double"),
+         ("decile", "int"), ("pct_rank", "double"), ("cume", "double")]),
     "q06_forecast_revenue": (
         tpch.q06_forecast_revenue, tpch.Q06_SQL,
         [("revenue", "double"), ("n_items", "bigint")]),

@@ -274,3 +274,33 @@ SELECT promo_revenue, total_revenue,
        CAST(100 AS DOUBLE) * promo_revenue / total_revenue AS promo_pct
 FROM agg
 """
+
+
+def cust_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer account-balance distribution placement: decile
+    (NTILE), percent_rank and cume_dist per customer over the total
+    order (balance, custkey) — the ranked-window surface the engine
+    had not yet exercised. One global sort window; at scale this is
+    the one legitimate range-partitioned global sort (Spark plans
+    rangepartitioning), and the deterministic tie-break makes every
+    function value exact cross-engine."""
+    from pyspark.sql import Window
+
+    cust = t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.col("c_acctbal"),
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+CUST_BALANCE_DECILES_SQL = """
+SELECT c_custkey, c_acctbal,
+       NTILE(10) OVER w AS decile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+"""
