@@ -837,3 +837,25 @@ def test_user_growth_is_monotone_and_totals(spark):
     n_users = (load(spark, sf, "events")
                .select("user_id").distinct().count())
     assert totals[-1] == n_users
+
+
+def test_clone_change_feed_starts_at_clone_point(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        clone_table, read_table_manifest, table_changes)
+
+    src = _mk_table(spark, tmp_path, [(f"k{i}", "p") for i in range(8)])
+    dst = str(tmp_path / "clone")
+    clone_table(spark, src, dst)
+    base_commit = read_table_manifest(spark, dst)["commit"]
+
+    merge = foreach_batch_upsert(dst, ["origin"])
+    merge(spark.createDataFrame([("new1", "q"), ("k0", "q")],
+                                "origin string, payload string"), 0)
+    # feed across the clone's own history: exactly the genuinely new
+    # key (k0 replays through existing-wins and must not appear)
+    feed = table_changes(spark, dst, base_commit)
+    assert {(r.origin, r.op) for r in feed.collect()} == {("new1", "insert")}
+    # history BEFORE the clone point belongs to the source, not the
+    # clone: asking the clone for it is an explicit error
+    with pytest.raises(Exception):
+        table_changes(spark, dst, base_commit - 1).collect()
