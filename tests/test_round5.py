@@ -859,3 +859,27 @@ def test_clone_change_feed_starts_at_clone_point(spark, tmp_path):
     # clone: asking the clone for it is an explicit error
     with pytest.raises(Exception):
         table_changes(spark, dst, base_commit - 1).collect()
+
+
+def test_clone_carries_txn_watermarks(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming.ingest import clone_table
+
+    src = str(tmp_path / "src")
+    merge = foreach_batch_upsert(src, ["origin"], n_buckets=2,
+                                 txn_app_id="app")
+    d = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "origin string, payload string")
+    merge(d([("k1", "p")]), 0)
+    merge(d([("k2", "p")]), 1)
+
+    dst = str(tmp_path / "dst")
+    clone_table(spark, src, dst)
+    # a stream resuming against the CLONE with the same checkpoint
+    # must not re-apply batches the source already applied...
+    cmerge = foreach_batch_upsert(dst, ["origin"], txn_app_id="app")
+    cmerge(d([("k1", "p")]), 1)  # replay: skipped
+    assert read_merged_table(spark, dst).count() == 2
+    # ...but genuinely new batches land
+    cmerge(d([("k3", "p")]), 2)
+    assert {r.origin for r in read_merged_table(spark, dst).collect()} == \
+        {"k1", "k2", "k3"}
