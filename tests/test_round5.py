@@ -883,3 +883,29 @@ def test_clone_carries_txn_watermarks(spark, tmp_path):
     cmerge(d([("k3", "p")]), 2)
     assert {r.origin for r in read_merged_table(spark, dst).collect()} == \
         {"k1", "k2", "k3"}
+
+
+def test_misc_guards_and_small_contracts(spark):
+    import pytest as _pt
+
+    from engagement_data_pipeline_spark.operators.quality import (
+        row_quarantine, unique)
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        suggest_n_buckets)
+    from engagement_data_pipeline_spark.training.ranking import rrf_fuse
+
+    # bucket sizing: the docstring's anchor points hold
+    assert suggest_n_buckets(100 * 2**40) == 262144
+    assert suggest_n_buckets(2**30) == 2
+    assert suggest_n_buckets(0) == 1
+
+    # table-level rules alone cannot gate rows
+    df = spark.createDataFrame([("a",)], "k string")
+    with _pt.raises(ValueError):
+        row_quarantine(df, [unique("k")])
+
+    # three-way fusion sums all three reciprocal ranks
+    r = lambda d: spark.createDataFrame(  # noqa: E731
+        [("q", d, 1)], "query_id string, doc_id long, rank int")
+    [row] = rrf_fuse([r(1), r(1), r(1)], k0=60).collect()
+    assert row.rrf_score == 3 * (1.0 / 61)
