@@ -34,8 +34,13 @@ SUPPRESSED = "__suppressed__"
 def suppress_small_groups(dist: DataFrame, group_cols: Sequence[str],
                           label_col: str, count_col: str, k: int,
                           suppressed_label: str = SUPPRESSED) -> DataFrame:
-    """k-anonymize a (group_cols..., label_col, count_col) report."""
-    cnt = F.col(count_col)
+    """k-anonymize a (group_cols..., label_col, count_col) report.
+
+    A NULL count cannot certify `>= k`, so such a row routes into the
+    suppressed rollup (contributing 0 to its total) instead of
+    silently vanishing from both branches — every input cell is
+    accounted for in the published report."""
+    cnt = F.coalesce(F.col(count_col), F.lit(0))
     big = dist.where(cnt >= k)
     rollup = (dist.where(cnt < k)
               .groupBy(*group_cols)

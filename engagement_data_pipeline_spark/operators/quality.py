@@ -70,9 +70,20 @@ def unique(*key_cols: str) -> Rule:
                 key_cols=key_cols)
 
 
+def _violated(rule: Rule) -> Column:
+    """Fail-closed violation predicate: a rule whose Column evaluates
+    to NULL (three-valued logic on a custom rule like `col < 0` over a
+    NULL) counts as VIOLATED, not silently valid — a gate that cannot
+    evaluate a rule must not certify the row. The built-in rule
+    constructors are already null-safe, so this only changes the
+    posture for caller-supplied raw Columns."""
+    return F.coalesce(rule.violated, F.lit(True))
+
+
 def expect(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """Evaluate all rules: one scan for the row-local rules plus one
-    grouped pass per distinct uniqueness key set."""
+    grouped pass per distinct uniqueness key set. NULL rule
+    predicates count as violations (see `_violated`)."""
     if not rules:
         raise ValueError("expect() needs at least one rule")
     row_rules = [r for r in rules if r.violated is not None]
@@ -80,7 +91,7 @@ def expect(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
 
     parts = []
     if row_rules:
-        aggs = [F.coalesce(F.sum(r.violated.cast("long")), F.lit(0))
+        aggs = [F.coalesce(F.sum(_violated(r).cast("long")), F.lit(0))
                 .alias(f"v_{i}") for i, r in enumerate(row_rules)]
         aggs.append(F.count(F.lit(1)).alias("__n"))
         one = df.agg(*aggs)
@@ -134,12 +145,14 @@ def row_quarantine(df: DataFrame, rules: Sequence[Rule]
     diverted with a `failed_rules` column (comma-joined rule names)
     instead of failing the load or silently vanishing. One projection,
     zero shuffle; uniqueness rules are table-level and stay with
-    `expect`/`assert_expectations`."""
+    `expect`/`assert_expectations`. A rule predicate that evaluates
+    to NULL quarantines the row (fail-closed, see `_violated`) — it
+    must not slip through the gate as valid."""
     row_rules = [r for r in rules if r.violated is not None]
     if not row_rules:
         raise ValueError("row_quarantine needs at least one row-local rule")
     failed = F.concat_ws(",", *[
-        F.when(r.violated, F.lit(r.name)) for r in row_rules])
+        F.when(_violated(r), F.lit(r.name)) for r in row_rules])
     flagged = df.withColumn("failed_rules", failed)
     valid = flagged.where(F.col("failed_rules") == "").drop("failed_rules")
     return valid, flagged.where(F.col("failed_rules") != "")

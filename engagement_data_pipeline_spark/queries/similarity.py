@@ -439,8 +439,12 @@ sums AS (
   FROM q, range(0, {EMB_DIM}) t(i) GROUP BY t.i
 ),
 prods AS (
+  -- cast each factor to DECIMAL(19,0) BEFORE multiplying (mirrors
+  -- gram_stats): the product widens to DECIMAL(38,0), exact for any
+  -- int64 pair, where a BIGINT multiply would overflow at 2^63
   SELECT CAST(t1.i AS INTEGER) AS i, CAST(t2.j AS INTEGER) AS j,
-         CAST(SUM(CAST(qx[t1.i + 1] * qx[t2.j + 1] AS DECIMAL(38,0)))
+         CAST(SUM(CAST(qx[t1.i + 1] AS DECIMAL(19,0))
+                  * CAST(qx[t2.j + 1] AS DECIMAL(19,0)))
               AS VARCHAR) AS s
   FROM q, range(0, {EMB_DIM}) t1(i), range(0, {EMB_DIM}) t2(j)
   WHERE t2.j >= t1.i GROUP BY t1.i, t2.j

@@ -36,6 +36,12 @@ from pyspark.sql import functions as F
 #: power of two keeps the scaling itself lossless for |x| < 2^32).
 PCA_MICRO = 1 << 20
 _DEC = "decimal(38,0)"
+#: Factor type for the second-moment products: any int64 fits in 19
+#: digits, and DECIMAL(19,0) × DECIMAL(19,0) widens to DECIMAL(38,0)
+#: in BOTH Spark and DuckDB, so the product of ANY two quantized
+#: components (< 2^126 < 10^38) is exact — no silent int64 wrap at
+#: |q_i·q_j| ≥ 2^63 like a long×long multiply would have.
+_DEC_FACTOR = "decimal(19,0)"
 
 
 def gram_stats(emb: DataFrame, dim: int,
@@ -43,7 +49,12 @@ def gram_stats(emb: DataFrame, dim: int,
     """(i, j, s) exact integer sufficient statistics:
     (-1,-1) row count; (i,-1) sum of quantized component i;
     (i,j) for i<=j sum of quantized products. `s` is DECIMAL(38,0)
-    rendered as a digit string (cross-engine canonical form)."""
+    rendered as a digit string (cross-engine canonical form).
+    Products are computed in DECIMAL(19,0)×DECIMAL(19,0) →
+    DECIMAL(38,0), exact for every pair of int64 quantized values;
+    the remaining bound is the SUM of products per cell, which
+    overflows DECIMAL(38,0) only past ~10^38 total — raise `s`'s
+    scale headroom by blocking the corpus before that point."""
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(PCA_MICRO)))
@@ -54,14 +65,16 @@ def gram_stats(emb: DataFrame, dim: int,
         lambda j: F.struct(i.cast("int").alias("i"),
                            j.cast("int").alias("j"),
                            (F.element_at(F.col("__q"), i + 1)
-                            * F.element_at(F.col("__q"), j + 1))
-                           .alias("v")))))
+                            .cast(_DEC_FACTOR)
+                            * F.element_at(F.col("__q"), j + 1)
+                            .cast(_DEC_FACTOR))
+                           .cast(_DEC).alias("v")))))
     sums = F.transform(idx, lambda i: F.struct(
         i.cast("int").alias("i"), F.lit(-1).cast("int").alias("j"),
-        F.element_at(F.col("__q"), i + 1).alias("v")))
+        F.element_at(F.col("__q"), i + 1).cast(_DEC).alias("v")))
     cnt = F.array(F.struct(F.lit(-1).cast("int").alias("i"),
                            F.lit(-1).cast("int").alias("j"),
-                           F.lit(1).cast("long").alias("v")))
+                           F.lit(1).cast(_DEC).alias("v")))
     cells = (emb.select(q.alias("__q"))
              .select(F.explode(F.concat(cnt, sums, prods)).alias("c"))
              .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))

@@ -1,0 +1,74 @@
+"""Round-6 hardening tests: NULL-posture fixes (quarantine gate,
+small-cell suppression), exact decimal products in the PCA gram
+statistics, and index/bench maintenance fixes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# --- quality: fail-closed NULL rule predicates ----------------------------
+
+def test_row_quarantine_null_predicate_fails_closed(spark):
+    from engagement_data_pipeline_spark.operators.quality import (
+        Rule, row_quarantine)
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", -1), ("c", None)], "k string, x int")
+    # raw custom predicate, NOT null-safe: x < 0 is NULL for NULL x
+    rules = [Rule("neg_x", "custom", F.col("x") < 0)]
+    valid, bad = row_quarantine(df, rules)
+    assert {r.k for r in valid.collect()} == {"a"}
+    quarantined = {r.k: r.failed_rules for r in bad.collect()}
+    # the NULL-predicate row is quarantined, not silently passed
+    assert quarantined == {"b": "neg_x", "c": "neg_x"}
+
+
+def test_expect_counts_null_predicate_as_violation(spark):
+    from engagement_data_pipeline_spark.operators.quality import Rule, expect
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None)], "k string, x int")
+    [row] = expect(df, [Rule("neg_x", "custom", F.col("x") < 0)]).collect()
+    assert row.violations == 1 and row.n_checked == 2
+
+
+# --- privacy: NULL counts route into the rollup ---------------------------
+
+def test_suppress_small_groups_null_count_not_dropped(spark):
+    from engagement_data_pipeline_spark.operators.privacy import (
+        SUPPRESSED, suppress_small_groups)
+
+    dist = spark.createDataFrame(
+        [("f1", "a", 10), ("f1", "b", None), ("f1", "c", 4)],
+        "field string, code string, n long")
+    out = suppress_small_groups(dist, ["field"], "code", "n", 5).collect()
+    by = {(r.field, r.code): r.n for r in out}
+    assert by[("f1", "a")] == 10
+    # NULL-count cell folded into the rollup (contributing 0), so the
+    # rollup total is 4 < k -> withheld as NULL, but the row EXISTS
+    assert ("f1", SUPPRESSED) in by
+    assert by[("f1", SUPPRESSED)] is None
+    # nothing vanished: every published row is >= k or the rollup
+    assert len(out) == 2
+
+
+# --- pca: decimal products exact past int64 -------------------------------
+
+def test_gram_stats_exact_past_int64(spark):
+    from engagement_data_pipeline_spark.training.pca import (
+        PCA_MICRO, gram_stats)
+
+    # |x| ~ 1e7 -> q ~ 1e13 -> q*q ~ 1e26 >> 2^63: a long multiply
+    # would silently wrap; the decimal path must be exact
+    xs = [1.25e7, -3.5e7]
+    df = spark.createDataFrame([(list(xs),)], "embedding array<double>")
+    rows = {(r.i, r.j): int(r.s) for r in gram_stats(df, 2).collect()}
+    import math
+    q = [math.floor(x * PCA_MICRO) for x in xs]
+    assert rows[(-1, -1)] == 1
+    assert rows[(0, -1)] == q[0] and rows[(1, -1)] == q[1]
+    assert rows[(0, 0)] == q[0] * q[0]
+    assert rows[(0, 1)] == q[0] * q[1]
+    assert rows[(1, 1)] == q[1] * q[1]
+    assert abs(q[0] * q[0]) >= 2 ** 63  # the case long math can't do
