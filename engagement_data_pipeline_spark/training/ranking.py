@@ -130,31 +130,44 @@ def bm25_topk(docs: DataFrame, queries: Mapping[str, Sequence[str]],
                            rank_col="rank")
 
 
+def default_term_buckets(n_docs: int) -> int:
+    """Postings bucket count from corpus size: ~1 bucket per 1000
+    docs, clamped to [4, 32] for this test rig — a small corpus
+    otherwise pays 32 near-empty sorted files of pure task overhead.
+    A 100 TB corpus should pass an explicit count sized like
+    `suggest_n_buckets` (streaming/ingest.py)."""
+    return max(4, min(32, int(n_docs) // 1000))
+
+
 def build_text_index(docs: DataFrame, path: str,
                      text_col: str = "text", id_col: str = "doc_id",
                      n_term_buckets: int | None = None) -> None:
     """Materialize the BM25 index: the tf postings (doc_id, term, tf,
     dl) hash-distributed into term-keyed parquet groups plus a one-row
     corpus-stats table (n_docs, sum_dl). Build cost = the one corpus
-    explode, paid ONCE; every later query reads postings instead of
-    re-scanning 100 TB of text. Postings are repartitioned by term
-    hash and written as one file per group, so a query's broadcast
-    semi-join touches well-clustered row groups; a real deployment
-    would layer `sinks.layout.write_partitioned` pruning on top."""
-    tf, _ = term_stats(docs, text_col, id_col)
+    explode plus one narrow length-only projection scan for the stats;
+    every later query reads postings instead of re-scanning 100 TB of
+    text. The stats aggregate is collected FIRST and its n_docs drives
+    the default bucket sizing — no separate `docs.count()` corpus
+    pass — then written back from the collected row. Postings are
+    repartitioned by term hash and written as one file per group, so a
+    query's broadcast semi-join touches well-clustered row groups; a
+    real deployment would layer `sinks.layout.write_partitioned`
+    pruning on top."""
+    spark = docs.sparkSession
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    stats = (docs.select(F.size(words).alias("dl"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum("dl").cast("long").alias("sum_dl"))).first()
     if n_term_buckets is None:
-        # ~1 bucket per 1000 docs, clamped: a small corpus otherwise
-        # pays 32 near-empty sorted files of pure task overhead, and a
-        # 100 TB corpus should pass an explicit count sized like
-        # suggest_n_buckets (streaming/ingest.py)
-        n_term_buckets = max(4, min(32, docs.count() // 1000))
+        n_term_buckets = default_term_buckets(stats["n_docs"])
+    tf, _ = term_stats(docs, text_col, id_col)
     (tf.repartition(n_term_buckets, F.col("term"))
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(f"{path}/postings"))
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    (docs.select(F.size(words).alias("dl"))
-     .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-          F.sum("dl").cast("long").alias("sum_dl"))
+    (spark.createDataFrame(
+        [(int(stats["n_docs"]), int(stats["sum_dl"] or 0))],
+        "n_docs long, sum_dl long")
      .write.mode("overwrite").parquet(f"{path}/stats"))
 
 
@@ -367,15 +380,26 @@ def _resolved_postings(spark, index_path: str,
     return posts.join(F.broadcast(tombs), cond, "left_anti").drop("__seq")
 
 
-def compact_text_index(spark, index_path: str) -> None:
+def compact_text_index(spark, index_path: str,
+                       n_term_buckets: int | None = None) -> None:
     """Fold all delta segments into a fresh base (one full resolved
     rewrite — the amortized cost that keeps query-time candidate and
-    tombstone lists short), then drop the deltas."""
+    tombstone lists short), then drop the deltas. The rewrite is
+    bucketed like the build path: the carried corpus stats (already a
+    one-row read here) supply n_docs for `default_term_buckets`, so
+    the compacted layout tracks the CURRENT corpus size instead of a
+    hard-coded width — no extra corpus scan."""
     resolved = _resolved_postings(spark, index_path).localCheckpoint()
-    stats = _index_stats(spark, index_path).localCheckpoint()
-    (resolved.repartition(32, F.col("term")).sortWithinPartitions("term")
+    stats = _index_stats(spark, index_path).first()
+    if n_term_buckets is None:
+        n_term_buckets = default_term_buckets(stats["n_docs"])
+    (resolved.repartition(n_term_buckets, F.col("term"))
+     .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(f"{index_path}/postings"))
-    stats.write.mode("overwrite").parquet(f"{index_path}/stats")
+    (spark.createDataFrame(
+        [(int(stats["n_docs"]), int(stats["sum_dl"] or 0))],
+        "n_docs long, sum_dl long")
+     .write.mode("overwrite").parquet(f"{index_path}/stats"))
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/deltas")
     p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)

@@ -72,3 +72,50 @@ def test_gram_stats_exact_past_int64(spark):
     assert rows[(0, 1)] == q[0] * q[1]
     assert rows[(1, 1)] == q[1] * q[1]
     assert abs(q[0] * q[0]) >= 2 ** 63  # the case long math can't do
+
+
+# --- text index sizing ----------------------------------------------------
+
+def _mini_docs(spark, n):
+    rows = [(i, f"alpha beta doc{i % 7} gamma") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_index_bucket_sizing_scales_and_carries(spark, tmp_path):
+    from engagement_data_pipeline_spark.training.ranking import (
+        build_text_index, compact_text_index, default_term_buckets,
+        update_text_index)
+
+    assert default_term_buckets(10) == 4
+    assert default_term_buckets(9000) == 9
+    assert default_term_buckets(10 ** 9) == 32
+
+    idx = str(tmp_path / "idx")
+    build_text_index(_mini_docs(spark, 50), idx)
+    # default path at 50 docs -> 4 postings partitions (not 32)
+    posts = spark.read.parquet(f"{idx}/postings")
+    n_files = posts.select(F.input_file_name()).distinct().count()
+    assert n_files == 4
+    # stats written from the SAME aggregate that sized the buckets
+    [st] = spark.read.parquet(f"{idx}/stats").collect()
+    assert st.n_docs == 50 and st.sum_dl == 200
+
+    # compaction after a delta re-derives the width from CURRENT stats
+    update_text_index(spark, idx, new_docs=_mini_docs(spark, 20)
+                      .where(F.col("doc_id") >= 50)
+                      .unionByName(spark.createDataFrame(
+                          [(100 + i, "x y") for i in range(10)],
+                          "doc_id long, text string")),
+                      removed_docs=None)
+    compact_text_index(spark, idx)
+    posts2 = spark.read.parquet(f"{idx}/postings")
+    n_files2 = posts2.select(F.input_file_name()).distinct().count()
+    assert n_files2 == 4  # still sized from n_docs, not hard-coded 32
+    assert not (tmp_path / "idx" / "deltas").exists()
+    # explicit override wins on compaction
+    compact_text_index(spark, idx, n_term_buckets=7)
+    n_files3 = (spark.read.parquet(f"{idx}/postings")
+                .select(F.input_file_name()).distinct().count())
+    # hash collisions can leave some of the 7 partitions empty (no
+    # file written), but the width must exceed the derived default
+    assert 4 < n_files3 <= 7
