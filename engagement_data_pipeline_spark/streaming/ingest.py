@@ -31,9 +31,24 @@ src/engagement_db_coda_sync/coda_to_engagement_db.py:13-83):
   code runs on file://, hdfs:// (atomic rename) and s3a:// (PUT of a
   new key is atomic; rename is copy+delete but the reader's
   parse-check keeps partial objects invisible).
-* Single writer per table (one streaming query), which foreachBatch
-  already guarantees; the protocol does not arbitrate concurrent
-  committers — that is what a real table format's CAS log is for.
+* CONCURRENT writers are arbitrated by optimistic concurrency on the
+  commit number (the Delta-style put-if-absent log idiom): before
+  writing any data, a writer atomically claims
+  ``_log/<commit>.claim`` (O_CREAT|O_EXCL on local paths,
+  create(overwrite=false) on HDFS — atomic in both; S3 without
+  conditional-write support needs an external lock, same caveat as
+  Delta's LogStore). The claim holder owns the commit number AND its
+  ``v<commit>/`` data directory exclusively, so concurrent writers
+  can never interleave files in one version dir; the manifest publish
+  itself stays the crash-atomic tmp+rename, safe because it is
+  single-writer by construction. A loser re-reads the log, REBASES
+  (recomputes its merge against the new current state) and retries at
+  the next number — no commit is ever silently clobbered. A claim
+  whose holder crashed is lease-expired after ``CLAIM_STALE_S``
+  (usurpers rewrite the claim; holders verify ownership just before
+  publishing, so a paused-then-resumed writer aborts instead of
+  double-publishing — the residual overlap window is the standard
+  lease trade-off, sized by the timeout).
 
 I/O per batch is O(touched buckets), not O(table). `n_buckets` is
 table metadata fixed at creation (recorded in the manifest — later
@@ -50,7 +65,11 @@ from __future__ import annotations
 
 import json
 import math
+import os
+import time
+import uuid
 from collections.abc import Callable, Sequence
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,6 +148,161 @@ def _write_text_atomic(spark: SparkSession, path_str: str, text: str) -> None:
     fs.delete(final, False)  # stale same-name manifest from a crashed retry
     if not fs.rename(tmp, final):
         raise IOError(f"manifest rename failed: {path_str}")
+
+
+# --- optimistic concurrency: put-if-absent commit claims ------------------
+
+#: Lease horizon for a claim whose holder died mid-commit: after this
+#: long with no manifest published, other writers expire the claim and
+#: take over the commit number. Must exceed the longest plausible
+#: version-directory write; a usurped-but-alive writer aborts at its
+#: ownership check instead of double-publishing.
+CLAIM_STALE_S = 900.0
+#: How long an acquiring writer waits (spin + sleep) for contended
+#: claims before giving up.
+CLAIM_ACQUIRE_TIMEOUT_S = 600.0
+_CLAIM_POLL_S = 0.05
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer took this commit (or usurped our claim); the
+    caller must rebase on the new table state and retry."""
+
+
+def put_if_absent(spark: SparkSession, path_str: str, text: str) -> bool:
+    """Atomically create `path_str` with `text` iff it does not exist.
+    Local paths use O_CREAT|O_EXCL (a true atomic arbiter); other
+    schemes use Hadoop create(overwrite=false) — atomic on HDFS, and
+    the documented external-lock caveat on plain S3 (same trade as
+    Delta's LogStore abstraction)."""
+    scheme = urlparse(path_str).scheme
+    if scheme in ("", "file"):
+        p = path_str[7:] if path_str.startswith("file://") else path_str
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        return True
+    fs, jvm = _fs(spark, path_str)
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    try:
+        out = fs.create(p, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def _path_mtime_s(spark: SparkSession, path_str: str) -> float | None:
+    fs, jvm = _fs(spark, path_str)
+    try:
+        st = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(path_str))
+        return st.getModificationTime() / 1000.0
+    except Exception:
+        return None
+
+
+def _delete_path(spark: SparkSession, path_str: str,
+                 recursive: bool = False) -> None:
+    fs, jvm = _fs(spark, path_str)
+    try:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path_str), recursive)
+    except Exception:
+        pass
+
+
+class CommitClaim:
+    """Exclusive ownership of one commit number, held from acquire to
+    publish. The claim file records the writer id; `verify()` re-reads
+    it immediately before the manifest publish so a lease-expired
+    writer aborts (ConcurrentCommitError) instead of clobbering the
+    usurper's commit."""
+
+    def __init__(self, spark: SparkSession, path_str: str, writer_id: str):
+        self._spark = spark
+        self.path = path_str
+        self.writer_id = writer_id
+
+    def verify(self) -> None:
+        try:
+            owner = _read_text(self._spark, self.path).strip()
+        except Exception as e:
+            raise ConcurrentCommitError(
+                f"commit claim {self.path} disappeared") from e
+        if owner != self.writer_id:
+            raise ConcurrentCommitError(
+                f"commit claim {self.path} usurped by {owner}")
+
+    def release(self) -> None:
+        # delete only OUR claim — after a lease expiry the file may
+        # belong to the usurper, and blind deletion would unlock a
+        # commit number someone else is mid-writing
+        try:
+            if _read_text(self._spark, self.path).strip() == self.writer_id:
+                _delete_path(self._spark, self.path)
+        except Exception:
+            pass
+
+
+def try_claim(spark: SparkSession, claim_path: str,
+              stale_after_s: float | None = None) -> CommitClaim | None:
+    """One claim attempt. An existing claim older than `stale_after_s`
+    (default: module `CLAIM_STALE_S`, resolved at call time) is
+    expired (deleted) first — delete + re-create keeps the CREATE as
+    the only atomic arbiter, so two usurpers cannot both win."""
+    if stale_after_s is None:
+        stale_after_s = CLAIM_STALE_S
+    writer_id = uuid.uuid4().hex
+    if put_if_absent(spark, claim_path, writer_id):
+        return CommitClaim(spark, claim_path, writer_id)
+    mtime = _path_mtime_s(spark, claim_path)
+    if mtime is not None and time.time() - mtime > stale_after_s:
+        _delete_path(spark, claim_path)
+        if put_if_absent(spark, claim_path, writer_id):
+            return CommitClaim(spark, claim_path, writer_id)
+    return None
+
+
+def _acquire_commit(spark: SparkSession, table_path: str,
+                    stale_after_s: float | None = None,
+                    timeout_s: float | None = None,
+                    ) -> tuple[dict | None, int, CommitClaim]:
+    """Claim the NEXT commit number of `table_path`. Returns
+    (manifest-to-build-on, commit, held claim). Loops (bounded by
+    `timeout_s`) while another writer holds the next number; after
+    winning a claim, re-checks that no manifest was published at that
+    number in the meantime (the winner of N deletes its claim only
+    AFTER publishing, so a freshly-claimed number may already be
+    committed — then the claim is released and the next number is
+    contended instead). Defaults resolve the module constants at call
+    time so tests (and deployments) can tune them."""
+    if stale_after_s is None:
+        stale_after_s = CLAIM_STALE_S
+    if timeout_s is None:
+        timeout_s = CLAIM_ACQUIRE_TIMEOUT_S
+    deadline = time.monotonic() + timeout_s
+    while True:
+        man = read_table_manifest(spark, table_path)
+        commit = (man["commit"] if man else 0) + 1
+        claim = try_claim(
+            spark, f"{table_path}/{_LOG_DIR}/{commit:08d}.claim",
+            stale_after_s)
+        if claim is not None:
+            latest = read_table_manifest(spark, table_path)
+            if (latest["commit"] if latest else 0) < commit:
+                return man, commit, claim
+            claim.release()  # that number was published already
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"could not acquire a commit claim on {table_path} "
+                f"within {timeout_s}s")
+        time.sleep(_CLAIM_POLL_S)
 
 
 def _list_commit_ids(spark: SparkSession, table_path: str) -> list[int]:
@@ -339,11 +513,8 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
     checkpoint-restart replay from re-inserting rows that a later
     `delete_origins` removed.
     """
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        if transform is not None:
-            batch = transform(batch)
-        spark = batch.sparkSession
-        man = read_table_manifest(spark, table_path)
+    def _apply(spark: SparkSession, raw: DataFrame, batch_id: int,
+               man: dict | None, commit: int, claim: CommitClaim) -> None:
         txn = dict((man or {}).get("txn", {}))
         if txn_app_id is not None:
             applied = txn.get(txn_app_id)
@@ -351,18 +522,17 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                 return  # checkpoint replay of an already-applied batch
             txn[txn_app_id] = batch_id
         nb = man["n_buckets"] if man else (n_buckets or DEFAULT_N_BUCKETS)
-        batch = batch.withColumn(BUCKET_COL, origin_bucket(origin_cols, nb))
-        if man is None:
-            hit = sorted(r[0] for r in
-                         batch.select(BUCKET_COL).distinct().collect())
-            _write_version(batch, table_path, 1, len(hit))
-            _commit(spark, table_path, 1, nb, origin_cols,
-                    {b: 1 for b in hit}, txn=txn)
-            return
+        batch = raw.withColumn(BUCKET_COL, origin_bucket(origin_cols, nb))
         # Buckets present in this batch — bounded by n_buckets, so the
         # collect is O(n_buckets) regardless of table size.
         hit = sorted(r[0] for r in
                      batch.select(BUCKET_COL).distinct().collect())
+        if man is None:
+            _write_version(batch, table_path, commit, len(hit))
+            claim.verify()
+            _commit(spark, table_path, commit, nb, origin_cols,
+                    {b: commit for b in hit}, txn=txn)
+            return
         cur = _bucket_paths(table_path, man["buckets"], only=hit,
                             bases=_bases(man))
         if cur:
@@ -384,11 +554,31 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                 spark.createDataFrame([], existing.schema),
                 allowMissingColumns=True)
         merged = idempotent_upsert(existing, batch, origin_cols)
-        commit = man["commit"] + 1
         _write_version(merged, table_path, commit, len(hit))
+        claim.verify()  # abort, not clobber, if our lease was usurped
         _commit(spark, table_path, commit, nb, origin_cols,
                 {**man["buckets"], **{b: commit for b in hit}},
                 bases=_bases(man), txn=txn)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
+        spark = batch.sparkSession
+        # Optimistic concurrency: claim the next commit number, merge
+        # against the manifest that number succeeds, publish. A lost
+        # race (another stream, or a maintenance job like compact)
+        # surfaces as ConcurrentCommitError -> rebase on the NEW
+        # manifest and retry at the next number; nothing is lost on
+        # either side.
+        while True:
+            man, commit, claim = _acquire_commit(spark, table_path)
+            try:
+                _apply(spark, batch, batch_id, man, commit, claim)
+                return
+            except ConcurrentCommitError:
+                continue
+            finally:
+                claim.release()
     return _merge
 
 
@@ -491,17 +681,33 @@ def delete_origins(spark: SparkSession, table_path: str,
     version directories and time travel still expose the deleted
     rows; vacuum is the erasure step.
     """
-    man = read_table_manifest(spark, table_path)
-    if man is None:
+    if read_table_manifest(spark, table_path) is None:
         raise ValueError(f"{table_path} has no commits")
+    while True:
+        man, commit, claim = _acquire_commit(spark, table_path)
+        try:
+            commit_id = _delete_attempt(spark, table_path, keys, man,
+                                        commit, claim)
+            break
+        except ConcurrentCommitError:
+            continue  # rebase on the new manifest and retry
+        finally:
+            claim.release()
+    if vacuum:
+        vacuum_table(spark, table_path, keep_manifests=1)
+    return commit_id
+
+
+def _delete_attempt(spark: SparkSession, table_path: str, keys: DataFrame,
+                    man: dict, commit: int, claim: CommitClaim) -> int:
     nb, origin = man["n_buckets"], list(man["origin"])
     keys = (keys.select(*origin).distinct()
             .withColumn(BUCKET_COL, origin_bucket(origin, nb)))
     # O(n_buckets) regardless of key-set size, like the merge path.
     hit = sorted(r[0] for r in keys.select(BUCKET_COL).distinct().collect()
                  if r[0] in man["buckets"])
-    commit = man["commit"] + 1
     if not hit:  # nothing stored under any of these keys: empty commit
+        claim.verify()
         _commit(spark, table_path, commit, nb, origin, man["buckets"],
                 op="delete", bases=_bases(man), txn=man.get("txn"))
         return commit
@@ -520,10 +726,9 @@ def delete_origins(spark: SparkSession, table_path: str,
     for b in hit:
         if b not in survived:
             buckets.pop(b, None)
+    claim.verify()
     _commit(spark, table_path, commit, nb, origin, buckets, op="delete",
             bases=_bases(man), txn=man.get("txn"))
-    if vacuum:
-        vacuum_table(spark, table_path, keep_manifests=1)
     return commit
 
 
@@ -533,19 +738,29 @@ def compact_table(spark: SparkSession, table_path: str,
     file per bucket) and commit — the OPTIMIZE step that bounds file
     count after long availableNow histories. With `vacuum`, superseded
     version data is deleted afterwards; post-state is ≤ n_buckets data
-    files."""
-    man = read_table_manifest(spark, table_path)
-    if man is None:
-        return
-    df = (_read_buckets(spark, _bucket_paths(table_path, man["buckets"],
-                                             bases=_bases(man)))
-          .withColumn(BUCKET_COL,
-                      origin_bucket(man["origin"], man["n_buckets"])))
-    commit = man["commit"] + 1
-    _write_version(df, table_path, commit, len(man["buckets"]))
-    _commit(spark, table_path, commit, man["n_buckets"], man["origin"],
-            {b: commit for b in man["buckets"]}, op="compact",
-            txn=man.get("txn"))
+    files. Runs under the commit-claim protocol, so it can race a
+    live ingest stream safely — whoever loses the claim rebases."""
+    while True:
+        man, commit, claim = _acquire_commit(spark, table_path)
+        try:
+            if man is None:
+                return
+            df = (_read_buckets(spark,
+                                _bucket_paths(table_path, man["buckets"],
+                                              bases=_bases(man)))
+                  .withColumn(BUCKET_COL,
+                              origin_bucket(man["origin"],
+                                            man["n_buckets"])))
+            _write_version(df, table_path, commit, len(man["buckets"]))
+            claim.verify()
+            _commit(spark, table_path, commit, man["n_buckets"],
+                    man["origin"], {b: commit for b in man["buckets"]},
+                    op="compact", txn=man.get("txn"))
+            break
+        except ConcurrentCommitError:
+            continue
+        finally:
+            claim.release()
     if vacuum:
         vacuum_table(spark, table_path)
 
@@ -555,19 +770,31 @@ def rebucket_table(spark: SparkSession, table_path: str,
     """Grow (or shrink) an outgrown table's bucket count: one logged
     full rewrite under the new hash — the explicit maintenance path
     for a table whose buckets passed ~2× `TARGET_BUCKET_BYTES`.
-    Subsequent merges follow the new manifest automatically."""
-    man = read_table_manifest(spark, table_path)
-    if man is None:
-        return
-    df = (_read_buckets(spark, _bucket_paths(table_path, man["buckets"],
-                                             bases=_bases(man)))
-          .withColumn(BUCKET_COL,
-                      origin_bucket(man["origin"], new_n_buckets)))
-    commit = man["commit"] + 1
-    hit = sorted(r[0] for r in df.select(BUCKET_COL).distinct().collect())
-    _write_version(df, table_path, commit, len(hit))
-    _commit(spark, table_path, commit, new_n_buckets, man["origin"],
-            {b: commit for b in hit}, op="rebucket", txn=man.get("txn"))
+    Subsequent merges follow the new manifest automatically (a merge
+    racing the rebucket rebases onto the new bucket count via the
+    commit-claim protocol)."""
+    while True:
+        man, commit, claim = _acquire_commit(spark, table_path)
+        try:
+            if man is None:
+                return
+            df = (_read_buckets(spark,
+                                _bucket_paths(table_path, man["buckets"],
+                                              bases=_bases(man)))
+                  .withColumn(BUCKET_COL,
+                              origin_bucket(man["origin"], new_n_buckets)))
+            hit = sorted(r[0] for r in
+                         df.select(BUCKET_COL).distinct().collect())
+            _write_version(df, table_path, commit, len(hit))
+            claim.verify()
+            _commit(spark, table_path, commit, new_n_buckets,
+                    man["origin"], {b: commit for b in hit},
+                    op="rebucket", txn=man.get("txn"))
+            break
+        except ConcurrentCommitError:
+            continue
+        finally:
+            claim.release()
     if vacuum:
         vacuum_table(spark, table_path)
 
@@ -611,6 +838,20 @@ def vacuum_table(spark: SparkSession, table_path: str,
     for commit in _list_commit_ids(spark, table_path)[:-keep_manifests]:
         if commit != man["commit"]:
             fs.delete(hp(f"{table_path}/{_LOG_DIR}/{commit:08d}.json"), False)
+    # claim files for already-published commit numbers are dead (their
+    # holder either published or lost); only a claim ABOVE the latest
+    # commit may belong to an in-flight writer
+    try:
+        for st in fs.listStatus(hp(f"{table_path}/{_LOG_DIR}")):
+            name = st.getPath().getName()
+            if name.endswith(".claim"):
+                try:
+                    if int(name[:-6]) <= man["commit"]:
+                        fs.delete(st.getPath(), False)
+                except ValueError:
+                    pass
+    except Exception:
+        pass
 
 
 def table_history(spark: SparkSession, table_path: str) -> DataFrame:
@@ -664,9 +905,22 @@ def clone_table(spark: SparkSession, src_path: str, dst_path: str) -> None:
     if read_table_manifest(spark, dst_path) is not None:
         raise ValueError(f"{dst_path} already exists; clone only "
                          "creates new tables")
-    src_bases = _bases(man)
-    bases = {ver: src_bases.get(ver, src_path)
-             for ver in set(man["buckets"].values())}
-    _commit(spark, dst_path, man["commit"], man["n_buckets"],
-            man["origin"], man["buckets"], op="clone", bases=bases,
-            txn=man.get("txn"))
+    # claim the destination's first commit number so two concurrent
+    # clones (or a clone racing a first merge) cannot both create it
+    claim = try_claim(
+        spark, f"{dst_path}/{_LOG_DIR}/{man['commit']:08d}.claim")
+    if claim is None:
+        raise ValueError(f"{dst_path} is being created concurrently")
+    try:
+        if read_table_manifest(spark, dst_path) is not None:
+            raise ValueError(f"{dst_path} already exists; clone only "
+                             "creates new tables")
+        src_bases = _bases(man)
+        bases = {ver: src_bases.get(ver, src_path)
+                 for ver in set(man["buckets"].values())}
+        claim.verify()
+        _commit(spark, dst_path, man["commit"], man["n_buckets"],
+                man["origin"], man["buckets"], op="clone", bases=bases,
+                txn=man.get("txn"))
+    finally:
+        claim.release()

@@ -271,6 +271,11 @@ def rrf_fuse(rankings: Sequence[DataFrame], k0: int = 60,
 # adjust by exact integer deltas without touching the index.
 
 def _delta_seqs(spark, index_path: str) -> list[int]:
+    """Sequence numbers of COMMITTED delta segments. A delta is
+    committed iff its final `d####` directory exists — writers stage
+    under `deltas/.tmp-*` and rename into place as the last step, so
+    a partially-written delta (crash before the stats landed) is
+    never visible here; `.claim-d####` lock files are skipped too."""
     from py4j.protocol import Py4JJavaError
 
     jvm = spark._jvm
@@ -279,7 +284,9 @@ def _delta_seqs(spark, index_path: str) -> list[int]:
     try:
         return sorted(int(st.getPath().getName()[1:])
                       for st in fs.listStatus(p)
-                      if st.getPath().getName().startswith("d"))
+                      if st.getPath().getName().startswith("d")
+                      and st.getPath().getName()[1:].isdigit()
+                      and st.isDirectory())
     except Py4JJavaError:
         return []
 
@@ -297,13 +304,25 @@ def update_text_index(spark, index_path: str, new_docs: DataFrame | None,
     """Append one delta segment. `new_docs` = inserted + updated docs
     (NEW text); `removed_docs` = updated + deleted docs (OLD text —
     needed only for its doc lengths, so stats adjust in O(changes)).
-    Returns the delta sequence number."""
-    seqs = _delta_seqs(spark, index_path)
-    seq = (seqs[-1] + 1) if seqs else 1
-    d = f"{index_path}/deltas/d{seq:04d}"
-    # read the carried-forward stats BEFORE creating this delta's
-    # directory — _index_stats resolves the latest existing delta
-    cur = _index_stats(spark, index_path).first()
+    Returns the delta sequence number.
+
+    Crash-atomic AND multi-writer-safe: the segment is staged under
+    ``deltas/.tmp-<nonce>`` and renamed to its final ``d####`` name as
+    the LAST step (after the stats file landed), so readers never see
+    a partial delta. The sequence number is allocated with the same
+    put-if-absent claim protocol as the versioned merge table
+    (streaming/ingest): stats chain cumulatively, so delta N may only
+    be claimed once delta N-1 is visible — a concurrent writer that
+    loses the claim waits for the winner's rename, rebases its carried
+    stats on the new tail, and takes the next number. Crashed-claim
+    leases and orphaned ``.tmp-*`` dirs are reclaimed by timeout /
+    `compact_text_index` respectively."""
+    import time as _time
+    import uuid as _uuid
+
+    from ..streaming.ingest import (
+        CLAIM_ACQUIRE_TIMEOUT_S, _CLAIM_POLL_S, try_claim)
+
     # one row per doc: a replayed/duplicated row in the change feed
     # must not double-count in the carried stats
     if new_docs is not None:
@@ -318,30 +337,67 @@ def update_text_index(spark, index_path: str, new_docs: DataFrame | None,
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s")
         ).first()
 
+    # Stage the writer-independent parts first (postings, tombstones):
+    # these never need rebasing, whoever else commits meanwhile.
+    tmp = f"{index_path}/deltas/.tmp-{_uuid.uuid4().hex}"
     n_new = s_new = n_rm = s_rm = 0
     if new_docs is not None:
         tf, _ = term_stats(new_docs, text_col, id_col)
-        tf.write.mode("overwrite").parquet(f"{d}/postings")
+        tf.write.mode("overwrite").parquet(f"{tmp}/postings")
         r = _dl_count(new_docs)
         n_new, s_new = r["n"], r["s"]
     else:
         spark.createDataFrame(
             [], "doc_id long, term string, tf long, dl long"
-        ).write.mode("overwrite").parquet(f"{d}/postings")
+        ).write.mode("overwrite").parquet(f"{tmp}/postings")
     if removed_docs is not None:
         (removed_docs.select(F.col(id_col).alias("doc_id")).distinct()
-         .write.mode("overwrite").parquet(f"{d}/removed"))
+         .write.mode("overwrite").parquet(f"{tmp}/removed"))
         r = _dl_count(removed_docs)
         n_rm, s_rm = r["n"], r["s"]
     else:
         spark.createDataFrame([], "doc_id long").write.mode(
-            "overwrite").parquet(f"{d}/removed")
-    (spark.createDataFrame(
-        [(int(cur["n_docs"]) + n_new - n_rm,
-          int(cur["sum_dl"]) + s_new - s_rm)],
-        "n_docs long, sum_dl long")
-     .write.mode("overwrite").parquet(f"{d}/stats"))
+            "overwrite").parquet(f"{tmp}/removed")
+
+    deadline = _time.monotonic() + CLAIM_ACQUIRE_TIMEOUT_S
+    while True:
+        seqs = _delta_seqs(spark, index_path)
+        seq = (seqs[-1] + 1) if seqs else 1
+        claim = try_claim(spark, f"{index_path}/deltas/.claim-d{seq:04d}")
+        if claim is not None:
+            post = _delta_seqs(spark, index_path)
+            if post and post[-1] >= seq:
+                # committed between our listing and the claim (the
+                # winner releases only after its rename): next number
+                claim.release()
+                continue
+            break
+        if _time.monotonic() > deadline:
+            raise TimeoutError(
+                f"could not claim a delta sequence on {index_path}")
+        _time.sleep(_CLAIM_POLL_S)
+    try:
+        # carried stats rebase under the claim: delta seq-1 is
+        # committed (checked above) and nobody else may commit seq
+        cur = _index_stats(spark, index_path).first()
+        (spark.createDataFrame(
+            [(int(cur["n_docs"]) + n_new - n_rm,
+              int(cur["sum_dl"]) + s_new - s_rm)],
+            "n_docs long, sum_dl long")
+         .write.mode("overwrite").parquet(f"{tmp}/stats"))
+        claim.verify()  # abort if our lease was usurped mid-write
+        _rename_dir(spark, tmp, f"{index_path}/deltas/d{seq:04d}")
+    finally:
+        claim.release()
     return seq
+
+
+def _rename_dir(spark, src: str, dst: str) -> None:
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path
+    fs = hp(src).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hp(dst)) or not fs.rename(hp(src), hp(dst)):
+        raise IOError(f"delta publish rename failed: {src} -> {dst}")
 
 
 def _resolved_postings(spark, index_path: str,

@@ -1,0 +1,269 @@
+"""Multi-writer contention tests for the versioned merge table's
+optimistic-concurrency commit protocol: two concurrent committers
+must both land (no silently-clobbered manifest), crashed writers'
+claims must lease-expire, and a held claim must block politely."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.streaming import ingest as ing
+
+
+def _batch(spark, keys, val):
+    return spark.createDataFrame(
+        [(k, val) for k in keys], "origin string, payload string")
+
+
+def _seed(spark, path, keys=("a", "b", "c"), n_buckets=4):
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=n_buckets)
+    merge(_batch(spark, keys, "seed"), 0)
+    return merge
+
+
+def _run_threads(fns):
+    errs = []
+
+    def _wrap(fn):
+        try:
+            fn()
+        except Exception as e:  # surface into the test thread
+            errs.append(e)
+
+    ts = [threading.Thread(target=_wrap, args=(f,)) for f in fns]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+
+
+def test_two_writer_merge_contention(spark, tmp_path):
+    """Two concurrent foreachBatch merges (distinct key sets, distinct
+    streams): both commits must land — OCC means the loser rebases and
+    retries instead of clobbering the winner's manifest."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    m1 = ing.foreach_batch_upsert(path, ["origin"], txn_app_id="s1")
+    m2 = ing.foreach_batch_upsert(path, ["origin"], txn_app_id="s2")
+    keys1 = [f"k1_{i}" for i in range(20)]
+    keys2 = [f"k2_{i}" for i in range(20)]
+    _run_threads([
+        lambda: m1(_batch(spark, keys1, "w1"), 1),
+        lambda: m2(_batch(spark, keys2, "w2"), 1),
+    ])
+    rows = {r.origin: r.payload
+            for r in ing.read_merged_table(spark, path).collect()}
+    assert all(rows.get(k) == "w1" for k in keys1)
+    assert all(rows.get(k) == "w2" for k in keys2)
+    assert len(rows) == 3 + 40
+    hist = ing.table_history(spark, path).collect()
+    # seed + both contended merges: three distinct commits, no loss
+    assert [h.commit for h in hist] == [3, 2, 1]
+    # txn watermarks of BOTH streams survived the contention
+    man = ing.read_table_manifest(spark, path)
+    assert man["txn"] == {"s1": 1, "s2": 1}
+    # no leftover claims once both publishes released
+    log = tmp_path / "t" / "_log"
+    assert not [f for f in os.listdir(log) if f.endswith(".claim")]
+
+
+def test_merge_racing_compact(spark, tmp_path):
+    """A compaction racing a live merge: both must commit, in either
+    order, and every row must survive."""
+    path = str(tmp_path / "t")
+    merge = _seed(spark, path, keys=[f"s{i}" for i in range(30)])
+    new_keys = [f"n{i}" for i in range(10)]
+    _run_threads([
+        lambda: ing.compact_table(spark, path, vacuum=False),
+        lambda: merge(_batch(spark, new_keys, "new"), 1),
+    ])
+    rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == {f"s{i}" for i in range(30)} | set(new_keys)
+    ops = {h.commit: h.op for h in ing.table_history(spark, path).collect()}
+    assert sorted(ops) == [1, 2, 3]
+    assert sorted(ops[c] for c in (2, 3)) == ["compact", "merge"]
+
+
+def test_concurrent_deletes_and_merge(spark, tmp_path):
+    """Three-way contention: two delete_origins plus one merge, all
+    landing as separate commits with the correct final row set."""
+    path = str(tmp_path / "t")
+    merge = _seed(spark, path, keys=[f"s{i}" for i in range(12)])
+    _run_threads([
+        lambda: ing.delete_origins(
+            spark, path, _batch(spark, ["s0", "s1"], "x").select("origin")),
+        lambda: ing.delete_origins(
+            spark, path, _batch(spark, ["s2", "s3"], "x").select("origin")),
+        lambda: merge(_batch(spark, ["zz"], "new"), 1),
+    ])
+    rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == {f"s{i}" for i in range(4, 12)} | {"zz"}
+    hist = ing.table_history(spark, path).collect()
+    assert [h.commit for h in hist] == [4, 3, 2, 1]
+    assert sorted(h.op for h in hist) == [
+        "delete", "delete", "merge", "merge"]
+
+
+def test_stale_claim_lease_expires(spark, tmp_path, monkeypatch):
+    """A claim left by a crashed writer (old mtime, no manifest) is
+    expired after CLAIM_STALE_S and the next writer takes over the
+    commit number."""
+    path = str(tmp_path / "t")
+    merge = _seed(spark, path)
+    claim_file = tmp_path / "t" / "_log" / "00000002.claim"
+    claim_file.write_text("dead-writer")
+    old = time.time() - 3600
+    os.utime(claim_file, (old, old))
+    monkeypatch.setattr(ing, "CLAIM_STALE_S", 5.0)
+    merge(_batch(spark, ["d"], "late"), 1)
+    man = ing.read_table_manifest(spark, path)
+    assert man["commit"] == 2
+    rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
+    assert "d" in rows
+
+
+def test_live_claim_blocks_until_timeout(spark, tmp_path, monkeypatch):
+    """A FRESH claim (live writer) is honored: an acquirer waits and
+    eventually times out rather than stealing the commit number."""
+    path = str(tmp_path / "t")
+    merge = _seed(spark, path)
+    (tmp_path / "t" / "_log" / "00000002.claim").write_text("busy-writer")
+    monkeypatch.setattr(ing, "CLAIM_ACQUIRE_TIMEOUT_S", 1.0)
+    with pytest.raises(TimeoutError):
+        merge(_batch(spark, ["d"], "late"), 1)
+    # table unchanged
+    assert ing.read_table_manifest(spark, path)["commit"] == 1
+
+
+def test_usurped_writer_aborts_at_publish(spark, tmp_path):
+    """verify() before publish: a writer whose claim was rewritten by
+    a usurper must raise ConcurrentCommitError, not publish."""
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    man, commit, claim = ing._acquire_commit(spark, path)
+    # lease expiry elsewhere: usurper rewrites the claim file
+    (tmp_path / "t" / "_log" / f"{commit:08d}.claim").write_text("usurper")
+    with pytest.raises(ing.ConcurrentCommitError):
+        claim.verify()
+    # release() must NOT delete the usurper's claim
+    claim.release()
+    assert (tmp_path / "t" / "_log" / f"{commit:08d}.claim").exists()
+    os.remove(tmp_path / "t" / "_log" / f"{commit:08d}.claim")
+
+
+def test_concurrent_clone_single_winner(spark, tmp_path):
+    """Two concurrent shallow clones of the same source into the same
+    destination: exactly one creates the table."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _seed(spark, src)
+    outcomes = []
+
+    def _clone():
+        try:
+            ing.clone_table(spark, src, dst)
+            outcomes.append("ok")
+        except ValueError:
+            outcomes.append("lost")
+
+    _run_threads([_clone, _clone])
+    assert sorted(outcomes) == ["lost", "ok"]
+    assert ing.read_table_manifest(spark, dst) is not None
+
+
+def test_vacuum_cleans_dead_claims(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge = _seed(spark, path)
+    merge(_batch(spark, ["x"], "v2"), 1)
+    # dead claim at an already-published number; live claim above
+    log = tmp_path / "t" / "_log"
+    (log / "00000001.claim").write_text("dead")
+    (log / "00000009.claim").write_text("maybe-live")
+    ing.vacuum_table(spark, path)
+    names = set(os.listdir(log))
+    assert "00000001.claim" not in names
+    assert "00000009.claim" in names
+
+
+def test_put_if_absent_local_atomicity(spark, tmp_path):
+    p = str(tmp_path / "sub" / "claim.txt")
+    assert ing.put_if_absent(spark, p, "one") is True
+    assert ing.put_if_absent(spark, p, "two") is False
+    assert (tmp_path / "sub" / "claim.txt").read_text() == "one"
+
+
+def test_contended_creation_both_rows_land(spark, tmp_path):
+    """No pre-existing table: two writers race table CREATION; one
+    creates, the other rebases into a merge — both key sets land."""
+    path = str(tmp_path / "t")
+    m1 = ing.foreach_batch_upsert(path, ["origin"], n_buckets=4)
+    m2 = ing.foreach_batch_upsert(path, ["origin"], n_buckets=4)
+    _run_threads([
+        lambda: m1(_batch(spark, ["a1", "a2"], "w1"), 0),
+        lambda: m2(_batch(spark, ["b1", "b2"], "w2"), 0),
+    ])
+    rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == {"a1", "a2", "b1", "b2"}
+    assert ing.read_table_manifest(spark, path)["commit"] == 2
+
+
+# --- text-index delta OCC -------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_concurrent_index_updates_no_lost_delta(spark, tmp_path):
+    """Two concurrent update_text_index calls: both deltas commit with
+    distinct sequence numbers and the carried stats include BOTH."""
+    from engagement_data_pipeline_spark.training.ranking import (
+        _delta_seqs, _index_stats, bm25_topk_indexed, build_text_index,
+        update_text_index)
+
+    idx = str(tmp_path / "idx")
+    build_text_index(_docs(spark, [(1, "alpha beta"), (2, "alpha gamma")]),
+                     idx)
+    _run_threads([
+        lambda: update_text_index(
+            spark, idx, new_docs=_docs(spark, [(3, "alpha delta")]),
+            removed_docs=None),
+        lambda: update_text_index(
+            spark, idx, new_docs=_docs(spark, [(4, "alpha epsilon qq")]),
+            removed_docs=None),
+    ])
+    assert _delta_seqs(spark, idx) == [1, 2]
+    [st] = _index_stats(spark, idx).collect()
+    assert st.n_docs == 4 and st.sum_dl == 2 + 2 + 2 + 3
+    top = bm25_topk_indexed(spark, idx, {"q": ["alpha"]}, k=10)
+    assert {r.doc_id for r in top.collect()} == {1, 2, 3, 4}
+    deltas = tmp_path / "idx" / "deltas"
+    assert not [n for n in os.listdir(deltas) if n.startswith(".claim")]
+    assert not [n for n in os.listdir(deltas) if n.startswith(".tmp")]
+
+
+def test_partial_delta_stage_invisible(spark, tmp_path):
+    """A crashed writer's staged .tmp segment is invisible to readers
+    and to sequence allocation."""
+    from engagement_data_pipeline_spark.training.ranking import (
+        _delta_seqs, bm25_topk_indexed, build_text_index,
+        update_text_index)
+
+    idx = str(tmp_path / "idx")
+    build_text_index(_docs(spark, [(1, "alpha beta")]), idx)
+    stage = tmp_path / "idx" / "deltas" / ".tmp-deadbeef"
+    stage.mkdir(parents=True)
+    (stage / "junk").write_text("partial")
+    assert _delta_seqs(spark, idx) == []
+    seq = update_text_index(
+        spark, idx, new_docs=_docs(spark, [(2, "alpha")]),
+        removed_docs=None)
+    assert seq == 1
+    top = bm25_topk_indexed(spark, idx, {"q": ["alpha"]}, k=10)
+    assert {r.doc_id for r in top.collect()} == {1, 2}
