@@ -78,7 +78,7 @@ def main():
         spark.stop()
 
     total, timings = min(runs, key=lambda r: r[0])
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -86,7 +86,30 @@ def main():
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": [r[0] for r in runs],
-    }))
+    }
+    # Full result to a file (per-query history survives even when a
+    # caller captures only a tail of stdout)...
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOCAL.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    # ...and ONE single-line JSON as the final stdout line. A capture
+    # that keeps only the last ~3KB would truncate the line's FRONT
+    # and make it unparseable, so if the full map pushes the line past
+    # that budget, the stdout line keeps the slowest queries only and
+    # points at BENCH_LOCAL.json for the rest (headline metric, runs
+    # and counts always intact).
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 2600:
+        slowest = dict(sorted(
+            ((k, v) for k, v in timings.items() if v is not None),
+            key=lambda kv: kv[1], reverse=True)[:30])
+        result["queries"] = {k: round(v, 2) for k, v in slowest.items()}
+        result["queries_truncated_to_slowest"] = len(slowest)
+        result["queries_full_in"] = "BENCH_LOCAL.json"
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

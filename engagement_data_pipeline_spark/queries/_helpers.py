@@ -66,3 +66,46 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table with harness-safe session conf applied."""
     apply_runtime_conf(spark)
     return load(spark, sf_dir, name)
+
+
+def fixture_dir(name: str, sf_dir: str, build) -> str:
+    """Process-lifetime cache of a DETERMINISTIC on-disk fixture
+    (an index, a multi-commit merge table) shared by every query run
+    in this process — bench runs the suite best-of-N in one process
+    with a fresh SparkSession per run, and rebuilding an identical
+    fixture each run would charge fixture construction to the query
+    being measured. `build(path)` must populate `path` purely from
+    `sf_dir`'s read-only parquet (same inputs -> same fixture, so
+    reuse cannot change results). Publication is an atomic directory
+    rename gated on a `_FIXTURE_OK` marker: concurrent builders race
+    safely (the loser discards its staged copy), and a crashed build
+    is invisible. Override the cache root with
+    $SPARK_GRAFT_FIXTURE_DIR (e.g. to share across processes)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    global _FIXTURE_ROOT
+    root = os.environ.get("SPARK_GRAFT_FIXTURE_DIR")
+    if not root:
+        if _FIXTURE_ROOT is None:
+            _FIXTURE_ROOT = tempfile.mkdtemp(prefix="edp-fixtures-")
+        root = _FIXTURE_ROOT
+    tag = sf_dir.rstrip("/").replace(os.sep, "_").strip("_")
+    final = os.path.join(root, tag, name)
+    if os.path.exists(os.path.join(final, "_FIXTURE_OK")):
+        return final
+    stage = f"{final}.build-{uuid.uuid4().hex}"
+    build(stage)
+    with open(os.path.join(stage, "_FIXTURE_OK"), "w") as f:
+        f.write("ok")
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(stage, final)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # another builder won
+    return final
+
+
+_FIXTURE_ROOT = None
