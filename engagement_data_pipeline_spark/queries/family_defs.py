@@ -22,6 +22,7 @@ from . import (adapters_extra, analysis, cdc_q, cleaning_q,  # noqa: F401
                temporal_q, tpch, training)
 from . import curation_q, layout_q, profile_q, splits_q  # noqa: F401
 from . import bpe_q, classifier_q, collocations_q, hybrid_q, linkage_q  # noqa: F401
+from . import regression  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -202,6 +203,10 @@ _EVENTS_MEMBERS = {
          ("n_events", "bigint"), ("baseline_days", "bigint"),
          ("baseline_mean", "double"), ("z", "double"),
          ("is_anomaly", "boolean")]),
+    "r2_suff_stats": (
+        regression.r2_suff_stats, regression.R2_SUFF_STATS_SQL,
+        [("gender", "string"), ("age_category", "string"),
+         ("s01e01_theme_code_0", "int"), ("n_cell", "bigint")]),
 }
 
 # --- training-data extras -------------------------------------------------

@@ -71,3 +71,28 @@ def r3_mice_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiple_imputation_report(
         mm, "s01e01_theme_code_0",
         [f.removesuffix("_codes") for f in DEMOG_FIELDS], m=3)
+
+
+def r2_suff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped sufficient statistics R2's IRLS fit consumes: one
+    row per (demog..., theme-label) cell with its count. Regressors
+    are all categorical one-hots, so these cells fully determine
+    X'WX / X'y at every IRLS iteration — a green hash here certifies
+    the entire DISTRIBUTED part of `r2_logistic_regression` (the
+    remaining driver-side Newton loop is pure numpy over these same
+    cells, pinned separately by golden tests), even though the fit
+    itself stays rows-only."""
+    from pyspark.sql import functions as F
+
+    mm = r1_model_matrix(spark, sf_dir)
+    demogs = [f.removesuffix("_codes") for f in DEMOG_FIELDS]
+    return (mm.groupBy(*demogs, "s01e01_theme_code_0")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cell")))
+
+
+R2_SUFF_STATS_SQL = f"""
+WITH mm AS ({R1_MODEL_MATRIX_SQL})
+SELECT gender, age_category, s01e01_theme_code_0,
+       CAST(COUNT(*) AS BIGINT) AS n_cell
+FROM mm GROUP BY gender, age_category, s01e01_theme_code_0
+"""

@@ -70,3 +70,51 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert got == batch
     # 2 + 1 + 3 sessions
     assert len(got) == 6
+
+
+def test_transform_with_state_probe(spark, tmp_path):
+    """Probe for Spark 4's transformWithStateInPandas (the successor
+    of applyInPandasWithState): its Python driver worker imports
+    google.protobuf, which this container does not ship, so the test
+    auto-skips today and auto-upgrades the suite the moment the image
+    gains protobuf (STATUS.md §2.12 documents the block). The body is
+    a minimal per-user running count through a ValueState."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState(
+                "n", StructType([StructField("n", LongType())]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._n.get()[0] if self._n.exists() else 0
+            self._n.update((prev + n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [prev + n]})
+
+        def close(self) -> None:
+            pass
+
+    landing = tmp_path / "tws_landing"
+    landing.mkdir()
+    pd.DataFrame({"user_id": [1, 1, 2]}).to_json(
+        landing / "a.json", orient="records", lines=True)
+    stream = spark.readStream.schema("user_id long").json(str(landing))
+    out = (stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType="user_id long, n long",
+        outputMode="Update", timeMode="None"))
+    emitted = []
+    q = (out.writeStream
+         .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert {(r.user_id, r.n) for r in emitted} == {(1, 2), (2, 1)}
