@@ -104,6 +104,22 @@ _EVENTS_MEMBERS = {
         tpch.q05_local_supplier, tpch.Q05_SQL,
         [("n_name", "string"), ("revenue", "double"),
          ("n_items", "bigint")]),
+    "q07_volume_shipping": (
+        tpch.q07_volume_shipping, tpch.Q07_SQL,
+        [("supp_nation", "string"), ("cust_nation", "string"),
+         ("l_year", "int"), ("revenue", "double")]),
+    "q15_top_supplier": (
+        tpch.q15_top_supplier, tpch.Q15_SQL,
+        [("s_suppkey", "bigint"), ("s_name", "string"),
+         ("total_revenue", "double")]),
+    "q17_small_quantity_revenue": (
+        tpch.q17_small_quantity_revenue, tpch.Q17_SQL,
+        [("avg_yearly", "double")]),
+    "q18_large_orders": (
+        tpch.q18_large_orders, tpch.Q18_SQL,
+        [("c_name", "string"), ("c_custkey", "bigint"),
+         ("o_orderkey", "bigint"), ("o_orderdate_us", "bigint"),
+         ("o_totalprice", "double"), ("sum_qty", "double")]),
     "q14_promo_revenue": (
         tpch.q14_promo_revenue, tpch.Q14_SQL,
         [("promo_revenue", "double"), ("total_revenue", "double"),

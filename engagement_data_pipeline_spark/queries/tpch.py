@@ -304,3 +304,192 @@ SELECT c_custkey, c_acctbal,
 FROM customer
 WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 """
+
+
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations by year.
+
+    Both nation dims broadcast (25 rows); supplier and customer joins
+    are left to AQE (broadcast at bench scale, shuffle at 100 TB);
+    the lineitem⋈orders join is the one unavoidable wide shuffle. The
+    disjunctive nation pair filter applies AFTER the dim joins on the
+    already-tiny joined columns."""
+    n1 = (t(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (t(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation")))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(decimal_to_double(F.sum(_disc_price())).alias("revenue"))
+    )
+
+
+Q07_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))))
+            AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with the maximum revenue in a
+    quarter. The correlated `= (SELECT MAX(...))` becomes a rank-1
+    window over the already-aggregated per-supplier revenue (exact
+    DECIMAL comparison, so ties are exact and ALL max suppliers
+    return, like the spec). One lineitem shuffle; supplier joins the
+    |suppliers|-sized aggregate, not the fact table."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(_disc_price()).alias("__rev")))
+    top = (rev.withColumn(
+        "__rnk", F.rank().over(Window.orderBy(F.col("__rev").desc())))
+        .where(F.col("__rnk") == 1))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (top.join(F.broadcast(supp),
+                     top.supplier_no == supp.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    decimal_to_double(F.col("__rev")).alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(CAST(r.total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON r.supplier_no = s.s_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: weekly-equivalent revenue lost to
+    small-quantity orders of one brand. The correlated per-part
+    average-quantity subquery becomes one grouped aggregate joined
+    back to the (brand-filtered) fact rows — computed over ALL
+    lineitems of those parts, as the spec's subquery is, with the
+    brand filter pushed into the part scan and broadcast into both
+    lineitem passes. The 0.2·avg threshold compares doubles derived
+    from identical exact sums in both engines."""
+    part = (t(spark, sf_dir, "part")
+            .where(F.col("p_brand") == "Brand#3")
+            .select("p_partkey"))
+    li = (t(spark, sf_dir, "lineitem")
+          .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")))
+    avg_q = (li.groupBy("l_partkey")
+             .agg((decimal_to_double(F.sum(money("l_quantity")))
+                   / F.count(F.lit(1)).cast("double")).alias("__avg_qty")))
+    small = (li.join(F.broadcast(avg_q), "l_partkey")
+             .where(F.col("l_quantity").cast("double")
+                    < F.lit(0.2) * F.col("__avg_qty")))
+    return small.agg(
+        F.round(decimal_to_double(F.sum(money("l_extendedprice")))
+                / F.lit(7.0), 6).alias("avg_yearly"))
+
+
+Q17_SQL = """
+WITH br AS MATERIALIZED (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#3'
+),
+avgq AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+  FROM br GROUP BY l_partkey
+)
+SELECT ROUND(CAST(CAST(SUM(CAST(br.l_extendedprice AS DECIMAL(18,4)))
+             AS VARCHAR) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM br JOIN avgq ON br.l_partkey = avgq.l_partkey
+WHERE CAST(br.l_quantity AS DOUBLE) < 0.2 * avgq.avg_qty
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: top-100 largest-volume orders. The HAVING
+    subquery is a plain grouped filter on the lineitem aggregate; the
+    surviving ~0.5% of orderkeys then join orders+customer (the
+    aggregate side is small, so AQE broadcasts it into the orders
+    probe instead of shuffling the fact table again). Total order:
+    (o_totalprice desc, o_orderkey) — deterministic top-100."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(money("l_quantity")).alias("__qty"))
+           .where(F.col("__qty") > F.lit(150).cast(MONEY)))
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("c_name", "c_custkey", "o_orderkey",
+                micros("o_orderdate").alias("o_orderdate_us"),
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                decimal_to_double(F.col("__qty")).alias("sum_qty"))
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > CAST(150 AS DECIMAL(18,4))
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(CAST(big.qty AS VARCHAR) AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""

@@ -31,6 +31,14 @@ CASES = {
     "mm_phash_pairs": (4, False),
     "events_pivot": (3, False),
     "events_json_props": (2, False),
+    # round 6 TPC-H additions: q07 = one wide shuffle (the groupBy;
+    # every dim broadcast), q15 = supplier agg + rank window, q17 =
+    # brand-filtered double pass + scalar agg, q18 = having-filtered
+    # agg joined back + global top-100 sort
+    "q07_volume_shipping": (1, False),
+    "q15_top_supplier": (3, False),
+    "q17_small_quantity_revenue": (3, False),
+    "q18_large_orders": (4, False),
 }
 
 
