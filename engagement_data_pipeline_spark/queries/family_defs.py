@@ -136,6 +136,14 @@ _EVENTS_MEMBERS = {
         [("c_custkey", "bigint"), ("c_name", "string"),
          ("n_name", "string"), ("c_acctbal", "double"),
          ("revenue", "double")]),
+    "table_time_travel": (
+        streaming_q.table_time_travel, streaming_q.TABLE_TIME_TRAVEL_SQL,
+        [("origin_id", "string"), ("participant_uuid", "string"),
+         ("text", "string"), ("received_on", "string")]),
+    "table_point_lookup": (
+        streaming_q.table_point_lookup, streaming_q.TABLE_POINT_LOOKUP_SQL,
+        [("origin_id", "string"), ("participant_uuid", "string"),
+         ("text", "string"), ("received_on", "string")]),
     "cdc_changeset": (
         cdc_q.cdc_changeset, cdc_q.CDC_CHANGESET_SQL,
         [("message_id", "string"), ("op", "string"),

@@ -109,23 +109,9 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench's best-of-N measures the CHANGE FEED read — O(changed
     buckets) — not re-running the merges each run."""
     from ..streaming.ingest import table_changes
-    from ._helpers import fixture_dir
 
     apply_runtime_conf(spark)
-
-    def _build(path: str) -> None:
-        table = os.path.join(path, "table")
-        rows = _fixture_rows(spark, sf_dir)
-        # n_buckets per suggest_n_buckets for a few-MB fixture table —
-        # the 100 TB default (16+) only adds per-bucket file overhead
-        merge = foreach_batch_upsert(table, ["origin_id"],
-                                     transform=_add_origin, n_buckets=4)
-        for batch_id, mods in enumerate([(0, 1), (1, 2)]):
-            merge(rows.where((F.col("event_id") % 4).isin(list(mods))),
-                  batch_id)
-
-    base = fixture_dir("cdf_table", sf_dir, _build)
-    return table_changes(spark, os.path.join(base, "table"), from_commit=1)
+    return table_changes(spark, _cdf_fixture(spark, sf_dir), from_commit=1)
 
 
 TABLE_CHANGES_FEED_SQL = """
@@ -273,4 +259,89 @@ SELECT DISTINCT
        CAST(NULL AS VARCHAR) AS text,
        CAST(NULL AS VARCHAR) AS received_on
 FROM rows
+"""
+
+
+# --- time travel + point lookup over the versioned merge table ------------
+
+def _cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The shared two-commit merge table (same fixture as
+    `table_changes_feed`): commit 1 = slices {0,1}, commit 2 adds
+    {1,2} through the existing-wins merge."""
+    from ._helpers import fixture_dir
+
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        rows = _fixture_rows(spark, sf_dir)
+        merge = foreach_batch_upsert(table, ["origin_id"],
+                                     transform=_add_origin, n_buckets=4)
+        for batch_id, mods in enumerate([(0, 1), (1, 2)]):
+            merge(rows.where((F.col("event_id") % 4).isin(list(mods))),
+                  batch_id)
+
+    return os.path.join(fixture_dir("cdf_table", sf_dir, _build), "table")
+
+
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF: read the merge table exactly as of commit 1 —
+    version directories are immutable and manifests retained, so the
+    pre-merge snapshot reads back byte-identical after commit 2
+    landed. The oracle recomputes commit 1's content (the DISTINCT
+    slice-{0,1} rows) from the parquet source, so a green hash proves
+    historical reads are not contaminated by later commits."""
+    from ..streaming.ingest import read_table_at
+
+    apply_runtime_conf(spark)
+    return read_table_at(spark, _cdf_fixture(spark, sf_dir), commit=1)
+
+
+TABLE_TIME_TRAVEL_SQL = """
+WITH rows AS (
+  SELECT 'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
+         'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
+  FROM events WHERE event_id % 16 < 4 AND event_id % 4 IN (0, 1)
+)
+SELECT DISTINCT
+       'csv:' || sha256(sender || '|' || message || '|' || received_on)
+         AS origin_id,
+       sender AS participant_uuid, message AS text, received_on
+FROM rows
+"""
+
+
+def table_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by origin key in O(one bucket): the key hashes to
+    exactly one version directory however large the table is — the
+    Spark-side analog of the reference's per-message Firestore get
+    (SURVEY §2.1 S1). The probe key is the lexicographic MIN origin id
+    (deterministic); the lookup plan itself scans a single bucket
+    path, which `tests` pin via input-file count. Oracle: the same
+    keyed row out of the DISTINCT union."""
+    from ..streaming.ingest import lookup_origin, read_merged_table
+
+    apply_runtime_conf(spark)
+    table = _cdf_fixture(spark, sf_dir)
+    key = (read_merged_table(spark, table)
+           .agg(F.min("origin_id")).first()[0])
+    return lookup_origin(spark, table, [key])
+
+
+TABLE_POINT_LOOKUP_SQL = """
+WITH rows AS (
+  SELECT event_id % 4 AS slot,
+         'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
+         'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
+  FROM events WHERE event_id % 16 < 4
+),
+merged AS (
+  SELECT DISTINCT
+         'csv:' || sha256(sender || '|' || message || '|' || received_on)
+           AS origin_id,
+         sender AS participant_uuid, message AS text, received_on
+  FROM rows WHERE slot IN (0, 1, 2)
+)
+SELECT * FROM merged
+WHERE origin_id = (SELECT MIN(origin_id) FROM merged)
 """

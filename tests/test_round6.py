@@ -119,3 +119,26 @@ def test_index_bucket_sizing_scales_and_carries(spark, tmp_path):
     # hash collisions can leave some of the 7 partitions empty (no
     # file written), but the width must exceed the derived default
     assert 4 < n_files3 <= 7
+
+
+# --- point lookup reads exactly one bucket --------------------------------
+
+def test_lookup_origin_scans_single_bucket(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming import ingest as ing
+
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=8)
+    merge(spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(200)],
+        "origin string, payload string"), 0)
+    hit = ing.lookup_origin(spark, path, ["k7"])
+    [row] = hit.collect()
+    assert row.payload == "v7"
+    # the scan touches exactly ONE bucket directory however many
+    # buckets the table has — the O(1) point-read the layout buys
+    files = {r[0] for r in hit.select(F.input_file_name()).collect()}
+    dirs = {f.rsplit("/", 2)[-2] for f in files}
+    assert len(dirs) == 1 and next(iter(dirs)).startswith("bucket=")
+    # plan never references the other 7 bucket paths
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("bucket=") <= 1
