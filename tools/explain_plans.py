@@ -78,6 +78,12 @@ HEADLINE = [
     "events_json_props",        # from_json schema-on-read + rollup
     "events_pivot",             # explicit-list pivot: one hash agg
     "mm_phash_pairs",           # banded hamming join, pigeonhole-exact
+    "q07_volume_shipping",      # 5-way star join: all dims broadcast
+    "q15_top_supplier",         # correlated MAX as rank-1 window on agg
+    "q17_small_quantity_revenue",  # per-part avg joined back, brand pushed
+    "q18_large_orders",         # HAVING agg broadcast into orders probe
+    "table_point_lookup",       # keyed get: single bucket path resolved
+    "r2_suff_stats",            # grouped cells = IRLS sufficient stats
 ]
 
 
