@@ -267,3 +267,49 @@ def test_partial_delta_stage_invisible(spark, tmp_path):
     assert seq == 1
     top = bm25_topk_indexed(spark, idx, {"q": ["alpha"]}, k=10)
     assert {r.doc_id for r in top.collect()} == {1, 2}
+
+
+def test_randomized_three_writer_interleaving(spark, tmp_path):
+    """Three writers with DISJOINT key namespaces run seeded random
+    op sequences (merge/delete) while a fourth repeatedly compacts:
+    whatever the interleaving, the final table must equal the union
+    of each writer's sequential result, and the commit log must hold
+    every op exactly once (creation + 9 writer ops + 2 compacts)."""
+    import random
+
+    path = str(tmp_path / "t")
+    _seed(spark, path, keys=["seed0"])
+
+    def writer(ns: str, seed: int):
+        rng = random.Random(seed)
+        live: set[str] = set()
+
+        def _ops():
+            for step in range(3):
+                if step == 1 and live and rng.random() < 0.8:
+                    victims = sorted(rng.sample(sorted(live),
+                                                max(1, len(live) // 2)))
+                    ing.delete_origins(
+                        spark, path,
+                        _batch(spark, victims, "x").select("origin"))
+                    live.difference_update(victims)
+                else:
+                    keys = [f"{ns}_{step}_{i}" for i in range(8)]
+                    merge = ing.foreach_batch_upsert(path, ["origin"])
+                    merge(_batch(spark, keys, ns), step)
+                    live.update(keys)
+        return _ops, live
+
+    ops1, live1 = writer("a", 101)
+    ops2, live2 = writer("b", 202)
+    ops3, live3 = writer("c", 303)
+    compacts = lambda: [ing.compact_table(spark, path, vacuum=False)
+                        for _ in range(2)]
+    _run_threads([ops1, ops2, ops3, compacts])
+
+    rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == {"seed0"} | live1 | live2 | live3
+    hist = ing.table_history(spark, path).collect()
+    assert len(hist) == 1 + 9 + 2
+    assert [h.commit for h in hist] == list(range(12, 0, -1))
+    assert sorted(h.op for h in hist).count("compact") == 2
