@@ -161,7 +161,11 @@ CLAIM_STALE_S = 900.0
 #: How long an acquiring writer waits (spin + sleep) for contended
 #: claims before giving up.
 CLAIM_ACQUIRE_TIMEOUT_S = 600.0
+#: Contended-claim polling starts here and doubles to the cap — an
+#: object store pays a LIST + GET per poll, so a loser waiting out a
+#: long compaction must back off rather than hammer the log.
 _CLAIM_POLL_S = 0.05
+_CLAIM_POLL_MAX_S = 2.0
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -287,6 +291,7 @@ def _acquire_commit(spark: SparkSession, table_path: str,
     if timeout_s is None:
         timeout_s = CLAIM_ACQUIRE_TIMEOUT_S
     deadline = time.monotonic() + timeout_s
+    poll = _CLAIM_POLL_S
     while True:
         man = read_table_manifest(spark, table_path)
         commit = (man["commit"] if man else 0) + 1
@@ -298,11 +303,14 @@ def _acquire_commit(spark: SparkSession, table_path: str,
             if (latest["commit"] if latest else 0) < commit:
                 return man, commit, claim
             claim.release()  # that number was published already
+            poll = _CLAIM_POLL_S  # progress happened: reset backoff
+            continue
         if time.monotonic() > deadline:
             raise TimeoutError(
                 f"could not acquire a commit claim on {table_path} "
                 f"within {timeout_s}s")
-        time.sleep(_CLAIM_POLL_S)
+        time.sleep(poll)
+        poll = min(poll * 2, _CLAIM_POLL_MAX_S)
 
 
 def _list_commit_ids(spark: SparkSession, table_path: str) -> list[int]:

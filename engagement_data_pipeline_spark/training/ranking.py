@@ -321,7 +321,8 @@ def update_text_index(spark, index_path: str, new_docs: DataFrame | None,
     import uuid as _uuid
 
     from ..streaming.ingest import (
-        CLAIM_ACQUIRE_TIMEOUT_S, _CLAIM_POLL_S, try_claim)
+        CLAIM_ACQUIRE_TIMEOUT_S, _CLAIM_POLL_MAX_S, _CLAIM_POLL_S,
+        try_claim)
 
     # one row per doc: a replayed/duplicated row in the change feed
     # must not double-count in the carried stats
@@ -360,35 +361,53 @@ def update_text_index(spark, index_path: str, new_docs: DataFrame | None,
             "overwrite").parquet(f"{tmp}/removed")
 
     deadline = _time.monotonic() + CLAIM_ACQUIRE_TIMEOUT_S
-    while True:
-        seqs = _delta_seqs(spark, index_path)
-        seq = (seqs[-1] + 1) if seqs else 1
-        claim = try_claim(spark, f"{index_path}/deltas/.claim-d{seq:04d}")
-        if claim is not None:
-            post = _delta_seqs(spark, index_path)
-            if post and post[-1] >= seq:
-                # committed between our listing and the claim (the
-                # winner releases only after its rename): next number
-                claim.release()
-                continue
-            break
-        if _time.monotonic() > deadline:
-            raise TimeoutError(
-                f"could not claim a delta sequence on {index_path}")
-        _time.sleep(_CLAIM_POLL_S)
+    poll = _CLAIM_POLL_S
+    published = False
     try:
-        # carried stats rebase under the claim: delta seq-1 is
-        # committed (checked above) and nobody else may commit seq
-        cur = _index_stats(spark, index_path).first()
-        (spark.createDataFrame(
-            [(int(cur["n_docs"]) + n_new - n_rm,
-              int(cur["sum_dl"]) + s_new - s_rm)],
-            "n_docs long, sum_dl long")
-         .write.mode("overwrite").parquet(f"{tmp}/stats"))
-        claim.verify()  # abort if our lease was usurped mid-write
-        _rename_dir(spark, tmp, f"{index_path}/deltas/d{seq:04d}")
+        while True:
+            seqs = _delta_seqs(spark, index_path)
+            seq = (seqs[-1] + 1) if seqs else 1
+            claim = try_claim(spark,
+                              f"{index_path}/deltas/.claim-d{seq:04d}")
+            if claim is not None:
+                post = _delta_seqs(spark, index_path)
+                if post and post[-1] >= seq:
+                    # committed between our listing and the claim (the
+                    # winner releases only after its rename): next one
+                    claim.release()
+                    poll = _CLAIM_POLL_S
+                    continue
+                break
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not claim a delta sequence on {index_path}")
+            _time.sleep(poll)
+            poll = min(poll * 2, _CLAIM_POLL_MAX_S)
+        try:
+            # carried stats rebase under the claim: delta seq-1 is
+            # committed (checked above) and nobody else may commit seq
+            cur = _index_stats(spark, index_path).first()
+            (spark.createDataFrame(
+                [(int(cur["n_docs"]) + n_new - n_rm,
+                  int(cur["sum_dl"]) + s_new - s_rm)],
+                "n_docs long, sum_dl long")
+             .write.mode("overwrite").parquet(f"{tmp}/stats"))
+            claim.verify()  # abort if our lease was usurped mid-write
+            _rename_dir(spark, tmp, f"{index_path}/deltas/d{seq:04d}")
+            published = True
+        finally:
+            claim.release()
     finally:
-        claim.release()
+        if not published:
+            # failed/aborted publish: do not leave a staged orphan for
+            # compaction to sweep — remove our own .tmp now
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(tmp)
+            try:
+                p.getFileSystem(
+                    spark._jsc.hadoopConfiguration()).delete(p, True)
+            except Exception:
+                pass
     return seq
 
 

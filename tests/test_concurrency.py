@@ -313,3 +313,40 @@ def test_randomized_three_writer_interleaving(spark, tmp_path):
     assert len(hist) == 1 + 9 + 2
     assert [h.commit for h in hist] == list(range(12, 0, -1))
     assert sorted(h.op for h in hist).count("compact") == 2
+
+
+def test_put_if_absent_many_threads_single_winner(spark, tmp_path):
+    """16 threads race one claim path: exactly one create wins (the
+    O_EXCL arbiter), and the file holds the winner's payload."""
+    p = str(tmp_path / "race.claim")
+    wins = []
+
+    def contender(i):
+        def _go():
+            if ing.put_if_absent(spark, p, f"w{i}"):
+                wins.append(i)
+        return _go
+
+    _run_threads([contender(i) for i in range(16)])
+    assert len(wins) == 1
+    assert (tmp_path / "race.claim").read_text() == f"w{wins[0]}"
+
+
+def test_failed_index_update_cleans_staged_tmp(spark, tmp_path, monkeypatch):
+    """A claim-timeout abort must remove the writer's staged .tmp
+    segment instead of leaving debris for compaction."""
+    from engagement_data_pipeline_spark.training import ranking as R
+
+    idx = str(tmp_path / "idx")
+    R.build_text_index(_docs(spark, [(1, "alpha beta")]), idx)
+    # hold the next delta claim so the updater cannot win it
+    (tmp_path / "idx" / "deltas").mkdir()
+    (tmp_path / "idx" / "deltas" / ".claim-d0001").write_text("holder")
+    monkeypatch.setattr(ing, "CLAIM_ACQUIRE_TIMEOUT_S", 1.0)
+    with pytest.raises(TimeoutError):
+        R.update_text_index(spark, idx,
+                            new_docs=_docs(spark, [(2, "gamma")]),
+                            removed_docs=None)
+    leftovers = [n for n in os.listdir(tmp_path / "idx" / "deltas")
+                 if n.startswith(".tmp")]
+    assert leftovers == []
