@@ -168,6 +168,12 @@ _CLAIM_POLL_S = 0.05
 _CLAIM_POLL_MAX_S = 2.0
 
 
+#: Rebase-retry ceiling per logical operation: a writer usurped this
+#: many times in a row is misconfigured (CLAIM_STALE_S shorter than
+#: its own write time) — fail loudly instead of looping forever.
+MAX_COMMIT_RETRIES = 20
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer took this commit (or usurped our claim); the
     caller must rebase on the new table state and retry."""
@@ -578,7 +584,7 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
         # surfaces as ConcurrentCommitError -> rebase on the NEW
         # manifest and retry at the next number; nothing is lost on
         # either side.
-        while True:
+        for _ in range(MAX_COMMIT_RETRIES):
             man, commit, claim = _acquire_commit(spark, table_path)
             try:
                 _apply(spark, batch, batch_id, man, commit, claim)
@@ -587,6 +593,9 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                 continue
             finally:
                 claim.release()
+        raise RuntimeError(
+            f"merge into {table_path} was usurped {MAX_COMMIT_RETRIES} "
+            "times; raise CLAIM_STALE_S above the batch write time")
     return _merge
 
 
@@ -691,7 +700,8 @@ def delete_origins(spark: SparkSession, table_path: str,
     """
     if read_table_manifest(spark, table_path) is None:
         raise ValueError(f"{table_path} has no commits")
-    while True:
+    commit_id = None
+    for _ in range(MAX_COMMIT_RETRIES):
         man, commit, claim = _acquire_commit(spark, table_path)
         try:
             commit_id = _delete_attempt(spark, table_path, keys, man,
@@ -701,6 +711,10 @@ def delete_origins(spark: SparkSession, table_path: str,
             continue  # rebase on the new manifest and retry
         finally:
             claim.release()
+    if commit_id is None:
+        raise RuntimeError(
+            f"delete on {table_path} was usurped {MAX_COMMIT_RETRIES} "
+            "times; raise CLAIM_STALE_S above the delete write time")
     if vacuum:
         vacuum_table(spark, table_path, keep_manifests=1)
     return commit_id
@@ -748,7 +762,9 @@ def compact_table(spark: SparkSession, table_path: str,
     version data is deleted afterwards; post-state is ≤ n_buckets data
     files. Runs under the commit-claim protocol, so it can race a
     live ingest stream safely — whoever loses the claim rebases."""
-    while True:
+    if read_table_manifest(spark, table_path) is None:
+        return  # nonexistent table: no-op, and no _log debris
+    for _ in range(MAX_COMMIT_RETRIES):
         man, commit, claim = _acquire_commit(spark, table_path)
         try:
             if man is None:
@@ -781,7 +797,9 @@ def rebucket_table(spark: SparkSession, table_path: str,
     Subsequent merges follow the new manifest automatically (a merge
     racing the rebucket rebases onto the new bucket count via the
     commit-claim protocol)."""
-    while True:
+    if read_table_manifest(spark, table_path) is None:
+        return  # nonexistent table: no-op, and no _log debris
+    for _ in range(MAX_COMMIT_RETRIES):
         man, commit, claim = _acquire_commit(spark, table_path)
         try:
             if man is None:
