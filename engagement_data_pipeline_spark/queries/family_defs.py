@@ -140,6 +140,9 @@ _EVENTS_MEMBERS = {
         streaming_q.table_time_travel, streaming_q.TABLE_TIME_TRAVEL_SQL,
         [("origin_id", "string"), ("participant_uuid", "string"),
          ("text", "string"), ("received_on", "string")]),
+    "table_value_index": (
+        streaming_q.table_value_index, streaming_q.TABLE_VALUE_INDEX_SQL,
+        [("participant_uuid", "string"), ("origin_id", "string")]),
     "table_point_lookup": (
         streaming_q.table_point_lookup, streaming_q.TABLE_POINT_LOOKUP_SQL,
         [("origin_id", "string"), ("participant_uuid", "string"),

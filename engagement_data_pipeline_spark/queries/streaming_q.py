@@ -345,3 +345,49 @@ merged AS (
 SELECT * FROM merged
 WHERE origin_id = (SELECT MIN(origin_id) FROM merged)
 """
+
+
+def table_value_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary value index: postings (participant_uuid, origin_id)
+    bucketed on the VALUE, built from the merge table and served by a
+    single-bucket partial-key lookup — the Firestore field-filter
+    query (SURVEY §2.1 S1) re-expressed without a database. The probe
+    participant is the lexicographic MIN (deterministic); the oracle
+    filters the same DISTINCT union, so a green hash certifies
+    build + bucket-addressed serve end to end."""
+    from ..streaming.ingest import read_merged_table
+    from ..streaming.secondary import build_value_index, lookup_by_value
+    from ._helpers import fixture_dir
+
+    apply_runtime_conf(spark)
+    table = _cdf_fixture(spark, sf_dir)
+
+    def _build(path: str) -> None:
+        build_value_index(spark, table, os.path.join(path, "idx"),
+                          "participant_uuid", n_buckets=8)
+
+    idx = os.path.join(fixture_dir("value_index", sf_dir, _build), "idx")
+    probe = (read_merged_table(spark, table)
+             .agg(F.min("participant_uuid")).first()[0])
+    return (lookup_by_value(spark, idx, probe)
+            .select("participant_uuid", "origin_id"))
+
+
+TABLE_VALUE_INDEX_SQL = """
+WITH rows AS (
+  SELECT event_id % 4 AS slot,
+         'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
+         'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
+  FROM events WHERE event_id % 16 < 4
+),
+merged AS (
+  SELECT DISTINCT
+         'csv:' || sha256(sender || '|' || message || '|' || received_on)
+           AS origin_id,
+         sender AS participant_uuid
+  FROM rows WHERE slot IN (0, 1, 2)
+)
+SELECT participant_uuid, origin_id FROM merged
+WHERE participant_uuid = (SELECT MIN(participant_uuid) FROM merged)
+"""

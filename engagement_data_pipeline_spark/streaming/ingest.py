@@ -359,13 +359,18 @@ def _commit(spark: SparkSession, table_path: str, commit: int,
             n_buckets: int, origin_cols: Sequence[str],
             buckets: dict[int, int], op: str = "merge",
             bases: dict[int, str] | None = None,
-            txn: dict | None = None) -> None:
+            txn: dict | None = None,
+            bucket_on: Sequence[str] | None = None) -> None:
     import time
 
     man = {"commit": commit, "n_buckets": n_buckets,
            "origin": list(origin_cols), "op": op,
            "ts_ms": int(time.time() * 1000),
            "buckets": {str(k): v for k, v in sorted(buckets.items())}}
+    if bucket_on and list(bucket_on) != list(origin_cols):
+        # partial-key bucketing (set at creation, carried on EVERY
+        # commit like txn — dropping it would re-bucket silently)
+        man["bucket_on"] = list(bucket_on)
     if txn:
         # stream-transaction watermarks (exactly-once replay skip);
         # EVERY commit type must carry these forward — dropping them
@@ -380,6 +385,14 @@ def _commit(spark: SparkSession, table_path: str, commit: int,
     _write_text_atomic(
         spark, f"{table_path}/{_LOG_DIR}/{commit:08d}.json",
         json.dumps(man, indent=0))
+
+
+def _bucket_on(man: dict) -> list[str]:
+    """The columns a row's bucket hashes on: the full origin key by
+    default, or the `bucket_on` subset for tables created with
+    partial-key bucketing (e.g. a secondary index bucketed on the
+    VALUE so all postings of one value share one bucket)."""
+    return list(man.get("bucket_on") or man["origin"])
 
 
 def _bases(man: dict | None) -> dict[int, str]:
@@ -450,22 +463,36 @@ def lookup_origin(spark: SparkSession, table_path: str,
     addressing is the lookup path this layout buys instead. Origin
     keys are strings throughout this engine (origin ids); a non-string
     origin column would hash differently from the string literal and
-    needs a typed key row instead."""
+    needs a typed key row instead.
+
+    For a table created with partial-key bucketing (`bucket_cols`),
+    `key` may cover just the bucket columns: every row sharing that
+    prefix lives in ONE bucket, so the partial lookup is still an
+    O(one bucket) read returning all matching rows — the
+    value->postings read of a secondary index."""
     man = read_table_manifest(spark, table_path)
     if man is None:
         raise ValueError(f"{table_path} has no commits")
     origin = list(man["origin"])
-    if len(key) != len(origin):
-        raise ValueError(f"key arity {len(key)} != origin {origin}")
-    one = spark.createDataFrame([tuple(key)], ", ".join(
-        f"{c} string" for c in origin))
-    b = one.select(origin_bucket(origin, man["n_buckets"])).first()[0]
+    bk = _bucket_on(man)
+    if len(key) == len(origin):
+        match_cols = origin
+    elif len(key) == len(bk):
+        match_cols = bk
+    else:
+        raise ValueError(
+            f"key arity {len(key)} matches neither origin {origin} "
+            f"nor bucket columns {bk}")
+    kv = dict(zip(match_cols, key))
+    one = spark.createDataFrame([tuple(kv[c] for c in bk)], ", ".join(
+        f"{c} string" for c in bk))
+    b = one.select(origin_bucket(bk, man["n_buckets"])).first()[0]
     if b not in man["buckets"]:
         return read_merged_table(spark, table_path).limit(0)
     df = _read_buckets(spark, _bucket_paths(table_path, man["buckets"],
                                             only=[b], bases=_bases(man)))
     cond = None
-    for c, v in zip(origin, key):
+    for c, v in zip(match_cols, key):
         eq = F.col(c) == F.lit(v)
         cond = eq if cond is None else cond & eq
     return df.where(cond)
@@ -502,6 +529,7 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                          transform: Callable[[DataFrame], DataFrame] | None = None,
                          n_buckets: int | None = None,
                          txn_app_id: str | None = None,
+                         bucket_cols: Sequence[str] | None = None,
                          ) -> Callable[[DataFrame, int], None]:
     """A foreachBatch function: normalise the micro-batch (optional
     `transform`), then merge into the versioned bucket table keyed on
@@ -526,6 +554,14 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
     makes them metadata-idempotent too, and only txn tracking keeps a
     checkpoint-restart replay from re-inserting rows that a later
     `delete_origins` removed.
+
+    `bucket_cols` (creation-time only, manifest-carried like
+    `n_buckets`) buckets rows on a SUBSET of the origin key instead
+    of all of it: rows stay unique on the full origin, but every row
+    sharing the subset lands in one bucket, so `lookup_origin` with
+    just the subset is still an O(one bucket) read — the layout a
+    secondary value index needs (all postings of one value
+    co-located).
     """
     def _apply(spark: SparkSession, raw: DataFrame, batch_id: int,
                man: dict | None, commit: int, claim: CommitClaim) -> None:
@@ -536,7 +572,8 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                 return  # checkpoint replay of an already-applied batch
             txn[txn_app_id] = batch_id
         nb = man["n_buckets"] if man else (n_buckets or DEFAULT_N_BUCKETS)
-        batch = raw.withColumn(BUCKET_COL, origin_bucket(origin_cols, nb))
+        bk = _bucket_on(man) if man else list(bucket_cols or origin_cols)
+        batch = raw.withColumn(BUCKET_COL, origin_bucket(bk, nb))
         # Buckets present in this batch — bounded by n_buckets, so the
         # collect is O(n_buckets) regardless of table size.
         hit = sorted(r[0] for r in
@@ -545,14 +582,14 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
             _write_version(batch, table_path, commit, len(hit))
             claim.verify()
             _commit(spark, table_path, commit, nb, origin_cols,
-                    {b: commit for b in hit}, txn=txn)
+                    {b: commit for b in hit}, txn=txn, bucket_on=bk)
             return
         cur = _bucket_paths(table_path, man["buckets"], only=hit,
                             bases=_bases(man))
         if cur:
             existing = (_read_buckets(spark, cur)
                         .withColumn(BUCKET_COL,
-                                    origin_bucket(origin_cols, nb)))
+                                    origin_bucket(bk, nb)))
         else:  # batch only hits never-seen buckets
             existing = spark.createDataFrame([], batch.schema)
         if set(existing.columns) != set(batch.columns):
@@ -572,7 +609,7 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
         claim.verify()  # abort, not clobber, if our lease was usurped
         _commit(spark, table_path, commit, nb, origin_cols,
                 {**man["buckets"], **{b: commit for b in hit}},
-                bases=_bases(man), txn=txn)
+                bases=_bases(man), txn=txn, bucket_on=bk)
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if transform is not None:
@@ -723,20 +760,22 @@ def delete_origins(spark: SparkSession, table_path: str,
 def _delete_attempt(spark: SparkSession, table_path: str, keys: DataFrame,
                     man: dict, commit: int, claim: CommitClaim) -> int:
     nb, origin = man["n_buckets"], list(man["origin"])
+    bk = _bucket_on(man)
     keys = (keys.select(*origin).distinct()
-            .withColumn(BUCKET_COL, origin_bucket(origin, nb)))
+            .withColumn(BUCKET_COL, origin_bucket(bk, nb)))
     # O(n_buckets) regardless of key-set size, like the merge path.
     hit = sorted(r[0] for r in keys.select(BUCKET_COL).distinct().collect()
                  if r[0] in man["buckets"])
     if not hit:  # nothing stored under any of these keys: empty commit
         claim.verify()
         _commit(spark, table_path, commit, nb, origin, man["buckets"],
-                op="delete", bases=_bases(man), txn=man.get("txn"))
+                op="delete", bases=_bases(man), txn=man.get("txn"),
+                bucket_on=bk)
         return commit
     existing = (_read_buckets(spark,
                               _bucket_paths(table_path, man["buckets"],
                                             only=hit, bases=_bases(man)))
-                .withColumn(BUCKET_COL, origin_bucket(origin, nb)))
+                .withColumn(BUCKET_COL, origin_bucket(bk, nb)))
     remaining = existing.join(keys.select(*origin), origin, "left_anti")
     _write_version(remaining, table_path, commit, len(hit))
     # A fully-emptied bucket writes no directory — drop it from the
@@ -750,7 +789,7 @@ def _delete_attempt(spark: SparkSession, table_path: str, keys: DataFrame,
             buckets.pop(b, None)
     claim.verify()
     _commit(spark, table_path, commit, nb, origin, buckets, op="delete",
-            bases=_bases(man), txn=man.get("txn"))
+            bases=_bases(man), txn=man.get("txn"), bucket_on=bk)
     return commit
 
 
@@ -773,13 +812,14 @@ def compact_table(spark: SparkSession, table_path: str,
                                 _bucket_paths(table_path, man["buckets"],
                                               bases=_bases(man)))
                   .withColumn(BUCKET_COL,
-                              origin_bucket(man["origin"],
+                              origin_bucket(_bucket_on(man),
                                             man["n_buckets"])))
             _write_version(df, table_path, commit, len(man["buckets"]))
             claim.verify()
             _commit(spark, table_path, commit, man["n_buckets"],
                     man["origin"], {b: commit for b in man["buckets"]},
-                    op="compact", txn=man.get("txn"))
+                    op="compact", txn=man.get("txn"),
+                    bucket_on=man.get("bucket_on"))
             break
         except ConcurrentCommitError:
             continue
@@ -808,14 +848,16 @@ def rebucket_table(spark: SparkSession, table_path: str,
                                 _bucket_paths(table_path, man["buckets"],
                                               bases=_bases(man)))
                   .withColumn(BUCKET_COL,
-                              origin_bucket(man["origin"], new_n_buckets)))
+                              origin_bucket(_bucket_on(man),
+                                            new_n_buckets)))
             hit = sorted(r[0] for r in
                          df.select(BUCKET_COL).distinct().collect())
             _write_version(df, table_path, commit, len(hit))
             claim.verify()
             _commit(spark, table_path, commit, new_n_buckets,
                     man["origin"], {b: commit for b in hit},
-                    op="rebucket", txn=man.get("txn"))
+                    op="rebucket", txn=man.get("txn"),
+                    bucket_on=man.get("bucket_on"))
             break
         except ConcurrentCommitError:
             continue
@@ -947,6 +989,6 @@ def clone_table(spark: SparkSession, src_path: str, dst_path: str) -> None:
         claim.verify()
         _commit(spark, dst_path, man["commit"], man["n_buckets"],
                 man["origin"], man["buckets"], op="clone", bases=bases,
-                txn=man.get("txn"))
+                txn=man.get("txn"), bucket_on=man.get("bucket_on"))
     finally:
         claim.release()

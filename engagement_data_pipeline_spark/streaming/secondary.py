@@ -1,0 +1,102 @@
+"""Secondary value index over a versioned merge table, maintained
+incrementally from its own change feed.
+
+The reference answers "all messages of participant X" by scanning a
+Firestore collection with a filter (SURVEY §2.1 S1 — an indexed get
+only because Firestore auto-indexes every field); the primary table
+here is bucketed on origin_id, so a value predicate would touch every
+bucket. The standard warehouse answer is a SECONDARY INDEX: a second
+merge table whose rows are (value, origin...) postings, unique on the
+full pair but BUCKETED ON THE VALUE ONLY (`bucket_cols`), so
+`lookup_origin([value])` reads exactly one bucket however large the
+table — O(one bucket) value lookups without Firestore.
+
+Maintenance is driven by `table_changes`, never by rescanning the
+source: a refresh reads the feed between the last-applied source
+commit (carried in the index's own txn watermark, the same
+exactly-once idiom the streaming merge uses) and the current one.
+Updates/deletes need the OLD value to remove its posting — that comes
+from `read_table_at` on the pre-change snapshot, which is O(changed
+buckets) because only changed buckets are consulted. Cost per refresh
+is therefore O(changes), never O(table), and a crash between the
+remove and add phases replays idempotently (deletes of absent keys
+are empty commits; the add phase's txn watermark skips an
+already-applied refresh).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ingest import (delete_origins, foreach_batch_upsert, lookup_origin,
+                     read_table_at, read_table_manifest, read_merged_table,
+                     table_changes)
+
+#: txn app id under which the index records the last APPLIED source
+#: commit — the refresh replay-skip watermark.
+_SRC_TXN = "__value_index_src"
+
+
+def _index_key(col: str, origin: list[str]) -> list[str]:
+    return [col, *origin]
+
+
+def build_value_index(spark: SparkSession, table_path: str,
+                      index_path: str, col: str,
+                      n_buckets: int | None = None) -> None:
+    """Create the index from the source's CURRENT snapshot: one
+    posting per (value, origin key), bucketed on the value. Records
+    the source commit it reflects, so the first `refresh_value_index`
+    continues from exactly here."""
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    origin = list(man["origin"])
+    rows = (read_merged_table(spark, table_path)
+            .select(col, *origin).where(F.col(col).isNotNull()))
+    merge = foreach_batch_upsert(index_path, _index_key(col, origin),
+                                 n_buckets=n_buckets,
+                                 txn_app_id=_SRC_TXN, bucket_cols=[col])
+    merge(rows, man["commit"])
+
+
+def refresh_value_index(spark: SparkSession, table_path: str,
+                        index_path: str, col: str) -> int | None:
+    """Fold the source's change feed since the last refresh into the
+    index. Returns the source commit now reflected (None = already
+    current). op='insert' adds postings from the feed's new payload;
+    'update'/'delete' first remove the OLD value's posting (old
+    snapshot consulted only for changed keys), and 'update' re-adds
+    the new one."""
+    src_man = read_table_manifest(spark, table_path)
+    idx_man = read_table_manifest(spark, index_path)
+    if src_man is None or idx_man is None:
+        raise ValueError("source and index must both exist")
+    applied = int(idx_man.get("txn", {}).get(_SRC_TXN, 0))
+    current = int(src_man["commit"])
+    if current <= applied:
+        return None
+    origin = list(src_man["origin"])
+    ch = table_changes(spark, table_path, applied, current)
+    removals = (ch.where(F.col("op").isin("update", "delete"))
+                .select(*origin)
+                .join(read_table_at(spark, table_path, applied)
+                      .select(col, *origin), origin)
+                .select(col, *origin).where(F.col(col).isNotNull()))
+    additions = (ch.where(F.col("op").isin("insert", "update"))
+                 .select(col, *origin).where(F.col(col).isNotNull()))
+    # remove first, then add: an update whose value did not change
+    # round-trips (delete posting + re-insert) — still idempotent
+    delete_origins(spark, index_path, removals)
+    merge = foreach_batch_upsert(index_path, _index_key(col, origin),
+                                 txn_app_id=_SRC_TXN)
+    merge(additions, current)
+    return current
+
+
+def lookup_by_value(spark: SparkSession, index_path: str,
+                    value: str) -> DataFrame:
+    """All origin keys carrying `value`: one bucket read (partial-key
+    lookup on the value the index is bucketed on)."""
+    return lookup_origin(spark, index_path, [value])

@@ -350,3 +350,38 @@ def test_failed_index_update_cleans_staged_tmp(spark, tmp_path, monkeypatch):
     leftovers = [n for n in os.listdir(tmp_path / "idx" / "deltas")
                  if n.startswith(".tmp")]
     assert leftovers == []
+
+
+def test_crash_after_data_write_before_publish(spark, tmp_path, monkeypatch):
+    """Crash matrix, the remaining window: a writer claims commit N,
+    writes v<N> data, and dies BEFORE publishing the manifest.
+    Readers must still see commit N-1 (unreferenced data invisible),
+    and after the lease expires a new writer takes over number N,
+    overwrites the orphan data, and publishes correctly."""
+    path = str(tmp_path / "t")
+    merge = _seed(spark, path, keys=["a", "b"])
+
+    # simulate the crashed writer: acquire + write data, never publish
+    man, commit, claim = ing._acquire_commit(spark, path)
+    dead = _batch(spark, ["ghost1", "ghost2"], "dead").withColumn(
+        ing.BUCKET_COL, ing.origin_bucket(["origin"], man["n_buckets"]))
+    ing._write_version(dead, path, commit, 2)
+    # (claim file left in place, writer "dies" here)
+
+    # reader: prior commit fully intact, ghosts invisible
+    rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == {"a", "b"}
+
+    # recovery: lease expires, a live writer takes over commit N
+    claim_file = tmp_path / "t" / "_log" / f"{commit:08d}.claim"
+    old = time.time() - 3600
+    os.utime(claim_file, (old, old))
+    monkeypatch.setattr(ing, "CLAIM_STALE_S", 5.0)
+    merge(_batch(spark, ["c"], "live"), 1)
+    man2 = ing.read_table_manifest(spark, path)
+    assert man2["commit"] == commit
+    rows = {r.origin: r.payload
+            for r in ing.read_merged_table(spark, path).collect()}
+    # the usurper's commit holds exactly its own merge — the crashed
+    # writer's ghost rows never surface
+    assert rows == {"a": "seed", "b": "seed", "c": "live"}

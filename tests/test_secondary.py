@@ -1,0 +1,97 @@
+"""Secondary value index over the merge table: feed-driven refresh
+must equal rebuild-from-scratch, and value lookups must stay O(one
+bucket) via partial-key bucketing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.streaming import ingest as ing
+from engagement_data_pipeline_spark.streaming.secondary import (
+    build_value_index, lookup_by_value, refresh_value_index)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "origin string, user string")
+
+
+def _postings(spark, idx):
+    return {(r.user, r.origin)
+            for r in ing.read_merged_table(spark, idx).collect()}
+
+
+def test_refresh_equals_rebuild(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    merge = ing.foreach_batch_upsert(src, ["origin"], n_buckets=4)
+    merge(_batch(spark, [(f"m{i}", f"u{i % 3}") for i in range(9)]), 0)
+    build_value_index(spark, src, idx, "user", n_buckets=4)
+    assert _postings(spark, idx) == {(f"u{i % 3}", f"m{i}")
+                                     for i in range(9)}
+
+    # source evolves: new rows (one replayed key must not dup), then
+    # a GDPR delete of two keys
+    merge(_batch(spark, [("m0", "uX"),  # replay: existing-wins, no-op
+                         ("m9", "u0"), ("m10", "u9")]), 1)
+    ing.delete_origins(spark, src, spark.createDataFrame(
+        [("m1",), ("m9",)], "origin string"))
+
+    applied = refresh_value_index(spark, src, idx, "user")
+    assert applied == ing.read_table_manifest(spark, src)["commit"]
+
+    # feed-driven index == index rebuilt from the current snapshot
+    idx2 = str(tmp_path / "idx2")
+    build_value_index(spark, src, idx2, "user", n_buckets=4)
+    assert _postings(spark, idx) == _postings(spark, idx2)
+    # and the replayed m0 kept its ORIGINAL value posting
+    assert ("u0", "m0") in _postings(spark, idx)
+    assert ("uX", "m0") not in _postings(spark, idx)
+
+    # already current: refresh is a no-op
+    assert refresh_value_index(spark, src, idx, "user") is None
+
+
+def test_value_lookup_single_bucket(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    merge = ing.foreach_batch_upsert(src, ["origin"], n_buckets=4)
+    merge(_batch(spark, [(f"m{i}", f"u{i % 5}") for i in range(50)]), 0)
+    build_value_index(spark, src, idx, "user", n_buckets=8)
+
+    hit = lookup_by_value(spark, idx, "u2")
+    assert {r.origin for r in hit.collect()} == {
+        f"m{i}" for i in range(50) if i % 5 == 2}
+    # ALL postings of one value share one bucket: single-directory scan
+    files = {r[0] for r in hit.select(F.input_file_name()).collect()}
+    dirs = {f.rsplit("/", 2)[-2] for f in files}
+    assert len(dirs) == 1 and next(iter(dirs)).startswith("bucket=")
+
+    # full-key lookup still works on the subset-bucketed table
+    [row] = ing.lookup_origin(spark, idx, ["u2", "m2"]).collect()
+    assert row.origin == "m2"
+
+
+def test_bucket_on_carried_through_maintenance(spark, tmp_path):
+    """compact/rebucket/clone must preserve partial-key bucketing —
+    dropping `bucket_on` would silently re-bucket on the full key and
+    break O(one bucket) value lookups."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    merge = ing.foreach_batch_upsert(src, ["origin"], n_buckets=2)
+    merge(_batch(spark, [(f"m{i}", f"u{i % 4}") for i in range(20)]), 0)
+    build_value_index(spark, src, idx, "user", n_buckets=4)
+
+    ing.compact_table(spark, idx)
+    ing.rebucket_table(spark, idx, 8)
+    clone = str(tmp_path / "clone")
+    ing.clone_table(spark, idx, clone)
+    for path in (idx, clone):
+        man = ing.read_table_manifest(spark, path)
+        assert man["bucket_on"] == ["user"]
+        hit = lookup_by_value(spark, path, "u1")
+        assert {r.origin for r in hit.collect()} == {
+            f"m{i}" for i in range(20) if i % 4 == 1}
+        files = {r[0] for r in hit.select(F.input_file_name()).collect()}
+        assert len({f.rsplit("/", 2)[-2] for f in files}) == 1
