@@ -85,3 +85,25 @@ def idempotent_upsert(existing: DataFrame, incoming: DataFrame,
         existing.select(*origin_cols).distinct(), list(origin_cols), "left_anti"
     )
     return existing.unionByName(new_rows)
+
+
+def upsert_latest(existing: DataFrame, incoming: DataFrame,
+                  origin_cols: Sequence[str],
+                  order_cols: Sequence[str] | None = None) -> DataFrame:
+    """MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT: the
+    incoming batch's rows REPLACE existing rows sharing their origin
+    key (the Delta upsert the reference's contact-field writeback K6
+    does per-document). Incoming duplicates collapse to the same
+    deterministic representative as `idempotent_upsert`. Safe under
+    replay ONLY together with txn watermarks — without them a
+    replayed old batch would clobber newer payloads, which is why the
+    merge path requires txn_app_id for this mode. Same plan shape:
+    anti-join + union, one shuffle on the origin key."""
+    if order_cols is None:
+        order_cols = [c for c in incoming.columns if c not in set(origin_cols)]
+    deduped = (latest_snapshot(incoming, origin_cols, order_cols)
+               if order_cols else incoming.dropDuplicates(list(origin_cols)))
+    kept = existing.join(
+        deduped.select(*origin_cols).distinct(), list(origin_cols),
+        "left_anti")
+    return kept.unionByName(deduped)

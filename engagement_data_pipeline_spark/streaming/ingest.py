@@ -530,6 +530,7 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
                          n_buckets: int | None = None,
                          txn_app_id: str | None = None,
                          bucket_cols: Sequence[str] | None = None,
+                         mode: str = "existing_wins",
                          ) -> Callable[[DataFrame, int], None]:
     """A foreachBatch function: normalise the micro-batch (optional
     `transform`), then merge into the versioned bucket table keyed on
@@ -562,7 +563,21 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
     just the subset is still an O(one bucket) read — the layout a
     secondary value index needs (all postings of one value
     co-located).
+
+    `mode` picks the matched-row policy: ``existing_wins`` (default —
+    the reference's insert-only K1 semantics, replays are no-ops by
+    construction) or ``latest_wins`` (MERGE WHEN MATCHED UPDATE — the
+    contact-field writeback K6 semantics; `table_changes` then
+    reports changed payloads as op='update'). latest_wins REQUIRES
+    `txn_app_id`: only the replay watermark keeps a checkpoint replay
+    of an old batch from clobbering newer payloads.
     """
+    if mode not in ("existing_wins", "latest_wins"):
+        raise ValueError(f"unknown merge mode {mode!r}")
+    if mode == "latest_wins" and txn_app_id is None:
+        raise ValueError("latest_wins requires txn_app_id: without the "
+                         "replay watermark a re-run batch would "
+                         "overwrite newer data")
     def _apply(spark: SparkSession, raw: DataFrame, batch_id: int,
                man: dict | None, commit: int, claim: CommitClaim) -> None:
         txn = dict((man or {}).get("txn", {}))
@@ -604,7 +619,12 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
             batch = batch.unionByName(
                 spark.createDataFrame([], existing.schema),
                 allowMissingColumns=True)
-        merged = idempotent_upsert(existing, batch, origin_cols)
+        if mode == "latest_wins":
+            from ..operators.dedup import upsert_latest
+
+            merged = upsert_latest(existing, batch, origin_cols)
+        else:
+            merged = idempotent_upsert(existing, batch, origin_cols)
         _write_version(merged, table_path, commit, len(hit))
         claim.verify()  # abort, not clobber, if our lease was usurped
         _commit(spark, table_path, commit, nb, origin_cols,

@@ -385,3 +385,46 @@ def test_crash_after_data_write_before_publish(spark, tmp_path, monkeypatch):
     # the usurper's commit holds exactly its own merge — the crashed
     # writer's ghost rows never surface
     assert rows == {"a": "seed", "b": "seed", "c": "live"}
+
+
+def test_two_real_streams_one_table(spark, tmp_path):
+    """TWO live Structured Streaming queries (separate landing dirs
+    and checkpoints, distinct txn app ids) merge into ONE table
+    concurrently — the production shape of the contention the claim
+    protocol arbitrates. Both streams' rows land, both watermarks
+    survive, and the table equals the union."""
+    import pandas as pd
+
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        stream_csv_source)
+
+    table = str(tmp_path / "table")
+    queries = []
+    for s, keys in (("s1", range(0, 40)), ("s2", range(40, 80))):
+        landing = tmp_path / f"landing_{s}"
+        landing.mkdir()
+        for part in (0, 1):  # two files -> two micro-batches each
+            rows = [(f"{k}", f"msg {k}", "2024-01-01 00:00:00")
+                    for k in keys if k % 2 == part]
+            pd.DataFrame(rows, columns=[
+                "Sender", "Message", "ReceivedOn"]).to_csv(
+                landing / f"{part}.csv", index=False)
+        src = stream_csv_source(spark, str(landing),
+                                max_files_per_trigger=1)
+        merge = ing.foreach_batch_upsert(
+            table, ["origin"], n_buckets=4, txn_app_id=s,
+            transform=lambda b: b.select(
+                F.col("Sender").alias("origin"),
+                F.col("Message").alias("text")))
+        queries.append(
+            src.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{s}"))
+            .trigger(availableNow=True).start())
+    for q in queries:
+        q.awaitTermination(300)
+    rows = {r.origin for r in ing.read_merged_table(spark, table).collect()}
+    assert rows == {str(k) for k in range(80)}
+    man = ing.read_table_manifest(spark, table)
+    assert set(man["txn"]) == {"s1", "s2"}
+    hist = ing.table_history(spark, table).collect()
+    assert len(hist) == 4  # two micro-batches per stream, none lost

@@ -95,3 +95,54 @@ def test_bucket_on_carried_through_maintenance(spark, tmp_path):
             f"m{i}" for i in range(20) if i % 4 == 1}
         files = {r[0] for r in hit.select(F.input_file_name()).collect()}
         assert len({f.rsplit("/", 2)[-2] for f in files}) == 1
+
+
+# --- latest-wins merge mode (MERGE WHEN MATCHED UPDATE) -------------------
+
+def test_latest_wins_updates_and_cdf(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "src")
+    # guard: updates without a replay watermark are rejected
+    with pytest.raises(ValueError):
+        ing.foreach_batch_upsert(src, ["origin"], mode="latest_wins")
+
+    merge = ing.foreach_batch_upsert(src, ["origin"], n_buckets=4,
+                                     mode="latest_wins", txn_app_id="s")
+    merge(_batch(spark, [("m1", "u1"), ("m2", "u2")]), 0)
+    merge(_batch(spark, [("m1", "u9"), ("m3", "u3")]), 1)
+    rows = {r.origin: r.user
+            for r in ing.read_merged_table(spark, src).collect()}
+    assert rows == {"m1": "u9", "m2": "u2", "m3": "u3"}
+    # the change feed reports the payload change as an update
+    ch = {(r.origin, r.op): r.user
+          for r in ing.table_changes(spark, src, 1, 2).collect()}
+    assert ch == {("m1", "update"): "u9", ("m3", "insert"): "u3"}
+    [upd] = [r for r in ing.table_changes(spark, src, 1, 2).collect()
+             if r.op == "update"]
+    assert upd.changed_cols == "user"
+    # checkpoint replay of batch 1 must NOT clobber the newer payload
+    merge(_batch(spark, [("m1", "u1")]), 0)
+    assert {r.user for r in
+            ing.lookup_origin(spark, src, ["m1"]).collect()} == {"u9"}
+
+
+def test_index_follows_value_update(spark, tmp_path):
+    """The previously-dead 'update' removal path: a latest-wins source
+    changes a row's value; refresh must MOVE the posting (old value
+    removed, new value added) and match a fresh rebuild."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    merge = ing.foreach_batch_upsert(src, ["origin"], n_buckets=4,
+                                     mode="latest_wins", txn_app_id="s")
+    merge(_batch(spark, [("m1", "u1"), ("m2", "u2"), ("m3", "u1")]), 0)
+    build_value_index(spark, src, idx, "user", n_buckets=4)
+    assert _postings(spark, idx) == {("u1", "m1"), ("u2", "m2"),
+                                     ("u1", "m3")}
+    merge(_batch(spark, [("m1", "u7")]), 1)  # value change
+    refresh_value_index(spark, src, idx, "user")
+    assert _postings(spark, idx) == {("u7", "m1"), ("u2", "m2"),
+                                     ("u1", "m3")}
+    idx2 = str(tmp_path / "idx2")
+    build_value_index(spark, src, idx2, "user", n_buckets=4)
+    assert _postings(spark, idx) == _postings(spark, idx2)
