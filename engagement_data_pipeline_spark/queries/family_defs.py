@@ -143,6 +143,12 @@ _EVENTS_MEMBERS = {
     "table_value_index": (
         streaming_q.table_value_index, streaming_q.TABLE_VALUE_INDEX_SQL,
         [("participant_uuid", "string"), ("origin_id", "string")]),
+    "table_upsert_latest": (
+        streaming_q.table_upsert_latest,
+        streaming_q.TABLE_UPSERT_LATEST_SQL,
+        [("origin_id", "string"), ("participant_uuid", "string"),
+         ("text", "string"), ("received_on", "string"),
+         ("batch_tag", "string")]),
     "table_point_lookup": (
         streaming_q.table_point_lookup, streaming_q.TABLE_POINT_LOOKUP_SQL,
         [("origin_id", "string"), ("participant_uuid", "string"),

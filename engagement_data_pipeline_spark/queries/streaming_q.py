@@ -391,3 +391,55 @@ merged AS (
 SELECT participant_uuid, origin_id FROM merged
 WHERE participant_uuid = (SELECT MIN(participant_uuid) FROM merged)
 """
+
+
+def table_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """latest-wins merge (MERGE WHEN MATCHED UPDATE): slice {0,1}
+    lands tagged batch=a, then slice {1,2} tagged batch=b — the
+    overlap (slot 1) must carry b's payload, unlike the existing-wins
+    path where replays are no-ops (`table_changes_feed` pins that
+    one). The oracle resolves the same precedence in SQL: rows in b
+    win, rows only in a keep a."""
+    from ..streaming.ingest import read_merged_table
+    from ._helpers import fixture_dir
+
+    apply_runtime_conf(spark)
+
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        rows = _fixture_rows(spark, sf_dir)
+        merge = foreach_batch_upsert(
+            table, ["origin_id"], n_buckets=4, mode="latest_wins",
+            txn_app_id="upsert_q")
+        for batch_id, (tag, mods) in enumerate(
+                [("a", (0, 1)), ("b", (1, 2))]):
+            batch = _add_origin(
+                rows.where((F.col("event_id") % 4).isin(list(mods)))
+            ).withColumn("batch_tag", F.lit(tag))
+            merge(batch, batch_id)
+
+    base = fixture_dir("upsert_latest_table", sf_dir, _build)
+    return read_merged_table(spark, os.path.join(base, "table"))
+
+
+TABLE_UPSERT_LATEST_SQL = """
+WITH rows AS (
+  SELECT event_id % 4 AS slot,
+         'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
+         'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
+  FROM events WHERE event_id % 16 < 4
+),
+keyed AS (
+  SELECT slot,
+         'csv:' || sha256(sender || '|' || message || '|' || received_on)
+           AS origin_id,
+         sender, message, received_on
+  FROM rows WHERE slot IN (0, 1, 2)
+)
+SELECT origin_id,
+       sender AS participant_uuid, message AS text, received_on,
+       MAX(CASE WHEN slot IN (1, 2) THEN 'b' ELSE 'a' END) AS batch_tag
+FROM keyed
+GROUP BY origin_id, sender, message, received_on
+"""
