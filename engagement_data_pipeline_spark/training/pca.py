@@ -44,8 +44,29 @@ _DEC = "decimal(38,0)"
 _DEC_FACTOR = "decimal(19,0)"
 
 
+def _quantized(vec_col: str):
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(PCA_MICRO)))
+        .cast("long"))
+
+
+def _prod_struct(i, j):
+    return F.struct(i.cast("int").alias("i"), j.cast("int").alias("j"),
+                    (F.element_at(F.col("__q"), i + 1).cast(_DEC_FACTOR)
+                     * F.element_at(F.col("__q"), j + 1).cast(_DEC_FACTOR))
+                    .cast(_DEC).alias("v"))
+
+
+def _agg_cells(qdf: DataFrame, gen) -> DataFrame:
+    return (qdf.select(F.explode(gen).alias("c"))
+            .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+            .agg(F.sum(F.col("c.v").cast(_DEC)).alias("__s")))
+
+
 def gram_stats(emb: DataFrame, dim: int,
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               block: int | None = None) -> DataFrame:
     """(i, j, s) exact integer sufficient statistics:
     (-1,-1) row count; (i,-1) sum of quantized component i;
     (i,j) for i<=j sum of quantized products. `s` is DECIMAL(38,0)
@@ -54,31 +75,48 @@ def gram_stats(emb: DataFrame, dim: int,
     DECIMAL(38,0), exact for every pair of int64 quantized values;
     the remaining bound is the SUM of products per cell, which
     overflows DECIMAL(38,0) only past ~10^38 total — raise `s`'s
-    scale headroom by blocking the corpus before that point."""
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(PCA_MICRO)))
-        .cast("long"))
+    scale headroom by blocking the corpus before that point.
+
+    `block` is the d≳128 scale path the single-pass docstring
+    promises: the upper triangle splits into block×block column-range
+    tiles and each tile runs its own corpus pass with a generator of
+    at most block² structs per row (vs d²/2 unblocked). Cells are
+    disjoint across tiles, so the union needs no re-aggregation and
+    the result is bit-identical to the unblocked pass — pinned by
+    test. Count + first-moment sums ride the first pass."""
+    qdf = emb.select(_quantized(vec_col).alias("__q"))
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    prods = F.flatten(F.transform(idx, lambda i: F.transform(
-        F.sequence(i, F.lit(dim - 1)),
-        lambda j: F.struct(i.cast("int").alias("i"),
-                           j.cast("int").alias("j"),
-                           (F.element_at(F.col("__q"), i + 1)
-                            .cast(_DEC_FACTOR)
-                            * F.element_at(F.col("__q"), j + 1)
-                            .cast(_DEC_FACTOR))
-                           .cast(_DEC).alias("v")))))
     sums = F.transform(idx, lambda i: F.struct(
         i.cast("int").alias("i"), F.lit(-1).cast("int").alias("j"),
         F.element_at(F.col("__q"), i + 1).cast(_DEC).alias("v")))
     cnt = F.array(F.struct(F.lit(-1).cast("int").alias("i"),
                            F.lit(-1).cast("int").alias("j"),
                            F.lit(1).cast(_DEC).alias("v")))
-    cells = (emb.select(q.alias("__q"))
-             .select(F.explode(F.concat(cnt, sums, prods)).alias("c"))
-             .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-             .agg(F.sum(F.col("c.v").cast(_DEC)).alias("__s")))
+    if block is None or block >= dim:
+        prods = F.flatten(F.transform(idx, lambda i: F.transform(
+            F.sequence(i, F.lit(dim - 1)), lambda j: _prod_struct(i, j))))
+        cells = _agg_cells(qdf, F.concat(cnt, sums, prods))
+        return cells.select("i", "j",
+                            F.col("__s").cast("string").alias("s"))
+    parts = [_agg_cells(qdf, F.concat(cnt, sums))]
+    for b0 in range(0, dim, block):
+        e0 = min(b0 + block, dim)
+        for b1 in range(b0, dim, block):
+            e1 = min(b1 + block, dim)
+            tile = F.flatten(F.transform(
+                F.sequence(F.lit(b0), F.lit(e0 - 1)),
+                lambda i: F.transform(
+                    # j runs max(i, b1)..e1-1; empty when i passed the
+                    # tile's j-range (sequence would DESCEND otherwise)
+                    F.when(F.greatest(i, F.lit(b1)) <= F.lit(e1 - 1),
+                           F.sequence(F.greatest(i, F.lit(b1)),
+                                      F.lit(e1 - 1)))
+                    .otherwise(F.array().cast("array<int>")),
+                    lambda j: _prod_struct(i, j))))
+            parts.append(_agg_cells(qdf, tile))
+    cells = parts[0]
+    for p in parts[1:]:
+        cells = cells.unionByName(p)
     return cells.select("i", "j", F.col("__s").cast("string").alias("s"))
 
 

@@ -142,3 +142,20 @@ def test_lookup_origin_scans_single_bucket(spark, tmp_path):
     # plan never references the other 7 bucket paths
     plan = hit._jdf.queryExecution().executedPlan().toString()
     assert plan.count("bucket=") <= 1
+
+
+# --- blocked gram tiles == unblocked single pass --------------------------
+
+def test_gram_stats_blocked_equals_unblocked(spark):
+    from engagement_data_pipeline_spark.training.pca import gram_stats
+
+    rows = [([float(i + j) / 7.0 - 1.5 for i in range(5)],)
+            for j in range(9)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    base = {(r.i, r.j): r.s for r in gram_stats(df, 5).collect()}
+    for block in (1, 2, 3, 5, 99):
+        tiled = {(r.i, r.j): r.s
+                 for r in gram_stats(df, 5, block=block).collect()}
+        assert tiled == base, f"block={block} diverged"
+    # full triangle present: 5*6/2 products + 5 sums + 1 count
+    assert len(base) == 15 + 5 + 1
