@@ -888,19 +888,39 @@ def rebucket_table(spark: SparkSession, table_path: str,
 
 
 def vacuum_table(spark: SparkSession, table_path: str,
-                 keep_manifests: int = 10) -> None:
+                 keep_manifests: int = 10,
+                 retain_ms: int | None = None) -> None:
     """Delete version/bucket directories no longer referenced by the
     LATEST manifest, then empty version dirs, then manifests older
     than the last `keep_manifests`. Safe against the single writer
     (it only appends new versions); concurrent readers of superseded
     commits are the same trade Delta's VACUUM makes — retention is the
-    knob."""
+    knob.
+
+    `retain_ms` adds Delta's time-travel horizon: data referenced by
+    any manifest committed within the last `retain_ms` milliseconds
+    is ALSO kept (and those manifests survive regardless of
+    `keep_manifests`), so `read_table_at` keeps working across the
+    retention window while older superseded versions reclaim."""
+    import time as _time
+
     man = read_table_manifest(spark, table_path)
     if man is None:
         return
     fs, jvm = _fs(spark, table_path)
     hp = jvm.org.apache.hadoop.fs.Path
     referenced = {(v, b) for b, v in man["buckets"].items()}
+    retained_commits: set[int] = set()
+    if retain_ms is not None:
+        horizon = _time.time() * 1000 - retain_ms
+        for commit in _list_commit_ids(spark, table_path):
+            try:
+                m = _manifest_at(spark, table_path, commit)
+            except Exception:
+                continue
+            if (m.get("ts_ms") or 0) >= horizon:
+                retained_commits.add(commit)
+                referenced |= {(v, b) for b, v in m["buckets"].items()}
     try:
         versions = fs.listStatus(hp(table_path))
     except Exception:
@@ -924,7 +944,7 @@ def vacuum_table(spark: SparkSession, table_path: str,
         if kept == 0:  # only _SUCCESS markers remain
             fs.delete(vst.getPath(), True)
     for commit in _list_commit_ids(spark, table_path)[:-keep_manifests]:
-        if commit != man["commit"]:
+        if commit != man["commit"] and commit not in retained_commits:
             fs.delete(hp(f"{table_path}/{_LOG_DIR}/{commit:08d}.json"), False)
     # claim files for already-published commit numbers are dead (their
     # holder either published or lost); only a claim ABOVE the latest
@@ -940,6 +960,30 @@ def vacuum_table(spark: SparkSession, table_path: str,
                     pass
     except Exception:
         pass
+
+
+def maybe_compact(spark: SparkSession, table_path: str,
+                  max_merges_since_compact: int = 16,
+                  vacuum: bool = True) -> bool:
+    """OPTIMIZE trigger from metadata alone: compact when more than
+    `max_merges_since_compact` data commits landed since the last
+    compact/rebucket (each merge adds up to one file per touched
+    bucket, so commit count bounds file-count growth). Reads only the
+    O(commits) manifest log — no data scan — making it cheap enough
+    to call after every ingest batch. Returns True if it compacted."""
+    commits_since = 0
+    for commit in reversed(_list_commit_ids(spark, table_path)):
+        try:
+            man = _manifest_at(spark, table_path, commit)
+        except Exception:
+            continue
+        if man.get("op", "merge") in ("compact", "rebucket"):
+            break
+        commits_since += 1
+    if commits_since <= max_merges_since_compact:
+        return False
+    compact_table(spark, table_path, vacuum=vacuum)
+    return True
 
 
 def table_history(spark: SparkSession, table_path: str) -> DataFrame:

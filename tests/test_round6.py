@@ -159,3 +159,44 @@ def test_gram_stats_blocked_equals_unblocked(spark):
         assert tiled == base, f"block={block} diverged"
     # full triangle present: 5*6/2 products + 5 sums + 1 count
     assert len(base) == 15 + 5 + 1
+
+
+# --- retention vacuum + metadata-only compaction trigger ------------------
+
+def test_vacuum_retention_keeps_time_travel(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming import ingest as ing
+
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2)
+    for i in range(3):
+        merge(spark.createDataFrame([(f"k{i}", "v")],
+                                    "origin string, payload string"), i)
+    # default vacuum with keep_manifests=1 would reclaim commit 1&2's
+    # superseded data; a wide retain_ms keeps every commit readable
+    ing.vacuum_table(spark, path, keep_manifests=1,
+                     retain_ms=24 * 3600 * 1000)
+    for commit, n in ((1, 1), (2, 2), (3, 3)):
+        assert ing.read_table_at(spark, path, commit).count() == n
+    # zero retention: old superseded versions reclaim, latest intact
+    ing.vacuum_table(spark, path, keep_manifests=1, retain_ms=0)
+    assert ing.read_merged_table(spark, path).count() == 3
+
+
+def test_maybe_compact_triggers_on_commit_count(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming import ingest as ing
+
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2)
+    for i in range(4):
+        merge(spark.createDataFrame([(f"k{i}", "v")],
+                                    "origin string, payload string"), i)
+    assert ing.maybe_compact(spark, path,
+                             max_merges_since_compact=10) is False
+    assert ing.maybe_compact(spark, path,
+                             max_merges_since_compact=3) is True
+    hist = ing.table_history(spark, path).collect()
+    assert hist[0].op == "compact"
+    # counter reset: the compact commit stops the scan
+    assert ing.maybe_compact(spark, path,
+                             max_merges_since_compact=3) is False
+    assert ing.read_merged_table(spark, path).count() == 4
