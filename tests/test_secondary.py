@@ -146,3 +146,49 @@ def test_index_follows_value_update(spark, tmp_path):
     idx2 = str(tmp_path / "idx2")
     build_value_index(spark, src, idx2, "user", n_buckets=4)
     assert _postings(spark, idx) == _postings(spark, idx2)
+
+
+def test_stream_maintained_index(spark, tmp_path):
+    """End-to-end: a live stream merges micro-batches into the table
+    and refreshes the value index INSIDE the same foreachBatch — the
+    index tracks the table commit-for-commit and ends equal to a
+    fresh rebuild."""
+    import pandas as pd
+
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        stream_csv_source)
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for part, keys in ((0, range(0, 6)), (1, range(4, 10))):  # overlap
+        pd.DataFrame(
+            [(f"m{k}", f"u{k % 3}", "x") for k in keys],
+            columns=["Sender", "Message", "ReceivedOn"]).to_csv(
+            landing / f"{part}.csv", index=False)
+
+    merge = ing.foreach_batch_upsert(
+        src, ["origin"], n_buckets=4, txn_app_id="s",
+        transform=lambda b: b.select(
+            F.col("Sender").alias("origin"),
+            F.col("Message").alias("user")))
+
+    def merge_and_index(batch, batch_id):
+        merge(batch, batch_id)
+        if ing.read_table_manifest(spark, idx) is None:
+            build_value_index(spark, src, idx, "user", n_buckets=4)
+        else:
+            refresh_value_index(spark, src, idx, "user")
+
+    q = (stream_csv_source(spark, str(landing), max_files_per_trigger=1)
+         .writeStream.foreachBatch(merge_and_index)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    idx2 = str(tmp_path / "idx2")
+    build_value_index(spark, src, idx2, "user", n_buckets=4)
+    assert _postings(spark, idx) == _postings(spark, idx2)
+    assert _postings(spark, idx) == {(f"u{k % 3}", f"m{k}")
+                                     for k in range(10)}
