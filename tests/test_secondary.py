@@ -192,3 +192,26 @@ def test_stream_maintained_index(spark, tmp_path):
     assert _postings(spark, idx) == _postings(spark, idx2)
     assert _postings(spark, idx) == {(f"u{k % 3}", f"m{k}")
                                      for k in range(10)}
+
+
+def test_refresh_across_compaction(spark, tmp_path):
+    """A compaction between refreshes rewrites every bucket without
+    changing logical rows — the keyed change feed must see through it
+    and the refresh must still equal a rebuild."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    merge = ing.foreach_batch_upsert(src, ["origin"], n_buckets=4)
+    merge(_batch(spark, [(f"m{i}", f"u{i % 3}") for i in range(9)]), 0)
+    build_value_index(spark, src, idx, "user", n_buckets=4)
+
+    merge(_batch(spark, [("m9", "u0")]), 1)
+    ing.compact_table(spark, src, vacuum=False)
+    ing.delete_origins(spark, src, spark.createDataFrame(
+        [("m2",)], "origin string"))
+    refresh_value_index(spark, src, idx, "user")
+
+    idx2 = str(tmp_path / "idx2")
+    build_value_index(spark, src, idx2, "user", n_buckets=4)
+    assert _postings(spark, idx) == _postings(spark, idx2)
+    assert ("u2", "m2") not in _postings(spark, idx)
+    assert ("u0", "m9") in _postings(spark, idx)
