@@ -87,8 +87,11 @@ def refresh_value_index(spark: SparkSession, table_path: str,
     additions = (ch.where(F.col("op").isin("insert", "update"))
                  .select(col, *origin).where(F.col(col).isNotNull()))
     # remove first, then add: an update whose value did not change
-    # round-trips (delete posting + re-insert) — still idempotent
-    delete_origins(spark, index_path, removals)
+    # round-trips (delete posting + re-insert) — still idempotent.
+    # A pure-insert feed (the common case) skips the delete commit
+    # entirely; the emptiness probe runs on the already-tiny feed.
+    if not removals.isEmpty():
+        delete_origins(spark, index_path, removals)
     merge = foreach_batch_upsert(index_path, _index_key(col, origin),
                                  txn_app_id=_SRC_TXN)
     merge(additions, current)
