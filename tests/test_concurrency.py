@@ -5,7 +5,6 @@ claims must lease-expire, and a held claim must block politely."""
 
 from __future__ import annotations
 
-import json
 import os
 import threading
 import time
