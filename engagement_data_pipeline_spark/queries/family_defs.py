@@ -120,6 +120,13 @@ _EVENTS_MEMBERS = {
         [("c_name", "string"), ("c_custkey", "bigint"),
          ("o_orderkey", "bigint"), ("o_orderdate_us", "bigint"),
          ("o_totalprice", "double"), ("sum_qty", "double")]),
+    "q08_market_share": (
+        tpch.q08_market_share, tpch.Q08_SQL,
+        [("o_year", "int"), ("nation_revenue", "double"),
+         ("total_revenue", "double"), ("mkt_share", "double")]),
+    "q13_customer_distribution": (
+        tpch.q13_customer_distribution, tpch.Q13_SQL,
+        [("c_count", "bigint"), ("custdist", "bigint")]),
     "q14_promo_revenue": (
         tpch.q14_promo_revenue, tpch.Q14_SQL,
         [("promo_revenue", "double"), ("total_revenue", "double"),

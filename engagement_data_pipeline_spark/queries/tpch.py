@@ -493,3 +493,109 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY o.o_totalprice DESC, o.o_orderkey
 LIMIT 100
 """
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one supplier nation's share of a region's
+    ECONOMY-part revenue, by order year. Six-way star join — every
+    dimension broadcasts, lineitem⋈orders is the single wide shuffle —
+    then a conditional aggregation (share = national / total). Both
+    sums are exact decimals exported through strings, and the share
+    divides those identical doubles, so the ratio is bit-stable
+    cross-engine."""
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+    cust_n = (nation.join(F.broadcast(region),
+                          nation.n_regionkey == region.r_regionkey)
+              .select(F.col("n_nationkey").alias("c_nk")))
+    supp_n = nation.select(F.col("n_nationkey").alias("s_nk"),
+                           F.col("n_name").alias("supp_nation"))
+    part = (t(spark, sf_dir, "part")
+            .where(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = t(spark, sf_dir, "lineitem")
+    nat = F.when(F.col("supp_nation") == "NATION_3", _disc_price()) \
+        .otherwise(F.lit(0).cast(MONEY))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(t(spark, sf_dir, "customer").select("c_custkey",
+                                                  "c_nationkey"),
+              orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("c_nk"))
+        .join(t(spark, sf_dir, "supplier").select("s_suppkey",
+                                                  "s_nationkey"),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(decimal_to_double(F.sum(nat)).alias("nation_revenue"),
+             decimal_to_double(F.sum(_disc_price())).alias("total_revenue"))
+        .select("o_year", "nation_revenue", "total_revenue",
+                F.round(F.col("nation_revenue")
+                        / F.col("total_revenue"), 6).alias("mkt_share"))
+    )
+
+
+Q08_SQL = """
+WITH base AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4))
+              - CAST(l.l_discount AS DECIMAL(18,4))) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'AFRICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT CAST(o_year AS INTEGER) AS o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                          ELSE CAST(0 AS DECIMAL(18,4)) END)
+            AS VARCHAR) AS DOUBLE) AS nation_revenue,
+       CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS total_revenue,
+       ROUND(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                                ELSE CAST(0 AS DECIMAL(18,4)) END)
+                  AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE), 6) AS mkt_share
+FROM base GROUP BY o_year
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of customers by order count,
+    INCLUDING zero-order customers — the left-outer aggregate
+    histogram (count(o_orderkey) counts only matches, so empty
+    customers land in the c_count=0 bin). Two shuffles: the outer
+    join's per-customer count, then the tiny histogram re-group."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (t(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_orderkey", "o_custkey"))
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                     AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""

@@ -36,6 +36,10 @@ CASES = {
     # brand-filtered double pass + scalar agg, q18 = having-filtered
     # agg joined back + global top-100 sort
     "q07_volume_shipping": (1, False),
+    # q08 = conditional agg over a 6-way star, one wide shuffle;
+    # q13 = outer-join count + histogram re-group
+    "q08_market_share": (2, False),
+    "q13_customer_distribution": (3, False),
     "q15_top_supplier": (3, False),
     "q17_small_quantity_revenue": (3, False),
     "q18_large_orders": (4, False),
