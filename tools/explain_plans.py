@@ -84,6 +84,9 @@ HEADLINE = [
     "q18_large_orders",         # HAVING agg broadcast into orders probe
     "table_point_lookup",       # keyed get: single bucket path resolved
     "r2_suff_stats",            # grouped cells = IRLS sufficient stats
+    "q08_market_share",         # conditional agg over 6-way star
+    "q13_customer_distribution",  # outer-join count + histogram regroup
+    "table_value_index",        # secondary index: one-bucket value read
 ]
 
 
