@@ -427,3 +427,19 @@ def test_two_real_streams_one_table(spark, tmp_path):
     assert set(man["txn"]) == {"s1", "s2"}
     hist = ing.table_history(spark, table).collect()
     assert len(hist) == 4  # two micro-batches per stream, none lost
+
+
+def test_corrupt_trailing_manifest_overwritten(spark, tmp_path):
+    """A partial manifest at N+1 (non-atomic store, writer died mid
+    rename) is invisible to readers; the next writer claims N+1 and
+    its atomic publish REPLACES the debris — the table heals."""
+    path = str(tmp_path / "t")
+    merge = _seed(spark, path, keys=["a"])
+    (tmp_path / "t" / "_log" / "00000002.json").write_text('{"trunc')
+    # readers: highest PARSEABLE manifest wins
+    assert ing.read_table_manifest(spark, path)["commit"] == 1
+    merge(_batch(spark, ["b"], "v2"), 1)
+    man = ing.read_table_manifest(spark, path)
+    assert man["commit"] == 2 and man.get("op", "merge") == "merge"
+    rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == {"a", "b"}
