@@ -127,6 +127,9 @@ _EVENTS_MEMBERS = {
     "q13_customer_distribution": (
         tpch.q13_customer_distribution, tpch.Q13_SQL,
         [("c_count", "bigint"), ("custdist", "bigint")]),
+    "q19_disjunctive_revenue": (
+        tpch.q19_disjunctive_revenue, tpch.Q19_SQL,
+        [("revenue", "double"), ("n_items", "bigint")]),
     "q14_promo_revenue": (
         tpch.q14_promo_revenue, tpch.Q14_SQL,
         [("promo_revenue", "double"), ("total_revenue", "double"),

@@ -599,3 +599,38 @@ FROM (
 )
 GROUP BY c_count
 """
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue under a disjunction of
+    (brand, quantity-range) conjunctions — the OR-of-ANDs predicate
+    that exercises join-condition pushdown: the brand disjuncts
+    prune the part scan (PushedFilters shows the Or), the broadcast
+    join carries p_brand, and the mixed row filter evaluates inside
+    whole-stage codegen. One scalar aggregate, no shuffle beyond it."""
+    part = (t(spark, sf_dir, "part")
+            .where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+            .select("p_partkey", "p_brand"))
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (qty >= 1) & (qty <= 11))
+        | ((F.col("p_brand") == "Brand#2") & (qty >= 10) & (qty <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (qty >= 20) & (qty <= 30)))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .where(cond)
+            .agg(decimal_to_double(F.sum(_disc_price())).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+Q19_SQL = """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(18,4))
+               - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR)
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)
+"""
