@@ -22,6 +22,13 @@ is therefore O(changes), never O(table), and a crash between the
 remove and add phases replays idempotently (deletes of absent keys
 are empty commits; the add phase's txn watermark skips an
 already-applied refresh).
+
+Retention contract: the refresh reads the SOURCE's manifests and
+version data back to the last-applied commit, so the source's
+`vacuum_table` retention (`retain_ms` / `keep_manifests`) must cover
+the refresh cadence — the same horizon rule Delta's CDF has. A
+source rebucket between refreshes degrades one refresh to a
+full-table diff (every bucket's version advances) but stays correct.
 """
 
 from __future__ import annotations
