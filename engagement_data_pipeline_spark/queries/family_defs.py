@@ -246,6 +246,11 @@ _EVENTS_MEMBERS = {
          ("n_events", "bigint"), ("baseline_days", "bigint"),
          ("baseline_mean", "double"), ("z", "double"),
          ("is_anomaly", "boolean")]),
+    "r3_missing_profile": (
+        regression.r3_missing_profile, regression.R3_MISSING_PROFILE_SQL,
+        [("field", "string"), ("n_missing", "bigint"),
+         ("n_observed", "bigint"), ("n_categories", "bigint"),
+         ("observed_categories", "string")]),
     "r2_suff_stats": (
         regression.r2_suff_stats, regression.R2_SUFF_STATS_SQL,
         [("gender", "string"), ("age_category", "string"),

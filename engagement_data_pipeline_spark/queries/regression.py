@@ -96,3 +96,50 @@ SELECT gender, age_category, s01e01_theme_code_0,
        CAST(COUNT(*) AS BIGINT) AS n_cell
 FROM mm GROUP BY gender, age_category, s01e01_theme_code_0
 """
+
+
+def r3_missing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed input of R3's imputation, hash-certified: per
+    demog column, how many cells are 'missing' vs observed and the
+    exact observed-category pool the deterministic draws sample from
+    (sorted, comma-joined — the cross-engine array form). The fill
+    itself uses Spark's Murmur3 hash and stays rows-only inside
+    `r3_mice_pooled`; this pins everything upstream of the draw. One
+    melt + one grouped pass over the R1 matrix."""
+    from pyspark.sql import functions as F
+
+    mm = r1_model_matrix(spark, sf_dir)
+    demogs = [f.removesuffix("_codes") for f in DEMOG_FIELDS]
+    melted = mm.select(F.explode(F.array(
+        *[F.struct(F.lit(c).alias("field"), F.col(c).alias("value"))
+          for c in demogs])).alias("x")).select("x.*")
+    obs = F.when(F.col("value") != "missing", F.col("value"))
+    return (melted.groupBy("field").agg(
+        F.sum((F.col("value") == "missing").cast("long"))
+        .alias("n_missing"),
+        F.sum((F.col("value") != "missing").cast("long"))
+        .alias("n_observed"),
+        F.count_distinct(obs).cast("long").alias("n_categories"),
+        F.array_join(F.array_sort(F.collect_set(obs)), ",")
+        .alias("observed_categories")))
+
+
+R3_MISSING_PROFILE_SQL = f"""
+WITH mm AS MATERIALIZED ({R1_MODEL_MATRIX_SQL}),
+melted AS (
+  SELECT 'gender' AS field, gender AS value FROM mm
+  UNION ALL
+  SELECT 'age_category' AS field, age_category AS value FROM mm
+)
+SELECT field,
+  CAST(SUM(CASE WHEN value = 'missing' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_missing,
+  CAST(SUM(CASE WHEN value <> 'missing' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_observed,
+  CAST(COUNT(DISTINCT CASE WHEN value <> 'missing' THEN value END)
+    AS BIGINT) AS n_categories,
+  COALESCE(array_to_string(
+    list(DISTINCT value ORDER BY value)
+      FILTER (WHERE value <> 'missing'), ','), '') AS observed_categories
+FROM melted GROUP BY field
+"""
