@@ -281,6 +281,9 @@ _TRAINING_MEMBERS = {
     "doc_mixture_sample": (
         training.doc_mixture_sample, training.DOC_MIXTURE_SAMPLE_SQL,
         [("doc_id", "bigint"), ("source", "string")]),
+    "doc_kfold_assign": (
+        splits_q.doc_kfold_assign, splits_q.DOC_KFOLD_ASSIGN_SQL,
+        [("doc_id", "bigint"), ("fold", "int")]),
     "doc_contamination": (
         training.doc_contamination, training.DOC_CONTAMINATION_SQL,
         [("train_doc_id", "bigint"), ("probe_doc_id", "bigint"),

@@ -45,3 +45,21 @@ FROM r
 
 
 DOC_SPLIT_ASSIGN_SQL = _split_sql()
+
+
+def doc_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold CV assignment over the corpus (training/splits.py:
+    kfold_assign) — hash-stable, zero-shuffle, leave-one-fold-out
+    ready. The oracle recomputes every fold id from the shared md5
+    idiom, so the hash match certifies the full assignment."""
+    apply_runtime_conf(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return S.kfold_assign(docs, 5)
+
+
+DOC_KFOLD_ASSIGN_SQL = """
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5('kfold-v1|' || CAST(doc_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 5 AS INTEGER) AS fold
+FROM documents
+"""

@@ -123,3 +123,19 @@ def split_assign_exact_groups(docs: DataFrame, group_col: str,
     assigned = split_assign_exact(groups, splits, den, id_col=group_col,
                                   strata_cols=strata_cols, salt=salt)
     return docs.join(assigned.select(*keys, "split"), keys)
+
+
+def kfold_assign(docs: DataFrame, k: int, key_col: str = "doc_id",
+                 salt: str = "kfold-v1",
+                 fold_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5_long(salt|key) mod k. Hash-stable like `split_assign_hash`
+    (a grown corpus never moves an existing row to another fold, so
+    fold models stay comparable across refreshes), zero-shuffle (a
+    pure projection), and cross-engine exact via the md5 idiom.
+    Train fold i's model on `fold != i`, evaluate on `fold == i`."""
+    if k <= 1:
+        raise ValueError("k-fold needs k >= 2")
+    u = md5_long(F.concat_ws("|", F.lit(salt),
+                             F.col(key_col).cast("string")))
+    return docs.withColumn(fold_col, F.pmod(u, F.lit(k)).cast("int"))

@@ -86,3 +86,26 @@ def test_group_exact_split_cohesive_and_exact(spark):
     c = Counter(gsplits.values())
     assert c["train"] == (5 * 18) // 20 and c["test"] == 5 - (5 * 19) // 20
     assert len(out.collect()) == 500
+
+
+def test_kfold_assign_stable_and_balanced(spark):
+    import pytest
+
+    from engagement_data_pipeline_spark.training.splits import kfold_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(500)],
+                                 "doc_id long")
+    folds = {r.doc_id: r.fold for r in kfold_assign(docs, 5).collect()}
+    assert set(folds.values()) == {0, 1, 2, 3, 4}
+    # roughly balanced (hash-uniform): each fold within 2x of ideal
+    from collections import Counter
+    counts = Counter(folds.values())
+    assert all(50 <= c <= 200 for c in counts.values())
+    # hash-stable: growing the corpus never moves an existing row
+    grown = spark.createDataFrame([(i,) for i in range(800)],
+                                  "doc_id long")
+    folds2 = {r.doc_id: r.fold
+              for r in kfold_assign(grown, 5).collect()}
+    assert all(folds2[k] == v for k, v in folds.items())
+    with pytest.raises(ValueError):
+        kfold_assign(docs, 1)
