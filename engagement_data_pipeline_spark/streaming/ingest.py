@@ -37,18 +37,22 @@ src/engagement_db_coda_sync/coda_to_engagement_db.py:13-83):
   ``_log/<commit>.claim`` (O_CREAT|O_EXCL on local paths,
   create(overwrite=false) on HDFS — atomic in both; S3 without
   conditional-write support needs an external lock, same caveat as
-  Delta's LogStore). The claim holder owns the commit number AND its
-  ``v<commit>/`` data directory exclusively, so concurrent writers
-  can never interleave files in one version dir; the manifest publish
-  itself stays the crash-atomic tmp+rename, safe because it is
+  Delta's LogStore). Every writer writes its data into a
+  WRITER-UNIQUE version directory (``v<commit>-<writer>/``, recorded
+  in the manifest's ``vdirs`` map), so no two writers ever touch the
+  same directory — even through a lease-expiry race, the published
+  manifest references exactly the bytes its verified claim holder
+  wrote, and a loser's directory is unreferenced debris for vacuum.
+  The manifest publish itself stays the crash-atomic tmp+rename,
   single-writer by construction. A loser re-reads the log, REBASES
   (recomputes its merge against the new current state) and retries at
   the next number — no commit is ever silently clobbered. A claim
-  whose holder crashed is lease-expired after ``CLAIM_STALE_S``
-  (usurpers rewrite the claim; holders verify ownership just before
-  publishing, so a paused-then-resumed writer aborts instead of
-  double-publishing — the residual overlap window is the standard
-  lease trade-off, sized by the timeout).
+  whose holder crashed is lease-expired after ``CLAIM_STALE_S``;
+  expiry is single-winner (stale claims are renamed to a tombstone —
+  one rename succeeds — and only the renamer re-creates, with a
+  content re-check to restore a claim that changed hands mid-expiry);
+  holders verify ownership just before publishing, so a
+  paused-then-resumed writer aborts instead of double-publishing.
 
 I/O per batch is O(touched buckets), not O(table). `n_buckets` is
 table metadata fixed at creation (recorded in the manifest — later
@@ -200,13 +204,73 @@ def put_if_absent(spark: SparkSession, path_str: str, text: str) -> bool:
     p = jvm.org.apache.hadoop.fs.Path(path_str)
     try:
         out = fs.create(p, False)
+    except Exception as e:
+        # Only "already exists" means contention. Anything else (IO,
+        # network, permissions) must surface — treating it as a held
+        # claim would make the writer silently poll out the full
+        # acquire timeout on every transient fault.
+        if _is_already_exists(e):
+            return False
+        raise
+    try:
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+    except Exception:
+        # The claim file exists but its content never landed: leave no
+        # empty claim blocking this commit number for the whole lease.
+        _delete_path(spark, path_str)
+        raise
+    return True
+
+
+def _is_already_exists(e: Exception) -> bool:
+    """True iff a Py4J error wraps Hadoop's FileAlreadyExistsException
+    (or a java.nio variant) — the one create() failure that means
+    'another writer holds this path'."""
+    java_exc = getattr(e, "java_exception", None)
+    seen = set()
+    while java_exc is not None and id(java_exc) not in seen:
+        seen.add(id(java_exc))
+        try:
+            cls = java_exc.getClass().getName()
+        except Exception:
+            break
+        if "AlreadyExists" in cls:
+            return True
+        try:
+            java_exc = java_exc.getCause()
+        except Exception:
+            break
+    return "AlreadyExists" in str(e)
+
+
+def _rename_path(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic rename; returns False if the source vanished or the
+    destination already exists (never replaces an existing dst)."""
+    scheme = urlparse(src).scheme
+    if scheme in ("", "file"):
+        s = src[7:] if src.startswith("file://") else src
+        d = dst[7:] if dst.startswith("file://") else dst
+        try:
+            # link+unlink instead of os.rename: POSIX rename REPLACES
+            # an existing destination, which would let a restore
+            # clobber a third writer's fresh claim.
+            os.link(s, d)
+        except OSError:
+            return False
+        try:
+            os.unlink(s)
+        except OSError:
+            pass
+        return True
+    fs, jvm = _fs(spark, src)
+    try:
+        return bool(fs.rename(jvm.org.apache.hadoop.fs.Path(src),
+                              jvm.org.apache.hadoop.fs.Path(dst)))
     except Exception:
         return False
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-    return True
 
 
 def _path_mtime_s(spark: SparkSession, path_str: str) -> float | None:
@@ -264,16 +328,47 @@ def try_claim(spark: SparkSession, claim_path: str,
               stale_after_s: float | None = None) -> CommitClaim | None:
     """One claim attempt. An existing claim older than `stale_after_s`
     (default: module `CLAIM_STALE_S`, resolved at call time) is
-    expired (deleted) first — delete + re-create keeps the CREATE as
-    the only atomic arbiter, so two usurpers cannot both win."""
+    expired first.
+
+    Expiry is single-winner: the stale claim is RENAMED to a
+    usurper-unique tombstone (exactly one rename of a given file can
+    succeed), and only the renamer may re-create the claim. A
+    delete-then-create expiry would let two usurpers interleave (B's
+    delete removing A's freshly created claim) so both hold the same
+    commit number. The renamer additionally re-reads the tombstone:
+    if its owner is not the stale writer observed at the staleness
+    check, the rename stole a claim that changed hands in between —
+    the tombstone is restored (no-replace link/rename, so a third
+    writer's newer claim is never clobbered) and the attempt is
+    abandoned."""
     if stale_after_s is None:
         stale_after_s = CLAIM_STALE_S
     writer_id = uuid.uuid4().hex
     if put_if_absent(spark, claim_path, writer_id):
         return CommitClaim(spark, claim_path, writer_id)
+    try:
+        stale_owner = _read_text(spark, claim_path).strip()
+    except Exception:
+        return None  # claim released between create-fail and read
     mtime = _path_mtime_s(spark, claim_path)
     if mtime is not None and time.time() - mtime > stale_after_s:
-        _delete_path(spark, claim_path)
+        tomb = f"{claim_path}.tomb-{writer_id}"
+        if not _rename_path(spark, claim_path, tomb):
+            return None  # another usurper (or a release) got there first
+        try:
+            tomb_owner = _read_text(spark, tomb).strip()
+        except Exception:
+            tomb_owner = None
+        if tomb_owner != stale_owner:
+            # The claim changed hands between the staleness check and
+            # the rename: we expired a LIVE claim. Put it back; if a
+            # third writer claimed the path meanwhile, the no-replace
+            # rename fails (the stolen writer then aborts at its
+            # verify()) and the orphaned tombstone is deleted.
+            if not _rename_path(spark, tomb, claim_path):
+                _delete_path(spark, tomb)
+            return None
+        _delete_path(spark, tomb)
         if put_if_absent(spark, claim_path, writer_id):
             return CommitClaim(spark, claim_path, writer_id)
     return None
@@ -360,7 +455,8 @@ def _commit(spark: SparkSession, table_path: str, commit: int,
             buckets: dict[int, int], op: str = "merge",
             bases: dict[int, str] | None = None,
             txn: dict | None = None,
-            bucket_on: Sequence[str] | None = None) -> None:
+            bucket_on: Sequence[str] | None = None,
+            vdirs: dict[int, str] | None = None) -> None:
     import time
 
     man = {"commit": commit, "n_buckets": n_buckets,
@@ -377,11 +473,15 @@ def _commit(spark: SparkSession, table_path: str, commit: int,
         # would let a restarted stream re-apply an old batch after an
         # intervening delete and resurrect its rows
         man["txn"] = dict(txn)
-    # foreign roots (shallow clone): keep only still-referenced ones
+    # foreign roots (shallow clone) and writer-unique version dir
+    # names: keep only still-referenced versions
     live = {v for v in buckets.values()}
     bases = {v: r for v, r in (bases or {}).items() if v in live}
     if bases:
         man["bases"] = {str(v): r for v, r in sorted(bases.items())}
+    vdirs = {v: d for v, d in (vdirs or {}).items() if v in live}
+    if vdirs:
+        man["vdirs"] = {str(v): d for v, d in sorted(vdirs.items())}
     _write_text_atomic(
         spark, f"{table_path}/{_LOG_DIR}/{commit:08d}.json",
         json.dumps(man, indent=0))
@@ -404,13 +504,29 @@ def _bases(man: dict | None) -> dict[int, str]:
     return {int(k): v for k, v in man.get("bases", {}).items()}
 
 
+def _vdirs(man: dict | None) -> dict[int, str]:
+    """Per-version directory names from a manifest ('vdirs' field):
+    version -> writer-unique directory name under its root. Versions
+    absent from the map (pre-upgrade commits) use the legacy
+    `v{ver:08d}` name."""
+    if not man:
+        return {}
+    return {int(k): v for k, v in man.get("vdirs", {}).items()}
+
+
+def _vdir_name(ver: int, vdirs: dict[int, str] | None) -> str:
+    return (vdirs or {}).get(ver, f"v{ver:08d}")
+
+
 def _bucket_paths(table_path: str, buckets: dict[int, int],
                   only: Sequence[int] | None = None,
-                  bases: dict[int, str] | None = None) -> list[str]:
+                  bases: dict[int, str] | None = None,
+                  vdirs: dict[int, str] | None = None) -> list[str]:
     wanted = buckets if only is None else {
         b: buckets[b] for b in only if b in buckets}
     bases = bases or {}
-    return [f"{bases.get(ver, table_path)}/v{ver:08d}/{BUCKET_COL}={b}"
+    return [f"{bases.get(ver, table_path)}/{_vdir_name(ver, vdirs)}"
+            f"/{BUCKET_COL}={b}"
             for b, ver in sorted(wanted.items())]
 
 
@@ -434,7 +550,8 @@ def read_merged_table(spark: SparkSession, table_path: str) -> DataFrame:
         df = spark.read.parquet(table_path)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
     return _read_buckets(spark, _bucket_paths(table_path, man["buckets"],
-                                              bases=_bases(man)))
+                                              bases=_bases(man),
+                                              vdirs=_vdirs(man)))
 
 
 def read_table_at(spark: SparkSession, table_path: str,
@@ -448,7 +565,8 @@ def read_table_at(spark: SparkSession, table_path: str,
     if not man["buckets"]:
         return read_merged_table(spark, table_path).limit(0)
     return _read_buckets(spark, _bucket_paths(table_path, man["buckets"],
-                                              bases=_bases(man)))
+                                              bases=_bases(man),
+                                              vdirs=_vdirs(man)))
 
 
 def lookup_origin(spark: SparkSession, table_path: str,
@@ -490,7 +608,8 @@ def lookup_origin(spark: SparkSession, table_path: str,
     if b not in man["buckets"]:
         return read_merged_table(spark, table_path).limit(0)
     df = _read_buckets(spark, _bucket_paths(table_path, man["buckets"],
-                                            only=[b], bases=_bases(man)))
+                                            only=[b], bases=_bases(man),
+                                            vdirs=_vdirs(man)))
     cond = None
     for c, v in zip(match_cols, key):
         eq = F.col(c) == F.lit(v)
@@ -516,13 +635,22 @@ def dedup_within_watermark(stream: DataFrame, key_cols: Sequence[str],
 
 
 def _write_version(df: DataFrame, table_path: str, commit: int,
-                   n_files_hint: int) -> None:
+                   n_files_hint: int, claim: CommitClaim) -> str:
     # One output file per bucket (instead of shuffle-partitions ×
-    # buckets small files). mode=overwrite clears debris from a
-    # crashed attempt at this same (never-published) version.
+    # buckets small files). The directory name embeds the claim's
+    # writer id, so no two writers — even two holding the same commit
+    # number through a lease-expiry race, or a lease-expired original
+    # holder still mid-write — can ever touch the same directory: the
+    # manifest publish then references exactly the data its verified
+    # claim holder wrote, and a loser's directory is unreferenced
+    # debris for vacuum. (Same idiom as Delta's uniquely-named data
+    # files + log references.) mode=overwrite clears debris from a
+    # crashed attempt by this same writer only.
+    vdir = f"v{commit:08d}-{claim.writer_id[:8]}"
     (df.repartition(max(n_files_hint, 1), F.col(BUCKET_COL))
      .write.mode("overwrite").partitionBy(BUCKET_COL)
-     .parquet(f"{table_path}/v{commit:08d}"))
+     .parquet(f"{table_path}/{vdir}"))
+    return vdir
 
 
 def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
@@ -594,13 +722,15 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
         hit = sorted(r[0] for r in
                      batch.select(BUCKET_COL).distinct().collect())
         if man is None:
-            _write_version(batch, table_path, commit, len(hit))
+            vdir = _write_version(batch, table_path, commit, len(hit),
+                                  claim)
             claim.verify()
             _commit(spark, table_path, commit, nb, origin_cols,
-                    {b: commit for b in hit}, txn=txn, bucket_on=bk)
+                    {b: commit for b in hit}, txn=txn, bucket_on=bk,
+                    vdirs={commit: vdir})
             return
         cur = _bucket_paths(table_path, man["buckets"], only=hit,
-                            bases=_bases(man))
+                            bases=_bases(man), vdirs=_vdirs(man))
         if cur:
             existing = (_read_buckets(spark, cur)
                         .withColumn(BUCKET_COL,
@@ -625,11 +755,12 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
             merged = upsert_latest(existing, batch, origin_cols)
         else:
             merged = idempotent_upsert(existing, batch, origin_cols)
-        _write_version(merged, table_path, commit, len(hit))
+        vdir = _write_version(merged, table_path, commit, len(hit), claim)
         claim.verify()  # abort, not clobber, if our lease was usurped
         _commit(spark, table_path, commit, nb, origin_cols,
                 {**man["buckets"], **{b: commit for b in hit}},
-                bases=_bases(man), txn=txn, bucket_on=bk)
+                bases=_bases(man), txn=txn, bucket_on=bk,
+                vdirs={**_vdirs(man), commit: vdir})
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if transform is not None:
@@ -702,9 +833,10 @@ def table_changes(spark: SparkSession, table_path: str, from_commit: int,
     changed = sorted(b for b in set(old_b) | set(new_b)
                      if old_b.get(b) != new_b.get(b))
     new_paths = _bucket_paths(table_path, new_b, only=changed,
-                              bases=_bases(man_to))
+                              bases=_bases(man_to), vdirs=_vdirs(man_to))
     old_paths = _bucket_paths(table_path, old_b, only=changed,
-                              bases=_bases(man_from))
+                              bases=_bases(man_from),
+                              vdirs=_vdirs(man_from))
     if new_paths:
         new_df = _read_buckets(spark, new_paths)
     else:  # nothing changed: empty changeset with the table's schema
@@ -790,14 +922,15 @@ def _delete_attempt(spark: SparkSession, table_path: str, keys: DataFrame,
         claim.verify()
         _commit(spark, table_path, commit, nb, origin, man["buckets"],
                 op="delete", bases=_bases(man), txn=man.get("txn"),
-                bucket_on=bk)
+                bucket_on=bk, vdirs=_vdirs(man))
         return commit
     existing = (_read_buckets(spark,
                               _bucket_paths(table_path, man["buckets"],
-                                            only=hit, bases=_bases(man)))
+                                            only=hit, bases=_bases(man),
+                                            vdirs=_vdirs(man)))
                 .withColumn(BUCKET_COL, origin_bucket(bk, nb)))
     remaining = existing.join(keys.select(*origin), origin, "left_anti")
-    _write_version(remaining, table_path, commit, len(hit))
+    vdir = _write_version(remaining, table_path, commit, len(hit), claim)
     # A fully-emptied bucket writes no directory — drop it from the
     # mapping instead of pointing readers at a missing path.
     survived = {r[0] for r in
@@ -809,7 +942,8 @@ def _delete_attempt(spark: SparkSession, table_path: str, keys: DataFrame,
             buckets.pop(b, None)
     claim.verify()
     _commit(spark, table_path, commit, nb, origin, buckets, op="delete",
-            bases=_bases(man), txn=man.get("txn"), bucket_on=bk)
+            bases=_bases(man), txn=man.get("txn"), bucket_on=bk,
+            vdirs={**_vdirs(man), commit: vdir})
     return commit
 
 
@@ -830,16 +964,19 @@ def compact_table(spark: SparkSession, table_path: str,
                 return
             df = (_read_buckets(spark,
                                 _bucket_paths(table_path, man["buckets"],
-                                              bases=_bases(man)))
+                                              bases=_bases(man),
+                                              vdirs=_vdirs(man)))
                   .withColumn(BUCKET_COL,
                               origin_bucket(_bucket_on(man),
                                             man["n_buckets"])))
-            _write_version(df, table_path, commit, len(man["buckets"]))
+            vdir = _write_version(df, table_path, commit,
+                                  len(man["buckets"]), claim)
             claim.verify()
             _commit(spark, table_path, commit, man["n_buckets"],
                     man["origin"], {b: commit for b in man["buckets"]},
                     op="compact", txn=man.get("txn"),
-                    bucket_on=man.get("bucket_on"))
+                    bucket_on=man.get("bucket_on"),
+                    vdirs={commit: vdir})
             break
         except ConcurrentCommitError:
             continue
@@ -866,18 +1003,20 @@ def rebucket_table(spark: SparkSession, table_path: str,
                 return
             df = (_read_buckets(spark,
                                 _bucket_paths(table_path, man["buckets"],
-                                              bases=_bases(man)))
+                                              bases=_bases(man),
+                                              vdirs=_vdirs(man)))
                   .withColumn(BUCKET_COL,
                               origin_bucket(_bucket_on(man),
                                             new_n_buckets)))
             hit = sorted(r[0] for r in
                          df.select(BUCKET_COL).distinct().collect())
-            _write_version(df, table_path, commit, len(hit))
+            vdir = _write_version(df, table_path, commit, len(hit), claim)
             claim.verify()
             _commit(spark, table_path, commit, new_n_buckets,
                     man["origin"], {b: commit for b in hit},
                     op="rebucket", txn=man.get("txn"),
-                    bucket_on=man.get("bucket_on"))
+                    bucket_on=man.get("bucket_on"),
+                    vdirs={commit: vdir})
             break
         except ConcurrentCommitError:
             continue
@@ -909,7 +1048,15 @@ def vacuum_table(spark: SparkSession, table_path: str,
         return
     fs, jvm = _fs(spark, table_path)
     hp = jvm.org.apache.hadoop.fs.Path
-    referenced = {(v, b) for b, v in man["buckets"].items()}
+    # Keyed by (directory NAME, bucket), not version number: with
+    # writer-unique version dirs, a loser's v00000012-beef directory
+    # can coexist with the published v00000012-cafe — only the dir
+    # the manifest actually names is live; the loser's is debris.
+    def _refs(m: dict) -> set[tuple[str, int]]:
+        vd = _vdirs(m)
+        return {(_vdir_name(v, vd), b) for b, v in m["buckets"].items()}
+
+    referenced = _refs(man)
     retained_commits: set[int] = set()
     if retain_ms is not None:
         horizon = _time.time() * 1000 - retain_ms
@@ -920,24 +1067,29 @@ def vacuum_table(spark: SparkSession, table_path: str,
                 continue
             if (m.get("ts_ms") or 0) >= horizon:
                 retained_commits.add(commit)
-                referenced |= {(v, b) for b, v in m["buckets"].items()}
+                referenced |= _refs(m)
     try:
         versions = fs.listStatus(hp(table_path))
     except Exception:
         return
     for vst in versions:
         name = vst.getPath().getName()
+        base = name[1:].split("-", 1)[0]
         if not (vst.isDirectory() and name.startswith("v")
-                and name[1:].isdigit()):
+                and base.isdigit()):
             continue
-        ver = int(name[1:])
+        if int(base) > man["commit"]:
+            # A version numbered past the latest commit may belong to
+            # an IN-FLIGHT writer that has not published yet — deleting
+            # it would corrupt the commit it is about to make. It
+            # becomes reclaimable once the log advances past it.
+            continue
         kept = 0
         for bst in fs.listStatus(vst.getPath()):
             bname = bst.getPath().getName()
             if not bname.startswith(f"{BUCKET_COL}="):
                 continue
-            b = int(bname.split("=", 1)[1])
-            if (ver, b) in referenced:
+            if (name, int(bname.split("=", 1)[1])) in referenced:
                 kept += 1
             else:
                 fs.delete(bst.getPath(), True)
@@ -952,9 +1104,9 @@ def vacuum_table(spark: SparkSession, table_path: str,
     try:
         for st in fs.listStatus(hp(f"{table_path}/{_LOG_DIR}")):
             name = st.getPath().getName()
-            if name.endswith(".claim"):
+            if name.endswith(".claim") or ".claim.tomb-" in name:
                 try:
-                    if int(name[:-6]) <= man["commit"]:
+                    if int(name.split(".", 1)[0]) <= man["commit"]:
                         fs.delete(st.getPath(), False)
                 except ValueError:
                     pass
@@ -1053,6 +1205,7 @@ def clone_table(spark: SparkSession, src_path: str, dst_path: str) -> None:
         claim.verify()
         _commit(spark, dst_path, man["commit"], man["n_buckets"],
                 man["origin"], man["buckets"], op="clone", bases=bases,
-                txn=man.get("txn"), bucket_on=man.get("bucket_on"))
+                txn=man.get("txn"), bucket_on=man.get("bucket_on"),
+                vdirs=_vdirs(man))
     finally:
         claim.release()

@@ -420,14 +420,22 @@ def _rename_dir(spark, src: str, dst: str) -> None:
 
 
 def _resolved_postings(spark, index_path: str,
-                       qterms: DataFrame | None = None) -> DataFrame:
+                       qterms: DataFrame | None = None,
+                       seqs: list[int] | None = None) -> DataFrame:
     """Postings with superseded/deleted doc versions resolved away.
     With `qterms`, the term semi-join applies FIRST so resolution
     runs on candidate rows only (the query path); without, resolves
-    the full index (the compaction path)."""
+    the full index (the compaction path).
+
+    The delta listing is taken ONCE (or passed in via `seqs`) and used
+    for both the postings scan and the tombstone scan: listing twice
+    would let a delta committed in between contribute its tombstones
+    without its postings, transiently hiding an updated doc from
+    queries."""
+    if seqs is None:
+        seqs = _delta_seqs(spark, index_path)
     segs = [(0, f"{index_path}/postings")] + [
-        (s, f"{index_path}/deltas/d{s:04d}/postings")
-        for s in _delta_seqs(spark, index_path)]
+        (s, f"{index_path}/deltas/d{s:04d}/postings") for s in seqs]
     parts = []
     for seq, path in segs:
         df = spark.read.parquet(path)
@@ -437,12 +445,11 @@ def _resolved_postings(spark, index_path: str,
     posts = parts[0]
     for p in parts[1:]:
         posts = posts.unionByName(p)
-    delta_seqs = _delta_seqs(spark, index_path)
-    if not delta_seqs:
+    if not seqs:
         return posts.drop("__seq")
     # one row per removed doc with the LATEST removal sequence
     tombs = None
-    for s in delta_seqs:
+    for s in seqs:
         t = (spark.read.parquet(f"{index_path}/deltas/d{s:04d}/removed")
              .withColumn("__rseq", F.lit(s).cast("int")))
         tombs = t if tombs is None else tombs.unionByName(t)
@@ -457,15 +464,40 @@ def _resolved_postings(spark, index_path: str,
 
 def compact_text_index(spark, index_path: str,
                        n_term_buckets: int | None = None) -> None:
-    """Fold all delta segments into a fresh base (one full resolved
+    """Fold delta segments into a fresh base (one full resolved
     rewrite — the amortized cost that keeps query-time candidate and
-    tombstone lists short), then drop the deltas. The rewrite is
-    bucketed like the build path: the carried corpus stats (already a
-    one-row read here) supply n_docs for `default_term_buckets`, so
-    the compacted layout tracks the CURRENT corpus size instead of a
-    hard-coded width — no extra corpus scan."""
-    resolved = _resolved_postings(spark, index_path).localCheckpoint()
-    stats = _index_stats(spark, index_path).first()
+    tombstone lists short), then drop EXACTLY the deltas folded. The
+    rewrite is bucketed like the build path: the carried corpus stats
+    (already a one-row read here) supply n_docs for
+    `default_term_buckets`, so the compacted layout tracks the
+    CURRENT corpus size instead of a hard-coded width — no extra
+    corpus scan.
+
+    Safe against concurrent `update_text_index` writers: the delta
+    listing is snapshotted ONCE; a delta committed after the snapshot
+    (or a writer's staged ``.tmp-*`` / held ``.claim-*``) is left in
+    place — its cumulative stats chained off the folded tail, and
+    sequence-vs-tombstone resolution is unchanged by folding earlier
+    deltas into the seq-0 base, so no committed change is ever lost.
+    (Concurrent QUERIES retain the pre-existing brief window between
+    the base rewrite and the folded-delta deletion where an unchanged
+    doc's postings appear in both; run compaction from the maintenance
+    actor if that matters.) Orphaned ``.tmp-*`` staging dirs are swept
+    only once older than the claim lease (a live writer's staging is
+    always younger)."""
+    import time as _time
+
+    from ..streaming.ingest import CLAIM_STALE_S
+
+    seqs = _delta_seqs(spark, index_path)
+    resolved = _resolved_postings(spark, index_path,
+                                  seqs=seqs).localCheckpoint()
+    # stats as of the folded tail — NOT the latest: a delta committed
+    # after the snapshot carries its own (newer) cumulative stats and
+    # stays in place, so the base stats must describe only the base.
+    stats_src = (f"{index_path}/deltas/d{seqs[-1]:04d}/stats" if seqs
+                 else f"{index_path}/stats")
+    stats = spark.read.parquet(stats_src).first()
     if n_term_buckets is None:
         n_term_buckets = default_term_buckets(stats["n_docs"])
     (resolved.repartition(n_term_buckets, F.col("term"))
@@ -476,5 +508,20 @@ def compact_text_index(spark, index_path: str,
         "n_docs long, sum_dl long")
      .write.mode("overwrite").parquet(f"{index_path}/stats"))
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/deltas")
-    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    hp = jvm.org.apache.hadoop.fs.Path
+    deltas = hp(f"{index_path}/deltas")
+    fs = deltas.getFileSystem(spark._jsc.hadoopConfiguration())
+    for s in seqs:  # only what was actually folded
+        try:
+            fs.delete(hp(f"{index_path}/deltas/d{s:04d}"), True)
+        except Exception:
+            pass
+    try:
+        horizon_ms = (_time.time() - CLAIM_STALE_S) * 1000
+        for st in fs.listStatus(deltas):
+            name = st.getPath().getName()
+            if (name.startswith(".tmp-")
+                    and st.getModificationTime() < horizon_ms):
+                fs.delete(st.getPath(), True)
+    except Exception:
+        pass

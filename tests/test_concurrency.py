@@ -364,7 +364,7 @@ def test_crash_after_data_write_before_publish(spark, tmp_path, monkeypatch):
     man, commit, claim = ing._acquire_commit(spark, path)
     dead = _batch(spark, ["ghost1", "ghost2"], "dead").withColumn(
         ing.BUCKET_COL, ing.origin_bucket(["origin"], man["n_buckets"]))
-    ing._write_version(dead, path, commit, 2)
+    ing._write_version(dead, path, commit, 2, claim)
     # (claim file left in place, writer "dies" here)
 
     # reader: prior commit fully intact, ghosts invisible
@@ -443,3 +443,214 @@ def test_corrupt_trailing_manifest_overwritten(spark, tmp_path):
     assert man["commit"] == 2 and man.get("op", "merge") == "merge"
     rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
     assert rows == {"a", "b"}
+
+
+# --- round-7 hardening: single-winner expiry, writer-unique vdirs ---------
+
+def test_concurrent_usurpers_single_winner(spark, tmp_path, monkeypatch):
+    """Two (here: eight) concurrent usurpers of ONE stale claim — the
+    delete-then-create TOCTOU from the r6 review: B's delete could
+    remove A's freshly created claim, leaving both holding the same
+    commit number. Tombstone-rename expiry admits exactly one winner,
+    and the surviving claim file records that winner's id."""
+    claim_path = str(tmp_path / "00000007.claim")
+    with open(claim_path, "w") as f:
+        f.write("dead-writer")
+    old = time.time() - 3600
+    os.utime(claim_path, (old, old))
+    monkeypatch.setattr(ing, "CLAIM_STALE_S", 5.0)
+
+    winners = []
+    lock = threading.Lock()
+
+    def _usurp():
+        c = ing.try_claim(spark, claim_path)
+        if c is not None:
+            with lock:
+                winners.append(c)
+
+    _run_threads([_usurp] * 8)
+    assert len(winners) == 1
+    with open(claim_path) as f:
+        assert f.read().strip() == winners[0].writer_id
+    # no tombstone debris left behind by the losers
+    assert [n for n in os.listdir(tmp_path) if ".tomb-" in n] == []
+
+
+def test_double_holder_cannot_clobber_published_data(spark, tmp_path):
+    """The r6 review's corruption scenario, made impossible by
+    writer-unique version directories: even if a lease race left TWO
+    writers believing they hold commit N, the loser's late data write
+    lands in its OWN directory — the published manifest still reads
+    back exactly the winner's bytes, and vacuum reclaims the loser's
+    debris."""
+    path = str(tmp_path / "t")
+    _seed(spark, path, keys=["a"])
+    man, commit, claim_w = ing._acquire_commit(spark, path)
+    # a phantom second holder of the SAME commit number (simulating a
+    # worst-case expiry interleaving the claim protocol itself guards
+    # against — this is defense in depth)
+    claim_l = ing.CommitClaim(spark, claim_w.path, "loser-0000")
+
+    nb = man["n_buckets"]
+    win = _batch(spark, ["w"], "winner").withColumn(
+        ing.BUCKET_COL, ing.origin_bucket(["origin"], nb))
+    vdir = ing._write_version(win, path, commit, 1, claim_w)
+    claim_w.verify()
+    ing._commit(spark, path, commit, nb, ["origin"],
+                {**man["buckets"], **{r[0]: commit for r in
+                                      win.select(ing.BUCKET_COL)
+                                      .distinct().collect()}},
+                vdirs={**ing._vdirs(man), commit: vdir})
+
+    # loser writes AFTER the winner published — previously this
+    # overwrote v<commit>/ in place and corrupted the live table
+    lose = _batch(spark, ["x", "y", "z"], "loser").withColumn(
+        ing.BUCKET_COL, ing.origin_bucket(["origin"], nb))
+    vdir_l = ing._write_version(lose, path, commit, 3, claim_l)
+    assert vdir_l != vdir
+    with pytest.raises(ing.ConcurrentCommitError):
+        claim_l.verify()
+
+    rows = {r.origin: r.payload
+            for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == {"a": "seed", "w": "winner"}
+
+    # the loser's directory is unreferenced debris: vacuum removes it
+    ing.vacuum_table(spark, path, keep_manifests=1)
+    assert not (tmp_path / "t" / vdir_l).exists()
+    assert (tmp_path / "t" / vdir).exists()
+    rows = {r.origin: r.payload
+            for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == {"a": "seed", "w": "winner"}
+
+
+def test_vacuum_spares_inflight_version_dirs(spark, tmp_path):
+    """vacuum racing an in-flight writer: a version directory numbered
+    past the latest commit may be an unpublished write in progress —
+    vacuum must leave it alone, and the writer's subsequent publish
+    must read back intact."""
+    path = str(tmp_path / "t")
+    _seed(spark, path, keys=["a"])
+    man, commit, claim = ing._acquire_commit(spark, path)
+    nb = man["n_buckets"]
+    batch = _batch(spark, ["n"], "new").withColumn(
+        ing.BUCKET_COL, ing.origin_bucket(["origin"], nb))
+    vdir = ing._write_version(batch, path, commit, 1, claim)
+
+    ing.vacuum_table(spark, path, keep_manifests=1)  # concurrent vacuum
+    assert (tmp_path / "t" / vdir).exists()
+
+    claim.verify()
+    ing._commit(spark, path, commit, nb, ["origin"],
+                {**man["buckets"], **{r[0]: commit for r in
+                                      batch.select(ing.BUCKET_COL)
+                                      .distinct().collect()}},
+                vdirs={**ing._vdirs(man), commit: vdir})
+    claim.release()
+    rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == {"a", "n"}
+
+
+def test_put_if_absent_surfaces_transient_errors(spark, monkeypatch):
+    """A transient IO error from fs.create must RAISE, not read as
+    'claim already held' (which would silently poll out the whole
+    acquire timeout); only AlreadyExists means contention."""
+    class _FakePath:
+        def __init__(self, *a):
+            pass
+
+    class _FakeFS:
+        def create(self, p, overwrite):
+            raise RuntimeError("connection reset by peer")
+
+    monkeypatch.setattr(ing, "_fs", lambda spark, p: (_FakeFS(), type(
+        "J", (), {"org": type("O", (), {"apache": type("A", (), {
+            "hadoop": type("H", (), {"fs": type("F", (), {
+                "Path": _FakePath})})})})})))
+    with pytest.raises(RuntimeError, match="connection reset"):
+        ing.put_if_absent(spark, "mock://bucket/t/_log/00000001.claim", "w")
+
+
+def test_is_already_exists_classification():
+    assert ing._is_already_exists(
+        Exception("org.apache.hadoop.fs.FileAlreadyExistsException: x"))
+    assert not ing._is_already_exists(Exception("connection reset"))
+
+
+def test_compaction_spares_concurrent_delta(spark, tmp_path, monkeypatch):
+    """The r6 review's lost-delta race: a delta committed after
+    compaction snapshots the listing (plus a live writer's fresh
+    staged .tmp) must SURVIVE the compaction — only the folded deltas
+    are deleted, and the index afterwards serves base + survivor with
+    correct cumulative stats."""
+    from engagement_data_pipeline_spark.training import ranking as R
+
+    idx = str(tmp_path / "idx")
+    R.build_text_index(_docs(spark, [(1, "alpha beta"),
+                                     (2, "alpha gamma")]), idx)
+    R.update_text_index(spark, idx,
+                        new_docs=_docs(spark, [(3, "alpha delta")]),
+                        removed_docs=None)
+
+    # freeze compaction's view to the pre-race listing, then commit a
+    # NEW delta "in between" its snapshot and its deletion phase
+    real_seqs = R._delta_seqs(spark, idx)
+    assert real_seqs == [1]
+    orig = R._delta_seqs
+    snapshots = []
+
+    def _spy(spark_, path):
+        seqs = orig(spark_, path)
+        if not snapshots:  # first call = compaction's snapshot
+            snapshots.append(list(seqs))
+            R.update_text_index(
+                spark_, path,
+                new_docs=_docs(spark_, [(4, "alpha zeta eta")]),
+                removed_docs=None)
+            # a live writer's staging dir, fresh mtime: must survive
+            stage = tmp_path / "idx" / "deltas" / ".tmp-live"
+            stage.mkdir()
+            (stage / "part").write_text("staging")
+        return seqs
+
+    monkeypatch.setattr(R, "_delta_seqs", _spy)
+    R.compact_text_index(spark, idx)
+    monkeypatch.setattr(R, "_delta_seqs", orig)
+
+    assert snapshots == [[1]]
+    names = set(os.listdir(tmp_path / "idx" / "deltas"))
+    assert "d0001" not in names          # folded
+    assert "d0002" in names              # committed mid-compaction
+    assert ".tmp-live" in names          # fresh staging spared
+    [st] = R._index_stats(spark, idx).collect()
+    assert st.n_docs == 4 and st.sum_dl == 2 + 2 + 2 + 3
+    top = R.bm25_topk_indexed(spark, idx, {"q": ["alpha"]}, k=10)
+    assert {r.doc_id for r in top.collect()} == {1, 2, 3, 4}
+    # a second, quiescent compaction folds the survivor too
+    R.compact_text_index(spark, idx)
+    assert R._delta_seqs(spark, idx) == []
+    top = R.bm25_topk_indexed(spark, idx, {"q": ["alpha"]}, k=10)
+    assert {r.doc_id for r in top.collect()} == {1, 2, 3, 4}
+
+
+def test_compaction_sweeps_only_stale_tmp(spark, tmp_path):
+    """Orphan staging sweep is age-gated by the claim lease: an old
+    .tmp (crashed writer) is reclaimed, a fresh one is not."""
+    from engagement_data_pipeline_spark.training import ranking as R
+
+    idx = str(tmp_path / "idx")
+    R.build_text_index(_docs(spark, [(1, "alpha")]), idx)
+    deltas = tmp_path / "idx" / "deltas"
+    deltas.mkdir(exist_ok=True)
+    old_tmp = deltas / ".tmp-crashed"
+    old_tmp.mkdir()
+    (old_tmp / "part").write_text("junk")
+    ago = time.time() - 3600
+    os.utime(old_tmp, (ago, ago))
+    fresh_tmp = deltas / ".tmp-live"
+    fresh_tmp.mkdir()
+    R.compact_text_index(spark, idx)
+    names = set(os.listdir(deltas))
+    assert ".tmp-crashed" not in names
+    assert ".tmp-live" in names

@@ -111,7 +111,10 @@ def test_index_bucket_sizing_scales_and_carries(spark, tmp_path):
     posts2 = spark.read.parquet(f"{idx}/postings")
     n_files2 = posts2.select(F.input_file_name()).distinct().count()
     assert n_files2 == 4  # still sized from n_docs, not hard-coded 32
-    assert not (tmp_path / "idx" / "deltas").exists()
+    # fold-only deletion: no committed delta remains (the directory
+    # itself may linger, empty, as a mailbox for concurrent writers)
+    from engagement_data_pipeline_spark.training.ranking import _delta_seqs
+    assert _delta_seqs(spark, idx) == []
     # explicit override wins on compaction
     compact_text_index(spark, idx, n_term_buckets=7)
     n_files3 = (spark.read.parquet(f"{idx}/postings")
