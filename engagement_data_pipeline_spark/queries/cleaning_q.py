@@ -75,6 +75,54 @@ FROM agg
 DOC_C4_CLEAN_SQL = _c4_sql()
 
 
+# --- cross-doc duplicated-span coverage (ExactSubstr signal) ---------------
+
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    return C.dup_span_stats(load(spark, sf_dir, "documents"))
+
+
+def _dup_spans_sql(k: int = C.DUP_GRAM_WORDS) -> str:
+    gram_h = _MD5_LONG.format(
+        x=f"array_to_string(list_slice(words, i + 1, i + {k}), ' ')")
+    return "WITH " + _NORM_CTE + f""",
+w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM norm),
+base AS (SELECT doc_id, len(words) AS n_words, words FROM w),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, {gram_h} AS h
+  FROM base, unnest(generate_series(0, n_words - {k})) AS t(i)
+  WHERE n_words >= {k}
+),
+hot AS (
+  SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN hot USING (h)),
+inc AS (
+  SELECT doc_id, pos,
+         pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS delta
+  FROM dup
+),
+cov AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+         CAST(SUM(CASE WHEN delta IS NULL THEN {k}
+                       ELSE LEAST(delta, {k}) END) AS BIGINT) AS dup_tokens
+  FROM inc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       CAST(GREATEST(b.n_words - {k - 1}, 0) AS BIGINT) AS n_grams,
+       COALESCE(c.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+         / CAST(b.n_words AS DOUBLE) AS dup_frac
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+DOC_DUP_SPANS_SQL = _dup_spans_sql()
+
+
 # --- BM25 top-k -----------------------------------------------------------
 
 BM25_QUERIES = {

@@ -221,6 +221,10 @@ _EVENTS_MEMBERS = {
         [("origin_id", "string"), ("op", "string"),
          ("changed_cols", "string"), ("participant_uuid", "string"),
          ("text", "string"), ("received_on", "string")]),
+    "table_dv_delete": (
+        streaming_q.table_dv_delete, streaming_q.TABLE_DV_DELETE_SQL,
+        [("origin_id", "string"), ("participant_uuid", "string"),
+         ("text", "string"), ("received_on", "string")]),
     "scd2_messages": (
         cdc_q.scd2_messages, cdc_q.SCD2_MESSAGES_SQL,
         [("message_id", "string"), ("dataset", "string"),
@@ -349,6 +353,11 @@ _TRAINING_MEMBERS = {
         [("doc_id", "bigint"), ("n_spans", "bigint"),
          ("n_removed", "bigint"), ("clean_n_words", "bigint"),
          ("clean_md5", "string")]),
+    "doc_dup_spans": (
+        cleaning_q.doc_dup_spans, cleaning_q.DOC_DUP_SPANS_SQL,
+        [("doc_id", "bigint"), ("n_words", "bigint"),
+         ("n_grams", "bigint"), ("n_dup_grams", "bigint"),
+         ("dup_tokens", "bigint"), ("dup_frac", "double")]),
     "doc_bm25_topk": (
         cleaning_q.doc_bm25_topk, cleaning_q.DOC_BM25_TOPK_SQL,
         [("query_id", "string"), ("doc_id", "bigint"),

@@ -251,6 +251,68 @@ def table_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                          from_commit=2, to_commit=3)
 
 
+def table_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete via DELETION VECTORS (the Delta DV /
+    Iceberg positional-delete analog): build the two-slice table
+    (commits 1-2), then dv-delete every slot-0 key as commit 3 —
+    `delete_origins(strategy='dv')` touches NO data file (the
+    per-bucket key list is the entire write, O(deleted keys) instead
+    of O(touched bucket bytes) — at 100 TB a handful of keys would
+    otherwise rewrite whole ~0.5 GiB buckets). Returns the RESOLVED
+    snapshot: the reader anti-joins each bucket against its deletion
+    vector transparently, so the oracle (distinct slice union minus
+    the slot-0 keys) hash-matching certifies the read-path
+    resolution end-to-end. The next merge/compact of a bucket
+    materializes its pending deletes; `table_dv_delete` shares its
+    fixture across bench runs like every maintenance query."""
+    from ..streaming.ingest import delete_origins, read_merged_table
+    from ._helpers import fixture_dir
+
+    apply_runtime_conf(spark)
+
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        rows = _fixture_rows(spark, sf_dir)
+        merge = foreach_batch_upsert(table, ["origin_id"],
+                                     transform=_add_origin, n_buckets=4)
+        for batch_id, mods in enumerate([(0, 1), (1, 2)]):
+            merge(rows.where((F.col("event_id") % 4).isin(list(mods))),
+                  batch_id)
+        keys = (_add_origin(rows.where(F.col("event_id") % 4 == 0))
+                .select("origin_id"))
+        delete_origins(spark, table, keys, strategy="dv")
+
+    base = fixture_dir("dv_table", sf_dir, _build)
+    return read_merged_table(spark, os.path.join(base, "table"))
+
+
+TABLE_DV_DELETE_SQL = """
+WITH rows AS (
+  SELECT event_id % 4 AS slot,
+         'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
+         'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
+  FROM events WHERE event_id % 16 < 4
+),
+keyed AS (
+  SELECT slot,
+         'csv:' || sha256(sender || '|' || message || '|' || received_on)
+           AS origin_id,
+         sender, message, received_on
+  FROM rows
+),
+merged AS (
+  SELECT DISTINCT origin_id, sender, message, received_on
+  FROM keyed WHERE slot IN (0, 1, 2)
+),
+dead AS (SELECT DISTINCT origin_id FROM keyed WHERE slot = 0)
+SELECT m.origin_id, m.sender AS participant_uuid,
+       m.message AS text, m.received_on
+FROM merged m LEFT JOIN dead d ON m.origin_id = d.origin_id
+WHERE d.origin_id IS NULL
+"""
+
+
 TABLE_DELETE_FEED_SQL = """
 WITH rows AS (
   SELECT 'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,

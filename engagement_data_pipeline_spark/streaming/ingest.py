@@ -456,7 +456,10 @@ def _commit(spark: SparkSession, table_path: str, commit: int,
             bases: dict[int, str] | None = None,
             txn: dict | None = None,
             bucket_on: Sequence[str] | None = None,
-            vdirs: dict[int, str] | None = None) -> None:
+            vdirs: dict[int, str] | None = None,
+            dv: dict[int, str] | None = None,
+            dv_bases: dict[str, str] | None = None,
+            dv_rows: dict[int, int] | None = None) -> None:
     import time
 
     man = {"commit": commit, "n_buckets": n_buckets,
@@ -482,6 +485,21 @@ def _commit(spark: SparkSession, table_path: str, commit: int,
     vdirs = {v: d for v, d in (vdirs or {}).items() if v in live}
     if vdirs:
         man["vdirs"] = {str(v): d for v, d in sorted(vdirs.items())}
+    # deletion vectors: only for buckets still in the mapping, and
+    # only the dv roots still referenced by a surviving dv entry
+    dv = {b: d for b, d in (dv or {}).items() if b in buckets}
+    if dv:
+        man["dv"] = {str(b): d for b, d in sorted(dv.items())}
+        dv_bases = {d: r for d, r in (dv_bases or {}).items()
+                    if d in set(dv.values())}
+        if dv_bases:
+            man["dv_bases"] = dict(sorted(dv_bases.items()))
+        # per-bucket deleted-key counts: lets maintenance decide from
+        # METADATA alone when pending deletes outgrow broadcast size
+        dv_rows = {b: n for b, n in (dv_rows or {}).items() if b in dv}
+        if dv_rows:
+            man["dv_rows"] = {str(b): int(n)
+                              for b, n in sorted(dv_rows.items())}
     _write_text_atomic(
         spark, f"{table_path}/{_LOG_DIR}/{commit:08d}.json",
         json.dumps(man, indent=0))
@@ -518,6 +536,67 @@ def _vdir_name(ver: int, vdirs: dict[int, str] | None) -> str:
     return (vdirs or {}).get(ver, f"v{ver:08d}")
 
 
+def _dv(man: dict | None) -> dict[int, str]:
+    """Per-bucket deletion-vector directories from a manifest ('dv'
+    field): bucket -> name of the dv directory holding that bucket's
+    deleted origin keys. Buckets absent from the map have no pending
+    merge-on-read deletes."""
+    if not man:
+        return {}
+    return {int(k): v for k, v in man.get("dv", {}).items()}
+
+
+def _dv_rows(man: dict | None) -> dict[int, int]:
+    """Per-bucket deleted-key counts ('dv_rows' field) — metadata for
+    the maintenance trigger, not consulted by readers."""
+    if not man:
+        return {}
+    return {int(k): int(v) for k, v in man.get("dv_rows", {}).items()}
+
+
+def _dv_bases(man: dict | None) -> dict[str, str]:
+    """Foreign roots for inherited dv directories ('dv_bases' field,
+    set by `clone_table`): dv dirname -> table root holding it.
+    Dirnames absent from the map live under the table's own root."""
+    if not man:
+        return {}
+    return dict(man.get("dv_bases", {}))
+
+
+def _dv_paths(table_path: str, man: dict,
+              only: Sequence[int] | None = None) -> list[str]:
+    """Paths of the dv partitions covering `only` (default: all
+    dv-carrying buckets) — one `<dvdir>/bucket=<b>` leaf per bucket,
+    mirroring the data layout, so a resolved read stays O(touched
+    buckets) on the dv side too."""
+    dv = _dv(man)
+    wanted = dv if only is None else {
+        b: dv[b] for b in only if b in dv}
+    roots = _dv_bases(man)
+    return [f"{roots.get(d, table_path)}/{d}/{BUCKET_COL}={b}"
+            for b, d in sorted(wanted.items())]
+
+
+def _read_resolved(spark: SparkSession, table_path: str, man: dict,
+                   only: Sequence[int] | None = None) -> DataFrame:
+    """Current logical rows of the manifest's buckets: the immutable
+    data versions ANTI-JOINED against their deletion vectors (the
+    Delta deletion-vector / Iceberg merge-on-read analog). The dv
+    side is a broadcast-sized key list per touched bucket — bounded,
+    because `maybe_compact` materializes pending deletes once the
+    manifest's `dv_rows` totals pass its threshold — so the resolve
+    adds one broadcast anti-join, never a shuffle of the data."""
+    paths = _bucket_paths(table_path, man["buckets"], only=only,
+                          bases=_bases(man), vdirs=_vdirs(man))
+    df = _read_buckets(spark, paths)
+    dv_paths = _dv_paths(table_path, man, only=only)
+    if not dv_paths:
+        return df
+    origin = list(man["origin"])
+    dead = (spark.read.parquet(*dv_paths).select(*origin))
+    return df.join(F.broadcast(dead), origin, "left_anti")
+
+
 def _bucket_paths(table_path: str, buckets: dict[int, int],
                   only: Sequence[int] | None = None,
                   bases: dict[int, str] | None = None,
@@ -549,9 +628,7 @@ def read_merged_table(spark: SparkSession, table_path: str) -> DataFrame:
         # Pre-manifest layout (or a foreign parquet dir): best effort.
         df = spark.read.parquet(table_path)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
-    return _read_buckets(spark, _bucket_paths(table_path, man["buckets"],
-                                              bases=_bases(man),
-                                              vdirs=_vdirs(man)))
+    return _read_resolved(spark, table_path, man)
 
 
 def read_table_at(spark: SparkSession, table_path: str,
@@ -564,9 +641,7 @@ def read_table_at(spark: SparkSession, table_path: str,
     man = _manifest_at(spark, table_path, commit)
     if not man["buckets"]:
         return read_merged_table(spark, table_path).limit(0)
-    return _read_buckets(spark, _bucket_paths(table_path, man["buckets"],
-                                              bases=_bases(man),
-                                              vdirs=_vdirs(man)))
+    return _read_resolved(spark, table_path, man)
 
 
 def lookup_origin(spark: SparkSession, table_path: str,
@@ -607,9 +682,7 @@ def lookup_origin(spark: SparkSession, table_path: str,
     b = one.select(origin_bucket(bk, man["n_buckets"])).first()[0]
     if b not in man["buckets"]:
         return read_merged_table(spark, table_path).limit(0)
-    df = _read_buckets(spark, _bucket_paths(table_path, man["buckets"],
-                                            only=[b], bases=_bases(man),
-                                            vdirs=_vdirs(man)))
+    df = _read_resolved(spark, table_path, man, only=[b])
     cond = None
     for c, v in zip(match_cols, key):
         eq = F.col(c) == F.lit(v)
@@ -732,7 +805,11 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
         cur = _bucket_paths(table_path, man["buckets"], only=hit,
                             bases=_bases(man), vdirs=_vdirs(man))
         if cur:
-            existing = (_read_buckets(spark, cur)
+            # dv-resolved: rows merge-on-read deleted from these
+            # buckets must stay deleted through the merge (the rewrite
+            # then materializes the deletes, so the new manifest drops
+            # the dv entries of every rewritten bucket)
+            existing = (_read_resolved(spark, table_path, man, only=hit)
                         .withColumn(BUCKET_COL,
                                     origin_bucket(bk, nb)))
         else:  # batch only hits never-seen buckets
@@ -757,10 +834,12 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
             merged = idempotent_upsert(existing, batch, origin_cols)
         vdir = _write_version(merged, table_path, commit, len(hit), claim)
         claim.verify()  # abort, not clobber, if our lease was usurped
+        dv = {b: d for b, d in _dv(man).items() if b not in set(hit)}
         _commit(spark, table_path, commit, nb, origin_cols,
                 {**man["buckets"], **{b: commit for b in hit}},
                 bases=_bases(man), txn=txn, bucket_on=bk,
-                vdirs={**_vdirs(man), commit: vdir})
+                vdirs={**_vdirs(man), commit: vdir},
+                dv=dv, dv_bases=_dv_bases(man), dv_rows=_dv_rows(man))
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if transform is not None:
@@ -830,18 +909,22 @@ def table_changes(spark: SparkSession, table_path: str, from_commit: int,
     if man_to is None:
         raise ValueError(f"{table_path} has no commits")
     old_b, new_b = man_from["buckets"], man_to["buckets"]
+    # A bucket's logical content is (data version, deletion vector):
+    # a merge-on-read delete changes the dv WITHOUT advancing the
+    # version, and must still surface in the feed.
+    old_dv, new_dv = _dv(man_from), _dv(man_to)
     changed = sorted(b for b in set(old_b) | set(new_b)
-                     if old_b.get(b) != new_b.get(b))
-    new_paths = _bucket_paths(table_path, new_b, only=changed,
-                              bases=_bases(man_to), vdirs=_vdirs(man_to))
-    old_paths = _bucket_paths(table_path, old_b, only=changed,
-                              bases=_bases(man_from),
-                              vdirs=_vdirs(man_from))
-    if new_paths:
-        new_df = _read_buckets(spark, new_paths)
+                     if (old_b.get(b), old_dv.get(b))
+                     != (new_b.get(b), new_dv.get(b)))
+    changed_new = [b for b in changed if b in new_b]
+    changed_old = [b for b in changed if b in old_b]
+    if changed_new:
+        new_df = _read_resolved(spark, table_path, man_to,
+                                only=changed_new)
     else:  # nothing changed: empty changeset with the table's schema
         new_df = read_merged_table(spark, table_path).limit(0)
-    old_df = (_read_buckets(spark, old_paths) if old_paths
+    old_df = (_read_resolved(spark, table_path, man_from,
+                             only=changed_old) if changed_old
               else spark.createDataFrame([], new_df.schema))
     if set(old_df.columns) != set(new_df.columns):
         # Schema evolved between the commits: align both sides to the
@@ -861,7 +944,8 @@ def table_changes(spark: SparkSession, table_path: str, from_commit: int,
 # --- table maintenance ----------------------------------------------------
 
 def delete_origins(spark: SparkSession, table_path: str,
-                   keys: DataFrame, vacuum: bool = False) -> int:
+                   keys: DataFrame, vacuum: bool = False,
+                   strategy: str = "rewrite") -> int:
     """Delete rows by origin key — the right-to-be-forgotten path the
     reference handles via consent-withdrawal filtering at read time
     (SURVEY §2.6 M8; analysis filters drop opted-out participants but
@@ -886,15 +970,36 @@ def delete_origins(spark: SparkSession, table_path: str,
     (pass ``vacuum=True`` or call it per retention policy), prior
     version directories and time travel still expose the deleted
     rows; vacuum is the erasure step.
+
+    `strategy` picks the physical plan, the Delta deletion-vector
+    trade-off:
+
+    * ``"rewrite"`` (default) — read, anti-join and REWRITE every hit
+      bucket. Write cost O(touched bucket bytes); with vacuum this is
+      the physical-erasure path GDPR wants.
+    * ``"dv"`` — merge-on-read: append the keys to per-bucket DELETION
+      VECTORS (manifest `dv` map) and touch no data file at all.
+      Write cost O(deleted keys), the right plan when buckets are
+      ~0.5 GiB and the delete is a handful of keys — at 100 TB a
+      rewrite delete of 100 keys would rewrite up to 100 buckets
+      (~50 GiB); the dv commit writes kilobytes. Readers anti-join
+      the dv (broadcast-sized) transparently; the next merge, compact
+      or rebucket of a bucket MATERIALIZES its pending deletes and
+      drops the dv entry. NOT physical erasure until then — for
+      right-to-be-forgotten, follow with `compact_table` +
+      `vacuum_table`, or use ``rewrite``.
     """
+    if strategy not in ("rewrite", "dv"):
+        raise ValueError(f"unknown delete strategy {strategy!r}")
     if read_table_manifest(spark, table_path) is None:
         raise ValueError(f"{table_path} has no commits")
+    attempt = _delete_attempt if strategy == "rewrite" else _delete_attempt_dv
     commit_id = None
     for _ in range(MAX_COMMIT_RETRIES):
         man, commit, claim = _acquire_commit(spark, table_path)
         try:
-            commit_id = _delete_attempt(spark, table_path, keys, man,
-                                        commit, claim)
+            commit_id = attempt(spark, table_path, keys, man,
+                                commit, claim)
             break
         except ConcurrentCommitError:
             continue  # rebase on the new manifest and retry
@@ -922,12 +1027,10 @@ def _delete_attempt(spark: SparkSession, table_path: str, keys: DataFrame,
         claim.verify()
         _commit(spark, table_path, commit, nb, origin, man["buckets"],
                 op="delete", bases=_bases(man), txn=man.get("txn"),
-                bucket_on=bk, vdirs=_vdirs(man))
+                bucket_on=bk, vdirs=_vdirs(man), dv=_dv(man),
+                dv_bases=_dv_bases(man), dv_rows=_dv_rows(man))
         return commit
-    existing = (_read_buckets(spark,
-                              _bucket_paths(table_path, man["buckets"],
-                                            only=hit, bases=_bases(man),
-                                            vdirs=_vdirs(man)))
+    existing = (_read_resolved(spark, table_path, man, only=hit)
                 .withColumn(BUCKET_COL, origin_bucket(bk, nb)))
     remaining = existing.join(keys.select(*origin), origin, "left_anti")
     vdir = _write_version(remaining, table_path, commit, len(hit), claim)
@@ -941,9 +1044,60 @@ def _delete_attempt(spark: SparkSession, table_path: str, keys: DataFrame,
         if b not in survived:
             buckets.pop(b, None)
     claim.verify()
+    dv = {b: d for b, d in _dv(man).items() if b not in set(hit)}
     _commit(spark, table_path, commit, nb, origin, buckets, op="delete",
             bases=_bases(man), txn=man.get("txn"), bucket_on=bk,
-            vdirs={**_vdirs(man), commit: vdir})
+            vdirs={**_vdirs(man), commit: vdir},
+            dv=dv, dv_bases=_dv_bases(man), dv_rows=_dv_rows(man))
+    return commit
+
+
+def _delete_attempt_dv(spark: SparkSession, table_path: str,
+                       keys: DataFrame, man: dict, commit: int,
+                       claim: CommitClaim) -> int:
+    """Merge-on-read delete: write the keys (unioned with each hit
+    bucket's existing dv, so one dv dir per bucket always suffices)
+    into a fresh writer-unique dv directory and republish the
+    manifest with the SAME data versions. No data file is read or
+    written — cost is O(existing dv + new keys), never O(bucket)."""
+    nb, origin = man["n_buckets"], list(man["origin"])
+    bk = _bucket_on(man)
+    keyed = (keys.select(*origin).distinct()
+             .withColumn(BUCKET_COL, origin_bucket(bk, nb)))
+    hit = sorted(r[0] for r in
+                 keyed.select(BUCKET_COL).distinct().collect()
+                 if r[0] in man["buckets"])
+    if not hit:  # nothing stored under any of these keys: empty commit
+        claim.verify()
+        _commit(spark, table_path, commit, nb, origin, man["buckets"],
+                op="delete", bases=_bases(man), txn=man.get("txn"),
+                bucket_on=bk, vdirs=_vdirs(man), dv=_dv(man),
+                dv_bases=_dv_bases(man), dv_rows=_dv_rows(man))
+        return commit
+    new_keys = keyed.where(F.col(BUCKET_COL).isin([int(b) for b in hit]))
+    prior_paths = _dv_paths(table_path, man, only=hit)
+    if prior_paths:
+        prior = (spark.read.parquet(*prior_paths).select(*origin)
+                 .withColumn(BUCKET_COL, origin_bucket(bk, nb)))
+        new_keys = (new_keys.unionByName(prior)
+                    .dropDuplicates(origin))
+    dvdir = f"dv{commit:08d}-{claim.writer_id[:8]}"
+    (new_keys.repartition(max(len(hit), 1), F.col(BUCKET_COL))
+     .write.mode("overwrite").partitionBy(BUCKET_COL)
+     .parquet(f"{table_path}/{dvdir}"))
+    # absolute per-bucket key counts (the dir was just written, so the
+    # count is a metadata-cheap scan of O(dv) rows) — lets
+    # `maybe_compact` bound dv growth without reading any dv later
+    counts = {int(r[0]): int(r[1]) for r in
+              (spark.read.parquet(f"{table_path}/{dvdir}")
+               .groupBy(BUCKET_COL).count().collect())}
+    claim.verify()
+    dv = {**_dv(man), **{b: dvdir for b in hit}}
+    _commit(spark, table_path, commit, nb, origin, man["buckets"],
+            op="delete", bases=_bases(man), txn=man.get("txn"),
+            bucket_on=bk, vdirs=_vdirs(man), dv=dv,
+            dv_bases=_dv_bases(man),
+            dv_rows={**_dv_rows(man), **counts})
     return commit
 
 
@@ -962,18 +1116,24 @@ def compact_table(spark: SparkSession, table_path: str,
         try:
             if man is None:
                 return
-            df = (_read_buckets(spark,
-                                _bucket_paths(table_path, man["buckets"],
-                                              bases=_bases(man),
-                                              vdirs=_vdirs(man)))
+            # dv-resolved: compaction materializes pending merge-on-
+            # read deletes, so the new manifest carries no dv at all
+            df = (_read_resolved(spark, table_path, man)
                   .withColumn(BUCKET_COL,
                               origin_bucket(_bucket_on(man),
                                             man["n_buckets"])))
             vdir = _write_version(df, table_path, commit,
                                   len(man["buckets"]), claim)
+            live = set(man["buckets"])
+            if _dv(man):
+                # a fully dv-deleted bucket writes no directory: drop
+                # it from the mapping instead of dangling the path
+                live = {r[0] for r in df.select(BUCKET_COL)
+                        .distinct().collect()}
             claim.verify()
             _commit(spark, table_path, commit, man["n_buckets"],
-                    man["origin"], {b: commit for b in man["buckets"]},
+                    man["origin"],
+                    {b: commit for b in man["buckets"] if b in live},
                     op="compact", txn=man.get("txn"),
                     bucket_on=man.get("bucket_on"),
                     vdirs={commit: vdir})
@@ -1001,10 +1161,7 @@ def rebucket_table(spark: SparkSession, table_path: str,
         try:
             if man is None:
                 return
-            df = (_read_buckets(spark,
-                                _bucket_paths(table_path, man["buckets"],
-                                              bases=_bases(man),
-                                              vdirs=_vdirs(man)))
+            df = (_read_resolved(spark, table_path, man)
                   .withColumn(BUCKET_COL,
                               origin_bucket(_bucket_on(man),
                                             new_n_buckets)))
@@ -1054,7 +1211,8 @@ def vacuum_table(spark: SparkSession, table_path: str,
     # the manifest actually names is live; the loser's is debris.
     def _refs(m: dict) -> set[tuple[str, int]]:
         vd = _vdirs(m)
-        return {(_vdir_name(v, vd), b) for b, v in m["buckets"].items()}
+        return ({(_vdir_name(v, vd), b) for b, v in m["buckets"].items()}
+                | {(d, b) for b, d in _dv(m).items()})
 
     referenced = _refs(man)
     retained_commits: set[int] = set()
@@ -1074,8 +1232,12 @@ def vacuum_table(spark: SparkSession, table_path: str,
         return
     for vst in versions:
         name = vst.getPath().getName()
-        base = name[1:].split("-", 1)[0]
-        if not (vst.isDirectory() and name.startswith("v")
+        # data versions are v<commit>[-writer]; deletion vectors are
+        # dv<commit>[-writer] — both scanned and reclaimed the same way
+        stem = name[2:] if name.startswith("dv") else name[1:]
+        base = stem.split("-", 1)[0]
+        if not (vst.isDirectory()
+                and (name.startswith("v") or name.startswith("dv"))
                 and base.isdigit()):
             continue
         if int(base) > man["commit"]:
@@ -1116,13 +1278,22 @@ def vacuum_table(spark: SparkSession, table_path: str,
 
 def maybe_compact(spark: SparkSession, table_path: str,
                   max_merges_since_compact: int = 16,
-                  vacuum: bool = True) -> bool:
+                  vacuum: bool = True,
+                  max_dv_rows: int = 1_000_000) -> bool:
     """OPTIMIZE trigger from metadata alone: compact when more than
     `max_merges_since_compact` data commits landed since the last
     compact/rebucket (each merge adds up to one file per touched
-    bucket, so commit count bounds file-count growth). Reads only the
-    O(commits) manifest log — no data scan — making it cheap enough
-    to call after every ingest batch. Returns True if it compacted."""
+    bucket, so commit count bounds file-count growth), OR when the
+    pending deletion-vector keys (manifest `dv_rows` totals) exceed
+    `max_dv_rows` — readers broadcast the dv for the anti-join, so
+    maintenance must materialize deletes before the dv outgrows
+    broadcast size. Reads only the O(commits) manifest log — no data
+    scan — making it cheap enough to call after every ingest batch.
+    Returns True if it compacted."""
+    latest = read_table_manifest(spark, table_path)
+    if latest is not None and sum(_dv_rows(latest).values()) > max_dv_rows:
+        compact_table(spark, table_path, vacuum=vacuum)
+        return True
     commits_since = 0
     for commit in reversed(_list_commit_ids(spark, table_path)):
         try:
@@ -1202,10 +1373,17 @@ def clone_table(spark: SparkSession, src_path: str, dst_path: str) -> None:
         src_bases = _bases(man)
         bases = {ver: src_bases.get(ver, src_path)
                  for ver in set(man["buckets"].values())}
+        # inherited deletion vectors stay where they are too: root
+        # every dv dirname at the source (or ITS source, if chained)
+        src_dv_bases = _dv_bases(man)
+        dv = _dv(man)
+        dv_bases = {d: src_dv_bases.get(d, src_path)
+                    for d in set(dv.values())}
         claim.verify()
         _commit(spark, dst_path, man["commit"], man["n_buckets"],
                 man["origin"], man["buckets"], op="clone", bases=bases,
                 txn=man.get("txn"), bucket_on=man.get("bucket_on"),
-                vdirs=_vdirs(man))
+                vdirs=_vdirs(man), dv=dv, dv_bases=dv_bases,
+                dv_rows=_dv_rows(man))
     finally:
         claim.release()

@@ -104,3 +104,79 @@ def boilerplate_clean(docs: DataFrame, text_col: str = "text",
         F.when(F.size("__kept") > 0, F.size(F.split(clean_text, " ")))
         .otherwise(F.lit(0)).cast("long").alias("clean_n_words"),
         F.md5(clean_text).alias("clean_md5"))
+
+
+#: Sliding-gram width for cross-document duplicated-span coverage.
+DUP_GRAM_WORDS = 8
+
+
+def dup_span_stats(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   k: int = DUP_GRAM_WORDS) -> DataFrame:
+    """Per-document CROSS-CORPUS duplicated-span coverage — the
+    ExactSubstr dedup signal (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") re-expressed at sliding
+    k-gram granularity: a suffix array over 100 TB is a single-machine
+    structure, but every duplicated substring of length >= k contains
+    a duplicated k-gram, so k-gram blocking finds the same spans with
+    distributed primitives.
+
+    Returns one row per document:
+    (doc_id, n_words, n_grams, n_dup_grams, dup_tokens, dup_frac)
+    where a gram is "dup" iff it occurs in >= 2 DISTINCT documents
+    (within-doc repetition is `doc_repetition`'s signal, not this
+    one), `dup_tokens` is the exact size of the union of the
+    duplicated grams' [pos, pos+k) intervals, and `dup_frac` =
+    dup_tokens / n_words — the filter/trim knob.
+
+    Shape at scale: one explode to (doc_id, pos, gram_hash) — the
+    hashes are computed INSIDE the array expression so each word is
+    touched k times, never O(n^2); the duplicate-gram set comes from
+    one map-side-combinable count-distinct keyed by the 60-bit hash;
+    the back-join ships hashes, not text; coverage is one window pass
+    per doc over its duplicated positions only (fixed-length
+    intervals sorted by pos: each new interval adds min(gap, k)
+    tokens, no interval materialization). Nothing is collected."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = (spread_narrow_scan(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    words.alias("words"))
+            .select("doc_id", F.size("words").alias("n_words"), "words"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.col("n_words") - k),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            md5_long(F.concat_ws(" ", F.slice("words", i + 1, F.lit(k))))
+            .alias("h")))
+    pos = (base.where(F.col("n_words") >= k)
+           .select("doc_id", F.explode(grams).alias("g"))
+           .select("doc_id", F.col("g.pos").alias("pos"),
+                   F.col("g.h").alias("h")))
+    hot = (pos.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("gdocs"))
+           .where(F.col("gdocs") >= 2)
+           .select("h"))
+    dup = pos.join(hot, "h")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    delta = F.col("pos") - F.lag("pos").over(w)
+    inc = F.when(delta.isNull(), F.lit(k)).otherwise(
+        F.least(delta, F.lit(k)))
+    cov = (dup.withColumn("__inc", inc)
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+                F.sum("__inc").cast("long").alias("dup_tokens")))
+    return (base.select("doc_id", "n_words")
+            .join(cov, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_words").cast("long").alias("n_words"),
+                F.greatest(F.col("n_words") - F.lit(k - 1), F.lit(0))
+                .cast("long").alias("n_grams"),
+                F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+                .alias("n_dup_grams"),
+                F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                .alias("dup_tokens"),
+                (F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                 / F.col("n_words").cast("double")).alias("dup_frac")))
