@@ -225,6 +225,10 @@ _EVENTS_MEMBERS = {
         streaming_q.table_dv_delete, streaming_q.TABLE_DV_DELETE_SQL,
         [("origin_id", "string"), ("participant_uuid", "string"),
          ("text", "string"), ("received_on", "string")]),
+    "table_mv_refresh": (
+        streaming_q.table_mv_refresh, streaming_q.TABLE_MV_REFRESH_SQL,
+        [("participant_uuid", "string"), ("n_messages", "bigint"),
+         ("n_chars", "bigint")]),
     "scd2_messages": (
         cdc_q.scd2_messages, cdc_q.SCD2_MESSAGES_SQL,
         [("message_id", "string"), ("dataset", "string"),

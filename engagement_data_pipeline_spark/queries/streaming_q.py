@@ -331,6 +331,88 @@ FROM rows
 """
 
 
+# --- incremental materialized view over the change feed --------------------
+
+def table_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED VIEW maintained purely from the change
+    feed (`streaming/mv.py`): the per-sender rollup is created from
+    commit 1's snapshot, then refreshed through an insert commit AND a
+    deletion-vector delete commit — op='insert' adds, op='delete'
+    SUBTRACTS the old payload (count and null-aware sum are the
+    invertible aggregates; the source is never rescanned, each refresh
+    is O(state + changed rows)). The oracle recomputes the rollup from
+    scratch over the final logical state, so the hash match IS
+    feed-driven-maintenance == full-recompute — including groups whose
+    rows were all deleted (absent) and sums over deleted contributors.
+    The table+MV pair is a deterministic fixture (`fixture_dir`
+    cache); the measured work is reading the maintained view."""
+    from ..streaming import mv as MV
+    from ..streaming.ingest import delete_origins
+    from ._helpers import fixture_dir
+
+    apply_runtime_conf(spark)
+    group = ["participant_uuid"]
+    metrics = {"n_messages": ("origin_id", "count"),
+               "n_chars": ("text_chars", "sum")}
+
+    def _with_chars(batch: DataFrame) -> DataFrame:
+        out = _add_origin(batch)
+        return out.withColumn("text_chars",
+                              F.length("text").cast("long"))
+
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        mv_path = os.path.join(path, "mv")
+        rows = _fixture_rows(spark, sf_dir)
+        merge = foreach_batch_upsert(table, ["origin_id"],
+                                     transform=_with_chars, n_buckets=4,
+                                     txn_app_id="src")
+        merge(rows.where((F.col("event_id") % 4).isin([0, 1])), 1)
+        MV.create_mv(spark, table, mv_path, group, metrics, n_buckets=4)
+        merge(rows.where((F.col("event_id") % 4).isin([1, 2])), 2)
+        MV.refresh_mv(spark, table, mv_path, group, metrics)
+        dead = (_add_origin(rows.where(F.col("event_id") % 4 == 0))
+                .select("origin_id"))
+        delete_origins(spark, table, dead, strategy="dv")
+        MV.refresh_mv(spark, table, mv_path, group, metrics)
+
+    base = fixture_dir("mv_refresh", sf_dir, _build)
+    return (MV.read_mv(spark, os.path.join(base, "mv"), metrics)
+            .select("participant_uuid", "n_messages", "n_chars"))
+
+
+TABLE_MV_REFRESH_SQL = """
+WITH rows AS (
+  SELECT event_id % 4 AS slot,
+         'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
+         'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
+  FROM events WHERE event_id % 16 < 4
+),
+keyed AS (
+  SELECT slot,
+         'csv:' || sha256(sender || '|' || message || '|' || received_on)
+           AS origin_id,
+         sender, message
+  FROM rows
+),
+merged AS (
+  SELECT origin_id, ANY_VALUE(sender) AS sender,
+         ANY_VALUE(message) AS message
+  FROM keyed WHERE slot IN (0, 1, 2) GROUP BY origin_id
+),
+dead AS (SELECT DISTINCT origin_id FROM keyed WHERE slot = 0),
+live AS (
+  SELECT m.* FROM merged m LEFT JOIN dead d ON m.origin_id = d.origin_id
+  WHERE d.origin_id IS NULL
+)
+SELECT sender AS participant_uuid,
+       CAST(COUNT(origin_id) AS BIGINT) AS n_messages,
+       CAST(SUM(len(message)) AS BIGINT) AS n_chars
+FROM live GROUP BY sender
+"""
+
+
 # --- time travel + point lookup over the versioned merge table ------------
 
 def _cdf_fixture(spark: SparkSession, sf_dir: str) -> str:

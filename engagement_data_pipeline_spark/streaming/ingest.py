@@ -1014,6 +1014,31 @@ def delete_origins(spark: SparkSession, table_path: str,
     return commit_id
 
 
+def delete_where(spark: SparkSession, table_path: str, condition,
+                 vacuum: bool = False, strategy: str = "rewrite") -> int:
+    """Predicate delete — the DELETE WHERE analog: resolve the origin
+    keys matching `condition` (a Column or SQL string) from the
+    CURRENT snapshot, then delete them by key via `delete_origins`
+    (same strategies, same commit semantics). The predicate scan is
+    one snapshot pass, column-pruned by parquet to the origin +
+    predicate columns; the delete itself stays O(touched buckets)
+    (rewrite) or O(matched keys) (dv).
+
+    Snapshot-isolation semantics: the predicate is evaluated against
+    the snapshot current at call time — rows a CONCURRENT writer
+    inserts while this runs are not deleted even if they match (the
+    key-delete rebases through the claim protocol, but the key set is
+    fixed). Re-run to cover later arrivals."""
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    keys = (read_merged_table(spark, table_path)
+            .where(cond).select(*man["origin"]))
+    return delete_origins(spark, table_path, keys, vacuum=vacuum,
+                          strategy=strategy)
+
+
 def _delete_attempt(spark: SparkSession, table_path: str, keys: DataFrame,
                     man: dict, commit: int, claim: CommitClaim) -> int:
     nb, origin = man["n_buckets"], list(man["origin"])

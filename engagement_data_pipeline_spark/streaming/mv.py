@@ -1,0 +1,178 @@
+"""Incremental MATERIALIZED VIEWS over the versioned merge table,
+maintained purely from its change feed.
+
+The reference recomputes every rollup from scratch each sync run
+(sync stats, engagement counts — SURVEY §2.5 G6/§2.7); at 100 TB the
+recompute is the bottleneck. An MV created once from the snapshot and
+then refreshed from `table_changes` touches O(state + changed rows)
+per refresh, never the table: op='insert' rows add into their group,
+op='delete' rows SUBTRACT (their old payload read from the pre-change
+snapshot — O(changed buckets), the same trick the secondary index
+uses), and op='update' subtracts the old payload and adds the new.
+
+Subtraction restricts metrics to the invertible distributive
+aggregates — ``count`` and ``sum`` (avg = sum/count at read time) —
+the standard incremental-view-maintenance trade; min/max need the
+recompute path because a deleted maximum cannot be un-taken. NULL
+semantics match a full recompute exactly: counts skip NULLs, and a
+sum whose group lost its last non-NULL contributor reads back NULL
+(an internal per-sum non-NULL counter carries that, so the state
+never consults history). Integer/decimal sums maintain bit-exactly;
+float sums are subject to the usual re-association drift — use
+decimal for money.
+
+The MV state is ITSELF a versioned merge table keyed on the group
+columns (latest-wins merge + key deletes), so every refresh is an
+atomic commit with the transactional replay-skip watermark
+(`txn_app_id`) recording the source commit it reflects: a crashed or
+replayed refresh re-derives the same delta from the same feed window
+and converges — refresh is idempotent per source commit. Groups whose
+live-row count reaches zero are DELETED from the state (exactly what
+a recompute would show), not left as zero rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ingest import (delete_origins, foreach_batch_upsert,
+                     read_merged_table, read_table_at,
+                     read_table_manifest, table_changes)
+
+#: txn app id under which the MV records the last APPLIED source
+#: commit — the refresh replay-skip watermark.
+_MV_TXN = "__mv_src"
+#: internal live-row count per group (decides group deletion).
+_N_COL = "__mv_n"
+
+
+def _check_metrics(metrics: dict[str, tuple[str, str]]) -> None:
+    for name, (_col, kind) in metrics.items():
+        if kind not in ("count", "sum"):
+            raise ValueError(
+                f"metric {name!r}: kind {kind!r} is not invertible — "
+                "incremental MVs support count/sum (avg = sum/count); "
+                "min/max need a recompute")
+        if name.startswith("__mv"):
+            raise ValueError(f"metric name {name!r} is reserved")
+
+
+def _nn(name: str) -> str:
+    return f"__mv_nn_{name}"
+
+
+def _signed_state(rows: DataFrame, group_cols: Sequence[str],
+                  metrics: dict[str, tuple[str, str]]) -> DataFrame:
+    """Group-level signed partials of `rows` (which carry a ±1 `sign`
+    column): every internal column is non-NULL zero-based, so folds
+    never branch on missing history."""
+    aggs = [F.coalesce(F.sum("sign"), F.lit(0)).cast("long")
+            .alias(_N_COL)]
+    for name, (col, kind) in metrics.items():
+        nonnull_sign = F.when(F.col(col).isNotNull(),
+                              F.col("sign")).otherwise(F.lit(0))
+        if kind == "count":
+            aggs.append(F.coalesce(F.sum(nonnull_sign), F.lit(0))
+                        .cast("long").alias(name))
+        else:
+            aggs.append(F.coalesce(
+                F.sum(F.when(F.col(col).isNotNull(),
+                             F.col(col) * F.col("sign"))), F.lit(0))
+                .alias(name))
+            aggs.append(F.coalesce(F.sum(nonnull_sign), F.lit(0))
+                        .cast("long").alias(_nn(name)))
+    return rows.groupBy(*group_cols).agg(*aggs)
+
+
+def create_mv(spark: SparkSession, table_path: str, mv_path: str,
+              group_cols: Sequence[str],
+              metrics: dict[str, tuple[str, str]],
+              n_buckets: int | None = None) -> None:
+    """Materialize the view from the source's CURRENT snapshot — the
+    only full-table pass the MV ever takes. Records the source commit
+    it reflects, so the first `refresh_mv` continues from exactly
+    here."""
+    _check_metrics(metrics)
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    rows = read_merged_table(spark, table_path).withColumn(
+        "sign", F.lit(1))
+    state = _signed_state(rows, group_cols, metrics)
+    merge = foreach_batch_upsert(mv_path, list(group_cols),
+                                 n_buckets=n_buckets,
+                                 txn_app_id=_MV_TXN, mode="latest_wins")
+    merge(state, man["commit"])
+
+
+def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
+               group_cols: Sequence[str],
+               metrics: dict[str, tuple[str, str]]) -> int | None:
+    """Fold the source's change feed since the last refresh into the
+    MV. Returns the source commit now reflected (None = already
+    current). Cost: O(MV-state touched groups + changed rows) — the
+    source table is never rescanned."""
+    _check_metrics(metrics)
+    src_man = read_table_manifest(spark, table_path)
+    mv_man = read_table_manifest(spark, mv_path)
+    if src_man is None or mv_man is None:
+        raise ValueError("source and MV must both exist")
+    applied = int(mv_man.get("txn", {}).get(_MV_TXN, 0))
+    current = int(src_man["commit"])
+    if current <= applied:
+        return None
+    origin = list(src_man["origin"])
+    gcols = list(group_cols)
+    ch = table_changes(spark, table_path, applied, current)
+    needed = sorted({c for c, (_k) in
+                     [(col, kind) for (col, kind) in metrics.values()]}
+                    | set(gcols))
+    plus = (ch.where(F.col("op").isin("insert", "update"))
+            .select(*needed).withColumn("sign", F.lit(1)))
+    # old payloads of deleted/updated keys, read from the pre-change
+    # snapshot restricted to the changed keys (O(changed buckets))
+    minus = (ch.where(F.col("op").isin("update", "delete"))
+             .select(*origin)
+             .join(read_table_at(spark, table_path, applied), origin)
+             .select(*needed).withColumn("sign", F.lit(-1)))
+    delta = _signed_state(plus.unionByName(minus), gcols, metrics)
+    internal = [_N_COL] + [c for name, (_col, kind) in metrics.items()
+                           for c in ([name, _nn(name)] if kind == "sum"
+                                     else [name])]
+    state = read_merged_table(spark, mv_path)
+    folded = (state.join(delta, gcols, "full_outer")
+              .select(*gcols,
+                      *[(F.coalesce(state[c], F.lit(0))
+                         + F.coalesce(delta[c], F.lit(0))).alias(c)
+                        for c in internal]))
+    # delete-first, merge-second: both steps are idempotent per source
+    # commit, and only the final merge advances the txn watermark — a
+    # crash in between replays the whole refresh and converges.
+    gone = folded.where(F.col(_N_COL) == 0).select(*gcols)
+    if not gone.isEmpty():
+        delete_origins(spark, mv_path, gone)
+    merge = foreach_batch_upsert(mv_path, gcols, txn_app_id=_MV_TXN,
+                                 mode="latest_wins")
+    merge(folded.where(F.col(_N_COL) > 0), current)
+    return current
+
+
+def read_mv(spark: SparkSession, mv_path: str,
+            metrics: dict[str, tuple[str, str]]) -> DataFrame:
+    """The view as a recompute would show it: internal columns
+    dropped, and a sum with no non-NULL contributors exposed as NULL
+    (matching SUM's semantics over its group)."""
+    state = read_merged_table(spark, mv_path)
+    cols = []
+    for c in state.columns:
+        if c == _N_COL or c.startswith("__mv_nn_"):
+            continue
+        if c in metrics and metrics[c][1] == "sum":
+            cols.append(F.when(F.col(_nn(c)) > 0, F.col(c))
+                        .otherwise(F.lit(None)).alias(c))
+        else:
+            cols.append(F.col(c))
+    return state.select(*cols)

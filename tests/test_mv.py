@@ -1,0 +1,114 @@
+"""Incremental materialized views (streaming/mv.py): refresh from the
+change feed must equal a from-scratch recompute after any mix of
+inserts, updates, rewrite deletes and dv deletes — including NULL sum
+semantics and group disappearance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.streaming import ingest as ing
+from engagement_data_pipeline_spark.streaming import mv as MV
+
+GROUP = ["grp"]
+METRICS = {"n_vals": ("val", "count"), "total": ("val", "sum")}
+
+
+def _rows(spark, triples):
+    return spark.createDataFrame(
+        [(o, g, v) for o, g, v in triples],
+        "origin string, grp string, val long")
+
+
+def _recompute(spark, path):
+    return {tuple(r) for r in
+            (ing.read_merged_table(spark, path)
+             .groupBy("grp")
+             .agg(F.count("val").alias("n_vals"),
+                  F.sum("val").alias("total"))).collect()}
+
+
+def _mv(spark, mv_path):
+    return {tuple(r) for r in
+            MV.read_mv(spark, mv_path, METRICS)
+            .select("grp", "n_vals", "total").collect()}
+
+
+def test_mv_matches_recompute_through_mixed_workload(spark, tmp_path):
+    path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(_rows(spark, [("o1", "a", 10), ("o2", "a", 20),
+                        ("o3", "b", 5), ("o4", "c", None)]), 1)
+    MV.create_mv(spark, path, mvp, GROUP, METRICS, n_buckets=2)
+    assert _mv(spark, mvp) == _recompute(spark, path)
+    # c has one row with NULL val: count 0, sum NULL
+    assert ("c", 0, None) in _mv(spark, mvp)
+
+    # inserts + an update that MOVES o3 from b to... (groups are
+    # payload here: an update changes val, group stays)
+    merge(_rows(spark, [("o5", "b", 7), ("o2", "a", 25)]), 2)
+    assert MV.refresh_mv(spark, path, mvp, GROUP, METRICS) is not None
+    assert _mv(spark, mvp) == _recompute(spark, path)
+
+    # dv delete (no data rewrite) + rewrite delete, one refresh
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("o1",)], "origin string"),
+                       strategy="dv")
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("o3",)], "origin string"),
+                       strategy="rewrite")
+    MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
+    assert _mv(spark, mvp) == _recompute(spark, path)
+
+    # already current: no-op
+    assert MV.refresh_mv(spark, path, mvp, GROUP, METRICS) is None
+
+
+def test_mv_group_disappears_and_sum_returns_to_null(spark, tmp_path):
+    path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(_rows(spark, [("o1", "a", 1), ("o2", "b", 2),
+                        ("o3", "b", None)]), 1)
+    MV.create_mv(spark, path, mvp, GROUP, METRICS, n_buckets=2)
+
+    # delete group a's only row: the group must LEAVE the MV
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("o1",)], "origin string"),
+                       strategy="dv")
+    MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
+    assert _mv(spark, mvp) == _recompute(spark, path)
+    assert not any(g == "a" for g, *_ in _mv(spark, mvp))
+
+    # delete b's only NON-NULL contributor: sum must read NULL again
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("o2",)], "origin string"))
+    MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
+    assert _mv(spark, mvp) == _recompute(spark, path)
+    assert ("b", 0, None) in _mv(spark, mvp)
+
+
+def test_mv_update_moves_value_between_groups(spark, tmp_path):
+    """latest_wins update that changes the GROUP column: the old
+    group's contribution must move wholesale to the new group."""
+    path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(_rows(spark, [("o1", "a", 10), ("o2", "b", 1)]), 1)
+    MV.create_mv(spark, path, mvp, GROUP, METRICS, n_buckets=2)
+    merge(_rows(spark, [("o1", "b", 10)]), 2)  # a -> b
+    MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
+    assert _mv(spark, mvp) == _recompute(spark, path)
+    got = dict((g, (n, t)) for g, n, t in _mv(spark, mvp))
+    assert "a" not in got and got["b"] == (2, 11)
+
+
+def test_mv_rejects_non_invertible_metric(spark, tmp_path):
+    with pytest.raises(ValueError, match="not invertible"):
+        MV.create_mv(spark, str(tmp_path / "t"), str(tmp_path / "mv"),
+                     GROUP, {"m": ("val", "max")})

@@ -43,6 +43,10 @@ CASES = {
     "q15_top_supplier": (3, False),
     "q17_small_quantity_revenue": (3, False),
     "q18_large_orders": (4, False),
+    # round 7: dup-gram agg + hot-hash join + per-doc window;
+    # dv-resolved snapshot read = pure broadcast anti-join, NO shuffle
+    "doc_dup_spans": (4, False),
+    "table_dv_delete": (0, False),
 }
 
 

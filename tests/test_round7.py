@@ -265,3 +265,22 @@ def test_dup_span_short_doc(spark):
         [(1, "too short"), (2, "too short")], "doc_id long, text string")
     out = {r.doc_id: r for r in dup_span_stats(docs, k=8).collect()}
     assert out[1].n_grams == 0 and out[1].n_dup_grams == 0
+
+
+def test_delete_where_predicate(spark, tmp_path):
+    """DELETE WHERE analog: predicate evaluated on the snapshot,
+    delete executed by key through the same commit machinery (both
+    strategies)."""
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=4)
+    merge(spark.createDataFrame(
+        [(f"k{i}", "old" if i % 2 == 0 else "new") for i in range(10)],
+        "origin string, payload string"), 0)
+    ing.delete_where(spark, path, F.col("payload") == "old",
+                     strategy="dv")
+    rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == {f"k{i}" for i in range(10) if i % 2 == 1}
+    # SQL-string predicate + rewrite strategy
+    ing.delete_where(spark, path, "origin = 'k1'", strategy="rewrite")
+    rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == {f"k{i}" for i in range(10) if i % 2 == 1 and i != 1}

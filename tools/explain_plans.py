@@ -83,6 +83,8 @@ HEADLINE = [
     "q17_small_quantity_revenue",  # per-part avg joined back, brand pushed
     "q18_large_orders",         # HAVING agg broadcast into orders probe
     "table_point_lookup",       # keyed get: single bucket path resolved
+    "table_dv_delete",          # dv-resolved read: broadcast anti-join only
+    "doc_dup_spans",            # sliding-gram dup coverage: 3 shuffles
     "r2_suff_stats",            # grouped cells = IRLS sufficient stats
     "q08_market_share",         # conditional agg over 6-way star
     "q13_customer_distribution",  # outer-join count + histogram regroup
