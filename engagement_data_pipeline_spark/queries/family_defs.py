@@ -451,6 +451,11 @@ _SIMILARITY_MM_MEMBERS = {
         similarity.ann_knn_label_vote, similarity.ANN_KNN_LABEL_VOTE_SQL,
         [("query_id", "bigint"), ("predicted_label", "bigint"),
          ("n_votes", "bigint"), ("true_label", "bigint")]),
+    "emb_hard_negatives": (
+        similarity.emb_hard_negatives, similarity.EMB_HARD_NEGATIVES_SQL,
+        [("query_id", "bigint"), ("anchor_label", "int"),
+         ("vec_id", "bigint"), ("neg_label", "int"),
+         ("cosine", "double"), ("rank", "int")]),
     "emb_label_stats": (
         similarity.emb_label_stats, similarity.EMB_LABEL_STATS_SQL,
         [("label", "int"), ("dim", "bigint"), ("n_vecs", "bigint"),

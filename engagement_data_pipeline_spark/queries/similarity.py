@@ -58,6 +58,34 @@ SELECT * FROM (
 """
 
 
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the k most-
+    similar vectors with a DIFFERENT label (the negatives that
+    actually move a contrastive loss; random negatives are easy)."""
+    apply_runtime_conf(spark)
+    return S.hard_negatives(load(spark, sf_dir, "embeddings"),
+                            QUERY_IDS, K)
+
+
+EMB_HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, label AS anchor_label
+  FROM embeddings WHERE vec_id IN {_Q_IN}
+),
+scored AS (
+  SELECT q.query_id, q.anchor_label, e.vec_id, e.label AS neg_label,
+         {_cosine_sql("e.embedding", "q.q_emb")} AS cosine
+  FROM embeddings e, q WHERE e.label <> q.anchor_label
+)
+SELECT * FROM (
+  SELECT query_id, anchor_label, vec_id, neg_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {K}
+"""
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     return S.cosine_topk_lsh(load(spark, sf_dir, "embeddings"), QUERY_IDS, K,

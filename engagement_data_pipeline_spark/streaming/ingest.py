@@ -1339,9 +1339,11 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
     op, ts_ms, n_buckets, n_buckets_touched, n_buckets_total), newest
     first. Reads only the O(commits) manifest files; pre-`op`
     manifests (older tables) report op 'merge' and ts_ms NULL.
-    `n_buckets_touched` counts buckets whose version equals the
-    commit — exactly the data written by it — so write amplification
-    per commit is auditable from metadata alone."""
+    `n_buckets_touched` counts buckets whose version OR deletion
+    vector was written by the commit — exactly the data it wrote —
+    so write amplification per commit is auditable from metadata
+    alone (a dv delete shows its hit buckets even though no version
+    advanced)."""
     rows = []
     for commit in _list_commit_ids(spark, table_path):
         try:
@@ -1351,8 +1353,11 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
             continue  # trailing partial manifest: invisible, like reads
         if not {"commit", "n_buckets", "origin", "buckets"} <= man.keys():
             continue
-        touched = sum(1 for v in man["buckets"].values()
-                      if int(v) == int(man["commit"]))
+        dv_prefix = f"dv{int(man['commit']):08d}"
+        touched = sum(
+            1 for b, v in man["buckets"].items()
+            if int(v) == int(man["commit"])
+            or man.get("dv", {}).get(str(b), "").startswith(dv_prefix))
         rows.append((int(man["commit"]), man.get("op", "merge"),
                      man.get("ts_ms"), int(man["n_buckets"]),
                      touched, len(man["buckets"])))

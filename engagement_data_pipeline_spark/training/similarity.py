@@ -69,6 +69,39 @@ def cosine_topk(embeddings: DataFrame, query_ids: Sequence[int], k: int = 10,
                            rank_col="rank")
 
 
+def hard_negatives(embeddings: DataFrame, query_ids: Sequence[int],
+                   k: int = 10, id_col: str = "vec_id",
+                   emb_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training (DPR, Karpukhin
+    et al. 2020; SimCSE): random in-batch negatives are easy — the
+    informative negatives are each anchor's NEAREST neighbors carrying
+    a DIFFERENT label. Broadcast the anchors, scan once, keep per
+    anchor the k most-similar differently-labeled vectors. Returns
+    (query_id, anchor_label, vec_id, neg_label, cosine, rank).
+
+    Same shape as `cosine_topk` (one broadcast + one scan + per-anchor
+    top-k, TakeOrderedAndProject — never a global sort); for
+    corpus-wide mining (every doc an anchor) swap the broadcast for
+    the LSH/IVF bucket equi-join of `cosine_topk_lsh` — the label
+    filter composes unchanged."""
+    q = (embeddings.where(F.col(id_col).isin(list(query_ids)))
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(emb_col).alias("q_emb"),
+                 F.col(label_col).alias("anchor_label")))
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .where(F.col(label_col) != F.col("anchor_label"))
+        .select("query_id", "anchor_label",
+                F.col(id_col).alias("vec_id"),
+                F.col(label_col).alias("neg_label"),
+                cosine(F.col(emb_col), F.col("q_emb")).alias("cosine"))
+    )
+    return top_k_per_group(scored, ["query_id"],
+                           [F.col("cosine").desc(), F.col("vec_id")], k,
+                           rank_col="rank")
+
+
 def _hyperplane(bit: int, dim: Column) -> Column:
     """Deterministic pseudo-random integer coefficient for (bit, dim):
     md5-derived value in [-1000, 1000]."""

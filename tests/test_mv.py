@@ -112,3 +112,77 @@ def test_mv_rejects_non_invertible_metric(spark, tmp_path):
     with pytest.raises(ValueError, match="not invertible"):
         MV.create_mv(spark, str(tmp_path / "t"), str(tmp_path / "mv"),
                      GROUP, {"m": ("val", "max")})
+
+
+def test_mv_stream_maintained(spark, tmp_path):
+    """refresh_mv as the post-batch hook of a REAL stream: after the
+    availableNow run drains, the MV equals the recompute — the
+    composition a production deployment runs (ingest stream + MV
+    maintenance actor)."""
+    import os
+
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        foreach_batch_upsert, stream_csv_source)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for fname, rows in (("a.csv", [("s1", "hello", "2024-01-01 00:00:00"),
+                                   ("s2", "there", "2024-01-01 00:01:00")]),
+                        ("b.csv", [("s1", "again", "2024-01-01 00:02:00"),
+                                   ("s1", "hello", "2024-01-01 00:00:00")])):
+        with open(landing / fname, "w") as f:
+            f.write("Sender,Message,ReceivedOn\n")
+            for s, m, t in rows:
+                f.write(f"{s},{m},{t}\n")
+
+    path = str(tmp_path / "t")
+    mvp = str(tmp_path / "mv")
+
+    def _tx(b):
+        return b.select(
+            F.concat_ws("|", "Sender", "Message", "ReceivedOn")
+            .alias("origin"),
+            F.col("Sender").alias("grp"),
+            F.length("Message").cast("long").alias("val"))
+
+    base = foreach_batch_upsert(path, ["origin"], transform=_tx,
+                                n_buckets=2, txn_app_id="s")
+    created = []
+
+    def _merge_then_refresh(batch, batch_id):
+        base(batch, batch_id)
+        if not created:
+            MV.create_mv(spark, path, mvp, GROUP, METRICS, n_buckets=2)
+            created.append(True)
+        else:
+            MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
+
+    q = (stream_csv_source(spark, str(landing), max_files_per_trigger=1)
+         .writeStream.foreachBatch(_merge_then_refresh)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert _mv(spark, mvp) == _recompute(spark, path)
+
+
+def test_mv_after_schema_evolution_on_dv_bucket(spark, tmp_path):
+    """A schema-evolving merge into a dv-carrying bucket: the dv
+    anti-join keys on origin columns only, so evolution and deletion
+    vectors compose; the MV refresh sees the evolved rows too."""
+    path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=1,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(_rows(spark, [("o1", "a", 1), ("o2", "a", 2)]), 1)
+    MV.create_mv(spark, path, mvp, GROUP, METRICS, n_buckets=1)
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("o1",)], "origin string"),
+                       strategy="dv")
+    # evolved batch adds a column; lands in the dv-carrying bucket
+    merge(spark.createDataFrame([("o3", "a", 3, "x")],
+                                "origin string, grp string, val long, "
+                                "extra string"), 2)
+    MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
+    assert _mv(spark, mvp) == _recompute(spark, path)
+    got = dict((g, (n, t)) for g, n, t in _mv(spark, mvp))
+    assert got["a"] == (2, 5)  # o1 gone, o2 + o3 live

@@ -58,6 +58,10 @@ def test_dv_delete_reads_and_touches_no_data(spark, tmp_path):
     # point lookup resolves the dv too
     assert ing.lookup_origin(spark, path, ["k3"]).count() == 0
     assert ing.lookup_origin(spark, path, ["k4"]).count() == 1
+    # history shows the dv write's amplification (hit buckets), even
+    # though no data version advanced
+    hist = ing.table_history(spark, path).first()
+    assert hist.op == "delete" and 1 <= hist.n_buckets_touched <= 2
 
 
 def test_dv_cumulative_same_bucket(spark, tmp_path):
@@ -284,3 +288,22 @@ def test_delete_where_predicate(spark, tmp_path):
     ing.delete_where(spark, path, "origin = 'k1'", strategy="rewrite")
     rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
     assert rows == {f"k{i}" for i in range(10) if i % 2 == 1 and i != 1}
+
+
+def test_hard_negatives_labels_and_ranking(spark):
+    from engagement_data_pipeline_spark.training.similarity import (
+        hard_negatives)
+
+    rows = [
+        (0, [1.0, 0.0], 1),   # anchor
+        (1, [0.99, 0.14], 1),  # nearest overall, SAME label: excluded
+        (2, [0.9, 0.44], 2),   # nearest different-label
+        (3, [0.0, 1.0], 2),    # orthogonal different-label
+        (4, [-1.0, 0.0], 3),   # opposite
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(df, [0], k=2).collect()
+    assert [(r.vec_id, r.neg_label) for r in out] == [(2, 2), (3, 2)]
+    assert all(r.anchor_label == 1 and r.neg_label != 1 for r in out)
+    assert out[0].rank == 1 and out[0].cosine > out[1].cosine
