@@ -307,3 +307,54 @@ def test_hard_negatives_labels_and_ranking(spark):
     assert [(r.vec_id, r.neg_label) for r in out] == [(2, 2), (3, 2)]
     assert all(r.anchor_label == 1 and r.neg_label != 1 for r in out)
     assert out[0].rank == 1 and out[0].cosine > out[1].cosine
+
+
+def test_random_op_sequence_with_dv_matches_model(spark, tmp_path):
+    """Random interleavings of merge / dv-delete / rewrite-delete /
+    compact / rebucket / vacuum against a plain-dict model: after
+    every operation the committed table must equal the model exactly.
+    Extends the round-5 model test with deletion vectors — the
+    interactions no single-op test sees (dv over dv, merge into
+    dv-carrying buckets, compaction folding dvs, vacuum with live
+    dvs)."""
+    import random
+
+    rng = random.Random(71)
+    table = str(tmp_path / "model")
+    merge = ing.foreach_batch_upsert(table, ["origin"], n_buckets=4,
+                                     txn_app_id="model")
+    model: dict[str, str] = {}
+    batch_id = 0
+    keys = [f"k{i}" for i in range(30)]
+
+    def check():
+        got = {(r.origin, r.payload)
+               for r in ing.read_merged_table(spark, table).collect()}
+        assert got == set(model.items())
+
+    for step in range(16):
+        op = rng.choice(["merge", "merge", "dv_delete", "dv_delete",
+                         "delete", "compact", "rebucket", "vacuum"])
+        if op == "merge" or not model:
+            rows = [(k, f"v{step}") for k in rng.sample(keys, 6)]
+            merge(spark.createDataFrame(
+                rows, "origin string, payload string"), batch_id)
+            batch_id += 1
+            for k, v in rows:
+                model.setdefault(k, v)  # existing-wins
+        elif op in ("dv_delete", "delete"):
+            del_keys = rng.sample(sorted(model), min(4, len(model)))
+            ing.delete_origins(
+                spark, table,
+                spark.createDataFrame([(k,) for k in del_keys],
+                                      "origin string"),
+                strategy="dv" if op == "dv_delete" else "rewrite")
+            for k in del_keys:
+                model.pop(k)
+        elif op == "compact":
+            ing.compact_table(spark, table)
+        elif op == "rebucket":
+            ing.rebucket_table(spark, table, rng.choice([2, 4, 8]))
+        else:
+            ing.vacuum_table(spark, table, keep_manifests=2)
+        check()
