@@ -654,3 +654,23 @@ def test_compaction_sweeps_only_stale_tmp(spark, tmp_path):
     names = set(os.listdir(deltas))
     assert ".tmp-crashed" not in names
     assert ".tmp-live" in names
+
+
+def test_dv_delete_races_merge(spark, tmp_path):
+    """A dv delete racing a concurrent merge (disjoint key sets): OCC
+    serializes them in either order, and since the sets are disjoint
+    the outcome is order-independent — both effects must land."""
+    path = str(tmp_path / "t")
+    _seed(spark, path, keys=[f"old{i}" for i in range(8)])
+    merge = ing.foreach_batch_upsert(path, ["origin"], txn_app_id="s1")
+    dead = spark.createDataFrame([("old1",), ("old5",)], "origin string")
+
+    _run_threads([
+        lambda: merge(_batch(spark, [f"new{i}" for i in range(8)], "w"), 1),
+        lambda: ing.delete_origins(spark, path, dead, strategy="dv"),
+    ])
+    rows = {r.origin for r in ing.read_merged_table(spark, path).collect()}
+    assert rows == ({f"old{i}" for i in range(8)} - {"old1", "old5"}
+                    | {f"new{i}" for i in range(8)})
+    hist = [r.op for r in ing.table_history(spark, path).collect()]
+    assert sorted(hist) == ["delete", "merge", "merge"]
