@@ -1033,8 +1033,10 @@ def delete_where(spark: SparkSession, table_path: str, condition,
     if man is None:
         raise ValueError(f"{table_path} has no commits")
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    origin = list(man["origin"])
+    kc = origin + [c for c in _bucket_on(man) if c not in origin]
     keys = (read_merged_table(spark, table_path)
-            .where(cond).select(*man["origin"]))
+            .where(cond).select(*kc))
     return delete_origins(spark, table_path, keys, vacuum=vacuum,
                           strategy=strategy)
 
@@ -1043,7 +1045,12 @@ def _delete_attempt(spark: SparkSession, table_path: str, keys: DataFrame,
                     man: dict, commit: int, claim: CommitClaim) -> int:
     nb, origin = man["n_buckets"], list(man["origin"])
     bk = _bucket_on(man)
-    keys = (keys.select(*origin).distinct()
+    # A partial-key-bucketed table (bucket_on outside the origin)
+    # hashes buckets on columns the origin alone does not carry: the
+    # caller's keys frame must include them (the secondary index's
+    # removals do — its origin embeds the value column).
+    kc = origin + [c for c in bk if c not in origin]
+    keys = (keys.select(*kc).dropDuplicates(origin)
             .withColumn(BUCKET_COL, origin_bucket(bk, nb)))
     # O(n_buckets) regardless of key-set size, like the merge path.
     hit = sorted(r[0] for r in keys.select(BUCKET_COL).distinct().collect()
@@ -1087,7 +1094,8 @@ def _delete_attempt_dv(spark: SparkSession, table_path: str,
     written — cost is O(existing dv + new keys), never O(bucket)."""
     nb, origin = man["n_buckets"], list(man["origin"])
     bk = _bucket_on(man)
-    keyed = (keys.select(*origin).distinct()
+    kc = origin + [c for c in bk if c not in origin]
+    keyed = (keys.select(*kc).dropDuplicates(origin)
              .withColumn(BUCKET_COL, origin_bucket(bk, nb)))
     hit = sorted(r[0] for r in
                  keyed.select(BUCKET_COL).distinct().collect()
@@ -1102,7 +1110,7 @@ def _delete_attempt_dv(spark: SparkSession, table_path: str,
     new_keys = keyed.where(F.col(BUCKET_COL).isin([int(b) for b in hit]))
     prior_paths = _dv_paths(table_path, man, only=hit)
     if prior_paths:
-        prior = (spark.read.parquet(*prior_paths).select(*origin)
+        prior = (spark.read.parquet(*prior_paths).select(*kc)
                  .withColumn(BUCKET_COL, origin_bucket(bk, nb)))
         new_keys = (new_keys.unionByName(prior)
                     .dropDuplicates(origin))

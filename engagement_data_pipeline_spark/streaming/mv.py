@@ -49,15 +49,36 @@ _MV_TXN = "__mv_src"
 _N_COL = "__mv_n"
 
 
-def _check_metrics(metrics: dict[str, tuple[str, str]]) -> None:
+_INVERTIBLE = ("count", "sum")
+
+
+def _check_metrics(metrics: dict[str, tuple[str, str]],
+                   group_cols: Sequence[str],
+                   src_man: dict | None) -> bool:
+    """Validate metrics; returns True when every metric is invertible
+    (delta-fold refresh). Non-invertible metrics (min/max) are allowed
+    ONLY when the source table is bucketed exactly on the group
+    columns — then every group lives in one bucket and refresh can
+    RECOMPUTE the affected groups from O(their buckets), never the
+    table."""
+    kinds = set()
     for name, (_col, kind) in metrics.items():
-        if kind not in ("count", "sum"):
-            raise ValueError(
-                f"metric {name!r}: kind {kind!r} is not invertible — "
-                "incremental MVs support count/sum (avg = sum/count); "
-                "min/max need a recompute")
+        if kind not in ("count", "sum", "min", "max"):
+            raise ValueError(f"metric {name!r}: unknown kind {kind!r}")
         if name.startswith("__mv"):
             raise ValueError(f"metric name {name!r} is reserved")
+        kinds.add(kind)
+    if kinds <= set(_INVERTIBLE):
+        return True
+    bk = list((src_man or {}).get("bucket_on")
+              or (src_man or {}).get("origin") or [])
+    if bk != list(group_cols):
+        raise ValueError(
+            "min/max metrics are not invertible — maintaining them "
+            "needs group-local recompute, which requires the source "
+            f"table bucketed on the group columns (bucket_cols="
+            f"{list(group_cols)}); this source is bucketed on {bk}")
+    return False
 
 
 def _nn(name: str) -> str:
@@ -68,7 +89,9 @@ def _signed_state(rows: DataFrame, group_cols: Sequence[str],
                   metrics: dict[str, tuple[str, str]]) -> DataFrame:
     """Group-level signed partials of `rows` (which carry a ±1 `sign`
     column): every internal column is non-NULL zero-based, so folds
-    never branch on missing history."""
+    never branch on missing history. min/max keep their plain value —
+    they only pass through here on the all-plus-one create/recompute
+    path, where the plain aggregate IS the answer."""
     aggs = [F.coalesce(F.sum("sign"), F.lit(0)).cast("long")
             .alias(_N_COL)]
     for name, (col, kind) in metrics.items():
@@ -77,13 +100,17 @@ def _signed_state(rows: DataFrame, group_cols: Sequence[str],
         if kind == "count":
             aggs.append(F.coalesce(F.sum(nonnull_sign), F.lit(0))
                         .cast("long").alias(name))
-        else:
+        elif kind == "sum":
             aggs.append(F.coalesce(
                 F.sum(F.when(F.col(col).isNotNull(),
                              F.col(col) * F.col("sign"))), F.lit(0))
                 .alias(name))
             aggs.append(F.coalesce(F.sum(nonnull_sign), F.lit(0))
                         .cast("long").alias(_nn(name)))
+        elif kind == "min":
+            aggs.append(F.min(col).alias(name))
+        else:
+            aggs.append(F.max(col).alias(name))
     return rows.groupBy(*group_cols).agg(*aggs)
 
 
@@ -95,10 +122,10 @@ def create_mv(spark: SparkSession, table_path: str, mv_path: str,
     only full-table pass the MV ever takes. Records the source commit
     it reflects, so the first `refresh_mv` continues from exactly
     here."""
-    _check_metrics(metrics)
     man = read_table_manifest(spark, table_path)
     if man is None:
         raise ValueError(f"{table_path} has no commits")
+    _check_metrics(metrics, group_cols, man)
     rows = read_merged_table(spark, table_path).withColumn(
         "sign", F.lit(1))
     state = _signed_state(rows, group_cols, metrics)
@@ -113,13 +140,19 @@ def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
                metrics: dict[str, tuple[str, str]]) -> int | None:
     """Fold the source's change feed since the last refresh into the
     MV. Returns the source commit now reflected (None = already
-    current). Cost: O(MV-state touched groups + changed rows) — the
-    source table is never rescanned."""
-    _check_metrics(metrics)
+    current).
+
+    Cost — invertible metrics (count/sum): O(MV-state touched groups
+    + changed rows), delta fold, source never rescanned. With any
+    min/max metric: group-local RECOMPUTE — the source must be
+    bucketed on the group columns (checked), so every affected
+    group's rows live in known buckets and the refresh reads
+    O(affected groups' buckets), still never the table."""
     src_man = read_table_manifest(spark, table_path)
     mv_man = read_table_manifest(spark, mv_path)
     if src_man is None or mv_man is None:
         raise ValueError("source and MV must both exist")
+    invertible = _check_metrics(metrics, group_cols, src_man)
     applied = int(mv_man.get("txn", {}).get(_MV_TXN, 0))
     current = int(src_man["commit"])
     if current <= applied:
@@ -138,6 +171,10 @@ def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
              .select(*origin)
              .join(read_table_at(spark, table_path, applied), origin)
              .select(*needed).withColumn("sign", F.lit(-1)))
+    if not invertible:
+        return _refresh_recompute(spark, table_path, mv_path, gcols,
+                                  metrics, src_man, plus, minus,
+                                  current)
     delta = _signed_state(plus.unionByName(minus), gcols, metrics)
     internal = [_N_COL] + [c for name, (_col, kind) in metrics.items()
                            for c in ([name, _nn(name)] if kind == "sum"
@@ -157,6 +194,47 @@ def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
     merge = foreach_batch_upsert(mv_path, gcols, txn_app_id=_MV_TXN,
                                  mode="latest_wins")
     merge(folded.where(F.col(_N_COL) > 0), current)
+    return current
+
+
+def _refresh_recompute(spark: SparkSession, table_path: str,
+                       mv_path: str, gcols: list[str],
+                       metrics: dict[str, tuple[str, str]],
+                       src_man: dict, plus: DataFrame, minus: DataFrame,
+                       current: int) -> int:
+    """Group-local recompute for non-invertible metrics: the source is
+    bucketed on the group columns, so the affected groups (new AND old
+    payload groups of every changed row) map to known buckets — read
+    only those, semi-join down to the affected groups, and recompute
+    their aggregates exactly. Groups with no surviving rows leave the
+    view."""
+    from .ingest import _read_resolved, origin_bucket
+
+    affected = (plus.select(*gcols).unionByName(minus.select(*gcols))
+                .distinct())
+    nb = int(src_man["n_buckets"])
+    hit = sorted({int(r[0]) for r in
+                  affected.select(origin_bucket(gcols, nb).alias("b"))
+                  .distinct().collect()} & set(src_man["buckets"]))
+    if hit:
+        live = (_read_resolved(spark, table_path, src_man, only=hit)
+                .join(affected, gcols, "left_semi")
+                .withColumn("sign", F.lit(1)))
+        recomputed = _signed_state(live, gcols, metrics)
+    else:
+        recomputed = None
+    gone = (affected if recomputed is None else
+            affected.join(recomputed.select(*gcols), gcols, "left_anti"))
+    if not gone.isEmpty():
+        delete_origins(spark, mv_path, gone)
+    merge = foreach_batch_upsert(mv_path, gcols, txn_app_id=_MV_TXN,
+                                 mode="latest_wins")
+    if recomputed is not None:
+        merge(recomputed, current)
+    else:  # advance the watermark with an empty batch
+        merge(_signed_state(
+            plus.limit(0).withColumn("sign", F.lit(1)), gcols, metrics),
+            current)
     return current
 
 

@@ -108,10 +108,61 @@ def test_mv_update_moves_value_between_groups(spark, tmp_path):
     assert "a" not in got and got["b"] == (2, 11)
 
 
-def test_mv_rejects_non_invertible_metric(spark, tmp_path):
-    with pytest.raises(ValueError, match="not invertible"):
-        MV.create_mv(spark, str(tmp_path / "t"), str(tmp_path / "mv"),
+def test_mv_rejects_min_max_without_group_bucketing(spark, tmp_path):
+    """min/max need group-local recompute, which needs the source
+    bucketed on the group columns — a key-bucketed table must fail
+    loudly at create."""
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2)
+    merge(_rows(spark, [("o1", "a", 1)]), 1)
+    with pytest.raises(ValueError, match="bucketed on the group"):
+        MV.create_mv(spark, path, str(tmp_path / "mv"),
                      GROUP, {"m": ("val", "max")})
+
+
+def test_mv_min_max_group_local_recompute(spark, tmp_path):
+    """With the source bucketed ON THE GROUP COLUMN, min/max maintain
+    by recomputing only the affected groups: deleting a group's
+    maximum must re-derive the next one, untouched groups never read."""
+    path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins",
+                                     bucket_cols=["grp"])
+    merge(_rows(spark, [("o1", "a", 10), ("o2", "a", 3),
+                        ("o3", "b", 7), ("o4", "b", 9)]), 1)
+    metrics = {"lo": ("val", "min"), "hi": ("val", "max"),
+               "total": ("val", "sum")}
+    MV.create_mv(spark, path, mvp, GROUP, metrics, n_buckets=2)
+
+    def mv():
+        return {tuple(r) for r in MV.read_mv(spark, mvp, metrics)
+                .select("grp", "lo", "hi", "total").collect()}
+
+    def recompute():
+        return {tuple(r) for r in
+                (ing.read_merged_table(spark, path).groupBy("grp")
+                 .agg(F.min("val").alias("lo"), F.max("val").alias("hi"),
+                      F.sum("val").alias("total"))).collect()}
+
+    assert mv() == recompute() == {("a", 3, 10, 13), ("b", 7, 9, 16)}
+    # delete group a's MAX (the un-invertible case) via dv — keys for
+    # a grp-bucketed table must carry the bucket column
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("o1", "a")],
+                                             "origin string, grp string"),
+                       strategy="dv")
+    MV.refresh_mv(spark, path, mvp, GROUP, metrics)
+    assert mv() == recompute() == {("a", 3, 3, 3), ("b", 7, 9, 16)}
+    # update b's max upward, then delete the whole group
+    merge(_rows(spark, [("o4", "b", 20)]), 2)
+    MV.refresh_mv(spark, path, mvp, GROUP, metrics)
+    assert mv() == recompute() == {("a", 3, 3, 3), ("b", 7, 20, 27)}
+    ing.delete_origins(spark, path, spark.createDataFrame(
+        [("o3", "b"), ("o4", "b")], "origin string, grp string"))
+    MV.refresh_mv(spark, path, mvp, GROUP, metrics)
+    assert mv() == recompute() == {("a", 3, 3, 3)}
+    assert MV.refresh_mv(spark, path, mvp, GROUP, metrics) is None
 
 
 def test_mv_stream_maintained(spark, tmp_path):
