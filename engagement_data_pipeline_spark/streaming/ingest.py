@@ -708,7 +708,8 @@ def dedup_within_watermark(stream: DataFrame, key_cols: Sequence[str],
 
 
 def _write_version(df: DataFrame, table_path: str, commit: int,
-                   n_files_hint: int, claim: CommitClaim) -> str:
+                   n_files_hint: int, claim: CommitClaim,
+                   sort_cols: Sequence | None = None) -> str:
     # One output file per bucket (instead of shuffle-partitions ×
     # buckets small files). The directory name embeds the claim's
     # writer id, so no two writers — even two holding the same commit
@@ -720,8 +721,17 @@ def _write_version(df: DataFrame, table_path: str, commit: int,
     # files + log references.) mode=overwrite clears debris from a
     # crashed attempt by this same writer only.
     vdir = f"v{commit:08d}-{claim.writer_id[:8]}"
-    (df.repartition(max(n_files_hint, 1), F.col(BUCKET_COL))
-     .write.mode("overwrite").partitionBy(BUCKET_COL)
+    out = df.repartition(max(n_files_hint, 1), F.col(BUCKET_COL))
+    if sort_cols:
+        # cluster rows inside each bucket file: parquet row-group
+        # min/max stats become tight on the sort key(s), so range
+        # predicates skip row groups at read (Delta OPTIMIZE's sort;
+        # pass `sinks.layout.zorder_key(...)` for multi-dimensional
+        # clustering). BUCKET_COL leads the sort: the partitioned
+        # writer requires partition-column order and would otherwise
+        # re-sort by it alone, discarding the clustering.
+        out = out.sortWithinPartitions(F.col(BUCKET_COL), *sort_cols)
+    (out.write.mode("overwrite").partitionBy(BUCKET_COL)
      .parquet(f"{table_path}/{vdir}"))
     return vdir
 
@@ -1135,13 +1145,23 @@ def _delete_attempt_dv(spark: SparkSession, table_path: str,
 
 
 def compact_table(spark: SparkSession, table_path: str,
-                  vacuum: bool = True) -> None:
+                  vacuum: bool = True,
+                  cluster_by: Sequence | None = None) -> None:
     """Rewrite every bucket's current data into one fresh version (one
     file per bucket) and commit — the OPTIMIZE step that bounds file
     count after long availableNow histories. With `vacuum`, superseded
     version data is deleted afterwards; post-state is ≤ n_buckets data
     files. Runs under the commit-claim protocol, so it can race a
-    live ingest stream safely — whoever loses the claim rebases."""
+    live ingest stream safely — whoever loses the claim rebases.
+
+    `cluster_by` (columns or expressions) sorts rows WITHIN each
+    bucket file — the Delta ``OPTIMIZE ... ZORDER BY`` analog: parquet
+    row-group min/max become tight on the clustering key(s), so range
+    predicates skip row groups inside the one-file-per-bucket layout
+    (hash bucketing spreads every value range across buckets, so this
+    in-file clustering is where range-skipping lives for this table;
+    pass `sinks.layout.zorder_key(...)` for multi-dimensional keys).
+    Clustering holds until a later merge rewrites a bucket."""
     if read_table_manifest(spark, table_path) is None:
         return  # nonexistent table: no-op, and no _log debris
     for _ in range(MAX_COMMIT_RETRIES):
@@ -1156,7 +1176,8 @@ def compact_table(spark: SparkSession, table_path: str,
                               origin_bucket(_bucket_on(man),
                                             man["n_buckets"])))
             vdir = _write_version(df, table_path, commit,
-                                  len(man["buckets"]), claim)
+                                  len(man["buckets"]), claim,
+                                  sort_cols=cluster_by)
             live = set(man["buckets"])
             if _dv(man):
                 # a fully dv-deleted bucket writes no directory: drop

@@ -358,3 +358,27 @@ def test_random_op_sequence_with_dv_matches_model(spark, tmp_path):
         else:
             ing.vacuum_table(spark, table, keep_manifests=2)
         check()
+
+
+def test_compact_cluster_by_sorts_within_buckets(spark, tmp_path):
+    """OPTIMIZE-with-clustering: after compact_table(cluster_by=...),
+    every bucket file holds its rows in clustering order, so parquet
+    row-group min/max are tight on the key (the range-skipping story
+    for a hash-bucketed layout, where file-level pruning can't help)."""
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2)
+    merge(spark.createDataFrame(
+        [(f"k{i}", (i * 37) % 100) for i in range(60)],
+        "origin string, ts long"), 0)
+    ing.compact_table(spark, path, cluster_by=[F.col("ts")])
+    # rows inside each physical file must be in ts order
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    per_file = (ing.read_merged_table(spark, path)
+                .withColumn("f", F.input_file_name())
+                .withColumn("sorted_ok",
+                            F.col("ts") >= F.lag("ts", 1, -1).over(w)))
+    assert per_file.where(~F.col("sorted_ok")).count() == 0
+    # content unchanged
+    assert ing.read_merged_table(spark, path).count() == 60
