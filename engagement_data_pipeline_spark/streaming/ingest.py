@@ -888,6 +888,42 @@ def _manifest_at(spark: SparkSession, table_path: str, commit: int) -> dict:
     return man
 
 
+def _changed_buckets(man_from: dict, man_to: dict) -> list[int]:
+    """Buckets whose logical content differs between two manifests. A
+    bucket's content is (data version, deletion vector): a merge-on-
+    read delete changes the dv WITHOUT advancing the version, and
+    must still count as changed."""
+    old_b, new_b = man_from["buckets"], man_to["buckets"]
+    old_dv, new_dv = _dv(man_from), _dv(man_to)
+    return sorted(b for b in set(old_b) | set(new_b)
+                  if (old_b.get(b), old_dv.get(b))
+                  != (new_b.get(b), new_dv.get(b)))
+
+
+def read_changed_at(spark: SparkSession, table_path: str,
+                    from_commit: int,
+                    to_commit: int | None = None) -> DataFrame:
+    """The FROM-commit snapshot restricted to the buckets that changed
+    between the two commits — the old-payload source for feed
+    consumers that must SUBTRACT or un-index what a change replaced
+    (MV refresh, secondary-index refresh). Every key the feed reports
+    lived in a changed bucket, so this read covers them all at
+    O(changed buckets); joining against the full `read_table_at`
+    snapshot instead would silently rescan the whole table on every
+    refresh."""
+    man_from = _manifest_at(spark, table_path, from_commit)
+    man_to = (_manifest_at(spark, table_path, to_commit)
+              if to_commit is not None
+              else read_table_manifest(spark, table_path))
+    if man_to is None:
+        raise ValueError(f"{table_path} has no commits")
+    changed = [b for b in _changed_buckets(man_from, man_to)
+               if b in man_from["buckets"]]
+    if not changed:
+        return read_merged_table(spark, table_path).limit(0)
+    return _read_resolved(spark, table_path, man_from, only=changed)
+
+
 def table_changes(spark: SparkSession, table_path: str, from_commit: int,
                   to_commit: int | None = None) -> DataFrame:
     """Row-level changes between two commits of a versioned merge
@@ -918,16 +954,9 @@ def table_changes(spark: SparkSession, table_path: str, from_commit: int,
               else read_table_manifest(spark, table_path))
     if man_to is None:
         raise ValueError(f"{table_path} has no commits")
-    old_b, new_b = man_from["buckets"], man_to["buckets"]
-    # A bucket's logical content is (data version, deletion vector):
-    # a merge-on-read delete changes the dv WITHOUT advancing the
-    # version, and must still surface in the feed.
-    old_dv, new_dv = _dv(man_from), _dv(man_to)
-    changed = sorted(b for b in set(old_b) | set(new_b)
-                     if (old_b.get(b), old_dv.get(b))
-                     != (new_b.get(b), new_dv.get(b)))
-    changed_new = [b for b in changed if b in new_b]
-    changed_old = [b for b in changed if b in old_b]
+    changed = _changed_buckets(man_from, man_to)
+    changed_new = [b for b in changed if b in man_to["buckets"]]
+    changed_old = [b for b in changed if b in man_from["buckets"]]
     if changed_new:
         new_df = _read_resolved(spark, table_path, man_to,
                                 only=changed_new)

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ingest import (delete_origins, foreach_batch_upsert,
-                     read_merged_table, read_table_at,
+                     read_changed_at, read_merged_table,
                      read_table_manifest, table_changes)
 
 #: txn app id under which the MV records the last APPLIED source
@@ -166,10 +166,12 @@ def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
     plus = (ch.where(F.col("op").isin("insert", "update"))
             .select(*needed).withColumn("sign", F.lit(1)))
     # old payloads of deleted/updated keys, read from the pre-change
-    # snapshot restricted to the changed keys (O(changed buckets))
+    # snapshot RESTRICTED to the changed buckets (every feed key
+    # lived in one) — O(changed buckets), never a table rescan
     minus = (ch.where(F.col("op").isin("update", "delete"))
              .select(*origin)
-             .join(read_table_at(spark, table_path, applied), origin)
+             .join(read_changed_at(spark, table_path, applied, current),
+                   origin)
              .select(*needed).withColumn("sign", F.lit(-1)))
     if not invertible:
         return _refresh_recompute(spark, table_path, mv_path, gcols,

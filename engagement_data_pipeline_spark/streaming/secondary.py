@@ -16,7 +16,7 @@ source: a refresh reads the feed between the last-applied source
 commit (carried in the index's own txn watermark, the same
 exactly-once idiom the streaming merge uses) and the current one.
 Updates/deletes need the OLD value to remove its posting — that comes
-from `read_table_at` on the pre-change snapshot, which is O(changed
+from `read_changed_at` on the pre-change snapshot, which is O(changed
 buckets) because only changed buckets are consulted. Cost per refresh
 is therefore O(changes), never O(table), and a crash between the
 remove and add phases replays idempotently (deletes of absent keys
@@ -37,8 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ingest import (delete_origins, foreach_batch_upsert, lookup_origin,
-                     read_table_at, read_table_manifest, read_merged_table,
-                     table_changes)
+                     read_changed_at, read_table_manifest,
+                     read_merged_table, table_changes)
 
 #: txn app id under which the index records the last APPLIED source
 #: commit — the refresh replay-skip watermark.
@@ -86,9 +86,13 @@ def refresh_value_index(spark: SparkSession, table_path: str,
         return None
     origin = list(src_man["origin"])
     ch = table_changes(spark, table_path, applied, current)
+    # old values come from the pre-change snapshot RESTRICTED to the
+    # changed buckets (read_changed_at) — every feed key lived in
+    # one, and the full-snapshot join would rescan the table
     removals = (ch.where(F.col("op").isin("update", "delete"))
                 .select(*origin)
-                .join(read_table_at(spark, table_path, applied)
+                .join(read_changed_at(spark, table_path, applied,
+                                      current)
                       .select(col, *origin), origin)
                 .select(col, *origin).where(F.col(col).isNotNull()))
     additions = (ch.where(F.col("op").isin("insert", "update"))

@@ -237,3 +237,52 @@ def test_mv_after_schema_evolution_on_dv_bucket(spark, tmp_path):
     assert _mv(spark, mvp) == _recompute(spark, path)
     got = dict((g, (n, t)) for g, n, t in _mv(spark, mvp))
     assert got["a"] == (2, 5)  # o1 gone, o2 + o3 live
+
+
+def test_mv_random_op_sequence_matches_recompute(spark, tmp_path):
+    """Model check for the MV: random interleavings of inserts,
+    latest-wins updates, dv deletes and rewrite deletes, refreshing
+    the view after every commit — the maintained state must equal a
+    from-scratch recompute at every step (the delta fold never sees
+    the table, so any missed old-payload subtraction or double-count
+    shows up here)."""
+    import random
+
+    rng = random.Random(43)
+    path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    keys = [f"o{i}" for i in range(24)]
+    groups = ["a", "b", "c", "d"]
+    live: set[str] = set()
+    batch_id = 0
+
+    def _mk(n):
+        ks = rng.sample(keys, n)
+        return [(k, rng.choice(groups),
+                 rng.choice([None, rng.randrange(100)])) for k in ks]
+
+    merge(_rows(spark, _mk(8)), batch_id)
+    live |= {k for k in keys}  # superset ok; only used to pick deletes
+    MV.create_mv(spark, path, mvp, GROUP, METRICS, n_buckets=2)
+
+    for step in range(8):
+        batch_id += 1
+        op = rng.choice(["upsert", "upsert", "dv_delete", "delete"])
+        if op == "upsert":
+            merge(_rows(spark, _mk(5)), batch_id)
+        else:
+            present = [r.origin for r in
+                       ing.read_merged_table(spark, path)
+                       .select("origin").collect()]
+            if not present:
+                continue
+            dead = rng.sample(present, min(3, len(present)))
+            ing.delete_origins(
+                spark, path,
+                spark.createDataFrame([(k,) for k in dead],
+                                      "origin string"),
+                strategy="dv" if op == "dv_delete" else "rewrite")
+        MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
+        assert _mv(spark, mvp) == _recompute(spark, path), f"step {step}"

@@ -382,3 +382,23 @@ def test_compact_cluster_by_sorts_within_buckets(spark, tmp_path):
     assert per_file.where(~F.col("sorted_ok")).count() == 0
     # content unchanged
     assert ing.read_merged_table(spark, path).count() == 60
+
+
+def test_read_changed_at_touches_only_changed_buckets(spark, tmp_path):
+    """The old-payload source for MV/index refresh must read ONLY the
+    buckets the feed window changed — joining the full old snapshot
+    would silently rescan the table every refresh."""
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=8)
+    merge(_batch(spark, [f"k{i}" for i in range(64)], "seed"), 0)
+    pre = ing.read_table_manifest(spark, path)["commit"]
+    # touch exactly one key -> at most one bucket changes
+    ing.delete_origins(spark, path, _keys(spark, ["k1"]), strategy="dv")
+    old = ing.read_changed_at(spark, path, pre)
+    files = {r[0] for r in
+             old.select(F.input_file_name()).distinct().collect()}
+    buckets_touched = {f.rsplit("bucket=", 1)[1].split("/")[0]
+                       for f in files}
+    assert len(buckets_touched) == 1
+    # and it still serves the old payload of the deleted key
+    assert old.where(F.col("origin") == "k1").count() == 1
