@@ -1,0 +1,107 @@
+"""The change feed as a Structured Streaming SOURCE (PySpark 4 Python
+Data Source API): offsets are commit ids, each micro-batch is the
+row-level diff between two commits, dv deletes included, and the
+stream's union must equal `table_changes` over the same window."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.streaming import ingest as ing
+from engagement_data_pipeline_spark.streaming.cdf_source import (
+    MergeTableChangesDataSource)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "origin string, payload string")
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(MergeTableChangesDataSource)
+    return spark
+
+
+def _drain(q, seconds=60):
+    deadline = time.time() + seconds
+    while time.time() < deadline:
+        q.processAllAvailable()
+        if not q.status["isDataAvailable"]:
+            return
+        time.sleep(0.2)
+
+
+def test_stream_replays_history_and_follows_commits(
+        registered, spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(_batch(spark, [("a", "1"), ("b", "1"), ("c", "1")]), 1)
+
+    got: list[tuple] = []
+
+    def _sink(df, _bid):
+        got.extend((r.origin, r.op, r.changed_cols, r.payload)
+                   for r in df.collect())
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", path).load()
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        _drain(q)
+        # history replay: the whole current snapshot as inserts
+        assert sorted(got) == [("a", "insert", "", "1"),
+                               ("b", "insert", "", "1"),
+                               ("c", "insert", "", "1")]
+        got.clear()
+
+        # live commits: an update, an insert, and a dv delete
+        merge(_batch(spark, [("a", "2"), ("d", "1")]), 2)
+        ing.delete_origins(
+            spark, path,
+            spark.createDataFrame([("b",)], "origin string"),
+            strategy="dv")
+        _drain(q)
+        assert sorted(got) == [("a", "update", "payload", "2"),
+                               ("b", "delete", "", None),
+                               ("d", "insert", "", "1")]
+    finally:
+        q.stop()
+
+
+def test_stream_batches_match_table_changes(registered, spark, tmp_path):
+    """Cross-check the streaming source against the batch feed over
+    the same commit window."""
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=4,
+                                     txn_app_id="src")
+    merge(_batch(spark, [(f"k{i}", "v") for i in range(10)]), 1)
+    merge(_batch(spark, [(f"k{i}", "v") for i in range(8, 14)]), 2)
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("k0",), ("k13",)],
+                                             "origin string"))
+
+    got: list[tuple] = []
+
+    def _sink(df, _bid):
+        got.extend((r.origin, r.op, r.payload) for r in df.collect())
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", path).option("startingCommit", "1").load()
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        _drain(q)
+    finally:
+        q.stop()
+    batch = {(r.origin, r.op, r.payload)
+             for r in ing.table_changes(spark, path, 1).collect()}
+    assert set(got) == batch
+    assert len(got) == len(set(got))  # no duplicated emission
