@@ -229,6 +229,12 @@ _EVENTS_MEMBERS = {
         streaming_q.table_mv_refresh, streaming_q.TABLE_MV_REFRESH_SQL,
         [("participant_uuid", "string"), ("n_messages", "bigint"),
          ("n_chars", "bigint")]),
+    "table_changes_stream": (
+        streaming_q.table_changes_stream,
+        streaming_q.TABLE_CHANGES_FEED_SQL,
+        [("origin_id", "string"), ("op", "string"),
+         ("changed_cols", "string"), ("participant_uuid", "string"),
+         ("text", "string"), ("received_on", "string")]),
     "scd2_messages": (
         cdc_q.scd2_messages, cdc_q.SCD2_MESSAGES_SQL,
         [("message_id", "string"), ("dataset", "string"),

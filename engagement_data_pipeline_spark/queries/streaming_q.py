@@ -331,6 +331,50 @@ FROM rows
 """
 
 
+def table_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed consumed as a STRUCTURED STREAMING SOURCE
+    (PySpark 4 Python Data Source API, `streaming/cdf_source.py`):
+    subscribe to the shared two-commit fixture table from commit 1 and
+    drain — the streamed micro-batches must union to exactly what the
+    batch `table_changes` reports over the same window, so this shares
+    `TABLE_CHANGES_FEED_SQL` as its oracle. Offsets are commit ids;
+    each batch diffs only changed buckets, executor-side via pyarrow,
+    deletion vectors resolved."""
+    import tempfile
+    import time as _time
+
+    from ..streaming.cdf_source import MergeTableChangesDataSource
+
+    apply_runtime_conf(spark)
+    spark.dataSource.register(MergeTableChangesDataSource)
+    table = _cdf_fixture(spark, sf_dir)
+    rows: list[tuple] = []
+
+    def _sink(df: DataFrame, _bid: int) -> None:
+        rows.extend((r.origin_id, r.op, r.changed_cols,
+                     r.participant_uuid, r.text, r.received_on)
+                    for r in df.collect())
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", table).option("startingCommit", "1").load()
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="edp-cdfsrc-"))
+         .start())
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        rows, "origin_id string, op string, changed_cols string, "
+              "participant_uuid string, text string, received_on string")
+
+
 # --- incremental materialized view over the change feed --------------------
 
 def table_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
