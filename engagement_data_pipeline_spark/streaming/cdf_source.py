@@ -136,20 +136,23 @@ def _read_bucket(table_path: str, man: dict | None, bucket: int,
 
 class _ChangesPartition(InputPartition):
     def __init__(self, table_path: str, man_from: dict | None,
-                 man_to: dict, bucket: int, columns: list[str]):
+                 man_to: dict, bucket: int, columns: list[str],
+                 include_old: bool):
         self.table_path = table_path
         self.man_from = man_from
         self.man_to = man_to
         self.bucket = bucket
         self.columns = columns
+        self.include_old = include_old
 
 
 class _ChangesReader(DataSourceStreamReader):
     def __init__(self, table_path: str, starting_commit: int,
-                 columns: list[str]):
+                 columns: list[str], include_old: bool):
         self.table_path = table_path
         self.start = starting_commit
         self.columns = columns  # origin + payload (no op/changed yet)
+        self.include_old = include_old
 
     def initialOffset(self) -> dict:
         return {"commit": self.start}
@@ -162,7 +165,7 @@ class _ChangesReader(DataSourceStreamReader):
         lo, hi = int(start["commit"]), int(end["commit"])
         if hi <= lo:
             return [_ChangesPartition(self.table_path, None, None, -1,
-                                      self.columns)]
+                                      self.columns, self.include_old)]
         man_from = _manifest(self.table_path, lo) if lo > 0 else None
         man_to = _manifest(self.table_path, hi)
         if man_to is None:
@@ -170,10 +173,10 @@ class _ChangesReader(DataSourceStreamReader):
                 f"manifest {hi} of {self.table_path} is unreadable")
         return [
             _ChangesPartition(self.table_path, man_from, man_to, b,
-                              self.columns)
+                              self.columns, self.include_old)
             for b in _changed_buckets(man_from, man_to)
         ] or [_ChangesPartition(self.table_path, None, None, -1,
-                                self.columns)]
+                                self.columns, self.include_old)]
 
     def read(self, partition: _ChangesPartition) -> Iterator[tuple]:
         import pandas as pd
@@ -194,24 +197,28 @@ class _ChangesReader(DataSourceStreamReader):
         def _clean(v):
             return None if pd.isna(v) else v
 
+        inc_old = partition.include_old
         out = []
         for row in j.itertuples(index=False, name=None):
             r = dict(zip(j.columns, row))
             key = tuple(_clean(r[c]) for c in origin)
             if r["_merge"] == "right_only":
-                out.append((*key, "insert", "",
-                            *[_clean(r[f"{c}__new"]) for c in payload]))
+                row_out = (*key, "insert", "",
+                           *[_clean(r[f"{c}__new"]) for c in payload])
+                old_out = tuple(None for _ in payload)
             elif r["_merge"] == "left_only":
-                out.append((*key, "delete", "",
-                            *[None for _ in payload]))
+                row_out = (*key, "delete", "", *[None for _ in payload])
+                old_out = tuple(_clean(r[f"{c}__old"]) for c in payload)
             else:
                 changed = [c for c in payload
                            if _clean(r[f"{c}__old"])
                            != _clean(r[f"{c}__new"])]
-                if changed:
-                    out.append((*key, "update", ",".join(sorted(changed)),
-                                *[_clean(r[f"{c}__new"])
-                                  for c in payload]))
+                if not changed:
+                    continue
+                row_out = (*key, "update", ",".join(sorted(changed)),
+                           *[_clean(r[f"{c}__new"]) for c in payload])
+                old_out = tuple(_clean(r[f"{c}__old"]) for c in payload)
+            out.append(row_out + old_out if inc_old else row_out)
         return iter(out)
 
     def commit(self, end: dict) -> None:
@@ -222,7 +229,11 @@ class MergeTableChangesDataSource(DataSource):
     """`format("merge_table_changes")` — stream a versioned merge
     table's row-level changes. Options: `path` (table root, required);
     `startingCommit` (default 0 = replay the whole history as
-    inserts)."""
+    inserts); `includeOld` ("true"/"false", default false) appends a
+    `<col>__old` column per payload column carrying the PRE-change
+    value on updates and deletes — the retract-stream shape (Flink's
+    changelog idiom) that lets a downstream incremental consumer
+    SUBTRACT without ever consulting the source table."""
 
     @classmethod
     def name(cls) -> str:
@@ -275,8 +286,17 @@ class MergeTableChangesDataSource(DataSource):
                    + [(n, t) for n, t in fields if n not in origin])
         return ordered
 
+    def _include_old(self) -> bool:
+        return str(self.options.get("includeOld", "false")).lower() == "true"
+
     def schema(self) -> str:
-        return ", ".join(f"{n} {t}" for n, t in self._columns_and_types())
+        cols = self._columns_and_types()
+        ddl = ", ".join(f"{n} {t}" for n, t in cols)
+        if self._include_old():
+            # payload columns = everything after op/changed_cols
+            tail = cols[[n for n, _t in cols].index(_CHANGED) + 1:]
+            ddl += ", " + ", ".join(f"{n}__old {t}" for n, t in tail)
+        return ddl
 
     def streamReader(self, schema) -> _ChangesReader:
         cols = [n for n, _t in self._columns_and_types()
@@ -284,4 +304,4 @@ class MergeTableChangesDataSource(DataSource):
         return _ChangesReader(
             self._table_path(),
             int(self.options.get("startingCommit", 0)),
-            cols)
+            cols, self._include_old())

@@ -105,3 +105,44 @@ def test_stream_batches_match_table_changes(registered, spark, tmp_path):
              for r in ing.table_changes(spark, path, 1).collect()}
     assert set(got) == batch
     assert len(got) == len(set(got))  # no duplicated emission
+
+
+def test_include_old_retract_stream(registered, spark, tmp_path):
+    """includeOld=true appends <col>__old columns carrying the
+    PRE-change payload on updates and deletes — the retract-stream
+    shape that lets a downstream incremental consumer subtract
+    without consulting the source table."""
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(_batch(spark, [("a", "1"), ("b", "2")]), 1)
+    merge(_batch(spark, [("a", "9"), ("c", "3")]), 2)
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("b",)], "origin string"),
+                       strategy="dv")
+
+    got: list[tuple] = []
+
+    def _sink(df, _bid):
+        got.extend((r.origin, r.op, r.payload, r.payload__old)
+                   for r in df.collect())
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", path).option("startingCommit", "1")
+         .option("includeOld", "true").load()
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    assert sorted(got) == [("a", "update", "9", "1"),
+                           ("b", "delete", None, "2"),
+                           ("c", "insert", "3", None)]
