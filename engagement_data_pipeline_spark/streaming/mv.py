@@ -178,6 +178,17 @@ def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
                                   metrics, src_man, plus, minus,
                                   current)
     delta = _signed_state(plus.unionByName(minus), gcols, metrics)
+    _apply_delta(spark, mv_path, gcols, metrics, delta, current)
+    return current
+
+
+def _apply_delta(spark: SparkSession, mv_path: str, gcols: list[str],
+                 metrics: dict[str, tuple[str, str]], delta: DataFrame,
+                 txn_version: int) -> None:
+    """Fold a signed group-delta into the MV state table. Delete-first,
+    merge-second: both steps are idempotent per `txn_version`, and only
+    the final merge advances the txn watermark — a crash in between
+    replays the whole fold and converges."""
     internal = [_N_COL] + [c for name, (_col, kind) in metrics.items()
                            for c in ([name, _nn(name)] if kind == "sum"
                                      else [name])]
@@ -187,16 +198,61 @@ def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
                       *[(F.coalesce(state[c], F.lit(0))
                          + F.coalesce(delta[c], F.lit(0))).alias(c)
                         for c in internal]))
-    # delete-first, merge-second: both steps are idempotent per source
-    # commit, and only the final merge advances the txn watermark — a
-    # crash in between replays the whole refresh and converges.
     gone = folded.where(F.col(_N_COL) == 0).select(*gcols)
     if not gone.isEmpty():
         delete_origins(spark, mv_path, gone)
     merge = foreach_batch_upsert(mv_path, gcols, txn_app_id=_MV_TXN,
                                  mode="latest_wins")
-    merge(folded.where(F.col(_N_COL) > 0), current)
-    return current
+    merge(folded.where(F.col(_N_COL) > 0), txn_version)
+
+
+def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
+                   metrics: dict[str, tuple[str, str]]):
+    """A foreachBatch function maintaining the MV DIRECTLY from a
+    ``merge_table_changes`` stream opened with ``includeOld=true`` —
+    the push-based twin of `refresh_mv`: the retract-stream batch
+    already carries both the new payload and the `<col>__old`
+    pre-change payload, so the fold needs ZERO reads of the source
+    table (inserts/updates add the new values, updates/deletes
+    subtract the old ones). Invertible metrics only (count/sum) —
+    exactly what the retract shape can maintain. Replayed batches
+    converge through the MV's txn watermark, same as refresh_mv.
+
+        src = (spark.readStream.format("merge_table_changes")
+               .option("path", table).option("includeOld", "true")
+               .load())
+        src.writeStream.foreachBatch(
+            mv_stream_sink(mv_path, ["grp"], metrics)).start()
+    """
+    gcols = list(group_cols)
+    for name, (_c, kind) in metrics.items():
+        if kind not in _INVERTIBLE:
+            raise ValueError(
+                f"metric {name!r}: the retract stream can maintain "
+                "only invertible aggregates (count/sum)")
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        needed = sorted({col for col, _k in metrics.values()}
+                        | set(gcols))
+        plus = (batch.where(F.col("op").isin("insert", "update"))
+                .select(*needed).withColumn("sign", F.lit(1)))
+        old_of = {c: (f"{c}__old" if f"{c}__old" in batch.columns
+                      else c) for c in needed}
+        minus = (batch.where(F.col("op").isin("update", "delete"))
+                 .select(*[F.col(old_of[c]).alias(c) for c in needed])
+                 .withColumn("sign", F.lit(-1)))
+        delta = _signed_state(plus.unionByName(minus), gcols, metrics)
+        if read_table_manifest(spark, mv_path) is None:
+            # first batch bootstraps the state table
+            merge = foreach_batch_upsert(mv_path, gcols,
+                                         txn_app_id=_MV_TXN,
+                                         mode="latest_wins")
+            merge(delta.where(F.col(_N_COL) > 0), batch_id)
+            return
+        _apply_delta(spark, mv_path, gcols, metrics, delta, batch_id)
+
+    return _fold
 
 
 def _refresh_recompute(spark: SparkSession, table_path: str,

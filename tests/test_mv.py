@@ -286,3 +286,52 @@ def test_mv_random_op_sequence_matches_recompute(spark, tmp_path):
                 strategy="dv" if op == "dv_delete" else "rewrite")
         MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
         assert _mv(spark, mvp) == _recompute(spark, path), f"step {step}"
+
+
+def test_mv_maintained_by_retract_stream(spark, tmp_path):
+    """The push-based composition: subscribe to the table's retract
+    stream (includeOld=true) and maintain the MV from the streamed
+    batches alone — zero reads of the source table — then verify
+    against the recompute."""
+    import time
+
+    from engagement_data_pipeline_spark.streaming.cdf_source import (
+        MergeTableChangesDataSource)
+
+    spark.dataSource.register(MergeTableChangesDataSource)
+    path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(_rows(spark, [("o1", "a", 10), ("o2", "b", 5),
+                        ("o3", "b", None)]), 1)
+    merge(_rows(spark, [("o1", "a", 11), ("o4", "c", 7)]), 2)
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("o2",)], "origin string"),
+                       strategy="dv")
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", path).option("includeOld", "true").load()
+         .writeStream.foreachBatch(
+             MV.mv_stream_sink(mvp, GROUP, METRICS))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+            time.sleep(0.2)
+        assert _mv(spark, mvp) == _recompute(spark, path)
+        # keep following: one more live commit
+        merge(_rows(spark, [("o5", "a", 1)]), 3)
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+            time.sleep(0.2)
+        assert _mv(spark, mvp) == _recompute(spark, path)
+    finally:
+        q.stop()
