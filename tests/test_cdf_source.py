@@ -146,3 +146,68 @@ def test_include_old_retract_stream(registered, spark, tmp_path):
     assert sorted(got) == [("a", "update", "9", "1"),
                            ("b", "delete", None, "2"),
                            ("c", "insert", "3", None)]
+
+
+def test_stream_follows_random_history_to_final_state(
+        registered, spark, tmp_path):
+    """Fuzz the source across a random op history (merges, updates,
+    both delete strategies, a compaction): applying the streamed
+    batches in order to a dict must reproduce the final table state,
+    and maintenance-only commits must emit NO rows (keyed diff, not
+    file diff)."""
+    import random
+
+    rng = random.Random(17)
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    state: dict[str, str] = {}
+    keys = [f"k{i}" for i in range(20)]
+    # the source infers its schema from the table: seed before opening
+    seed = [(k, "v0") for k in rng.sample(keys, 5)]
+    merge(_batch(spark, seed), 0)
+    state.update(dict(seed))
+
+    applied: dict[str, str] = {}
+    n_rows_seen = [0]
+
+    def _sink(df, _bid):
+        for r in df.collect():
+            n_rows_seen[0] += 1
+            if r.op == "delete":
+                applied.pop(r.origin, None)
+            else:
+                applied[r.origin] = r.payload
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", path).load()
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        for step in range(6):
+            op = rng.choice(["merge", "merge", "dv_delete", "delete"])
+            if op == "merge" or not state:
+                rows = [(k, f"v{step}") for k in rng.sample(keys, 5)]
+                merge(_batch(spark, rows), step + 1)
+                state.update(dict(rows))  # latest_wins
+            else:
+                dead = rng.sample(sorted(state), 2)
+                ing.delete_origins(
+                    spark, path,
+                    spark.createDataFrame([(k,) for k in dead],
+                                          "origin string"),
+                    strategy="dv" if op == "dv_delete" else "rewrite")
+                for k in dead:
+                    state.pop(k)
+            _drain(q)
+            assert applied == state, f"step {step}"
+        # maintenance-only commit: keyed diff => zero emitted rows
+        before = n_rows_seen[0]
+        ing.compact_table(spark, path, vacuum=False)
+        _drain(q)
+        assert n_rows_seen[0] == before
+        assert applied == state
+    finally:
+        q.stop()
