@@ -60,13 +60,17 @@ def _manifest(table_path: str, commit: int) -> dict | None:
 
 
 def _latest_commit(table_path: str) -> int | None:
+    """Highest PARSEABLE commit. Scans names newest-first and stops at
+    the first good manifest — this runs on every latestOffset() poll,
+    so it must stay O(1) manifest reads in the common case, not
+    O(commits) (only a trailing crash-partial manifest costs an extra
+    read, same skip rule as the batch reader)."""
     log = os.path.join(_strip_file(table_path), _LOG_DIR)
-    best = None
     try:
         names = os.listdir(log)
     except OSError:
         return None
-    for n in sorted(names):
+    for n in sorted(names, reverse=True):
         if not n.endswith(".json"):
             continue
         try:
@@ -74,8 +78,8 @@ def _latest_commit(table_path: str) -> int | None:
         except ValueError:
             continue
         if _manifest(table_path, c) is not None:
-            best = c
-    return best
+            return c
+    return None
 
 
 def _bucket_dir(table_path: str, man: dict, bucket: int) -> str | None:
