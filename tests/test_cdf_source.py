@@ -211,3 +211,32 @@ def test_stream_follows_random_history_to_final_state(
         assert applied == state
     finally:
         q.stop()
+
+
+def test_stream_from_shallow_clone(registered, spark, tmp_path):
+    """Streaming from a shallow clone: inherited versions and dvs live
+    under the SOURCE root (manifest bases/dv_bases) — the source's
+    path resolution must follow them for a zero-copy clone replay."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    merge = ing.foreach_batch_upsert(src, ["origin"], n_buckets=2)
+    merge(_batch(spark, [("a", "1"), ("b", "2"), ("c", "3")]), 1)
+    ing.delete_origins(spark, src,
+                       spark.createDataFrame([("b",)], "origin string"),
+                       strategy="dv")
+    ing.clone_table(spark, src, dst)
+
+    got: list[tuple] = []
+
+    def _sink(df, _bid):
+        got.extend((r.origin, r.op, r.payload) for r in df.collect())
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", dst).load()
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        _drain(q)
+    finally:
+        q.stop()
+    assert sorted(got) == [("a", "insert", "1"), ("c", "insert", "3")]
