@@ -18,9 +18,12 @@ Scale shape: `partitions()` emits ONE partition per changed bucket
 (manifest diff only — no data touched on the driver), and each
 executor task reads exactly its bucket's old + new files with
 pyarrow and computes the keyed diff in Arrow/pandas — O(changed
-buckets) per batch, embarrassingly parallel, no shuffle. Offsets are
-checkpointed by the engine; reads are deterministic because version
-directories are immutable, so recovery replays identical batches.
+buckets) per batch, embarrassingly parallel, no shuffle. Per-task
+memory is bounded by one bucket's old + new bytes — the layout's
+`TARGET_BUCKET_BYTES` sizing is what keeps that executor-safe.
+Offsets are checkpointed by the engine; reads are deterministic
+because version directories are immutable, so recovery replays
+identical batches.
 
 Filesystem support: local paths (tests, NFS). Object stores would
 swap the `open`/listdir calls for `pyarrow.fs` — the protocol logic
