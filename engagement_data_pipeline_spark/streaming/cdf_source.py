@@ -17,24 +17,40 @@ subscribe to a table instead of polling `table_changes`.
 Scale shape: `partitions()` emits ONE partition per changed bucket
 (manifest diff only — no data touched on the driver), and each
 executor task reads exactly its bucket's old + new files with
-pyarrow and computes the keyed diff in Arrow/pandas — O(changed
-buckets) per batch, embarrassingly parallel, no shuffle. Per-task
-memory is bounded by one bucket's old + new bytes — the layout's
-`TARGET_BUCKET_BYTES` sizing is what keeps that executor-safe.
-Offsets are checkpointed by the engine; reads are deterministic
-because version directories are immutable, so recovery replays
-identical batches.
+pyarrow, computes the keyed diff with VECTORIZED pandas column ops,
+and yields `pyarrow.RecordBatch`es built against the exact Arrow
+schema Spark expects — no per-row Python anywhere on the hot path.
+O(changed buckets) per batch, embarrassingly parallel, no shuffle.
+Per-task memory is bounded by one bucket's old + new bytes — the
+layout's `TARGET_BUCKET_BYTES` sizing is what keeps that
+executor-safe. Offsets are checkpointed by the engine; reads are
+deterministic because version directories are immutable, so recovery
+replays identical batches.
 
-Filesystem support: local paths (tests, NFS). Object stores would
-swap the `open`/listdir calls for `pyarrow.fs` — the protocol logic
-is path-agnostic. The reference's analog is its Firestore
-incremental fetch loop (SURVEY §2.1 S2); here the table IS the feed.
+Filesystem support: every read goes through `pyarrow.fs`, resolved
+per-path from the URI scheme — local paths and file:// (tests, NFS)
+use LocalFileSystem; s3://, gs://, hdfs:// resolve via
+`pyarrow.fs.FileSystem.from_uri`, so the source runs against object
+stores unchanged. Nested payload columns (array/struct/map — e.g.
+the flagship messages table's labels array<struct>) stream with full
+fidelity: the schema is derived recursively from the parquet files
+and nested values diff through a normalized-object comparison.
+
+Vacuum interaction: like Delta CDF after VACUUM, a window whose
+version/dv directories were reclaimed is UNRECOVERABLE — the source
+fails loudly (distinguishing "bucket never existed in this manifest",
+which legitimately reads empty, from "manifest-referenced directory
+missing") instead of silently emitting deletes-as-nothing and
+updates-as-inserts.
+
+The reference's analog is its Firestore incremental fetch loop
+(SURVEY §2.1 S2); here the table IS the feed.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
@@ -42,17 +58,30 @@ from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
 
 _LOG_DIR = "_log"
 _OP, _CHANGED = "op", "changed_cols"
+_OLD = "__old"
 
 
-def _strip_file(p: str) -> str:
-    return p[7:] if p.startswith("file://") else p
+def _fs_path(p: str):
+    """(pyarrow.fs.FileSystem, fs-local path) for a path or URI."""
+    from pyarrow import fs as pafs
+
+    p = str(p)
+    if "://" in p:
+        return pafs.FileSystem.from_uri(p)
+    return pafs.LocalFileSystem(), p
+
+
+def _is_dir(fs, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(path).type == pafs.FileType.Directory
 
 
 def _manifest(table_path: str, commit: int) -> dict | None:
-    p = os.path.join(_strip_file(table_path), _LOG_DIR,
-                     f"{commit:08d}.json")
+    fs, root = _fs_path(table_path)
+    p = posixpath.join(root, _LOG_DIR, f"{commit:08d}.json")
     try:
-        with open(p) as f:
+        with fs.open_input_stream(p) as f:
             man = json.loads(f.read())
     except (OSError, ValueError):
         return None
@@ -68,11 +97,15 @@ def _latest_commit(table_path: str) -> int | None:
     so it must stay O(1) manifest reads in the common case, not
     O(commits) (only a trailing crash-partial manifest costs an extra
     read, same skip rule as the batch reader)."""
-    log = os.path.join(_strip_file(table_path), _LOG_DIR)
+    from pyarrow import fs as pafs
+
+    fs, root = _fs_path(table_path)
     try:
-        names = os.listdir(log)
+        infos = fs.get_file_info(
+            pafs.FileSelector(posixpath.join(root, _LOG_DIR)))
     except OSError:
         return None
+    names = [i.path.rsplit("/", 1)[-1] for i in infos]
     for n in sorted(names, reverse=True):
         if not n.endswith(".json"):
             continue
@@ -85,13 +118,17 @@ def _latest_commit(table_path: str) -> int | None:
     return None
 
 
+def _strip_scheme(p: str) -> str:
+    return _fs_path(p)[1]
+
+
 def _bucket_dir(table_path: str, man: dict, bucket: int) -> str | None:
     ver = man["buckets"].get(bucket)
     if ver is None:
         return None
     root = man.get("bases", {}).get(str(ver), table_path)
     name = man.get("vdirs", {}).get(str(ver), f"v{ver:08d}")
-    return os.path.join(_strip_file(root), name, f"bucket={bucket}")
+    return posixpath.join(root, name, f"bucket={bucket}")
 
 
 def _dv_dir(table_path: str, man: dict, bucket: int) -> str | None:
@@ -99,7 +136,7 @@ def _dv_dir(table_path: str, man: dict, bucket: int) -> str | None:
     if d is None:
         return None
     root = man.get("dv_bases", {}).get(d, table_path)
-    return os.path.join(_strip_file(root), d, f"bucket={bucket}")
+    return posixpath.join(root, d, f"bucket={bucket}")
 
 
 def _changed_buckets(man_from: dict | None, man_to: dict) -> list[int]:
@@ -113,66 +150,131 @@ def _changed_buckets(man_from: dict | None, man_to: dict) -> list[int]:
         != (new_b.get(b), new_dv.get(str(b))))
 
 
+def _open_dir(table_path: str, d: str, man: dict, what: str):
+    """(fs, path) for a manifest-referenced directory; raises when the
+    directory is MISSING — a manifest that references it proves it
+    once existed, so absence means vacuum reclaimed it while the
+    stream lagged behind the retention horizon. Silent empty reads
+    here would corrupt the feed (deletes vanish, updates re-emit as
+    inserts); like Delta CDF after VACUUM, the window is gone."""
+    fs, dp = _fs_path(d)
+    if not _is_dir(fs, dp):
+        raise RuntimeError(
+            f"commit {man['commit']} of {table_path} references "
+            f"{what} directory {d}, which no longer exists — vacuumed "
+            "past this stream's offset? The change window is "
+            "unrecoverable; restart from a later startingCommit (or "
+            "raise vacuum retain_ms above the stream's max lag)")
+    return fs, dp
+
+
 def _read_bucket(table_path: str, man: dict | None, bucket: int,
                  columns: list[str]):
     """One bucket's dv-resolved rows as a pandas frame (executor-side
-    pyarrow read — no SparkSession exists here)."""
+    pyarrow read — no SparkSession exists here). Returns empty when
+    the manifest never placed the bucket; raises if the manifest
+    references a directory that is gone (see `_open_dir`)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
     if man is None:
         return pd.DataFrame(columns=columns)
     d = _bucket_dir(table_path, man, bucket)
-    if d is None or not os.path.isdir(d):
+    if d is None:
         return pd.DataFrame(columns=columns)
-    pdf = pq.read_table(d).to_pandas()
+    fs, dp = _open_dir(table_path, d, man, "bucket")
+    pdf = pq.read_table(dp, filesystem=fs).to_pandas()
     for c in columns:
         if c not in pdf.columns:
             pdf[c] = None
     pdf = pdf[columns]
     dv = _dv_dir(table_path, man, bucket)
-    if dv is not None and os.path.isdir(dv):
-        dead = pq.read_table(dv).to_pandas()
+    if dv is not None:
+        dfs, dvp = _open_dir(table_path, dv, man, "deletion-vector")
+        dead = pq.read_table(dvp, filesystem=dfs).to_pandas()
         origin = list(man["origin"])
         merged = pdf.merge(dead[origin].drop_duplicates(), on=origin,
-                           how="left", indicator=True)
-        pdf = (merged[merged["_merge"] == "left_only"]
-               .drop(columns="_merge"))
+                           how="left", indicator="__cdf_dv")
+        pdf = (merged[merged["__cdf_dv"] == "left_only"]
+               .drop(columns="__cdf_dv"))
     return pdf
+
+
+def _norm(v):
+    """Normalize a payload value for cross-row equality: ndarray →
+    list (pyarrow's to_pandas shape for array columns), NaN/NaT →
+    None, recursively through lists and structs-as-dicts."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.ndarray):
+        return [_norm(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    try:
+        if v is None or pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def _neq(a, b):
+    """Element-wise old≠new over two pandas Series, NULL-safe (both
+    NULL compares equal). Vectorized for scalar dtypes; object
+    columns holding nested values (ndarray/dict) fall back to a
+    normalized python-object compare."""
+    import numpy as np
+
+    try:
+        eq = (a == b) | (a.isna() & b.isna())
+        return ~eq.to_numpy(dtype=bool)
+    except (TypeError, ValueError):
+        return np.fromiter(
+            (_norm(x) != _norm(y) for x, y in zip(a.tolist(), b.tolist())),
+            dtype=bool, count=len(a))
 
 
 class _ChangesPartition(InputPartition):
     def __init__(self, table_path: str, man_from: dict | None,
                  man_to: dict, bucket: int, columns: list[str],
-                 include_old: bool):
+                 pa_schema):
         self.table_path = table_path
         self.man_from = man_from
         self.man_to = man_to
         self.bucket = bucket
         self.columns = columns
-        self.include_old = include_old
+        self.pa_schema = pa_schema  # exact Arrow schema Spark expects
 
 
 class _ChangesReader(DataSourceStreamReader):
     def __init__(self, table_path: str, starting_commit: int,
-                 columns: list[str], include_old: bool):
+                 columns: list[str], pa_schema):
         self.table_path = table_path
         self.start = starting_commit
-        self.columns = columns  # origin + payload (no op/changed yet)
-        self.include_old = include_old
+        self.columns = columns  # origin + payload (no op/changed)
+        self.pa_schema = pa_schema
+        # monotone high-water mark: a transient listing failure (or a
+        # racing log prune) must never REGRESS the offset below what
+        # the engine already planned against
+        self._seen = starting_commit
 
     def initialOffset(self) -> dict:
         return {"commit": self.start}
 
     def latestOffset(self) -> dict:
         latest = _latest_commit(self.table_path)
-        return {"commit": latest if latest is not None else self.start}
+        if latest is not None and latest > self._seen:
+            self._seen = latest
+        return {"commit": self._seen}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["commit"]), int(end["commit"])
         if hi <= lo:
             return [_ChangesPartition(self.table_path, None, None, -1,
-                                      self.columns, self.include_old)]
+                                      self.columns, self.pa_schema)]
         man_from = _manifest(self.table_path, lo) if lo > 0 else None
         man_to = _manifest(self.table_path, hi)
         if man_to is None:
@@ -180,13 +282,14 @@ class _ChangesReader(DataSourceStreamReader):
                 f"manifest {hi} of {self.table_path} is unreadable")
         return [
             _ChangesPartition(self.table_path, man_from, man_to, b,
-                              self.columns, self.include_old)
+                              self.columns, self.pa_schema)
             for b in _changed_buckets(man_from, man_to)
         ] or [_ChangesPartition(self.table_path, None, None, -1,
-                                self.columns, self.include_old)]
+                                self.columns, self.pa_schema)]
 
-    def read(self, partition: _ChangesPartition) -> Iterator[tuple]:
-        import pandas as pd
+    def read(self, partition: _ChangesPartition) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
 
         if partition.bucket < 0:  # empty batch placeholder
             return iter(())
@@ -199,37 +302,84 @@ class _ChangesReader(DataSourceStreamReader):
         old = _read_bucket(partition.table_path, partition.man_from,
                            partition.bucket, cols)
         j = old.merge(new, on=origin, how="outer",
-                      suffixes=("__old", "__new"), indicator=True)
+                      suffixes=("__o", "__n"), indicator="__cdf_m")
+        if len(j) == 0:
+            return iter(())
+        m = j["__cdf_m"].to_numpy(dtype=object)
+        is_ins = m == "right_only"
+        is_del = m == "left_only"
+        is_both = m == "both"
+        neq = {c: _neq(j[f"{c}__o"], j[f"{c}__n"]) for c in payload}
+        any_chg = np.zeros(len(j), dtype=bool)
+        for c in payload:
+            any_chg |= neq[c]
+        is_upd = is_both & any_chg
+        keep = is_ins | is_del | is_upd
+        if not keep.any():
+            return iter(())
+        idx = np.flatnonzero(keep)
+        ins_k, del_k, upd_k = is_ins[idx], is_del[idx], is_upd[idx]
+        op = np.full(len(idx), "update", dtype=object)
+        op[ins_k] = "insert"
+        op[del_k] = "delete"
+        cc = np.full(len(idx), "", dtype=object)
+        for c in sorted(payload):  # deterministic changed_cols order
+            mk = neq[c][idx] & upd_k
+            cc[mk] = np.where(cc[mk] == "", c, cc[mk] + "," + c)
 
-        def _clean(v):
-            return None if pd.isna(v) else v
+        def col(name: str):
+            if name == _OP:
+                return op
+            if name == _CHANGED:
+                return cc
+            if name in origin:
+                return j[name].to_numpy(dtype=object)[idx]
+            if name.endswith(_OLD) and name[:-len(_OLD)] in payload:
+                v = j[f"{name[:-len(_OLD)]}__o"].to_numpy(
+                    dtype=object, copy=True)[idx]
+                v[ins_k] = None  # inserts have no pre-change payload
+                return v
+            v = j[f"{name}__n"].to_numpy(dtype=object, copy=True)[idx]
+            v[del_k] = None  # deletes carry NULL new payload
+            return v
 
-        inc_old = partition.include_old
-        out = []
-        for row in j.itertuples(index=False, name=None):
-            r = dict(zip(j.columns, row))
-            key = tuple(_clean(r[c]) for c in origin)
-            if r["_merge"] == "right_only":
-                row_out = (*key, "insert", "",
-                           *[_clean(r[f"{c}__new"]) for c in payload])
-                old_out = tuple(None for _ in payload)
-            elif r["_merge"] == "left_only":
-                row_out = (*key, "delete", "", *[None for _ in payload])
-                old_out = tuple(_clean(r[f"{c}__old"]) for c in payload)
-            else:
-                changed = [c for c in payload
-                           if _clean(r[f"{c}__old"])
-                           != _clean(r[f"{c}__new"])]
-                if not changed:
-                    continue
-                row_out = (*key, "update", ",".join(sorted(changed)),
-                           *[_clean(r[f"{c}__new"]) for c in payload])
-                old_out = tuple(_clean(r[f"{c}__old"]) for c in payload)
-            out.append(row_out + old_out if inc_old else row_out)
-        return iter(out)
+        schema = partition.pa_schema
+        arrays = [pa.array(col(f.name), type=f.type, from_pandas=True)
+                  for f in schema]
+        return iter([pa.RecordBatch.from_arrays(arrays, schema=schema)])
 
     def commit(self, end: dict) -> None:
         pass
+
+
+def _ddl_of(t) -> str:
+    """Recursive Arrow→Spark-DDL type mapping — nested array/struct/
+    map payloads (the messages table's labels column) included."""
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_ddl_of(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_ddl_of(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{_ddl_of(t.key_type)},{_ddl_of(t.item_type)}>"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    scalars = {"string": "string", "large_string": "string",
+               "int64": "long", "int32": "int", "int16": "smallint",
+               "int8": "tinyint", "double": "double", "float": "float",
+               "bool": "boolean", "binary": "binary",
+               "large_binary": "binary"}
+    s = scalars.get(str(t))
+    if s is None:
+        raise ValueError(
+            f"arrow type {t} not mapped for the changes source")
+    return s
 
 
 class MergeTableChangesDataSource(DataSource):
@@ -254,6 +404,7 @@ class MergeTableChangesDataSource(DataSource):
 
     def _columns_and_types(self) -> list[tuple[str, str]]:
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
         path = self._table_path()
         latest = _latest_commit(path)
@@ -261,37 +412,29 @@ class MergeTableChangesDataSource(DataSource):
             raise ValueError(f"{path} has no commits")
         man = _manifest(path, latest)
         origin = list(man["origin"])
+        schema = None
         for b in sorted(man["buckets"]):
             d = _bucket_dir(path, man, b)
-            if d and os.path.isdir(d):
-                schema = pq.read_schema(
-                    os.path.join(d, sorted(
-                        n for n in os.listdir(d)
-                        if n.endswith(".parquet"))[0]))
+            if d is None:
+                continue
+            fs, dp = _fs_path(d)
+            if not _is_dir(fs, dp):
+                continue
+            files = sorted(i.path for i in
+                           fs.get_file_info(pafs.FileSelector(dp))
+                           if i.path.endswith(".parquet"))
+            if files:
+                with fs.open_input_file(files[0]) as f:
+                    schema = pq.read_schema(f)
                 break
-        else:
+        if schema is None:
             raise ValueError(f"{path} has no data files")
-        _ARROW_TO_DDL = {"string": "string", "large_string": "string",
-                         "int64": "long", "int32": "int",
-                         "double": "double", "float": "float",
-                         "bool": "boolean",
-                         "timestamp[us]": "timestamp",
-                         "timestamp[ns]": "timestamp",
-                         "date32[day]": "date"}
-        fields = []
-        for f in schema:
-            t = _ARROW_TO_DDL.get(str(f.type))
-            if t is None:
-                raise ValueError(
-                    f"column {f.name}: arrow type {f.type} not mapped "
-                    "for the changes source")
-            fields.append((f.name, t))
+        fields = [(f.name, _ddl_of(f.type)) for f in schema]
         # origin columns first, then op/changed_cols, then payload
         by_name = dict(fields)
-        ordered = ([(c, by_name[c]) for c in origin]
-                   + [(_OP, "string"), (_CHANGED, "string")]
-                   + [(n, t) for n, t in fields if n not in origin])
-        return ordered
+        return ([(c, by_name[c]) for c in origin]
+                + [(_OP, "string"), (_CHANGED, "string")]
+                + [(n, t) for n, t in fields if n not in origin])
 
     def _include_old(self) -> bool:
         return str(self.options.get("includeOld", "false")).lower() == "true"
@@ -302,13 +445,15 @@ class MergeTableChangesDataSource(DataSource):
         if self._include_old():
             # payload columns = everything after op/changed_cols
             tail = cols[[n for n, _t in cols].index(_CHANGED) + 1:]
-            ddl += ", " + ", ".join(f"{n}__old {t}" for n, t in tail)
+            ddl += ", " + ", ".join(f"{n}{_OLD} {t}" for n, t in tail)
         return ddl
 
     def streamReader(self, schema) -> _ChangesReader:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         cols = [n for n, _t in self._columns_and_types()
                 if n not in (_OP, _CHANGED)]
         return _ChangesReader(
             self._table_path(),
             int(self.options.get("startingCommit", 0)),
-            cols, self._include_old())
+            cols, to_arrow_schema(schema))

@@ -4,8 +4,9 @@ maintained purely from its change feed.
 The reference recomputes every rollup from scratch each sync run
 (sync stats, engagement counts — SURVEY §2.5 G6/§2.7); at 100 TB the
 recompute is the bottleneck. An MV created once from the snapshot and
-then refreshed from `table_changes` touches O(state + changed rows)
-per refresh, never the table: op='insert' rows add into their group,
+then refreshed from `table_changes` touches O(touched groups +
+changed rows) per refresh, never the table (and never the untouched
+groups of its own state): op='insert' rows add into their group,
 op='delete' rows SUBTRACT (their old payload read from the pre-change
 snapshot — O(changed buckets), the same trick the secondary index
 uses), and op='update' subtracts the old payload and adds the new.
@@ -188,12 +189,19 @@ def _apply_delta(spark: SparkSession, mv_path: str, gcols: list[str],
     """Fold a signed group-delta into the MV state table. Delete-first,
     merge-second: both steps are idempotent per `txn_version`, and only
     the final merge advances the txn watermark — a crash in between
-    replays the whole fold and converges."""
+    replays the whole fold and converges.
+
+    Touched groups only: a group absent from the delta cannot change,
+    so the state joins in LEFT_OUTER from the delta side — the fold,
+    the delete set, and the merge all carry O(delta groups) rows, and
+    the merge table's bucket-local rewrite then touches only the
+    buckets those groups hash to. Refresh cost is genuinely
+    O(touched groups + changed rows), never O(MV state)."""
     internal = [_N_COL] + [c for name, (_col, kind) in metrics.items()
                            for c in ([name, _nn(name)] if kind == "sum"
                                      else [name])]
     state = read_merged_table(spark, mv_path)
-    folded = (state.join(delta, gcols, "full_outer")
+    folded = (delta.join(state, gcols, "left_outer")
               .select(*gcols,
                       *[(F.coalesce(state[c], F.lit(0))
                          + F.coalesce(delta[c], F.lit(0))).alias(c)
@@ -233,6 +241,16 @@ def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        man = read_table_manifest(spark, mv_path)
+        if man is not None and batch_id <= int(
+                man.get("txn", {}).get(_MV_TXN, -1)):
+            # foreachBatch crash-replay of a batch whose fold already
+            # landed: the merge step's txn watermark would skip the
+            # merge, but the delete step has no watermark of its own —
+            # re-applying the delta against the POST-fold state would
+            # drive live groups to __mv_n == 0 and wrongly delete
+            # them. Guard the whole fold, not just the merge.
+            return
         needed = sorted({col for col, _k in metrics.values()}
                         | set(gcols))
         plus = (batch.where(F.col("op").isin("insert", "update"))
@@ -243,7 +261,7 @@ def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
                  .select(*[F.col(old_of[c]).alias(c) for c in needed])
                  .withColumn("sign", F.lit(-1)))
         delta = _signed_state(plus.unionByName(minus), gcols, metrics)
-        if read_table_manifest(spark, mv_path) is None:
+        if man is None:
             # first batch bootstraps the state table
             merge = foreach_batch_upsert(mv_path, gcols,
                                          txn_app_id=_MV_TXN,

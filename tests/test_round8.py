@@ -1,0 +1,215 @@
+"""Round-8 hardening: mv_stream_sink replay convergence, O(touched
+groups) MV refresh, nested/timestamp payloads through the streaming
+change feed, loud failure on vacuumed change windows, and monotone
+stream offsets."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.streaming import cdf_source as cdf
+from engagement_data_pipeline_spark.streaming import ingest as ing
+from engagement_data_pipeline_spark.streaming import mv as MV
+from engagement_data_pipeline_spark.streaming.cdf_source import (
+    MergeTableChangesDataSource)
+
+GROUP = ["grp"]
+METRICS = {"n_vals": ("val", "count"), "total": ("val", "sum")}
+
+
+def _drain(q, seconds=90):
+    deadline = time.time() + seconds
+    while time.time() < deadline:
+        q.processAllAvailable()
+        if not q.status["isDataAvailable"]:
+            return
+        time.sleep(0.2)
+
+
+def test_mv_stream_sink_replayed_batch_cannot_delete_groups(
+        spark, tmp_path):
+    """foreachBatch crash-replay of an already-folded batch: without
+    the fold-level watermark guard, the delete step re-applies the
+    delta against the POST-fold state and drives a live group's
+    __mv_n to 0 — permanent wrong deletion. The replay must be a
+    complete no-op."""
+    mvp = str(tmp_path / "mv")
+    fold = MV.mv_stream_sink(mvp, GROUP, METRICS)
+    retract = ("grp string, val long, op string, changed_cols string, "
+               "grp__old string, val__old long")
+    b0 = spark.createDataFrame(
+        [("a", 10, "insert", "", None, None),
+         ("a", 20, "insert", "", None, None)], retract)
+    fold(b0, 0)
+    b1 = spark.createDataFrame(
+        [(None, None, "delete", "", "a", 10)], retract)
+    fold(b1, 1)
+    want = {("a", 1, 20)}
+    got = lambda: {tuple(r) for r in MV.read_mv(spark, mvp, METRICS)
+                   .select("grp", "n_vals", "total").collect()}
+    assert got() == want
+    fold(b1, 1)  # crash-replay: same batch id, state already folded
+    assert got() == want, "replayed delete corrupted the MV state"
+    fold(b0, 0)  # much older replay: equally a no-op
+    assert got() == want
+
+
+def test_mv_refresh_rewrites_only_touched_buckets(spark, tmp_path):
+    """The delta fold joins state in from the delta side, so a
+    refresh touching one group must version-bump ONLY that group's
+    MV bucket — the manifest is the witness."""
+    path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    groups = [f"g{i}" for i in range(16)]
+    merge(spark.createDataFrame(
+        [(f"o{i}", g, i) for i, g in enumerate(groups)],
+        "origin string, grp string, val long"), 1)
+    MV.create_mv(spark, path, mvp, GROUP, METRICS, n_buckets=8)
+    before = ing.read_table_manifest(spark, mvp)["buckets"]
+    assert len(before) > 1, "fixture must spread groups over buckets"
+
+    merge(spark.createDataFrame([("o0", "g0", 100)],
+                                "origin string, grp string, val long"), 2)
+    MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
+    after = ing.read_table_manifest(spark, mvp)["buckets"]
+    changed = {b for b in set(before) | set(after)
+               if before.get(b) != after.get(b)}
+    expect = {r[0] for r in
+              spark.createDataFrame([("g0",)], "grp string")
+              .select(ing.origin_bucket(["grp"], 8).alias("b"))
+              .collect()}
+    assert changed == expect, (
+        f"refresh rewrote buckets {sorted(changed)}, expected only "
+        f"{sorted(expect)} (g0's bucket)")
+    # and the fold is still correct
+    got = {tuple(r) for r in MV.read_mv(spark, mvp, METRICS)
+           .select("grp", "n_vals", "total").collect()}
+    want = {tuple(r) for r in
+            ing.read_merged_table(spark, path).groupBy("grp")
+            .agg(F.count("val").alias("n"),
+                 F.sum("val").alias("t")).collect()}
+    assert got == want
+
+
+def test_changes_stream_nested_and_timestamp_payload(spark, tmp_path):
+    """The flagship messages shape — labels array<struct> plus a
+    timestamp — through format('merge_table_changes'): nested schema
+    inference, Arrow-batch emission, and the normalized nested diff
+    (changed_cols flags labels only when the array actually
+    changed)."""
+    spark.dataSource.register(MergeTableChangesDataSource)
+    path = str(tmp_path / "t")
+    schema = ("origin string, ts timestamp, n long, "
+              "labels array<struct<scheme:string,code:string>>")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame(
+        [("a", t0, 1, [("gender", "man")]),
+         ("b", t0, 2, [("gender", "woman"), ("age", "25")])],
+        schema), 1)
+
+    got: list[tuple] = []
+
+    def _sink(df, _bid):
+        got.extend(
+            (r.origin, r.op, r.changed_cols, r.ts, r.n,
+             None if r.labels is None else [tuple(l) for l in r.labels],
+             None if r.labels__old is None else
+             [tuple(l) for l in r.labels__old])
+            for r in df.collect())
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", path).option("includeOld", "true").load()
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        _drain(q)
+        assert sorted(got) == [
+            ("a", "insert", "", t0, 1, [("gender", "man")], None),
+            ("b", "insert", "", t0, 2,
+             [("gender", "woman"), ("age", "25")], None)]
+        got.clear()
+        # relabel a (nested change), touch b with IDENTICAL payload
+        # (must not emit), insert c, dv-delete nothing yet
+        merge(spark.createDataFrame(
+            [("a", t0, 1, [("gender", "man"), ("zone", "z1")]),
+             ("b", t0, 2, [("gender", "woman"), ("age", "25")]),
+             ("c", t0, 3, [])], schema), 2)
+        ing.delete_origins(spark, path,
+                           spark.createDataFrame([("b",)],
+                                                 "origin string"),
+                           strategy="dv")
+        _drain(q)
+        assert sorted(got) == [
+            ("a", "update", "labels", t0, 1,
+             [("gender", "man"), ("zone", "z1")], [("gender", "man")]),
+            ("b", "delete", "", None, None, None,
+             [("gender", "woman"), ("age", "25")]),
+            ("c", "insert", "", t0, 3, [], None)]
+    finally:
+        q.stop()
+
+
+def test_changes_reader_raises_on_vacuumed_window(spark, tmp_path):
+    """A manifest-referenced bucket directory that vacuum reclaimed
+    must fail loudly (Delta-CDF-after-VACUUM semantics), never read
+    empty — an empty old side would silently turn updates into
+    inserts and swallow deletes."""
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=1,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame([("a", "1")],
+                                "origin string, payload string"), 1)
+    merge(spark.createDataFrame([("a", "2")],
+                                "origin string, payload string"), 2)
+    ing.vacuum_table(spark, path, keep_manifests=10)  # reclaims v1
+    man1 = cdf._manifest(path, 1)
+    man2 = cdf._manifest(path, 2)
+    assert man1 is not None and man2 is not None
+    with pytest.raises(RuntimeError, match="vacuum"):
+        cdf._read_bucket(path, man1, 0, ["origin", "payload"])
+    # the new side (latest commit) still reads fine
+    assert len(cdf._read_bucket(path, man2, 0,
+                                ["origin", "payload"])) == 1
+    # a bucket the manifest never placed legitimately reads empty
+    assert len(cdf._read_bucket(path, man2, 7,
+                                ["origin", "payload"])) == 0
+
+
+def test_latest_offset_never_regresses(spark, tmp_path, monkeypatch):
+    """A transient listing failure (or pruned log) must not move the
+    offset below what the engine already planned against."""
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=1)
+    merge(spark.createDataFrame([("a", "1")],
+                                "origin string, payload string"), 1)
+    merge(spark.createDataFrame([("b", "1")],
+                                "origin string, payload string"), 2)
+    r = cdf._ChangesReader(path, 0, ["origin", "payload"], None)
+    assert r.latestOffset() == {"commit": 2}
+    monkeypatch.setattr(cdf, "_latest_commit", lambda p: None)
+    assert r.latestOffset() == {"commit": 2}, "offset regressed"
+    monkeypatch.setattr(cdf, "_latest_commit", lambda p: 1)
+    assert r.latestOffset() == {"commit": 2}, "offset regressed"
+
+
+def test_fs_path_resolves_schemes(tmp_path):
+    """pyarrow.fs resolution: plain and file:// paths land on the
+    local filesystem with the scheme stripped — the same helper
+    routes object-store URIs, so the source is storage-agnostic."""
+    from pyarrow import fs as pafs
+
+    f1, p1 = cdf._fs_path(str(tmp_path))
+    assert isinstance(f1, pafs.LocalFileSystem) and p1 == str(tmp_path)
+    f2, p2 = cdf._fs_path(f"file://{tmp_path}")
+    assert isinstance(f2, pafs.LocalFileSystem) and p2 == str(tmp_path)
