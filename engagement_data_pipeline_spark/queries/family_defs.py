@@ -235,6 +235,16 @@ _EVENTS_MEMBERS = {
         [("origin_id", "string"), ("op", "string"),
          ("changed_cols", "string"), ("participant_uuid", "string"),
          ("text", "string"), ("received_on", "string")]),
+    "table_changes_nested": (
+        streaming_q.table_changes_nested,
+        streaming_q.TABLE_CHANGES_NESTED_SQL,
+        [("origin_id", "string"), ("op", "string"),
+         ("changed_cols", "string"), ("n", "bigint"),
+         ("labels", "string"), ("labels_old", "string")]),
+    "table_index_stream": (
+        streaming_q.table_index_stream,
+        streaming_q.TABLE_INDEX_STREAM_SQL,
+        [("participant_uuid", "string"), ("origin_id", "string")]),
     "scd2_messages": (
         cdc_q.scd2_messages, cdc_q.SCD2_MESSAGES_SQL,
         [("message_id", "string"), ("dataset", "string"),

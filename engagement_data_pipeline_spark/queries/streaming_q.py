@@ -638,3 +638,241 @@ SELECT origin_id,
 FROM keyed
 GROUP BY origin_id, sender, message, received_on
 """
+
+
+# --- nested payloads through the streaming change feed ---------------------
+
+def _nested_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A label-carrying merge table (the flagship `messages` shape —
+    labels array<struct<scheme,code>>) with three commits: insert,
+    partial relabel (some rows re-merged with an IDENTICAL nested
+    payload — a no-op the keyed diff must suppress), and a dv delete.
+    Deterministic from `events`, fixture-cached."""
+    from ._helpers import fixture_dir
+
+    def _lab(code):
+        base = F.struct(F.lit("topic").alias("scheme"),
+                        code.cast("string").alias("code"))
+        extra = F.struct(F.lit("extra").alias("scheme"),
+                         F.lit("x").alias("code"))
+        return F.when(F.col("e") % 3 == 0,
+                      F.array(base, extra)).otherwise(F.array(base))
+
+    def _rows(code):
+        ev = (load(spark, sf_dir, "events")
+              .where(F.col("event_id") % 16 < 8)
+              .select(F.col("event_id").alias("e")))
+        return ev.select(
+            F.concat(F.lit("ev:"), F.col("e").cast("string"))
+            .alias("origin_id"),
+            F.col("e").alias("n"),
+            _lab(code).alias("labels"),
+            (F.col("e") % 4).alias("slot"), (F.col("e") % 8).alias("s8"))
+
+    c1 = F.col("e") % 7
+    # s8==1 rows re-merge with the SAME labels (must not emit)
+    c2 = F.when(F.col("e") % 8 == 1, F.col("e") % 7) \
+          .otherwise((F.col("e") % 7 + 1) % 7)
+
+    def _build(path: str) -> None:
+        from ..streaming.ingest import delete_origins
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_rows(c1).where(F.col("slot").isin([0, 1, 2]))
+              .drop("slot", "s8"), 1)
+        merge(_rows(c2).where(F.col("slot").isin([1, 3]))
+              .drop("slot", "s8"), 2)
+        dead = (_rows(c1).where((F.col("slot") == 2) & (F.col("s8") == 2))
+                .select("origin_id"))
+        delete_origins(spark, table, dead, strategy="dv")
+
+    return os.path.join(fixture_dir("nested_cdf_table", sf_dir, _build),
+                        "table")
+
+
+def table_changes_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED payloads through `format("merge_table_changes")` with
+    includeOld: the labels array<struct> streams with full fidelity —
+    schema inferred recursively from the parquet files, the keyed diff
+    comparing nested values through normalization (a row re-merged
+    with an identical array must NOT emit), changed_cols flagging
+    `labels` only when the array truly changed, and `labels__old`
+    carrying the pre-change array on updates and deletes. Labels are
+    emitted as `scheme:code` comma-joins so the DuckDB oracle can
+    state the same diff in SQL."""
+    import tempfile
+    import time as _time
+
+    from ..streaming.cdf_source import MergeTableChangesDataSource
+
+    apply_runtime_conf(spark)
+    spark.dataSource.register(MergeTableChangesDataSource)
+    table = _nested_cdf_fixture(spark, sf_dir)
+
+    def _s(labels) -> str | None:
+        if labels is None:
+            return None
+        return ",".join(f"{l.scheme}:{l.code}" for l in labels)
+
+    rows: list[tuple] = []
+
+    def _sink(df: DataFrame, _bid: int) -> None:
+        rows.extend((r.origin_id, r.op, r.changed_cols, r.n,
+                     _s(r.labels), _s(r.labels__old))
+                    for r in df.collect())
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", table).option("startingCommit", "1")
+         .option("includeOld", "true").load()
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="edp-cdfnest-"))
+         .start())
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        rows, "origin_id string, op string, changed_cols string, "
+              "n long, labels string, labels_old string")
+
+
+TABLE_CHANGES_NESTED_SQL = """
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8,
+         event_id % 7 AS c1,
+         CASE WHEN event_id % 8 = 1 THEN event_id % 7
+              ELSE (event_id % 7 + 1) % 7 END AS c2,
+         (event_id % 3 = 0) AS extra
+  FROM events WHERE event_id % 16 < 8
+),
+lab AS (
+  SELECT *,
+    'topic:' || CAST(c1 AS VARCHAR)
+      || CASE WHEN extra THEN ',extra:x' ELSE '' END AS l1,
+    'topic:' || CAST(c2 AS VARCHAR)
+      || CASE WHEN extra THEN ',extra:x' ELSE '' END AS l2
+  FROM ev
+)
+SELECT 'ev:' || CAST(e AS VARCHAR) AS origin_id, 'update' AS op,
+       'labels' AS changed_cols, CAST(e AS BIGINT) AS n,
+       l2 AS labels, l1 AS labels_old
+FROM lab WHERE slot = 1 AND s8 = 5
+UNION ALL
+SELECT 'ev:' || CAST(e AS VARCHAR), 'delete', '', CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), l1
+FROM lab WHERE slot = 2 AND s8 = 2
+UNION ALL
+SELECT 'ev:' || CAST(e AS VARCHAR), 'insert', '', CAST(e AS BIGINT),
+       l2, CAST(NULL AS VARCHAR)
+FROM lab WHERE slot = 3
+"""
+
+
+# --- secondary index maintained by the retract stream ----------------------
+
+def _index_src_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Source table for the streaming-maintained value index: commit 1
+    inserts slots {0,1}, commit 2 MOVES slot 1's participant (the
+    indexed value changes under a fixed origin key) and inserts slot
+    2, commit 3 dv-deletes half of slot 0."""
+    from ._helpers import fixture_dir
+
+    def _rows(moved: bool):
+        ev = (load(spark, sf_dir, "events")
+              .where(F.col("event_id") % 16 < 4)
+              .select(F.col("event_id").alias("e"), "user_id"))
+        uid = (F.when(F.lit(moved) & (F.col("e") % 4 == 1),
+                      F.col("user_id") + 1).otherwise(F.col("user_id")))
+        return ev.select(
+            F.concat(F.lit("ev:"), F.col("e").cast("string"))
+            .alias("origin_id"),
+            F.concat(F.lit("p"), uid.cast("string"))
+            .alias("participant_uuid"),
+            (F.col("e") % 4).alias("slot"), (F.col("e") % 8).alias("s8"))
+
+    def _build(path: str) -> None:
+        from ..streaming.ingest import delete_origins
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_rows(False).where(F.col("slot").isin([0, 1]))
+              .drop("slot", "s8"), 1)
+        merge(_rows(True).where(F.col("slot").isin([1, 2]))
+              .drop("slot", "s8"), 2)
+        dead = (_rows(False)
+                .where((F.col("slot") == 0) & (F.col("s8") == 0))
+                .select("origin_id"))
+        delete_origins(spark, table, dead, strategy="dv")
+
+    return os.path.join(fixture_dir("index_stream_src", sf_dir, _build),
+                        "table")
+
+
+def table_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary value index maintained PUSH-BASED from the retract
+    stream (`index_stream_sink`): the stream runs with
+    maxCommitsPerTrigger=1, so the insert, the value-move update, and
+    the dv delete each arrive as their own micro-batch — the sink
+    removes the OLD value's posting from `<col>__old` and adds the
+    new one, zero reads of the source table. The oracle recomputes
+    the postings from the final logical state, so a green hash proves
+    stream-maintained == rebuilt-from-scratch (stale postings of
+    moved values removed, deleted rows' postings gone)."""
+    import tempfile
+    import time as _time
+
+    from ..streaming.cdf_source import MergeTableChangesDataSource
+    from ..streaming.ingest import read_merged_table
+    from ..streaming.secondary import index_stream_sink
+
+    apply_runtime_conf(spark)
+    spark.dataSource.register(MergeTableChangesDataSource)
+    table = _index_src_fixture(spark, sf_dir)
+    idx = os.path.join(tempfile.mkdtemp(prefix="edp-idxstream-"), "idx")
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", table).option("includeOld", "true")
+         .option("maxCommitsPerTrigger", "1").load()
+         .writeStream.foreachBatch(
+             index_stream_sink(idx, "participant_uuid", ["origin_id"],
+                               n_buckets=8))
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="edp-idxstream-ckpt-"))
+         .start())
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return (read_merged_table(spark, idx)
+            .select("participant_uuid", "origin_id"))
+
+
+TABLE_INDEX_STREAM_SQL = """
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8, user_id
+  FROM events WHERE event_id % 16 < 4
+)
+SELECT 'p' || CAST(user_id AS VARCHAR) AS participant_uuid,
+       'ev:' || CAST(e AS VARCHAR) AS origin_id
+FROM ev WHERE slot = 0 AND s8 = 4
+UNION ALL
+SELECT 'p' || CAST(user_id + 1 AS VARCHAR), 'ev:' || CAST(e AS VARCHAR)
+FROM ev WHERE slot = 1
+UNION ALL
+SELECT 'p' || CAST(user_id AS VARCHAR), 'ev:' || CAST(e AS VARCHAR)
+FROM ev WHERE slot = 2
+"""

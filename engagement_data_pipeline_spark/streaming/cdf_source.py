@@ -251,11 +251,13 @@ class _ChangesPartition(InputPartition):
 
 class _ChangesReader(DataSourceStreamReader):
     def __init__(self, table_path: str, starting_commit: int,
-                 columns: list[str], pa_schema):
+                 columns: list[str], pa_schema,
+                 max_commits_per_trigger: int | None = None):
         self.table_path = table_path
         self.start = starting_commit
         self.columns = columns  # origin + payload (no op/changed)
         self.pa_schema = pa_schema
+        self.max_per_trigger = max_commits_per_trigger
         # monotone high-water mark: a transient listing failure (or a
         # racing log prune) must never REGRESS the offset below what
         # the engine already planned against
@@ -266,7 +268,15 @@ class _ChangesReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         latest = _latest_commit(self.table_path)
-        if latest is not None and latest > self._seen:
+        if latest is None:
+            return {"commit": self._seen}
+        # rate limiting (the Delta maxFilesPerTrigger analog): a
+        # backlogged stream advances at most N commits per micro-batch
+        # — each batch's diff window, and therefore its bucket-read
+        # fan-out, stays bounded however far behind the consumer is
+        if self.max_per_trigger is not None:
+            latest = min(latest, self._seen + self.max_per_trigger)
+        if latest > self._seen:
             self._seen = latest
         return {"commit": self._seen}
 
@@ -390,7 +400,11 @@ class MergeTableChangesDataSource(DataSource):
     `<col>__old` column per payload column carrying the PRE-change
     value on updates and deletes — the retract-stream shape (Flink's
     changelog idiom) that lets a downstream incremental consumer
-    SUBTRACT without ever consulting the source table."""
+    SUBTRACT without ever consulting the source table;
+    `maxCommitsPerTrigger` (default unlimited) bounds how many source
+    commits one micro-batch may span — the Delta `maxFilesPerTrigger`
+    analog for catching up on a backlog with bounded per-batch
+    work."""
 
     @classmethod
     def name(cls) -> str:
@@ -453,7 +467,9 @@ class MergeTableChangesDataSource(DataSource):
 
         cols = [n for n, _t in self._columns_and_types()
                 if n not in (_OP, _CHANGED)]
+        mpt = self.options.get("maxCommitsPerTrigger")
         return _ChangesReader(
             self._table_path(),
             int(self.options.get("startingCommit", 0)),
-            cols, to_arrow_schema(schema))
+            cols, to_arrow_schema(schema),
+            int(mpt) if mpt is not None else None)

@@ -114,3 +114,57 @@ def lookup_by_value(spark: SparkSession, index_path: str,
     """All origin keys carrying `value`: one bucket read (partial-key
     lookup on the value the index is bucketed on)."""
     return lookup_origin(spark, index_path, [value])
+
+
+def index_stream_sink(index_path: str, col: str, origin: list[str],
+                      n_buckets: int | None = None):
+    """A foreachBatch function maintaining the value index DIRECTLY
+    from a ``merge_table_changes`` stream opened with
+    ``includeOld=true`` — the push-based twin of
+    `refresh_value_index`: the retract-stream batch already carries
+    the `<col>__old` pre-change value, so removals need ZERO reads of
+    the source table.
+
+        src = (spark.readStream.format("merge_table_changes")
+               .option("path", table).option("includeOld", "true")
+               .load())
+        src.writeStream.foreachBatch(
+            index_stream_sink(idx_path, "participant_uuid",
+                              ["origin_id"])).start()
+
+    Replay safety: the whole batch (remove phase + add phase) is
+    guarded by the index's txn watermark — a foreachBatch crash-replay
+    of an already-applied batch is a complete no-op, so the remove
+    phase can never strip postings the replayed add phase would then
+    skip re-inserting (the same delete-step TOCTOU the MV sink
+    guards). An update whose indexed value did not change
+    (changed_cols excludes `col`) is filtered out entirely — no
+    pointless posting round-trip."""
+    key = _index_key(col, list(origin))
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        man = read_table_manifest(spark, index_path)
+        if man is not None and batch_id <= int(
+                man.get("txn", {}).get(_SRC_TXN, -1)):
+            return  # crash-replay of an already-applied batch
+        touched = F.array_contains(
+            F.split(F.col("changed_cols"), ","), col)
+        removals = (batch.where(
+            (F.col("op") == "delete")
+            | ((F.col("op") == "update") & touched))
+            .select(F.col(f"{col}__old").alias(col), *origin)
+            .where(F.col(col).isNotNull()))
+        additions = (batch.where(
+            (F.col("op") == "insert")
+            | ((F.col("op") == "update") & touched))
+            .select(col, *origin).where(F.col(col).isNotNull()))
+        if man is not None and not removals.isEmpty():
+            delete_origins(spark, index_path, removals)
+        merge = foreach_batch_upsert(index_path, key,
+                                     n_buckets=n_buckets,
+                                     txn_app_id=_SRC_TXN,
+                                     bucket_cols=[col])
+        merge(additions, batch_id)
+
+    return _fold

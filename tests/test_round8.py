@@ -213,3 +213,80 @@ def test_fs_path_resolves_schemes(tmp_path):
     assert isinstance(f1, pafs.LocalFileSystem) and p1 == str(tmp_path)
     f2, p2 = cdf._fs_path(f"file://{tmp_path}")
     assert isinstance(f2, pafs.LocalFileSystem) and p2 == str(tmp_path)
+
+
+def test_index_stream_sink_moves_and_replays(spark, tmp_path):
+    """Push-based index maintenance from retract batches: a value
+    move removes the old posting and adds the new; an unchanged-value
+    update round-trips nothing; a crash-replay of an applied batch is
+    a complete no-op (watermark guards remove + add together)."""
+    from engagement_data_pipeline_spark.streaming.secondary import (
+        index_stream_sink)
+
+    idx = str(tmp_path / "idx")
+    fold = index_stream_sink(idx, "val", ["origin"], n_buckets=4)
+    # origin keys are join keys in the retract stream — present on
+    # every op, never suffixed; only payload columns carry __old
+    retract = ("origin string, val string, op string, "
+               "changed_cols string, val__old string")
+    fold(spark.createDataFrame(
+        [("o1", "a", "insert", "", None),
+         ("o2", "b", "insert", "", None)], retract), 0)
+
+    def postings():
+        return {tuple(r) for r in
+                ing.read_merged_table(spark, idx)
+                .select("val", "origin").collect()}
+
+    assert postings() == {("a", "o1"), ("b", "o2")}
+    # o1 moves a -> c; o2 updated but val unchanged (other column)
+    b1 = spark.createDataFrame(
+        [("o1", "c", "update", "val", "a"),
+         ("o2", "b", "update", "other", "b")], retract)
+    fold(b1, 1)
+    assert postings() == {("c", "o1"), ("b", "o2")}
+    fold(b1, 1)  # crash-replay: must not strip or duplicate postings
+    assert postings() == {("c", "o1"), ("b", "o2")}
+    # delete o2
+    fold(spark.createDataFrame(
+        [("o2", None, "delete", "", "b")], retract), 2)
+    assert postings() == {("c", "o1")}
+
+
+def test_max_commits_per_trigger_bounds_batches(spark, tmp_path):
+    """maxCommitsPerTrigger=1 makes each source commit its own
+    micro-batch even when the stream opens against a fully-built
+    table — the rate-limiting knob for bounded catch-up work."""
+    spark.dataSource.register(MergeTableChangesDataSource)
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame([("a", "1")],
+                                "origin string, payload string"), 1)
+    merge(spark.createDataFrame([("a", "2")],
+                                "origin string, payload string"), 2)
+    merge(spark.createDataFrame([("b", "1")],
+                                "origin string, payload string"), 3)
+
+    batches: list[set] = []
+
+    def _sink(df, _bid):
+        rows = {(r.origin, r.op, r.payload) for r in df.collect()}
+        if rows:
+            batches.append(rows)
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", path).option("startingCommit", "0")
+         .option("maxCommitsPerTrigger", "1").load()
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        _drain(q)
+    finally:
+        q.stop()
+    # one batch per commit, each the single-commit diff
+    assert batches == [{("a", "insert", "1")},
+                       {("a", "update", "2")},
+                       {("b", "insert", "1")}]
