@@ -168,14 +168,32 @@ def _open_dir(table_path: str, d: str, man: dict, what: str):
     return fs, dp
 
 
+def _read_pruned(fs, path: str, columns: list[str]):
+    """Arrow directory read PROJECTED to `columns` — parquet column
+    pruning happens in the scan (a 2-column feed consumer never pays
+    a wide table's row width), with schema evolution handled by
+    intersecting against the files' actual schema (absent columns
+    read back NULL)."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(path, filesystem=fs, format="parquet")
+    have = set(ds.schema.names)
+    pdf = ds.to_table(columns=[c for c in columns if c in have]
+                      ).to_pandas()
+    for c in columns:
+        if c not in pdf.columns:
+            pdf[c] = None
+    return pdf[columns]
+
+
 def _read_bucket(table_path: str, man: dict | None, bucket: int,
                  columns: list[str]):
     """One bucket's dv-resolved rows as a pandas frame (executor-side
-    pyarrow read — no SparkSession exists here). Returns empty when
-    the manifest never placed the bucket; raises if the manifest
-    references a directory that is gone (see `_open_dir`)."""
+    pyarrow read, pruned to `columns` — no SparkSession exists here).
+    Returns empty when the manifest never placed the bucket; raises
+    if the manifest references a directory that is gone (see
+    `_open_dir`)."""
     import pandas as pd
-    import pyarrow.parquet as pq
 
     if man is None:
         return pd.DataFrame(columns=columns)
@@ -183,17 +201,13 @@ def _read_bucket(table_path: str, man: dict | None, bucket: int,
     if d is None:
         return pd.DataFrame(columns=columns)
     fs, dp = _open_dir(table_path, d, man, "bucket")
-    pdf = pq.read_table(dp, filesystem=fs).to_pandas()
-    for c in columns:
-        if c not in pdf.columns:
-            pdf[c] = None
-    pdf = pdf[columns]
+    pdf = _read_pruned(fs, dp, columns)
     dv = _dv_dir(table_path, man, bucket)
     if dv is not None:
         dfs, dvp = _open_dir(table_path, dv, man, "deletion-vector")
-        dead = pq.read_table(dvp, filesystem=dfs).to_pandas()
         origin = list(man["origin"])
-        merged = pdf.merge(dead[origin].drop_duplicates(), on=origin,
+        dead = _read_pruned(dfs, dvp, origin)
+        merged = pdf.merge(dead.drop_duplicates(), on=origin,
                            how="left", indicator="__cdf_dv")
         pdf = (merged[merged["__cdf_dv"] == "left_only"]
                .drop(columns="__cdf_dv"))
@@ -403,8 +417,13 @@ class MergeTableChangesDataSource(DataSource):
     SUBTRACT without ever consulting the source table;
     `maxCommitsPerTrigger` (default unlimited) bounds how many source
     commits one micro-batch may span — the Delta `maxFilesPerTrigger`
-    analog for catching up on a backlog with bounded per-batch
-    work."""
+    analog for catching up on a backlog with bounded per-batch work;
+    `select` (comma-separated payload columns, default all) PROJECTS
+    the feed — the parquet scan prunes to origin + selected columns,
+    so a consumer maintaining a 2-column rollup never pays a wide
+    table's row width, and the stream becomes the change feed OF THE
+    PROJECTION: a row whose only changes are outside the selection
+    does not emit (exactly what a projected consumer should see)."""
 
     @classmethod
     def name(cls) -> str:
@@ -444,8 +463,19 @@ class MergeTableChangesDataSource(DataSource):
         if schema is None:
             raise ValueError(f"{path} has no data files")
         fields = [(f.name, _ddl_of(f.type)) for f in schema]
-        # origin columns first, then op/changed_cols, then payload
         by_name = dict(fields)
+        sel = self.options.get("select")
+        if sel is not None:
+            wanted = [c.strip() for c in sel.split(",") if c.strip()]
+            unknown = [c for c in wanted if c not in by_name]
+            if unknown:
+                raise ValueError(
+                    f"select: unknown column(s) {unknown}; table has "
+                    f"{sorted(by_name)}")
+            keep = set(wanted) - set(origin)
+            fields = [(n, t) for n, t in fields
+                      if n in origin or n in keep]
+        # origin columns first, then op/changed_cols, then payload
         return ([(c, by_name[c]) for c in origin]
                 + [(_OP, "string"), (_CHANGED, "string")]
                 + [(n, t) for n, t in fields if n not in origin])

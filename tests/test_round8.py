@@ -290,3 +290,44 @@ def test_max_commits_per_trigger_bounds_batches(spark, tmp_path):
     assert batches == [{("a", "insert", "1")},
                        {("a", "update", "2")},
                        {("b", "insert", "1")}]
+
+
+def test_changes_stream_select_projects_and_prunes(spark, tmp_path):
+    """`select` makes the stream the change feed OF THE PROJECTION:
+    the schema carries only origin + selected payload (the parquet
+    scan prunes to it), and a row whose only changes are outside the
+    selection does not emit."""
+    spark.dataSource.register(MergeTableChangesDataSource)
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    wide = "origin string, a string, b string, c string, d long"
+    merge(spark.createDataFrame(
+        [("k1", "a1", "b1", "c1", 1), ("k2", "a2", "b2", "c2", 2)],
+        wide), 1)
+    # k1: only unselected columns change; k2: the selected one does
+    merge(spark.createDataFrame(
+        [("k1", "a1", "B1", "C1", 9), ("k2", "A2", "b2", "c2", 2)],
+        wide), 2)
+
+    got: list[tuple] = []
+    cols_seen: list[list[str]] = []
+
+    def _sink(df, _bid):
+        cols_seen.append(df.columns)
+        got.extend(tuple(r) for r in df.collect())
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", path).option("startingCommit", "1")
+         .option("select", "a").option("includeOld", "true").load()
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        _drain(q)
+    finally:
+        q.stop()
+    assert all(c == ["origin", "op", "changed_cols", "a", "a__old"]
+               for c in cols_seen)
+    assert sorted(got) == [("k2", "update", "a", "A2", "a2")]
