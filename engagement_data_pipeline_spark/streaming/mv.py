@@ -195,12 +195,26 @@ def _apply_delta(spark: SparkSession, mv_path: str, gcols: list[str],
     so the state joins in LEFT_OUTER from the delta side — the fold,
     the delete set, and the merge all carry O(delta groups) rows, and
     the merge table's bucket-local rewrite then touches only the
-    buckets those groups hash to. Refresh cost is genuinely
-    O(touched groups + changed rows), never O(MV state)."""
+    buckets those groups hash to. The state READ is sliced the same
+    way: the MV is bucketed on the group columns, so the delta's
+    group keys map to known buckets (an O(n_buckets) collect of
+    bucket ids, never keys) and only those are scanned — refresh is
+    genuinely O(touched groups' buckets + changed rows) in read,
+    shuffle, and write, never O(MV state)."""
+    from .ingest import _read_resolved, origin_bucket
+
     internal = [_N_COL] + [c for name, (_col, kind) in metrics.items()
                            for c in ([name, _nn(name)] if kind == "sum"
                                      else [name])]
-    state = read_merged_table(spark, mv_path)
+    man = read_table_manifest(spark, mv_path)
+    nb = int(man["n_buckets"])
+    hit = sorted({int(r[0]) for r in
+                  delta.select(origin_bucket(gcols, nb).alias("b"))
+                  .distinct().collect()} & set(man["buckets"]))
+    if hit:
+        state = _read_resolved(spark, mv_path, man, only=hit)
+    else:  # all delta groups are new: nothing to fold against
+        state = read_merged_table(spark, mv_path).limit(0)
     folded = (delta.join(state, gcols, "left_outer")
               .select(*gcols,
                       *[(F.coalesce(state[c], F.lit(0))

@@ -76,7 +76,21 @@ def test_mv_refresh_rewrites_only_touched_buckets(spark, tmp_path):
 
     merge(spark.createDataFrame([("o0", "g0", 100)],
                                 "origin string, grp string, val long"), 2)
-    MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
+    # spy on the state READ: the fold must scan only the delta's hit
+    # buckets, never the whole MV state
+    reads: list[list[int]] = []
+    orig_rr = ing._read_resolved
+
+    def _spy(spark_, table_path_, man_, only=None, **kw):
+        if table_path_ == mvp:
+            reads.append(sorted(only or []))
+        return orig_rr(spark_, table_path_, man_, only=only, **kw)
+
+    ing._read_resolved = _spy
+    try:
+        MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
+    finally:
+        ing._read_resolved = orig_rr
     after = ing.read_table_manifest(spark, mvp)["buckets"]
     changed = {b for b in set(before) | set(after)
                if before.get(b) != after.get(b)}
@@ -87,6 +101,11 @@ def test_mv_refresh_rewrites_only_touched_buckets(spark, tmp_path):
     assert changed == expect, (
         f"refresh rewrote buckets {sorted(changed)}, expected only "
         f"{sorted(expect)} (g0's bucket)")
+    assert sorted(expect) in reads, (
+        f"state fold read buckets {reads}, expected a read of exactly "
+        f"{sorted(expect)}")
+    assert all(len(r) <= len(expect) for r in reads), (
+        f"state fold scanned more than the hit buckets: {reads}")
     # and the fold is still correct
     got = {tuple(r) for r in MV.read_mv(spark, mvp, METRICS)
            .select("grp", "n_vals", "total").collect()}
