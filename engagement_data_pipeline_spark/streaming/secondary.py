@@ -102,7 +102,10 @@ def refresh_value_index(spark: SparkSession, table_path: str,
     # A pure-insert feed (the common case) skips the delete commit
     # entirely; the emptiness probe runs on the already-tiny feed.
     if not removals.isEmpty():
-        delete_origins(spark, index_path, removals)
+        # dv: the removal is O(removed postings) — no bucket rewrite;
+        # the add phase's merge materializes tombstones in every
+        # bucket it touches anyway
+        delete_origins(spark, index_path, removals, strategy="dv")
     merge = foreach_batch_upsert(index_path, _index_key(col, origin),
                                  txn_app_id=_SRC_TXN)
     merge(additions, current)
@@ -160,7 +163,7 @@ def index_stream_sink(index_path: str, col: str, origin: list[str],
             | ((F.col("op") == "update") & touched))
             .select(col, *origin).where(F.col(col).isNotNull()))
         if man is not None and not removals.isEmpty():
-            delete_origins(spark, index_path, removals)
+            delete_origins(spark, index_path, removals, strategy="dv")
         merge = foreach_batch_upsert(index_path, key,
                                      n_buckets=n_buckets,
                                      txn_app_id=_SRC_TXN,

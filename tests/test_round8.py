@@ -350,3 +350,42 @@ def test_changes_stream_select_projects_and_prunes(spark, tmp_path):
     assert all(c == ["origin", "op", "changed_cols", "a", "a__old"]
                for c in cols_seen)
     assert sorted(got) == [("k2", "update", "a", "A2", "a2")]
+
+
+def test_read_consistent_pins_base_to_mv_watermark(spark, tmp_path):
+    """read_consistent pairs the MV with the base AS OF the source
+    commit the MV reflects — commits landing after the last refresh
+    must be invisible on BOTH sides, so detail==rollup always."""
+    path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame(
+        [("o1", "a", 10), ("o2", "b", 5)],
+        "origin string, grp string, val long"), 1)
+    MV.create_mv(spark, path, mvp, GROUP, METRICS, n_buckets=2)
+    # un-refreshed commits: a new row AND a dv delete
+    merge(spark.createDataFrame([("o3", "a", 7)],
+                                "origin string, grp string, val long"), 2)
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("o2",)], "origin string"),
+                       strategy="dv")
+
+    base, view = MV.read_consistent(spark, path, mvp, METRICS)
+    want = {tuple(r) for r in
+            base.groupBy("grp")
+            .agg(F.count("val").alias("n_vals"),
+                 F.sum("val").alias("total")).collect()}
+    got = {tuple(r) for r in
+           view.select("grp", "n_vals", "total").collect()}
+    assert got == want == {("a", 1, 10), ("b", 1, 5)}
+    # after refresh the pair advances together
+    MV.refresh_mv(spark, path, mvp, GROUP, METRICS)
+    base, view = MV.read_consistent(spark, path, mvp, METRICS)
+    got = {tuple(r) for r in
+           view.select("grp", "n_vals", "total").collect()}
+    want = {tuple(r) for r in
+            base.groupBy("grp")
+            .agg(F.count("val").alias("n_vals"),
+                 F.sum("val").alias("total")).collect()}
+    assert got == want == {("a", 2, 17)}
