@@ -300,6 +300,17 @@ class _ChangesReader(DataSourceStreamReader):
             return [_ChangesPartition(self.table_path, None, None, -1,
                                       self.columns, self.pa_schema)]
         man_from = _manifest(self.table_path, lo) if lo > 0 else None
+        if lo > 0 and man_from is None:
+            # lo was a previously planned offset, so its manifest WAS
+            # readable once — absence means the log was pruned past
+            # the stream's position. Falling back to man_from=None
+            # would silently replay the whole snapshot as inserts;
+            # fail like the batch reader (_manifest_at) does.
+            raise ValueError(
+                f"manifest {lo} of {self.table_path} is gone — log "
+                "pruned past this stream's offset (keep_manifests / "
+                "retain_ms below the stream's lag); restart from a "
+                "later startingCommit")
         man_to = _manifest(self.table_path, hi)
         if man_to is None:
             raise ValueError(

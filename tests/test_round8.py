@@ -389,3 +389,93 @@ def test_read_consistent_pins_base_to_mv_watermark(spark, tmp_path):
             .agg(F.count("val").alias("n_vals"),
                  F.sum("val").alias("total")).collect()}
     assert got == want == {("a", 2, 17)}
+
+
+def test_partitions_raise_when_start_manifest_pruned(spark, tmp_path):
+    """A planned offset whose manifest the log pruning removed must
+    fail loudly — falling back to man_from=None would silently replay
+    the whole snapshot as inserts (the streaming analog of the batch
+    reader's _manifest_at error)."""
+    import os
+
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=1,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame([("a", "1")],
+                                "origin string, payload string"), 1)
+    merge(spark.createDataFrame([("a", "2")],
+                                "origin string, payload string"), 2)
+    r = cdf._ChangesReader(path, 1, ["origin", "payload"], None)
+    assert len(r.partitions({"commit": 1}, {"commit": 2})) == 1
+    os.remove(os.path.join(path, "_log", "00000001.json"))
+    with pytest.raises(ValueError, match="pruned"):
+        r.partitions({"commit": 1}, {"commit": 2})
+
+
+def test_index_stream_fuzz_matches_rebuild(spark, tmp_path):
+    """Model check for the push-based index: a random op history
+    (latest-wins upserts that MOVE values, dv and rewrite deletes)
+    streamed per-commit through index_stream_sink must yield exactly
+    the postings a from-scratch rebuild shows after every drain."""
+    import random
+
+    from engagement_data_pipeline_spark.streaming.secondary import (
+        index_stream_sink)
+
+    rng = random.Random(29)
+    spark.dataSource.register(MergeTableChangesDataSource)
+    path, idx = str(tmp_path / "t"), str(tmp_path / "idx")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    keys = [f"o{i}" for i in range(16)]
+    vals = ["u1", "u2", "u3", None]
+
+    def _mk(n):
+        return [(k, rng.choice(vals)) for k in rng.sample(keys, n)]
+
+    merge(spark.createDataFrame(_mk(8), "origin string, val string"), 0)
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", path).option("includeOld", "true")
+         .option("maxCommitsPerTrigger", "1").load()
+         .writeStream.foreachBatch(
+             index_stream_sink(idx, "val", ["origin"], n_buckets=4))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+
+    def postings():
+        return {tuple(r) for r in
+                ing.read_merged_table(spark, idx)
+                .select("val", "origin").collect()}
+
+    def rebuilt():
+        return {tuple(r) for r in
+                ing.read_merged_table(spark, path)
+                .where(F.col("val").isNotNull())
+                .select("val", "origin").collect()}
+
+    try:
+        for step in range(6):
+            op = rng.choice(["upsert", "upsert", "dv", "rewrite"])
+            if op == "upsert":
+                merge(spark.createDataFrame(
+                    _mk(5), "origin string, val string"), step + 1)
+            else:
+                live = [r.origin for r in
+                        ing.read_merged_table(spark, path)
+                        .select("origin").collect()]
+                if not live:
+                    continue
+                ing.delete_origins(
+                    spark, path,
+                    spark.createDataFrame(
+                        [(k,) for k in rng.sample(live,
+                                                  min(2, len(live)))],
+                        "origin string"),
+                    strategy=op if op == "dv" else "rewrite")
+            _drain(q)
+            assert postings() == rebuilt(), f"step {step}"
+    finally:
+        q.stop()
