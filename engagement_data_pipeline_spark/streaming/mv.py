@@ -231,7 +231,8 @@ def _apply_delta(spark: SparkSession, mv_path: str, gcols: list[str],
 
 
 def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
-                   metrics: dict[str, tuple[str, str]]):
+                   metrics: dict[str, tuple[str, str]],
+                   auto_compact: bool = True):
     """A foreachBatch function maintaining the MV DIRECTLY from a
     ``merge_table_changes`` stream opened with ``includeOld=true`` —
     the push-based twin of `refresh_mv`: the retract-stream batch
@@ -285,6 +286,12 @@ def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
             merge(delta.where(F.col(_N_COL) > 0), batch_id)
             return
         _apply_delta(spark, mv_path, gcols, metrics, delta, batch_id)
+        if auto_compact:
+            # group deletions are dv tombstones; a long-running sink
+            # must materialize them before the dv outgrows broadcast
+            # size (metadata-only check per fold)
+            from .ingest import maybe_compact
+            maybe_compact(spark, mv_path)
 
     return _fold
 

@@ -120,7 +120,8 @@ def lookup_by_value(spark: SparkSession, index_path: str,
 
 
 def index_stream_sink(index_path: str, col: str, origin: list[str],
-                      n_buckets: int | None = None):
+                      n_buckets: int | None = None,
+                      auto_compact: bool = True):
     """A foreachBatch function maintaining the value index DIRECTLY
     from a ``merge_table_changes`` stream opened with
     ``includeOld=true`` — the push-based twin of
@@ -142,7 +143,14 @@ def index_stream_sink(index_path: str, col: str, origin: list[str],
     skip re-inserting (the same delete-step TOCTOU the MV sink
     guards). An update whose indexed value did not change
     (changed_cols excludes `col`) is filtered out entirely — no
-    pointless posting round-trip."""
+    pointless posting round-trip.
+
+    `auto_compact` (default on): removals are dv tombstones, and a
+    posting whose bucket is never re-merged (the value moved away for
+    good) would otherwise accumulate dv rows forever — after each
+    fold the sink runs `maybe_compact`'s metadata-only check and
+    materializes when the dv or file count outgrows the thresholds,
+    so a long-running sink is self-maintaining."""
     key = _index_key(col, list(origin))
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
@@ -169,5 +177,8 @@ def index_stream_sink(index_path: str, col: str, origin: list[str],
                                      txn_app_id=_SRC_TXN,
                                      bucket_cols=[col])
         merge(additions, batch_id)
+        if auto_compact:
+            from .ingest import maybe_compact
+            maybe_compact(spark, index_path)
 
     return _fold

@@ -477,5 +477,10 @@ def test_index_stream_fuzz_matches_rebuild(spark, tmp_path):
                     strategy=op if op == "dv" else "rewrite")
             _drain(q)
             assert postings() == rebuilt(), f"step {step}"
+            if step == 3:
+                # compacting the INDEX mid-stream must preserve its
+                # txn watermark (compact carries txn) and its postings
+                ing.compact_table(spark, idx, vacuum=False)
+                assert postings() == rebuilt(), "compaction broke idx"
     finally:
         q.stop()
