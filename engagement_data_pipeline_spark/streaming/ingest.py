@@ -631,13 +631,39 @@ def read_merged_table(spark: SparkSession, table_path: str) -> DataFrame:
     return _read_resolved(spark, table_path, man)
 
 
+def commit_as_of(spark: SparkSession, table_path: str,
+                 ts_ms: int) -> int:
+    """The newest commit whose manifest timestamp is <= `ts_ms` — the
+    Delta ``TIMESTAMP AS OF`` resolution step. Manifests record their
+    publish time (`ts_ms`); the scan walks the O(commits) log newest-
+    first and stops at the first old-enough commit. Raises if the
+    table's whole retained history is newer than the asked time."""
+    for commit in reversed(_list_commit_ids(spark, table_path)):
+        try:
+            man = _manifest_at(spark, table_path, commit)
+        except Exception:
+            continue
+        if (man.get("ts_ms") or 0) <= ts_ms:
+            return commit
+    raise ValueError(
+        f"no commit of {table_path} at or before ts_ms={ts_ms} "
+        "(history pruned, or the time predates the table)")
+
+
 def read_table_at(spark: SparkSession, table_path: str,
-                  commit: int) -> DataFrame:
-    """Time travel: read the table exactly as of `commit`. Version
+                  commit: int | None = None,
+                  as_of_ms: int | None = None) -> DataFrame:
+    """Time travel: read the table exactly as of `commit` (``VERSION
+    AS OF``) or as of a wall-clock millisecond timestamp `as_of_ms`
+    (``TIMESTAMP AS OF``, resolved via `commit_as_of`). Version
     directories are immutable and manifests are retained, so any
     commit whose data `vacuum_table` has not reclaimed reads back
-    byte-identical — the Delta ``VERSION AS OF`` analog, implemented
-    by resolving the historical manifest instead of the latest."""
+    byte-identical — implemented by resolving the historical manifest
+    instead of the latest."""
+    if (commit is None) == (as_of_ms is None):
+        raise ValueError("pass exactly one of commit / as_of_ms")
+    if commit is None:
+        commit = commit_as_of(spark, table_path, as_of_ms)
     man = _manifest_at(spark, table_path, commit)
     if not man["buckets"]:
         return read_merged_table(spark, table_path).limit(0)

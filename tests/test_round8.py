@@ -484,3 +484,32 @@ def test_index_stream_fuzz_matches_rebuild(spark, tmp_path):
                 assert postings() == rebuilt(), "compaction broke idx"
     finally:
         q.stop()
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: as_of_ms resolves to the newest commit at or
+    before the asked wall-clock time via the manifests' ts_ms."""
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame([("a", "1")],
+                                "origin string, payload string"), 1)
+    ts1 = ing.read_table_manifest(spark, path)["ts_ms"]
+    merge(spark.createDataFrame([("a", "2"), ("b", "1")],
+                                "origin string, payload string"), 2)
+    ts2 = ing.read_table_manifest(spark, path)["ts_ms"]
+
+    def rows(**kw):
+        return {tuple(r) for r in
+                ing.read_table_at(spark, path, **kw).collect()}
+
+    assert ing.commit_as_of(spark, path, ts1) == 1
+    assert rows(as_of_ms=ts1) == {("a", "1")}
+    assert rows(as_of_ms=ts2 + 10_000) == {("a", "2"), ("b", "1")}
+    with pytest.raises(ValueError, match="at or before"):
+        ing.commit_as_of(spark, path, ts1 - 10_000)
+    with pytest.raises(ValueError, match="exactly one"):
+        ing.read_table_at(spark, path)
+    with pytest.raises(ValueError, match="exactly one"):
+        ing.read_table_at(spark, path, commit=1, as_of_ms=ts1)
