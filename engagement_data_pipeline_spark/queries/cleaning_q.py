@@ -275,3 +275,71 @@ _INCR_PRELUDE = """corpus_incr AS (
 """
 
 DOC_BM25_INCR_SQL = _bm25_sql(prelude=_INCR_PRELUDE, src="corpus_incr")
+
+
+def doc_bm25_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from an index maintained entirely by the RETRACT
+    STREAM (`training/ranking.py:text_index_stream_sink`): the
+    documents corpus lands in a versioned merge table over four
+    commits (base insert, late insert, every-10th text update, dv
+    delete of every-20th-plus-one), the change feed streams one
+    micro-batch per commit (maxCommitsPerTrigger=1), and the sink
+    bootstraps then maintains the LSM index with zero source reads —
+    batch-id exactly-once via the stats-row watermark. The final
+    logical corpus is the SAME as `doc_bm25_incr`'s, so this shares
+    its oracle: a green hash proves stream-maintained ==
+    rebuilt-from-scratch BM25. Table + index are one fixture; bench
+    measures index SERVING."""
+    import os
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.cdf_source import MergeTableChangesDataSource
+    from ..streaming.ingest import delete_origins, foreach_batch_upsert
+    from ._helpers import fixture_dir
+
+    apply_runtime_conf(spark)
+    spark.dataSource.register(MergeTableChangesDataSource)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        idx = os.path.join(path, "text")
+        merge = foreach_batch_upsert(table, ["doc_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(docs.where(k % 4 != 3), 1)
+        merge(docs.where(k % 4 == 3), 2)
+        merge(docs.where(k % 10 == 0)
+              .withColumn("text", F.concat(F.col("text"),
+                                           F.lit(" spark merge"))), 3)
+        delete_origins(spark, table,
+                       docs.where(k % 20 == 1).select("doc_id"),
+                       strategy="dv")
+        q = (spark.readStream.format("merge_table_changes")
+             .option("path", table).option("includeOld", "true")
+             .option("maxCommitsPerTrigger", "1").load()
+             .writeStream.foreachBatch(
+                 R.text_index_stream_sink(idx, "text", "doc_id"))
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="edp-bm25stream-"))
+             .start())
+        try:
+            deadline = _time.time() + 180
+            while _time.time() < deadline:
+                q.processAllAvailable()
+                if not q.status["isDataAvailable"]:
+                    break
+                _time.sleep(0.2)
+        finally:
+            q.stop()
+
+    base = fixture_dir("bm25_stream_index", sf_dir, _build)
+    return R.bm25_topk_indexed(spark, os.path.join(base, "text"),
+                               BM25_QUERIES, k=BM25_K)
+
+
+DOC_BM25_STREAM_SQL = DOC_BM25_INCR_SQL

@@ -347,6 +347,10 @@ _TRAINING_MEMBERS = {
         cleaning_q.doc_bm25_incr, cleaning_q.DOC_BM25_INCR_SQL,
         [("query_id", "string"), ("doc_id", "bigint"),
          ("score", "double"), ("rank", "int")]),
+    "doc_bm25_stream": (
+        cleaning_q.doc_bm25_stream, cleaning_q.DOC_BM25_STREAM_SQL,
+        [("query_id", "string"), ("doc_id", "bigint"),
+         ("score", "double"), ("rank", "int")]),
     "doc_bpe_tokens": (
         bpe_q.doc_bpe_tokens, bpe_q.DOC_BPE_TOKENS_SQL,
         [("token", "string"), ("total_count", "bigint")]),

@@ -141,7 +141,8 @@ def default_term_buckets(n_docs: int) -> int:
 
 def build_text_index(docs: DataFrame, path: str,
                      text_col: str = "text", id_col: str = "doc_id",
-                     n_term_buckets: int | None = None) -> None:
+                     n_term_buckets: int | None = None,
+                     txn_batch: int = -1) -> None:
     """Materialize the BM25 index: the tf postings (doc_id, term, tf,
     dl) hash-distributed into term-keyed parquet groups plus a one-row
     corpus-stats table (n_docs, sum_dl). Build cost = the one corpus
@@ -165,10 +166,8 @@ def build_text_index(docs: DataFrame, path: str,
     (tf.repartition(n_term_buckets, F.col("term"))
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(f"{path}/postings"))
-    (spark.createDataFrame(
-        [(int(stats["n_docs"]), int(stats["sum_dl"] or 0))],
-        "n_docs long, sum_dl long")
-     .write.mode("overwrite").parquet(f"{path}/stats"))
+    _write_stats(spark, f"{path}/stats",
+                 stats["n_docs"], stats["sum_dl"] or 0, txn_batch)
 
 
 def bm25_topk_indexed(spark, index_path: str,
@@ -298,13 +297,39 @@ def _index_stats(spark, index_path: str):
     return spark.read.parquet(src)
 
 
+def _txn_of(stats_row) -> int:
+    """Applied-stream-batch watermark carried in the stats row; -1 on
+    pre-watermark indexes (backward compatible)."""
+    if "txn_batch" not in stats_row.__fields__:
+        return -1
+    v = stats_row["txn_batch"]
+    return -1 if v is None else int(v)
+
+
+def _write_stats(spark, path: str, n_docs: int, sum_dl: int,
+                 txn_batch: int) -> None:
+    (spark.createDataFrame(
+        [(int(n_docs), int(sum_dl), int(txn_batch))],
+        "n_docs long, sum_dl long, txn_batch long")
+     .write.mode("overwrite").parquet(path))
+
+
 def update_text_index(spark, index_path: str, new_docs: DataFrame | None,
                       removed_docs: DataFrame | None,
-                      text_col: str = "text", id_col: str = "doc_id") -> int:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      txn_batch: int | None = None) -> int | None:
     """Append one delta segment. `new_docs` = inserted + updated docs
     (NEW text); `removed_docs` = updated + deleted docs (OLD text —
     needed only for its doc lengths, so stats adjust in O(changes)).
-    Returns the delta sequence number.
+    Returns the delta sequence number, or None when `txn_batch` was
+    given and is at or below the index's applied watermark (a
+    replayed stream batch — skipped entirely).
+
+    `txn_batch` is the stream-sink exactly-once hook: the stats row
+    carries the highest applied batch id, and the check happens UNDER
+    the sequence claim against the stats the new delta chains from,
+    publishing watermark + postings + tombstones in the delta's one
+    atomic rename — a crash anywhere replays to the same decision.
 
     Crash-atomic AND multi-writer-safe: the segment is staged under
     ``deltas/.tmp-<nonce>`` and renamed to its final ``d####`` name as
@@ -387,11 +412,14 @@ def update_text_index(spark, index_path: str, new_docs: DataFrame | None,
             # carried stats rebase under the claim: delta seq-1 is
             # committed (checked above) and nobody else may commit seq
             cur = _index_stats(spark, index_path).first()
-            (spark.createDataFrame(
-                [(int(cur["n_docs"]) + n_new - n_rm,
-                  int(cur["sum_dl"]) + s_new - s_rm)],
-                "n_docs long, sum_dl long")
-             .write.mode("overwrite").parquet(f"{tmp}/stats"))
+            applied = _txn_of(cur)
+            if txn_batch is not None and txn_batch <= applied:
+                return None  # replayed batch: already in the chain
+            _write_stats(spark, f"{tmp}/stats",
+                         int(cur["n_docs"]) + n_new - n_rm,
+                         int(cur["sum_dl"]) + s_new - s_rm,
+                         max(applied,
+                             -1 if txn_batch is None else txn_batch))
             claim.verify()  # abort if our lease was usurped mid-write
             _rename_dir(spark, tmp, f"{index_path}/deltas/d{seq:04d}")
             published = True
@@ -503,10 +531,10 @@ def compact_text_index(spark, index_path: str,
     (resolved.repartition(n_term_buckets, F.col("term"))
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(f"{index_path}/postings"))
-    (spark.createDataFrame(
-        [(int(stats["n_docs"]), int(stats["sum_dl"] or 0))],
-        "n_docs long, sum_dl long")
-     .write.mode("overwrite").parquet(f"{index_path}/stats"))
+    # watermark carried through compaction: a replayed stream batch
+    # must stay skipped after the deltas that applied it are folded
+    _write_stats(spark, f"{index_path}/stats",
+                 stats["n_docs"], stats["sum_dl"] or 0, _txn_of(stats))
     jvm = spark._jvm
     hp = jvm.org.apache.hadoop.fs.Path
     deltas = hp(f"{index_path}/deltas")
@@ -525,3 +553,58 @@ def compact_text_index(spark, index_path: str,
                 fs.delete(st.getPath(), True)
     except Exception:
         pass
+
+
+def text_index_stream_sink(index_path: str, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """A foreachBatch function maintaining the LSM text index DIRECTLY
+    from a ``merge_table_changes`` retract stream (includeOld=true) —
+    the text-search twin of `mv_stream_sink` / `index_stream_sink`:
+    inserts and text-changed updates append new postings, updates and
+    deletes tombstone the old doc (its OLD text, from `<col>__old`,
+    adjusts the corpus stats), all with ZERO reads of the source
+    table. Updates whose text did not change (changed_cols excludes
+    `text_col`) are dropped entirely.
+
+        src = (spark.readStream.format("merge_table_changes")
+               .option("path", docs_table)
+               .option("includeOld", "true").load())
+        src.writeStream.foreachBatch(
+            text_index_stream_sink(idx, "text", "doc_id")).start()
+
+    Exactly-once: every appended delta carries the stream batch id in
+    its stats row (`update_text_index(txn_batch=...)`), checked under
+    the sequence claim and published by the delta's single atomic
+    rename — a foreachBatch crash-replay of an applied batch is a
+    complete no-op, and the watermark survives `compact_text_index`.
+    The first batch bootstraps the index via `build_text_index` when
+    none exists (subscribe from startingCommit=0 and the history
+    replay IS the build)."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        touched = F.array_contains(
+            F.split(F.col("changed_cols"), ","), text_col)
+        new_docs = (batch.where(
+            (F.col("op") == "insert")
+            | ((F.col("op") == "update") & touched))
+            .select(F.col(id_col), F.col(text_col)))
+        removed = (batch.where(
+            (F.col("op") == "delete")
+            | ((F.col("op") == "update") & touched))
+            .select(F.col(id_col),
+                    F.col(f"{text_col}__old").alias(text_col)))
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/stats")
+        exists = p.getFileSystem(
+            spark._jsc.hadoopConfiguration()).exists(p)
+        if not exists:
+            build_text_index(new_docs, index_path, text_col, id_col,
+                             txn_batch=batch_id)
+            return
+        update_text_index(spark, index_path, new_docs, removed,
+                          text_col, id_col, txn_batch=batch_id)
+
+    return _fold

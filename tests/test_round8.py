@@ -513,3 +513,93 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         ing.read_table_at(spark, path)
     with pytest.raises(ValueError, match="exactly one"):
         ing.read_table_at(spark, path, commit=1, as_of_ms=ts1)
+
+
+def test_text_index_stream_sink_matches_rebuild(spark, tmp_path):
+    """Push-based LSM text-index maintenance from the retract stream:
+    after draining insert / text-update / unrelated-update / dv-delete
+    commits (one micro-batch each), the index's resolved postings and
+    corpus stats must equal a from-scratch term_stats over the final
+    corpus; an update that does not touch the text column must not
+    churn the index."""
+    from engagement_data_pipeline_spark.training import ranking as R
+
+    spark.dataSource.register(MergeTableChangesDataSource)
+    path, idx = str(tmp_path / "docs"), str(tmp_path / "idx")
+    schema = "doc_id long, text string, meta string"
+    merge = ing.foreach_batch_upsert(path, ["doc_id"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame(
+        [(1, "alpha beta gamma", "m"), (2, "beta beta delta", "m"),
+         (3, "gamma alpha", "m"), (4, "epsilon", "m")], schema), 1)
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", path).option("includeOld", "true")
+         .option("maxCommitsPerTrigger", "1").load()
+         .writeStream.foreachBatch(
+             R.text_index_stream_sink(idx, "text", "doc_id"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        _drain(q)
+        seqs_after_build = R._delta_seqs(spark, idx)
+        # text update (2), meta-only update (3: text unchanged → no
+        # churn), new doc (5)
+        merge(spark.createDataFrame(
+            [(2, "delta delta zeta", "m"), (3, "gamma alpha", "CHANGED"),
+             (5, "beta epsilon", "m")], schema), 2)
+        ing.delete_origins(spark, path,
+                           spark.createDataFrame([(1,)], "doc_id long"),
+                           strategy="dv")
+        _drain(q)
+    finally:
+        q.stop()
+
+    final = ing.read_merged_table(spark, path)
+    want_tf = {tuple(r) for r in
+               R.term_stats(final, "text", "doc_id")[0].collect()}
+    got_tf = {tuple(r) for r in
+              R._resolved_postings(spark, idx)
+              .select("doc_id", "term", "tf", "dl").collect()}
+    assert got_tf == want_tf
+    st = R._index_stats(spark, idx).first()
+    assert st["n_docs"] == final.count()
+    assert seqs_after_build == []  # first batch bootstrapped the base
+
+
+def test_text_index_sink_replay_and_compaction_watermark(spark, tmp_path):
+    """update_text_index(txn_batch=...): a replayed batch id appends
+    NOTHING (checked under the sequence claim), and the watermark
+    survives compact_text_index — replay of a pre-compaction batch is
+    still a no-op."""
+    from engagement_data_pipeline_spark.training import ranking as R
+
+    idx = str(tmp_path / "idx")
+    fold = R.text_index_stream_sink(idx, "text", "doc_id")
+    retract = ("doc_id long, text string, op string, "
+               "changed_cols string, text__old string")
+    fold(spark.createDataFrame(
+        [(1, "alpha beta", "insert", "", None),
+         (2, "beta gamma", "insert", "", None)], retract), 0)
+    b1 = spark.createDataFrame(
+        [(2, "gamma zeta", "update", "text", "beta gamma"),
+         (3, "alpha", "insert", "", None)], retract)
+    fold(b1, 1)
+    seqs = R._delta_seqs(spark, idx)
+    stats = R._index_stats(spark, idx).first()
+    assert stats["n_docs"] == 3 and R._txn_of(stats) == 1
+    fold(b1, 1)  # crash-replay: no new delta, stats unchanged
+    assert R._delta_seqs(spark, idx) == seqs
+    assert R._index_stats(spark, idx).first() == stats
+    # watermark survives folding the deltas into the base
+    R.compact_text_index(spark, idx)
+    assert R._delta_seqs(spark, idx) == []
+    assert R._txn_of(R._index_stats(spark, idx).first()) == 1
+    fold(b1, 1)  # still a no-op post-compaction
+    assert R._delta_seqs(spark, idx) == []
+    got = {tuple(r) for r in
+           R._resolved_postings(spark, idx)
+           .select("doc_id", "term").collect()}
+    assert got == {(1, "alpha"), (1, "beta"), (2, "gamma"),
+                   (2, "zeta"), (3, "alpha")}
