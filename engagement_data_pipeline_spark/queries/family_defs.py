@@ -245,6 +245,11 @@ _EVENTS_MEMBERS = {
         streaming_q.table_index_stream,
         streaming_q.TABLE_INDEX_STREAM_SQL,
         [("participant_uuid", "string"), ("origin_id", "string")]),
+    "table_consistent_read": (
+        streaming_q.table_consistent_read,
+        streaming_q.TABLE_CONSISTENT_READ_SQL,
+        [("participant_uuid", "string"), ("n_messages", "bigint"),
+         ("n_detail", "bigint")]),
     "scd2_messages": (
         cdc_q.scd2_messages, cdc_q.SCD2_MESSAGES_SQL,
         [("message_id", "string"), ("dataset", "string"),

@@ -885,3 +885,69 @@ UNION ALL
 SELECT 'p' || CAST(user_id AS VARCHAR), 'ev:' || CAST(e AS VARCHAR)
 FROM ev WHERE slot = 2
 """
+
+
+def table_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-consistent detail⋈rollup (`streaming/mv.py:
+    read_consistent`): the MV reflects source commit 2 (its txn
+    watermark), while commit 3 landed UNREFRESHED on the base — the
+    helper pairs the view with the base AS OF commit 2, so a
+    per-participant join of rollup and re-counted detail agrees
+    row-for-row and never sees commit 3. The oracle recomputes the
+    commit-2 state from the parquet source; both count columns must
+    be equal in every row (a latest-base pairing would disagree on
+    slot-3 participants and fail the hash)."""
+    from ..streaming import mv as MV
+    from ..streaming.ingest import delete_origins
+    from ._helpers import fixture_dir
+
+    apply_runtime_conf(spark)
+    group = ["participant_uuid"]
+    metrics = {"n_messages": ("origin_id", "count")}
+
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        mv_path = os.path.join(path, "mv")
+        rows = _fixture_rows(spark, sf_dir)
+        merge = foreach_batch_upsert(table, ["origin_id"],
+                                     transform=_add_origin, n_buckets=4,
+                                     txn_app_id="src")
+        merge(rows.where((F.col("event_id") % 4).isin([0, 1])), 1)
+        MV.create_mv(spark, table, mv_path, group, metrics, n_buckets=4)
+        merge(rows.where((F.col("event_id") % 4).isin([1, 2])), 2)
+        MV.refresh_mv(spark, table, mv_path, group, metrics)
+        # commit 3 lands but is NOT refreshed into the view
+        merge(rows.where(F.col("event_id") % 4 == 3), 3)
+
+    base_dir = fixture_dir("consistent_pair", sf_dir, _build)
+    base, view = MV.read_consistent(
+        spark, os.path.join(base_dir, "table"),
+        os.path.join(base_dir, "mv"), metrics)
+    detail = (base.groupBy("participant_uuid")
+              .agg(F.count("origin_id").cast("long").alias("n_detail")))
+    return (view.select("participant_uuid",
+                        F.col("n_messages").cast("long")
+                        .alias("n_messages"))
+            .join(detail, "participant_uuid"))
+
+
+TABLE_CONSISTENT_READ_SQL = """
+WITH rows AS (
+  SELECT event_id % 4 AS slot,
+         'avf-participant-uuid-' || CAST(user_id AS VARCHAR) AS sender,
+         'recovered stream ' || CAST(event_id % 50 AS VARCHAR) AS message,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS received_on
+  FROM events WHERE event_id % 16 < 4
+),
+state_at_2 AS (
+  SELECT DISTINCT
+         'csv:' || sha256(sender || '|' || message || '|' || received_on)
+           AS origin_id,
+         sender AS participant_uuid
+  FROM rows WHERE slot IN (0, 1, 2)
+)
+SELECT participant_uuid,
+       CAST(COUNT(origin_id) AS BIGINT) AS n_messages,
+       CAST(COUNT(origin_id) AS BIGINT) AS n_detail
+FROM state_at_2 GROUP BY participant_uuid
+"""
