@@ -499,8 +499,11 @@ class MergeTableChangesDataSource(DataSource):
         ddl = ", ".join(f"{n} {t}" for n, t in cols)
         if self._include_old():
             # payload columns = everything after op/changed_cols
+            # (may be EMPTY — key-only table or select down to keys)
             tail = cols[[n for n, _t in cols].index(_CHANGED) + 1:]
-            ddl += ", " + ", ".join(f"{n}{_OLD} {t}" for n, t in tail)
+            if tail:
+                ddl += ", " + ", ".join(f"{n}{_OLD} {t}"
+                                        for n, t in tail)
         return ddl
 
     def streamReader(self, schema) -> _ChangesReader:

@@ -603,3 +603,35 @@ def test_text_index_sink_replay_and_compaction_watermark(spark, tmp_path):
            .select("doc_id", "term").collect()}
     assert got == {(1, "alpha"), (1, "beta"), (2, "gamma"),
                    (2, "zeta"), (3, "alpha")}
+
+
+def test_key_only_table_streams_with_include_old(spark, tmp_path):
+    """A key-only table (origin is the whole row) has NO payload
+    columns: includeOld must not corrupt the DDL, inserts/deletes
+    stream, and updates cannot exist (no payload to change)."""
+    spark.dataSource.register(MergeTableChangesDataSource)
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["k"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame([("a",), ("b",)], "k string"), 1)
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("a",)], "k string"),
+                       strategy="dv")
+
+    got: list[tuple] = []
+
+    def _sink(df, _bid):
+        assert df.columns == ["k", "op", "changed_cols"]
+        got.extend((r.k, r.op) for r in df.collect())
+
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", path).option("includeOld", "true").load()
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        _drain(q)
+    finally:
+        q.stop()
+    assert sorted(got) == [("b", "insert")]
