@@ -381,7 +381,11 @@ class _ChangesReader(DataSourceStreamReader):
         schema = partition.pa_schema
         arrays = [pa.array(col(f.name), type=f.type, from_pandas=True)
                   for f in schema]
-        return iter([pa.RecordBatch.from_arrays(arrays, schema=schema)])
+        # chunked batches: a full bucket diff can run to hundreds of
+        # MB at the target layout — bounded batches keep the arrow
+        # pipe and downstream per-batch memory flat
+        return iter(pa.Table.from_arrays(arrays, schema=schema)
+                    .to_batches(max_chunksize=65536))
 
     def commit(self, end: dict) -> None:
         pass
