@@ -118,10 +118,6 @@ def _latest_commit(table_path: str) -> int | None:
     return None
 
 
-def _strip_scheme(p: str) -> str:
-    return _fs_path(p)[1]
-
-
 def _bucket_dir(table_path: str, man: dict, bucket: int) -> str | None:
     ver = man["buckets"].get(bucket)
     if ver is None:
@@ -276,8 +272,23 @@ class _ChangesReader(DataSourceStreamReader):
         # racing log prune) must never REGRESS the offset below what
         # the engine already planned against
         self._seen = starting_commit
+        # engine-confirmed position. Rate limiting must advance from
+        # the position the ENGINE knows, never from the startingCommit
+        # option: on a checkpoint restart, limiting from the option
+        # would hand the engine an offset BELOW its checkpoint,
+        # regressing the offset log and re-emitting already-processed
+        # windows under fresh batch ids (which the sinks' batch-id
+        # watermarks cannot catch). Observed engine call order (pinned
+        # by the restart test): a FRESH stream polls latestOffset
+        # before anything else, when the position genuinely IS
+        # startingCommit; a RESTARTED stream always replans the
+        # checkpointed window via partitions() first, which sets _pos
+        # to the true position before the first poll.
+        self._pos: int | None = None
 
     def initialOffset(self) -> dict:
+        if self._pos is None:
+            self._pos = self.start
         return {"commit": self.start}
 
     def latestOffset(self) -> dict:
@@ -289,13 +300,23 @@ class _ChangesReader(DataSourceStreamReader):
         # — each batch's diff window, and therefore its bucket-read
         # fan-out, stays bounded however far behind the consumer is
         if self.max_per_trigger is not None:
-            latest = min(latest, self._seen + self.max_per_trigger)
+            base = self._pos if self._pos is not None else self.start
+            latest = min(latest, base + self.max_per_trigger)
         if latest > self._seen:
             self._seen = latest
         return {"commit": self._seen}
 
+    def commit(self, end: dict) -> None:
+        c = int(end["commit"])
+        if self._pos is None or c > self._pos:
+            self._pos = c
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["commit"]), int(end["commit"])
+        if self._pos is None or hi > self._pos:
+            self._pos = hi
+        if hi > self._seen:
+            self._seen = hi
         if hi <= lo:
             return [_ChangesPartition(self.table_path, None, None, -1,
                                       self.columns, self.pa_schema)]
@@ -386,9 +407,6 @@ class _ChangesReader(DataSourceStreamReader):
         # pipe and downstream per-batch memory flat
         return iter(pa.Table.from_arrays(arrays, schema=schema)
                     .to_batches(max_chunksize=65536))
-
-    def commit(self, end: dict) -> None:
-        pass
 
 
 def _ddl_of(t) -> str:
@@ -505,6 +523,19 @@ class MergeTableChangesDataSource(DataSource):
             # payload columns = everything after op/changed_cols
             # (may be EMPTY — key-only table or select down to keys)
             tail = cols[[n for n, _t in cols].index(_CHANGED) + 1:]
+            names = {n for n, _t in tail}
+            clash = sorted(n for n, _t in tail
+                           if n.endswith(_OLD)
+                           and n[:-len(_OLD)] in names)
+            if clash:
+                # a payload column literally named <x>__old would
+                # collide with x's retract column — the reader routes
+                # by name, so fail loudly instead of silently
+                # misrouting both
+                raise ValueError(
+                    f"includeOld=true clashes with payload column(s) "
+                    f"{clash}: rename them or stream with "
+                    "includeOld=false / a `select` excluding them")
             if tail:
                 ddl += ", " + ", ".join(f"{n}{_OLD} {t}"
                                         for n, t in tail)

@@ -637,17 +637,23 @@ def commit_as_of(spark: SparkSession, table_path: str,
     Delta ``TIMESTAMP AS OF`` resolution step. Manifests record their
     publish time (`ts_ms`); the scan walks the O(commits) log newest-
     first and stops at the first old-enough commit. Raises if the
-    table's whole retained history is newer than the asked time."""
+    table's whole retained history is newer than the asked time.
+    A pre-ts_ms manifest (older tables — `table_history` reports its
+    ts_ms as NULL) has an UNKNOWN creation time and is never
+    returned: treating it as time 0 would silently resolve to data
+    that may postdate the asked time."""
     for commit in reversed(_list_commit_ids(spark, table_path)):
         try:
             man = _manifest_at(spark, table_path, commit)
         except Exception:
             continue
-        if (man.get("ts_ms") or 0) <= ts_ms:
+        t = man.get("ts_ms")
+        if t is not None and int(t) <= ts_ms:
             return commit
     raise ValueError(
-        f"no commit of {table_path} at or before ts_ms={ts_ms} "
-        "(history pruned, or the time predates the table)")
+        f"no commit of {table_path} provably at or before "
+        f"ts_ms={ts_ms} (history pruned, the time predates the "
+        "table, or the candidate manifests predate ts_ms tracking)")
 
 
 def read_table_at(spark: SparkSession, table_path: str,

@@ -46,6 +46,12 @@ from .ingest import (delete_origins, foreach_batch_upsert,
 #: txn app id under which the MV records the last APPLIED source
 #: commit — the refresh replay-skip watermark.
 _MV_TXN = "__mv_src"
+#: txn app id of the PUSH-BASED sink — a stream BATCH id, not a
+#: source commit. The two namespaces must never mix: folding a batch
+#: id into a source-commit watermark (or vice versa) silently skips
+#: or double-applies windows, so each path refuses an MV owned by
+#: the other.
+_MV_STREAM_TXN = "__mv_stream"
 #: internal live-row count per group (decides group deletion).
 _N_COL = "__mv_n"
 
@@ -138,7 +144,8 @@ def create_mv(spark: SparkSession, table_path: str, mv_path: str,
 
 def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
                group_cols: Sequence[str],
-               metrics: dict[str, tuple[str, str]]) -> int | None:
+               metrics: dict[str, tuple[str, str]],
+               auto_compact: bool = True) -> int | None:
     """Fold the source's change feed since the last refresh into the
     MV. Returns the source commit now reflected (None = already
     current).
@@ -153,6 +160,11 @@ def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
     mv_man = read_table_manifest(spark, mv_path)
     if src_man is None or mv_man is None:
         raise ValueError("source and MV must both exist")
+    if _MV_STREAM_TXN in mv_man.get("txn", {}):
+        raise ValueError(
+            f"{mv_path} is maintained by mv_stream_sink (its watermark "
+            "is a stream batch id, not a source commit) — refreshing "
+            "it here would re-fold windows the sink already applied")
     invertible = _check_metrics(metrics, group_cols, src_man)
     applied = int(mv_man.get("txn", {}).get(_MV_TXN, 0))
     current = int(src_man["commit"])
@@ -175,17 +187,24 @@ def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
                    origin)
              .select(*needed).withColumn("sign", F.lit(-1)))
     if not invertible:
-        return _refresh_recompute(spark, table_path, mv_path, gcols,
-                                  metrics, src_man, plus, minus,
-                                  current)
-    delta = _signed_state(plus.unionByName(minus), gcols, metrics)
-    _apply_delta(spark, mv_path, gcols, metrics, delta, current)
+        current = _refresh_recompute(spark, table_path, mv_path, gcols,
+                                     metrics, src_man, plus, minus,
+                                     current)
+    else:
+        delta = _signed_state(plus.unionByName(minus), gcols, metrics)
+        _apply_delta(spark, mv_path, gcols, metrics, delta, current)
+    if auto_compact:
+        # group deletions are dv tombstones on buckets a later merge
+        # may never touch — materialize before the dv outgrows
+        # broadcast size (metadata-only check)
+        from .ingest import maybe_compact
+        maybe_compact(spark, mv_path)
     return current
 
 
 def _apply_delta(spark: SparkSession, mv_path: str, gcols: list[str],
                  metrics: dict[str, tuple[str, str]], delta: DataFrame,
-                 txn_version: int) -> None:
+                 txn_version: int, txn_app: str = _MV_TXN) -> None:
     """Fold a signed group-delta into the MV state table. Delete-first,
     merge-second: both steps are idempotent per `txn_version`, and only
     the final merge advances the txn watermark — a crash in between
@@ -201,15 +220,21 @@ def _apply_delta(spark: SparkSession, mv_path: str, gcols: list[str],
     bucket ids, never keys) and only those are scanned — refresh is
     genuinely O(touched groups' buckets + changed rows) in read,
     shuffle, and write, never O(MV state)."""
-    from .ingest import _read_resolved, origin_bucket
+    from .ingest import _bucket_on, _read_resolved, origin_bucket
 
     internal = [_N_COL] + [c for name, (_col, kind) in metrics.items()
                            for c in ([name, _nn(name)] if kind == "sum"
                                      else [name])]
     man = read_table_manifest(spark, mv_path)
     nb = int(man["n_buckets"])
+    # hash in the MANIFEST's bucket-column order — a caller passing
+    # the same group columns in a different order joins fine (joins
+    # are name-based) but xxhash64 is order-sensitive: caller-order
+    # hashing would slice the WRONG buckets and the latest_wins merge
+    # would then overwrite accumulated state with bare deltas
+    bk = _bucket_on(man)
     hit = sorted({int(r[0]) for r in
-                  delta.select(origin_bucket(gcols, nb).alias("b"))
+                  delta.select(origin_bucket(bk, nb).alias("b"))
                   .distinct().collect()} & set(man["buckets"]))
     if hit:
         state = _read_resolved(spark, mv_path, man, only=hit)
@@ -225,7 +250,7 @@ def _apply_delta(spark: SparkSession, mv_path: str, gcols: list[str],
         # dv: O(dead groups) tombstones, no bucket rewrite — the merge
         # below rewrites the same hit buckets and materializes them
         delete_origins(spark, mv_path, gone, strategy="dv")
-    merge = foreach_batch_upsert(mv_path, gcols, txn_app_id=_MV_TXN,
+    merge = foreach_batch_upsert(mv_path, gcols, txn_app_id=txn_app,
                                  mode="latest_wins")
     merge(folded.where(F.col(_N_COL) > 0), txn_version)
 
@@ -241,7 +266,16 @@ def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
     table (inserts/updates add the new values, updates/deletes
     subtract the old ones). Invertible metrics only (count/sum) —
     exactly what the retract shape can maintain. Replayed batches
-    converge through the MV's txn watermark, same as refresh_mv.
+    converge through the sink's own txn watermark (`__mv_stream`, a
+    STREAM BATCH id).
+
+    Ownership: the sink bootstraps its MV from its own first batch
+    (subscribe from startingCommit=0 — the history replay IS the
+    create) and OWNS it from then on. It refuses an MV carrying the
+    refresh path's `__mv_src` watermark and vice versa: the two
+    watermarks count different things (batch ids vs source commits),
+    and deltas are additive — mixing the paths would double-count or
+    silently skip windows.
 
         src = (spark.readStream.format("merge_table_changes")
                .option("path", table).option("includeOld", "true")
@@ -259,8 +293,14 @@ def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
     def _fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         man = read_table_manifest(spark, mv_path)
+        if man is not None and _MV_TXN in man.get("txn", {}):
+            raise ValueError(
+                f"{mv_path} is maintained by create_mv/refresh_mv "
+                "(source-commit watermark) — the stream sink's batch-"
+                "id watermark cannot continue it; point the sink at "
+                "its own MV path and replay from startingCommit=0")
         if man is not None and batch_id <= int(
-                man.get("txn", {}).get(_MV_TXN, -1)):
+                man.get("txn", {}).get(_MV_STREAM_TXN, -1)):
             # foreachBatch crash-replay of a batch whose fold already
             # landed: the merge step's txn watermark would skip the
             # merge, but the delete step has no watermark of its own —
@@ -281,11 +321,12 @@ def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
         if man is None:
             # first batch bootstraps the state table
             merge = foreach_batch_upsert(mv_path, gcols,
-                                         txn_app_id=_MV_TXN,
+                                         txn_app_id=_MV_STREAM_TXN,
                                          mode="latest_wins")
             merge(delta.where(F.col(_N_COL) > 0), batch_id)
             return
-        _apply_delta(spark, mv_path, gcols, metrics, delta, batch_id)
+        _apply_delta(spark, mv_path, gcols, metrics, delta, batch_id,
+                     txn_app=_MV_STREAM_TXN)
         if auto_compact:
             # group deletions are dv tombstones; a long-running sink
             # must materialize them before the dv outgrows broadcast

@@ -43,6 +43,10 @@ from .ingest import (delete_origins, foreach_batch_upsert, lookup_origin,
 #: txn app id under which the index records the last APPLIED source
 #: commit — the refresh replay-skip watermark.
 _SRC_TXN = "__value_index_src"
+#: txn app id of the PUSH-BASED sink — a stream BATCH id, not a
+#: source commit; the namespaces must never mix (see mv.py), so each
+#: maintenance path refuses an index owned by the other.
+_STREAM_TXN = "__value_index_stream"
 
 
 def _index_key(col: str, origin: list[str]) -> list[str]:
@@ -80,6 +84,11 @@ def refresh_value_index(spark: SparkSession, table_path: str,
     idx_man = read_table_manifest(spark, index_path)
     if src_man is None or idx_man is None:
         raise ValueError("source and index must both exist")
+    if _STREAM_TXN in idx_man.get("txn", {}):
+        raise ValueError(
+            f"{index_path} is maintained by index_stream_sink (its "
+            "watermark is a stream batch id, not a source commit) — "
+            "refreshing it here would re-fold applied windows")
     applied = int(idx_man.get("txn", {}).get(_SRC_TXN, 0))
     current = int(src_man["commit"])
     if current <= applied:
@@ -102,13 +111,17 @@ def refresh_value_index(spark: SparkSession, table_path: str,
     # A pure-insert feed (the common case) skips the delete commit
     # entirely; the emptiness probe runs on the already-tiny feed.
     if not removals.isEmpty():
-        # dv: the removal is O(removed postings) — no bucket rewrite;
-        # the add phase's merge materializes tombstones in every
-        # bucket it touches anyway
+        # dv: the removal is O(removed postings) — no bucket rewrite
         delete_origins(spark, index_path, removals, strategy="dv")
     merge = foreach_batch_upsert(index_path, _index_key(col, origin),
                                  txn_app_id=_SRC_TXN)
     merge(additions, current)
+    # a moved value's OLD posting lives in a bucket the add phase
+    # usually does NOT touch (additions hash by the NEW value), so dv
+    # tombstones accumulate there until compaction — run the
+    # metadata-only check every refresh
+    from .ingest import maybe_compact
+    maybe_compact(spark, index_path)
     return current
 
 
@@ -156,8 +169,15 @@ def index_stream_sink(index_path: str, col: str, origin: list[str],
     def _fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         man = read_table_manifest(spark, index_path)
+        if man is not None and _SRC_TXN in man.get("txn", {}):
+            raise ValueError(
+                f"{index_path} is maintained by build_value_index/"
+                "refresh_value_index (source-commit watermark) — the "
+                "sink's batch-id watermark cannot continue it; point "
+                "the sink at its own index path and replay from "
+                "startingCommit=0")
         if man is not None and batch_id <= int(
-                man.get("txn", {}).get(_SRC_TXN, -1)):
+                man.get("txn", {}).get(_STREAM_TXN, -1)):
             return  # crash-replay of an already-applied batch
         touched = F.array_contains(
             F.split(F.col("changed_cols"), ","), col)
@@ -174,7 +194,7 @@ def index_stream_sink(index_path: str, col: str, origin: list[str],
             delete_origins(spark, index_path, removals, strategy="dv")
         merge = foreach_batch_upsert(index_path, key,
                                      n_buckets=n_buckets,
-                                     txn_app_id=_SRC_TXN,
+                                     txn_app_id=_STREAM_TXN,
                                      bucket_cols=[col])
         merge(additions, batch_id)
         if auto_compact:

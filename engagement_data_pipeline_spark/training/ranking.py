@@ -556,7 +556,8 @@ def compact_text_index(spark, index_path: str,
 
 
 def text_index_stream_sink(index_path: str, text_col: str = "text",
-                           id_col: str = "doc_id"):
+                           id_col: str = "doc_id",
+                           max_deltas: int = 32):
     """A foreachBatch function maintaining the LSM text index DIRECTLY
     from a ``merge_table_changes`` retract stream (includeOld=true) —
     the text-search twin of `mv_stream_sink` / `index_stream_sink`:
@@ -596,6 +597,12 @@ def text_index_stream_sink(index_path: str, text_col: str = "text",
             | ((F.col("op") == "update") & touched))
             .select(F.col(id_col),
                     F.col(f"{text_col}__old").alias(text_col)))
+        if new_docs.isEmpty() and removed.isEmpty():
+            # a batch whose changes are all outside the text column:
+            # appending a watermark-only delta would grow the segment
+            # list per batch; skipping is replay-safe (re-running a
+            # batch that produced nothing produces nothing)
+            return
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/stats")
         exists = p.getFileSystem(
@@ -606,5 +613,9 @@ def text_index_stream_sink(index_path: str, text_col: str = "text",
             return
         update_text_index(spark, index_path, new_docs, removed,
                           text_col, id_col, txn_batch=batch_id)
+        if max_deltas and len(_delta_seqs(spark, index_path)) > max_deltas:
+            # amortized self-maintenance: fold the LSM tail before the
+            # per-query candidate/tombstone lists grow with batch count
+            compact_text_index(spark, index_path)
 
     return _fold

@@ -635,3 +635,210 @@ def test_key_only_table_streams_with_include_old(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(got) == [("b", "insert")]
+
+
+def test_rate_limit_never_regresses_after_restart(spark, tmp_path):
+    """Rate limiting advances from the ENGINE's position, never from
+    the startingCommit option: on restart the engine replans the
+    checkpointed window via partitions() before the first poll
+    (behavior pinned end-to-end below), so limiting from the option
+    would hand back an offset below the checkpoint, regressing the
+    offset log and re-emitting applied windows under fresh batch
+    ids."""
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=1,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    for i in range(1, 6):
+        merge(spark.createDataFrame([(f"k{i}", "v")],
+                                    "origin string, payload string"), i)
+    # fresh stream: first poll limits from startingCommit
+    r = cdf._ChangesReader(path, 0, ["origin", "payload"], None, 2)
+    assert r.latestOffset() == {"commit": 2}
+    # restart: the engine replans the checkpointed window FIRST —
+    # the subsequent poll must limit from there, never below it
+    r2 = cdf._ChangesReader(path, 0, ["origin", "payload"], None, 2)
+    r2.partitions({"commit": 2}, {"commit": 4})
+    assert r2.latestOffset() == {"commit": 5}, "offset regressed"
+    # commit() also reveals the position
+    r3 = cdf._ChangesReader(path, 0, ["origin", "payload"], None, 2)
+    r3.commit({"commit": 3})
+    assert r3.latestOffset() == {"commit": 5}
+
+
+def test_rate_limited_stream_survives_restart_without_duplicates(
+        spark, tmp_path):
+    """End-to-end restart pin: stop a maxCommitsPerTrigger stream,
+    land more commits, restart on the SAME checkpoint — every change
+    must arrive exactly once (an offset regression would re-emit
+    already-applied windows under fresh batch ids)."""
+    spark.dataSource.register(MergeTableChangesDataSource)
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=1,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    for i in range(1, 4):
+        merge(spark.createDataFrame([(f"k{i}", "v")],
+                                    "origin string, payload string"), i)
+    got: list[tuple] = []
+
+    def _sink(df, _bid):
+        got.extend((r.origin, r.op) for r in df.collect())
+
+    def _run():
+        q = (spark.readStream.format("merge_table_changes")
+             .option("path", path)
+             .option("maxCommitsPerTrigger", "1").load()
+             .writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        try:
+            _drain(q)
+        finally:
+            q.stop()
+
+    _run()
+    assert sorted(got) == [(f"k{i}", "insert") for i in range(1, 4)]
+    merge(spark.createDataFrame([("k4", "v")],
+                                "origin string, payload string"), 4)
+    merge(spark.createDataFrame([("k5", "v")],
+                                "origin string, payload string"), 5)
+    _run()  # restart on the same checkpoint
+    assert sorted(got) == [(f"k{i}", "insert") for i in range(1, 6)], (
+        "restart re-emitted or dropped windows")
+
+
+def test_maintenance_paths_refuse_foreign_watermarks(spark, tmp_path):
+    """Pull refreshers record SOURCE COMMITS; push sinks record STREAM
+    BATCH ids. Mixing silently skips or double-applies windows, so
+    each path must refuse an artifact owned by the other."""
+    from engagement_data_pipeline_spark.streaming.secondary import (
+        build_value_index, index_stream_sink, refresh_value_index)
+
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame([("o1", "a", 1)],
+                                "origin string, grp string, val long"), 1)
+    retract = ("origin string, grp string, val long, op string, "
+               "changed_cols string, grp__old string, val__old long")
+    b = spark.createDataFrame(
+        [("o1", "a", 1, "insert", "", None, None)], retract)
+
+    # refresh-owned MV refuses the sink...
+    mvp1 = str(tmp_path / "mv1")
+    MV.create_mv(spark, path, mvp1, GROUP, METRICS, n_buckets=2)
+    with pytest.raises(ValueError, match="source-commit watermark"):
+        MV.mv_stream_sink(mvp1, GROUP, METRICS)(b, 0)
+    # ...and a sink-owned MV refuses refresh_mv AND read_consistent
+    mvp2 = str(tmp_path / "mv2")
+    MV.mv_stream_sink(mvp2, GROUP, METRICS)(b, 0)
+    with pytest.raises(ValueError, match="stream batch id"):
+        MV.refresh_mv(spark, path, mvp2, GROUP, METRICS)
+    with pytest.raises(ValueError, match="no __mv_src watermark"):
+        MV.read_consistent(spark, path, mvp2, METRICS)
+
+    # same mutual exclusion for the value index
+    idx1 = str(tmp_path / "idx1")
+    build_value_index(spark, path, idx1, "grp", n_buckets=2)
+    iretract = ("origin string, grp string, op string, "
+                "changed_cols string, grp__old string")
+    ib = spark.createDataFrame([("o1", "a", "insert", "", None)],
+                               iretract)
+    with pytest.raises(ValueError, match="source-commit watermark"):
+        index_stream_sink(idx1, "grp", ["origin"])(ib, 0)
+    idx2 = str(tmp_path / "idx2")
+    index_stream_sink(idx2, "grp", ["origin"], n_buckets=2)(ib, 0)
+    with pytest.raises(ValueError, match="stream batch id"):
+        refresh_value_index(spark, path, idx2, "grp")
+
+
+def test_mv_refresh_group_col_order_insensitive(spark, tmp_path):
+    """Bucket hashing runs in the MANIFEST's bucket-column order —
+    refreshing with the group columns in a different order than
+    create_mv used must still slice the right state buckets (joins
+    are name-based; xxhash64 is order-sensitive)."""
+    path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    rows = "origin string, a string, b string, val long"
+    merge(spark.createDataFrame(
+        [(f"o{i}", f"a{i % 4}", f"b{i % 3}", i) for i in range(24)],
+        rows), 1)
+    metrics = {"n": ("val", "count"), "t": ("val", "sum")}
+    MV.create_mv(spark, path, mvp, ["a", "b"], metrics, n_buckets=8)
+    merge(spark.createDataFrame([("o0", "a0", "b0", 100)], rows), 2)
+    MV.refresh_mv(spark, path, mvp, ["b", "a"], metrics)  # reversed
+    got = {tuple(r) for r in
+           MV.read_mv(spark, mvp, metrics)
+           .select("a", "b", "n", "t").collect()}
+    want = {tuple(r) for r in
+            ing.read_merged_table(spark, path).groupBy("a", "b")
+            .agg(F.count("val").alias("n"),
+                 F.sum("val").alias("t")).collect()}
+    assert got == want
+
+
+def test_text_sink_skips_textless_batches(spark, tmp_path):
+    """A batch whose changes are all outside the text column appends
+    NO delta segment (previously: one empty segment per batch,
+    growing the LSM tail with pure watermark carriers)."""
+    from engagement_data_pipeline_spark.training import ranking as R
+
+    idx = str(tmp_path / "idx")
+    fold = R.text_index_stream_sink(idx, "text", "doc_id")
+    retract = ("doc_id long, text string, meta string, op string, "
+               "changed_cols string, text__old string, meta__old string")
+    fold(spark.createDataFrame(
+        [(1, "alpha beta", "m", "insert", "", None, None)], retract), 0)
+    assert R._delta_seqs(spark, idx) == []
+    fold(spark.createDataFrame(
+        [(1, "alpha beta", "M2", "update", "meta", "alpha beta", "m")],
+        retract), 1)
+    assert R._delta_seqs(spark, idx) == [], "textless batch churned"
+    got = {tuple(r) for r in R._resolved_postings(spark, idx)
+           .select("doc_id", "term").collect()}
+    assert got == {(1, "alpha"), (1, "beta")}
+
+
+def test_commit_as_of_skips_untimestamped_manifests(spark, tmp_path):
+    """A manifest without ts_ms has an UNKNOWN creation time: it must
+    never resolve a TIMESTAMP AS OF (treating it as time 0 would
+    return data that may postdate the asked time)."""
+    import json as _json
+    import os
+
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=1,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame([("a", "1")],
+                                "origin string, payload string"), 1)
+    merge(spark.createDataFrame([("b", "1")],
+                                "origin string, payload string"), 2)
+    ts2 = ing.read_table_manifest(spark, path)["ts_ms"]
+    # strip commit 1's timestamp (an older-format manifest)
+    mp = os.path.join(path, "_log", "00000001.json")
+    man = _json.load(open(mp))
+    del man["ts_ms"]
+    with open(mp, "w") as f:
+        _json.dump(man, f)
+    assert ing.commit_as_of(spark, path, ts2) == 2
+    with pytest.raises(ValueError, match="provably"):
+        ing.commit_as_of(spark, path, ts2 - 10_000)
+
+
+def test_include_old_rejects_colliding_payload_name(spark, tmp_path):
+    """A payload column literally named <x>__old would collide with
+    x's retract column — schema() must fail loudly, not misroute."""
+    spark.dataSource.register(MergeTableChangesDataSource)
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["k"], n_buckets=1)
+    merge(spark.createDataFrame([("a", "s", "old")],
+                                "k string, status string, "
+                                "status__old string"), 1)
+    with pytest.raises(Exception, match="clashes"):
+        (spark.readStream.format("merge_table_changes")
+         .option("path", path).option("includeOld", "true").load())
