@@ -91,14 +91,62 @@ def _manifest(table_path: str, commit: int) -> dict | None:
     return man
 
 
-def _latest_commit(table_path: str) -> int | None:
-    """Highest PARSEABLE commit. Scans names newest-first and stops at
-    the first good manifest — this runs on every latestOffset() poll,
-    so it must stay O(1) manifest reads in the common case, not
-    O(commits) (only a trailing crash-partial manifest costs an extra
-    read, same skip rule as the batch reader)."""
+def _write_floor(table_path: str, name: str, commit: int) -> None:
+    """Advance this stream's retention floor (`_log/_floors/<name>` —
+    the contract `vacuum_table` honors: manifests/data from `commit`
+    onward survive vacuum, so the stream's unread windows cannot be
+    reclaimed out from under it). Write-then-rename so a torn write
+    never leaves a parseable-but-wrong floor."""
+    fs, root = _fs_path(table_path)
+    d = posixpath.join(root, _LOG_DIR, "_floors")
+    fs.create_dir(d, recursive=True)
+    tmp = posixpath.join(d, f"{name}.json.tmp")
+    with fs.open_output_stream(tmp) as f:
+        f.write(str(int(commit)).encode())
+    fs.move(tmp, posixpath.join(d, f"{name}.json"))
+
+
+def _read_floor(table_path: str, name: str) -> int | None:
+    fs, root = _fs_path(table_path)
+    try:
+        with fs.open_input_stream(posixpath.join(
+                root, _LOG_DIR, "_floors", f"{name}.json")) as f:
+            return int(f.read().decode().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _latest_hint(table_path: str) -> int | None:
+    """The writer-maintained `_log/LATEST` pointer (advisory floor —
+    may lag by one on a crash between manifest rename and pointer
+    write, or be absent on pre-pointer tables)."""
+    fs, root = _fs_path(table_path)
+    try:
+        with fs.open_input_stream(
+                posixpath.join(root, _LOG_DIR, "LATEST")) as f:
+            return int(f.read().decode().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _latest_commit(table_path: str, floor: int | None = None) -> int | None:
+    """Highest PARSEABLE commit. Runs on every latestOffset() poll, so
+    it must stay O(1) manifest reads however long the table's log is:
+    published commit ids are DENSE (each commit is claimed as
+    latest+1 under the OCC claim), so starting from a known floor —
+    the caller's last-seen offset and/or the writer's `_log/LATEST`
+    pointer — and probing FORWARD reaches the head in O(new commits)
+    reads. Only when no floor resolves (pre-pointer table, or the
+    floor's manifest was pruned) does it fall back to the full
+    O(commits) listing, scanned newest-first."""
     from pyarrow import fs as pafs
 
+    start = max(floor or 0, _latest_hint(table_path) or 0)
+    if start > 0 and _manifest(table_path, start) is not None:
+        c = start
+        while _manifest(table_path, c + 1) is not None:
+            c += 1
+        return c
     fs, root = _fs_path(table_path)
     try:
         infos = fs.get_file_info(
@@ -262,12 +310,33 @@ class _ChangesPartition(InputPartition):
 class _ChangesReader(DataSourceStreamReader):
     def __init__(self, table_path: str, starting_commit: int,
                  columns: list[str], pa_schema,
-                 max_commits_per_trigger: int | None = None):
+                 max_commits_per_trigger: int | None = None,
+                 retention_name: str | None = None):
         self.table_path = table_path
         self.start = starting_commit
         self.columns = columns  # origin + payload (no op/changed)
         self.pa_schema = pa_schema
         self.max_per_trigger = max_commits_per_trigger
+        # retention contract: when named, the reader registers its
+        # position as a vacuum floor — windows it has not yet read
+        # cannot be reclaimed (the PREVENTIVE half of the loud
+        # vacuumed-window failure below)
+        self.retention_name = retention_name
+        self._floor: int | None = None
+        if retention_name is not None:
+            # write-if-absent at construction: the engine reconstructs
+            # the reader several times per stream, and a restarted
+            # stream's position (≥ startingCommit) is not known here —
+            # the floor written at the last commit() already protects
+            # it, so an existing floor is never touched (commit() is
+            # the only raiser; reusing a retentionName across streams
+            # requires clear_retention_floor first).
+            cur = _read_floor(table_path, retention_name)
+            if cur is None:
+                _write_floor(table_path, retention_name, starting_commit)
+                self._floor = starting_commit
+            else:
+                self._floor = cur
         # monotone high-water mark: a transient listing failure (or a
         # racing log prune) must never REGRESS the offset below what
         # the engine already planned against
@@ -292,7 +361,11 @@ class _ChangesReader(DataSourceStreamReader):
         return {"commit": self.start}
 
     def latestOffset(self) -> dict:
-        latest = _latest_commit(self.table_path)
+        # _seen is the poll's floor: with dense commit ids the probe
+        # walks forward from it (O(new commits) manifest reads), never
+        # re-listing the whole log
+        latest = _latest_commit(self.table_path,
+                                floor=self._seen if self._seen > 0 else None)
         if latest is None:
             return {"commit": self._seen}
         # rate limiting (the Delta maxFilesPerTrigger analog): a
@@ -310,6 +383,16 @@ class _ChangesReader(DataSourceStreamReader):
         c = int(end["commit"])
         if self._pos is None or c > self._pos:
             self._pos = c
+        if (self.retention_name is not None
+                and c > (self._floor if self._floor is not None else -1)):
+            # raise-only, tracked separately from _pos (which
+            # partitions() may already have advanced to c): the engine
+            # confirmed everything below c is processed, so the
+            # retention contract advances and vacuum may reclaim below
+            # it. NOT best-effort — a silently skipped write would let
+            # vacuum void the contract the user asked for.
+            _write_floor(self.table_path, self.retention_name, c)
+            self._floor = c
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["commit"]), int(end["commit"])
@@ -456,7 +539,13 @@ class MergeTableChangesDataSource(DataSource):
     so a consumer maintaining a 2-column rollup never pays a wide
     table's row width, and the stream becomes the change feed OF THE
     PROJECTION: a row whose only changes are outside the selection
-    does not emit (exactly what a projected consumer should see)."""
+    does not emit (exactly what a projected consumer should see);
+    `retentionName` (default off) registers the stream's position as
+    a named vacuum floor (`_log/_floors/<name>`) advanced at every
+    engine commit — `vacuum_table` then cannot reclaim the stream's
+    unread change windows (the PREVENTIVE retention contract; without
+    it a vacuum past a lagging stream's offset makes the window
+    unrecoverable and the source fails loudly)."""
 
     @classmethod
     def name(cls) -> str:
@@ -551,4 +640,5 @@ class MergeTableChangesDataSource(DataSource):
             self._table_path(),
             int(self.options.get("startingCommit", 0)),
             cols, to_arrow_schema(schema),
-            int(mpt) if mpt is not None else None)
+            int(mpt) if mpt is not None else None,
+            self.options.get("retentionName"))

@@ -246,6 +246,28 @@ def _is_already_exists(e: Exception) -> bool:
     return "AlreadyExists" in str(e)
 
 
+def _is_not_found(e: Exception) -> bool:
+    """True iff a Py4J error wraps a FileNotFound/NoSuchFile — the
+    read failure that means 'this path does not exist' (e.g. a
+    manifest reclaimed by a racing log prune), as opposed to a
+    transient IO/permission error that must NOT be swallowed."""
+    java_exc = getattr(e, "java_exception", None)
+    seen = set()
+    while java_exc is not None and id(java_exc) not in seen:
+        seen.add(id(java_exc))
+        try:
+            cls = java_exc.getClass().getName()
+        except Exception:
+            break
+        if "FileNotFound" in cls or "NoSuchFile" in cls:
+            return True
+        try:
+            java_exc = java_exc.getCause()
+        except Exception:
+            break
+    return "FileNotFound" in str(e) or "NoSuchFile" in str(e)
+
+
 def _rename_path(spark: SparkSession, src: str, dst: str) -> bool:
     """Atomic rename; returns False if the source vanished or the
     destination already exists (never replaces an existing dst)."""
@@ -503,6 +525,17 @@ def _commit(spark: SparkSession, table_path: str, commit: int,
     _write_text_atomic(
         spark, f"{table_path}/{_LOG_DIR}/{commit:08d}.json",
         json.dumps(man, indent=0))
+    # Advisory latest-commit pointer: lets pollers (the change-feed
+    # source's latestOffset) resolve the head in O(1) reads instead of
+    # listing the whole O(commits) log. Best-effort — commits are
+    # serialized under claims so plain overwrite is monotone, readers
+    # treat it as a floor hint and probe forward (a crash between the
+    # manifest rename and this write just leaves the hint one behind).
+    try:
+        _write_text_atomic(spark, f"{table_path}/{_LOG_DIR}/LATEST",
+                           str(commit))
+    except Exception:
+        pass
 
 
 def _bucket_on(man: dict) -> list[str]:
@@ -645,8 +678,15 @@ def commit_as_of(spark: SparkSession, table_path: str,
     for commit in reversed(_list_commit_ids(spark, table_path)):
         try:
             man = _manifest_at(spark, table_path, commit)
-        except Exception:
-            continue
+        except ValueError:
+            continue  # unparseable/incomplete (crash-partial) manifest
+        except Exception as e:
+            if _is_not_found(e):
+                continue  # reclaimed by a racing log prune
+            # a transient read error (object-store IO, permissions) on
+            # the timestamp-correct manifest must FAIL the resolution,
+            # not silently fall through to an older commit
+            raise
         t = man.get("ts_ms")
         if t is not None and int(t) <= ts_ms:
             return commit
@@ -1298,9 +1338,60 @@ def rebucket_table(spark: SparkSession, table_path: str,
         vacuum_table(spark, table_path)
 
 
+_FLOORS_DIR = f"{_LOG_DIR}/_floors"
+
+
+def set_retention_floor(spark: SparkSession, table_path: str,
+                        name: str, commit: int) -> None:
+    """Register a minimum-live-commit floor for a named consumer (a
+    lagging change-feed stream, a paused sync job): `vacuum_table`
+    then retains every manifest and data/dv directory from `commit`
+    onward, so the consumer's unread change windows survive vacuum —
+    Delta's retention-contract answer, PREVENTING the data loss the
+    change-feed source otherwise diagnoses loudly after the fact.
+    Streams opened with ``.option("retentionName", ...)`` advance
+    their floor automatically at every engine commit."""
+    _write_text_atomic(
+        spark, f"{table_path}/{_FLOORS_DIR}/{name}.json", str(int(commit)))
+
+
+def clear_retention_floor(spark: SparkSession, table_path: str,
+                          name: str) -> None:
+    """Drop a consumer's floor (it caught up, or was decommissioned) —
+    vacuum is then bounded by the remaining floors / retention knobs."""
+    fs, jvm = _fs(spark, table_path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/{_FLOORS_DIR}/{name}.json"), False)
+
+
+def read_retention_floors(spark: SparkSession,
+                          table_path: str) -> dict[str, int]:
+    """All registered consumer floors. An unparseable floor file reads
+    as 0 (retain everything) — a torn write must fail SAFE, never
+    license reclaiming a consumer's window."""
+    fs, jvm = _fs(spark, table_path)
+    try:
+        statuses = fs.listStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{table_path}/{_FLOORS_DIR}"))
+    except Exception:
+        return {}
+    floors: dict[str, int] = {}
+    for st in statuses:
+        fname = st.getPath().getName()
+        if not fname.endswith(".json"):
+            continue
+        try:
+            floors[fname[:-5]] = int(_read_text(
+                spark, f"{table_path}/{_FLOORS_DIR}/{fname}").strip())
+        except Exception:
+            floors[fname[:-5]] = 0
+    return floors
+
+
 def vacuum_table(spark: SparkSession, table_path: str,
                  keep_manifests: int = 10,
-                 retain_ms: int | None = None) -> None:
+                 retain_ms: int | None = None,
+                 ignore_floors: bool = False) -> None:
     """Delete version/bucket directories no longer referenced by the
     LATEST manifest, then empty version dirs, then manifests older
     than the last `keep_manifests`. Safe against the single writer
@@ -1312,12 +1403,24 @@ def vacuum_table(spark: SparkSession, table_path: str,
     any manifest committed within the last `retain_ms` milliseconds
     is ALSO kept (and those manifests survive regardless of
     `keep_manifests`), so `read_table_at` keeps working across the
-    retention window while older superseded versions reclaim."""
+    retention window while older superseded versions reclaim.
+
+    Registered consumer floors (`set_retention_floor` / streams opened
+    with ``retentionName``) are honored the same way: every manifest
+    at or above the MINIMUM floor — and the data/dv directories those
+    manifests reference — survives, so a lagging stream's unread
+    change windows cannot be reclaimed out from under it. Vacuum still
+    reclaims everything below the floor. `ignore_floors=True` is the
+    explicit force-override (decommissioning a dead consumer without
+    clearing its floor)."""
     import time as _time
 
     man = read_table_manifest(spark, table_path)
     if man is None:
         return
+    floors = {} if ignore_floors else read_retention_floors(
+        spark, table_path)
+    floor = min(floors.values()) if floors else None
     fs, jvm = _fs(spark, table_path)
     hp = jvm.org.apache.hadoop.fs.Path
     # Keyed by (directory NAME, bucket), not version number: with
@@ -1331,14 +1434,19 @@ def vacuum_table(spark: SparkSession, table_path: str,
 
     referenced = _refs(man)
     retained_commits: set[int] = set()
-    if retain_ms is not None:
-        horizon = _time.time() * 1000 - retain_ms
+    if retain_ms is not None or floor is not None:
+        horizon = (_time.time() * 1000 - retain_ms
+                   if retain_ms is not None else None)
         for commit in _list_commit_ids(spark, table_path):
+            if not ((horizon is not None)
+                    or (floor is not None and commit >= floor)):
+                continue
             try:
                 m = _manifest_at(spark, table_path, commit)
             except Exception:
                 continue
-            if (m.get("ts_ms") or 0) >= horizon:
+            if ((horizon is not None and (m.get("ts_ms") or 0) >= horizon)
+                    or (floor is not None and commit >= floor)):
                 retained_commits.add(commit)
                 referenced |= _refs(m)
     try:

@@ -14,7 +14,26 @@ uses), and op='update' subtracts the old payload and adds the new.
 Subtraction restricts metrics to the invertible distributive
 aggregates — ``count`` and ``sum`` (avg = sum/count at read time) —
 the standard incremental-view-maintenance trade; min/max need the
-recompute path because a deleted maximum cannot be un-taken. NULL
+recompute path because a deleted maximum cannot be un-taken.
+DISTINCT COUNTS (not invertible either — forgetting whether a
+deleted row was a group's last witness needs history) are supported
+through the standard TWO-LEVEL decomposition: key the MV on
+(outer group + distinct columns) with a plain count, and read the
+distinct count as COUNT(*) over the inner groups
+(`read_mv_distinct`) — the inner state IS the witness set, kept
+exactly because zero-count groups leave it.
+
+A `prepare` hook (with `source_cols`) maintains the MV over a
+ROW-LOCAL transformation of the source — select / filter / explode,
+i.e. anything flatMap-shaped where each output row is a pure
+function of exactly one input row. Linear operators commute with
+deltas, so applying `prepare` to the insert side and the retract
+side independently maintains the transformed view exactly: a filter
+becomes a FILTERED MV (rows entering/leaving the predicate under
+update retract correctly, because the old payload is evaluated
+against the same predicate), an explode maintains per-element
+groups. Aggregations, joins, or windows in `prepare` would break
+that equivalence and are the caller's contract not to use. NULL
 semantics match a full recompute exactly: counts skip NULLs, and a
 sum whose group lost its last non-NULL contributor reads back NULL
 (an internal per-sum non-NULL counter carries that, so the state
@@ -121,20 +140,49 @@ def _signed_state(rows: DataFrame, group_cols: Sequence[str],
     return rows.groupBy(*group_cols).agg(*aggs)
 
 
+def _check_prepare(prepare, source_cols,
+                   metrics: dict[str, tuple[str, str]]) -> None:
+    if prepare is None:
+        return
+    if not source_cols:
+        raise ValueError(
+            "prepare requires source_cols: the raw source columns the "
+            "transform consumes (group/metric columns are its OUTPUT)")
+    for name, (_c, kind) in metrics.items():
+        if kind not in _INVERTIBLE:
+            raise ValueError(
+                f"metric {name!r}: prepare-transformed MVs support "
+                "only invertible aggregates (count/sum) — the group-"
+                "local recompute path reads raw source rows, which a "
+                "transform's group columns need not map back to")
+
+
+def _prep(prepare, df: DataFrame, sign: int) -> DataFrame:
+    if prepare is not None:
+        df = prepare(df)
+    return df.withColumn("sign", F.lit(sign))
+
+
 def create_mv(spark: SparkSession, table_path: str, mv_path: str,
               group_cols: Sequence[str],
               metrics: dict[str, tuple[str, str]],
-              n_buckets: int | None = None) -> None:
+              n_buckets: int | None = None,
+              prepare=None, source_cols: Sequence[str] | None = None,
+              ) -> None:
     """Materialize the view from the source's CURRENT snapshot — the
     only full-table pass the MV ever takes. Records the source commit
     it reflects, so the first `refresh_mv` continues from exactly
-    here."""
+    here. `prepare`/`source_cols` maintain the view over a row-local
+    transform of the source (see module docstring)."""
     man = read_table_manifest(spark, table_path)
     if man is None:
         raise ValueError(f"{table_path} has no commits")
+    _check_prepare(prepare, source_cols, metrics)
     _check_metrics(metrics, group_cols, man)
-    rows = read_merged_table(spark, table_path).withColumn(
-        "sign", F.lit(1))
+    rows = read_merged_table(spark, table_path)
+    if prepare is not None:
+        rows = rows.select(*source_cols)
+    rows = _prep(prepare, rows, 1)
     state = _signed_state(rows, group_cols, metrics)
     merge = foreach_batch_upsert(mv_path, list(group_cols),
                                  n_buckets=n_buckets,
@@ -145,7 +193,9 @@ def create_mv(spark: SparkSession, table_path: str, mv_path: str,
 def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
                group_cols: Sequence[str],
                metrics: dict[str, tuple[str, str]],
-               auto_compact: bool = True) -> int | None:
+               auto_compact: bool = True,
+               prepare=None, source_cols: Sequence[str] | None = None,
+               ) -> int | None:
     """Fold the source's change feed since the last refresh into the
     MV. Returns the source commit now reflected (None = already
     current).
@@ -165,6 +215,7 @@ def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
             f"{mv_path} is maintained by mv_stream_sink (its watermark "
             "is a stream batch id, not a source commit) — refreshing "
             "it here would re-fold windows the sink already applied")
+    _check_prepare(prepare, source_cols, metrics)
     invertible = _check_metrics(metrics, group_cols, src_man)
     applied = int(mv_man.get("txn", {}).get(_MV_TXN, 0))
     current = int(src_man["commit"])
@@ -173,19 +224,21 @@ def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
     origin = list(src_man["origin"])
     gcols = list(group_cols)
     ch = table_changes(spark, table_path, applied, current)
-    needed = sorted({c for c, (_k) in
-                     [(col, kind) for (col, kind) in metrics.values()]}
-                    | set(gcols))
-    plus = (ch.where(F.col("op").isin("insert", "update"))
-            .select(*needed).withColumn("sign", F.lit(1)))
+    needed = (sorted(source_cols) if prepare is not None else
+              sorted({col for col, _kind in metrics.values()}
+                     | set(gcols)))
+    plus = _prep(prepare,
+                 ch.where(F.col("op").isin("insert", "update"))
+                 .select(*needed), 1)
     # old payloads of deleted/updated keys, read from the pre-change
     # snapshot RESTRICTED to the changed buckets (every feed key
     # lived in one) — O(changed buckets), never a table rescan
-    minus = (ch.where(F.col("op").isin("update", "delete"))
-             .select(*origin)
-             .join(read_changed_at(spark, table_path, applied, current),
-                   origin)
-             .select(*needed).withColumn("sign", F.lit(-1)))
+    minus = _prep(prepare,
+                  ch.where(F.col("op").isin("update", "delete"))
+                  .select(*origin)
+                  .join(read_changed_at(spark, table_path, applied,
+                                        current), origin)
+                  .select(*needed), -1)
     if not invertible:
         current = _refresh_recompute(spark, table_path, mv_path, gcols,
                                      metrics, src_man, plus, minus,
@@ -257,7 +310,8 @@ def _apply_delta(spark: SparkSession, mv_path: str, gcols: list[str],
 
 def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
                    metrics: dict[str, tuple[str, str]],
-                   auto_compact: bool = True):
+                   auto_compact: bool = True,
+                   prepare=None, source_cols: Sequence[str] | None = None):
     """A foreachBatch function maintaining the MV DIRECTLY from a
     ``merge_table_changes`` stream opened with ``includeOld=true`` —
     the push-based twin of `refresh_mv`: the retract-stream batch
@@ -268,6 +322,12 @@ def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
     exactly what the retract shape can maintain. Replayed batches
     converge through the sink's own txn watermark (`__mv_stream`, a
     STREAM BATCH id).
+
+    `prepare`/`source_cols` maintain the view over a row-local
+    transform (filter / select / explode — module docstring): the
+    transform is applied to the add side (new payloads) and the
+    retract side (`<col>__old` payloads) independently, which is
+    exact for any flatMap-shaped operator.
 
     Ownership: the sink bootstraps its MV from its own first batch
     (subscribe from startingCommit=0 — the history replay IS the
@@ -284,6 +344,7 @@ def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
             mv_stream_sink(mv_path, ["grp"], metrics)).start()
     """
     gcols = list(group_cols)
+    _check_prepare(prepare, source_cols, metrics)
     for name, (_c, kind) in metrics.items():
         if kind not in _INVERTIBLE:
             raise ValueError(
@@ -299,6 +360,16 @@ def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
                 "(source-commit watermark) — the stream sink's batch-"
                 "id watermark cannot continue it; point the sink at "
                 "its own MV path and replay from startingCommit=0")
+        if man is not None and _MV_STREAM_TXN not in man.get("txn", {}):
+            # an existing table carrying NEITHER watermark is not this
+            # sink's state: folding additive deltas into unrelated data
+            # would silently corrupt it. Bootstrap only when the path
+            # has no manifest at all.
+            raise ValueError(
+                f"{mv_path} exists but carries no {_MV_STREAM_TXN} "
+                "watermark — not a table this sink maintains; point "
+                "the sink at an empty path (its first batch bootstraps "
+                "the MV)")
         if man is not None and batch_id <= int(
                 man.get("txn", {}).get(_MV_STREAM_TXN, -1)):
             # foreachBatch crash-replay of a batch whose fold already
@@ -308,15 +379,18 @@ def mv_stream_sink(mv_path: str, group_cols: Sequence[str],
             # drive live groups to __mv_n == 0 and wrongly delete
             # them. Guard the whole fold, not just the merge.
             return
-        needed = sorted({col for col, _k in metrics.values()}
-                        | set(gcols))
-        plus = (batch.where(F.col("op").isin("insert", "update"))
-                .select(*needed).withColumn("sign", F.lit(1)))
+        needed = (sorted(source_cols) if prepare is not None else
+                  sorted({col for col, _k in metrics.values()}
+                         | set(gcols)))
+        plus = _prep(prepare,
+                     batch.where(F.col("op").isin("insert", "update"))
+                     .select(*needed), 1)
         old_of = {c: (f"{c}__old" if f"{c}__old" in batch.columns
                       else c) for c in needed}
-        minus = (batch.where(F.col("op").isin("update", "delete"))
-                 .select(*[F.col(old_of[c]).alias(c) for c in needed])
-                 .withColumn("sign", F.lit(-1)))
+        minus = _prep(prepare,
+                      batch.where(F.col("op").isin("update", "delete"))
+                      .select(*[F.col(old_of[c]).alias(c)
+                                for c in needed]), -1)
         delta = _signed_state(plus.unionByName(minus), gcols, metrics)
         if man is None:
             # first batch bootstraps the state table
@@ -398,16 +472,65 @@ def read_consistent(spark: SparkSession, table_path: str, mv_path: str,
         raise ValueError(
             f"{mv_path} carries no {_MV_TXN} watermark — not a "
             "feed-maintained MV of a source commit")
+    # Build the view from the SAME manifest the watermark came from:
+    # a refresh landing between two independent manifest reads would
+    # pair base AS OF commit N with view state at N+1, silently
+    # breaking the snapshot-consistency contract under a concurrent
+    # refresher.
     return (read_table_at(spark, table_path, commit=applied),
-            read_mv(spark, mv_path, metrics))
+            read_mv(spark, mv_path, metrics, man=mv_man))
+
+
+def read_mv_distinct(spark: SparkSession, mv_path: str,
+                     outer_group: Sequence[str],
+                     metrics: dict[str, tuple[str, str]],
+                     man: dict | None = None,
+                     distinct_name: str = "n_distinct") -> DataFrame:
+    """Distinct-count read over a TWO-LEVEL MV — the standard
+    incremental answer to COUNT(DISTINCT x), which no retraction can
+    maintain flat (forgetting whether a deleted row was its group's
+    last witness needs history). The MV is keyed on
+    ``outer_group + distinct columns`` with plain invertible metrics;
+    its inner groups are then EXACTLY the live witness set (zero-count
+    groups are deleted from the state), so at read time
+
+      COUNT(*) over inner groups        == COUNT(DISTINCT x) per outer
+      SUM(inner count/sum metrics)      == the outer count/sum
+
+    The rollup is O(inner groups) — the state's size, never the
+    table's — and one exchange on the outer key. E.g. the reference's
+    A1 `engagement_counts` (messages + DISTINCT participants per
+    dataset, `automated_analysis.py:65-69`) reads from an MV keyed
+    (dataset, participant_uuid):
+
+        read_mv_distinct(spark, mvp, ["dataset"],
+                         {"n_messages": ("origin_id", "count")},
+                         distinct_name="n_participants")
+    """
+    inner = read_mv(spark, mv_path, metrics, man=man)
+    aggs = [F.count(F.lit(1)).alias(distinct_name)]
+    for name in metrics:
+        # count and sum metrics both re-aggregate by SUM; a NULL inner
+        # sum (no non-NULL contributors) is skipped exactly as a
+        # recompute's SUM would skip those rows
+        aggs.append(F.sum(name).alias(name))
+    return inner.groupBy(*[F.col(c) for c in outer_group]).agg(*aggs)
 
 
 def read_mv(spark: SparkSession, mv_path: str,
-            metrics: dict[str, tuple[str, str]]) -> DataFrame:
+            metrics: dict[str, tuple[str, str]],
+            man: dict | None = None) -> DataFrame:
     """The view as a recompute would show it: internal columns
     dropped, and a sum with no non-NULL contributors exposed as NULL
-    (matching SUM's semantics over its group)."""
-    state = read_merged_table(spark, mv_path)
+    (matching SUM's semantics over its group). Pass `man` to read the
+    state of an already-resolved manifest (one manifest read shared
+    with the caller's watermark decision — see `read_consistent`)."""
+    if man is None:
+        state = read_merged_table(spark, mv_path)
+    else:
+        from .ingest import _read_resolved
+
+        state = _read_resolved(spark, mv_path, man)
     cols = []
     for c in state.columns:
         if c == _N_COL or c.startswith("__mv_nn_"):

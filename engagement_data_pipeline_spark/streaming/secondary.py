@@ -176,6 +176,15 @@ def index_stream_sink(index_path: str, col: str, origin: list[str],
                 "sink's batch-id watermark cannot continue it; point "
                 "the sink at its own index path and replay from "
                 "startingCommit=0")
+        if man is not None and _STREAM_TXN not in man.get("txn", {}):
+            # an existing table carrying NEITHER watermark is not this
+            # sink's index — merging postings into unrelated data would
+            # silently corrupt it; bootstrap only on an empty path
+            raise ValueError(
+                f"{index_path} exists but carries no {_STREAM_TXN} "
+                "watermark — not an index this sink maintains; point "
+                "the sink at an empty path (its first batch bootstraps "
+                "the index)")
         if man is not None and batch_id <= int(
                 man.get("txn", {}).get(_STREAM_TXN, -1)):
             return  # crash-replay of an already-applied batch
@@ -190,7 +199,18 @@ def index_stream_sink(index_path: str, col: str, origin: list[str],
             (F.col("op") == "insert")
             | ((F.col("op") == "update") & touched))
             .select(col, *origin).where(F.col(col).isNotNull()))
-        if man is not None and not removals.isEmpty():
+        if not removals.isEmpty():
+            if man is None:
+                # a startingCommit=0 replay is a snapshot diff — pure
+                # inserts — so removals on a nonexistent index prove
+                # the stream started mid-history (startingCommit>0, or
+                # a wiped index dir); bootstrapping from this window
+                # would silently miss every earlier posting
+                raise RuntimeError(
+                    f"{index_path} has no index but the batch carries "
+                    "removals — replay the stream from "
+                    "startingCommit=0 so the bootstrap sees the full "
+                    "history")
             delete_origins(spark, index_path, removals, strategy="dv")
         merge = foreach_batch_upsert(index_path, key,
                                      n_buckets=n_buckets,

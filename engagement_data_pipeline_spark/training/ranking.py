@@ -608,6 +608,19 @@ def text_index_stream_sink(index_path: str, text_col: str = "text",
         exists = p.getFileSystem(
             spark._jsc.hadoopConfiguration()).exists(p)
         if not exists:
+            if not removed.isEmpty():
+                # Bootstrapping from a batch that carries deletes/old-
+                # text updates means the stream did NOT start at the
+                # table's beginning (startingCommit>0, or the index dir
+                # was wiped mid-stream): building from new_docs alone
+                # would silently drop those retractions and every doc
+                # indexed before this window. A startingCommit=0 replay
+                # is a snapshot diff — pure inserts — so this never
+                # fires on a legitimate bootstrap.
+                raise RuntimeError(
+                    f"{index_path} has no index but the batch carries "
+                    "removals — replay the stream from startingCommit=0 "
+                    "so the bootstrap sees the full history")
             build_text_index(new_docs, index_path, text_col, id_col,
                              txn_batch=batch_id)
             return

@@ -216,9 +216,10 @@ def test_latest_offset_never_regresses(spark, tmp_path, monkeypatch):
                                 "origin string, payload string"), 2)
     r = cdf._ChangesReader(path, 0, ["origin", "payload"], None)
     assert r.latestOffset() == {"commit": 2}
-    monkeypatch.setattr(cdf, "_latest_commit", lambda p: None)
+    monkeypatch.setattr(cdf, "_latest_commit",
+                        lambda p, floor=None: None)
     assert r.latestOffset() == {"commit": 2}, "offset regressed"
-    monkeypatch.setattr(cdf, "_latest_commit", lambda p: 1)
+    monkeypatch.setattr(cdf, "_latest_commit", lambda p, floor=None: 1)
     assert r.latestOffset() == {"commit": 2}, "offset regressed"
 
 
