@@ -22,7 +22,7 @@ from . import (adapters_extra, analysis, cdc_q, cleaning_q,  # noqa: F401
                temporal_q, tpch, training)
 from . import curation_q, layout_q, profile_q, splits_q  # noqa: F401
 from . import bpe_q, classifier_q, collocations_q, hybrid_q, linkage_q  # noqa: F401
-from . import regression  # noqa: F401
+from . import mv_q, regression, sync_back  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -250,6 +250,25 @@ _EVENTS_MEMBERS = {
         streaming_q.TABLE_CONSISTENT_READ_SQL,
         [("participant_uuid", "string"), ("n_messages", "bigint"),
          ("n_detail", "bigint")]),
+    "a1_mv_stream": (
+        mv_q.a1_mv_stream, mv_q.A1_MV_STREAM_SQL,
+        [("dataset", "string"), ("n_messages", "bigint"),
+         ("n_participants", "bigint"), ("n_messages_batch", "bigint"),
+         ("n_participants_batch", "bigint")]),
+    "a4_mv_stream": (
+        mv_q.a4_mv_stream, mv_q.A4_MV_STREAM_SQL,
+        [("field", "string"), ("code", "string"),
+         ("n_participants", "bigint"),
+         ("n_participants_batch", "bigint")]),
+    "k6_incremental": (
+        sync_back.k6_incremental, sync_back.K6_INCREMENTAL_SQL,
+        [("participant_uuid", "string"), ("field_s01e01", "string"),
+         ("field_s01e02", "string"), ("field_s01e03", "string"),
+         ("consent_withdrawn", "string"),
+         ("field_s01e01_batch", "string"),
+         ("field_s01e02_batch", "string"),
+         ("field_s01e03_batch", "string"),
+         ("consent_withdrawn_batch", "string")]),
     "scd2_messages": (
         cdc_q.scd2_messages, cdc_q.SCD2_MESSAGES_SQL,
         [("message_id", "string"), ("dataset", "string"),

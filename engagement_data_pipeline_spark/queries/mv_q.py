@@ -1,0 +1,295 @@
+"""The reference's headline rollups maintained as STREAM-MAINTAINED
+MATERIALIZED VIEWS over the messages merge table — the maintenance
+machinery finally doing the reference's actual job incrementally.
+
+The reference recomputes A1 `engagement_counts` and A4
+`demographic_distributions` from scratch on every analysis run
+(src/engagement_db_to_analysis/automated_analysis.py:65-87); here each
+is an MV fed by the table's retract stream (`mv_stream_sink`), so a
+sync that touches K messages costs O(K + touched groups), never a
+table scan. A1 needs COUNT(DISTINCT participant) — not invertible —
+so it uses the TWO-LEVEL decomposition (`read_mv_distinct`): the MV is
+keyed (dataset, participant_uuid), and the distinct count is COUNT(*)
+over the inner witness groups at read time. A4's per-(field, code)
+participant counts explode the ';'-joined demographic code lists via a
+row-local `prepare` — exact under retraction because explode is
+flatMap-shaped.
+
+Each query returns the MAINTAINED answer joined with a from-scratch
+batch recompute over the final table state: the DuckDB oracle computes
+the same values once and duplicates the columns, so a green hash IS
+the proof that stream-maintenance == recompute across the mixed
+insert / WS-move-update / dv-delete history (consenting filter
+included, constant per participant so the row-level filtered MV equals
+the reference's participant-level opt-out; the participant-level
+consent CASCADE on fold-time flips is the views' job, certified by
+`participants_view`).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import mv as MV
+from ..streaming.cdf_source import MergeTableChangesDataSource
+from ..streaming.ingest import (delete_origins, foreach_batch_upsert,
+                                read_merged_table)
+from ..tables import load
+from ._helpers import apply_runtime_conf, fixture_dir
+
+A1_METRICS = {"n_messages": ("origin_id", "count")}
+
+
+def _stream_into(spark: SparkSession, table: str, sink) -> None:
+    """Drain the table's full retract stream into a foreachBatch sink,
+    one source commit per micro-batch (so updates and deletes arrive
+    as true retractions, not collapsed into the snapshot diff)."""
+    spark.dataSource.register(MergeTableChangesDataSource)
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", table).option("includeOld", "true")
+         .option("maxCommitsPerTrigger", "1").load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="edp-mvq-ckpt-"))
+         .start())
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+
+
+def _a1_rows(spark: SparkSession, sf_dir: str, moved: bool) -> DataFrame:
+    """Messages-shaped rows derived from `events`: dataset is the RQA
+    episode, participant repeats across episodes (user_id % 50), and
+    consent is a CONSTANT per participant (uid % 7 == 0 withdrawn) so
+    the row-level filtered MV equals the participant-level opt-out."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_id") % 16 < 8)
+          .select(F.col("event_id").alias("e"),
+                  (F.col("user_id") % 50).alias("uid")))
+    d1 = F.col("e") % 3
+    d2 = (F.col("e") % 3 + 1) % 3
+    # the WS-move: slot-1 rows with s8 == 5 re-merge under the NEXT
+    # episode's dataset (a coding move), everything else re-merges
+    # identically (the keyed diff suppresses the no-ops)
+    ds = F.when(F.lit(moved) & (F.col("e") % 8 == 5), d2).otherwise(d1)
+    return ev.select(
+        F.concat(F.lit("ev:"), F.col("e").cast("string"))
+        .alias("origin_id"),
+        F.concat(F.lit("rqa_s01e0"), (ds + 1).cast("string"))
+        .alias("dataset"),
+        F.concat(F.lit("p"), F.col("uid").cast("string"))
+        .alias("participant_uuid"),
+        F.when(F.col("uid") % 7 == 0, F.lit("true"))
+        .otherwise(F.lit("false")).alias("consent_withdrawn"),
+        (F.col("e") % 4).alias("slot"), (F.col("e") % 8).alias("s8"))
+
+
+def _a1_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Messages table (3 commits: insert, WS-move update, dv delete)
+    plus its stream-maintained A1 MV, built once per process."""
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a1_rows(spark, sf_dir, False)
+              .where(F.col("slot").isin([0, 1, 2]))
+              .drop("slot", "s8"), 1)
+        merge(_a1_rows(spark, sf_dir, True).where(F.col("slot") == 1)
+              .drop("slot", "s8"), 2)
+        dead = (_a1_rows(spark, sf_dir, False)
+                .where((F.col("slot") == 2) & (F.col("s8") == 2))
+                .select("origin_id"))
+        delete_origins(spark, table, dead, strategy="dv")
+        _stream_into(spark, table, MV.mv_stream_sink(
+            os.path.join(path, "mv"),
+            ["dataset", "participant_uuid"], A1_METRICS,
+            prepare=lambda df: df.where(
+                F.col("consent_withdrawn") == "false")
+            .select("dataset", "participant_uuid", "origin_id"),
+            source_cols=["origin_id", "dataset", "participant_uuid",
+                         "consent_withdrawn"]))
+
+    return fixture_dir("a1_mv_pair", sf_dir, _build)
+
+
+def a1_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 engagement_counts as a stream-maintained MV: per RQA dataset
+    (and 'total') message counts + DISTINCT consenting participants,
+    read from the two-level MV state in O(state), joined against the
+    batch recompute over the final table — both column pairs must
+    agree row-for-row (reference automated_analysis.py:65-69)."""
+    apply_runtime_conf(spark)
+    base = _a1_fixture(spark, sf_dir)
+    mvp = os.path.join(base, "mv")
+    inner = MV.read_mv(spark, mvp, A1_METRICS)
+    per_ds = MV.read_mv_distinct(spark, mvp, ["dataset"], A1_METRICS,
+                                 distinct_name="n_participants")
+    total = (inner.agg(
+        F.sum("n_messages").cast("long").alias("n_messages"),
+        F.countDistinct("participant_uuid").alias("n_participants"))
+        .select(F.lit("total").alias("dataset"), "n_messages",
+                "n_participants"))
+    maintained = (per_ds.select("dataset",
+                                F.col("n_messages").cast("long")
+                                .alias("n_messages"),
+                                "n_participants")
+                  .unionByName(total))
+    # from-scratch recompute over the final table state (what the
+    # reference does every run); the join proves maintained == batch
+    mv_src = (read_merged_table(spark, os.path.join(base, "table"))
+              .where(F.col("consent_withdrawn") == "false"))
+    aggs = [F.count(F.lit(1)).alias("n_messages_batch"),
+            F.countDistinct("participant_uuid")
+            .alias("n_participants_batch")]
+    batch = (mv_src.groupBy("dataset").agg(*aggs)
+             .unionByName(mv_src.agg(*aggs).select(
+                 F.lit("total").alias("dataset"),
+                 "n_messages_batch", "n_participants_batch")))
+    return maintained.join(batch, "dataset")
+
+
+A1_MV_STREAM_SQL = """
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8,
+         user_id % 50 AS uid
+  FROM events WHERE event_id % 16 < 8
+),
+live AS (
+  SELECT 'rqa_s01e0' || CAST(1 + CASE WHEN slot = 1 AND s8 = 5
+                                 THEN (e % 3 + 1) % 3
+                                 ELSE e % 3 END AS VARCHAR) AS dataset,
+         'p' || CAST(uid AS VARCHAR) AS participant_uuid
+  FROM ev
+  WHERE slot IN (0, 1, 2) AND NOT (slot = 2 AND s8 = 2)
+    AND uid % 7 <> 0
+),
+counts AS (
+  SELECT dataset, CAST(COUNT(*) AS BIGINT) AS n_messages,
+         CAST(COUNT(DISTINCT participant_uuid) AS BIGINT)
+           AS n_participants
+  FROM live GROUP BY dataset
+  UNION ALL
+  SELECT 'total', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT participant_uuid) AS BIGINT)
+  FROM live
+)
+SELECT dataset, n_messages, n_participants,
+       n_messages AS n_messages_batch,
+       n_participants AS n_participants_batch
+FROM counts
+"""
+
+
+def _a4_prepare(df: DataFrame) -> DataFrame:
+    """Row-local explode of the ';'-joined demographic code lists into
+    (field, code, pid) — flatMap-shaped, so exact under retraction."""
+    entries = F.array(
+        F.struct(F.lit("gender").alias("field"),
+                 F.split(F.col("gender_codes"), ";").alias("codes")),
+        F.struct(F.lit("age").alias("field"),
+                 F.split(F.col("age_codes"), ";").alias("codes")))
+    return (df.select("pid", F.explode(entries).alias("x"))
+            .select(F.col("x.field").alias("field"),
+                    F.explode("x.codes").alias("code"), "pid"))
+
+
+def _a4_rows(spark: SparkSession, sf_dir: str, relabeled: bool) -> DataFrame:
+    uids = (load(spark, sf_dir, "events")
+            .where(F.col("event_id") % 16 < 4)
+            .select(F.col("user_id").alias("uid")).distinct())
+    shift = F.when(F.lit(relabeled) & (F.col("uid") % 5 == 0),
+                   F.col("uid") + 1).otherwise(F.col("uid"))
+    gender = (F.when(shift % 3 == 0, F.lit("man"))
+              .when(shift % 3 == 1, F.lit("woman"))
+              .otherwise(F.lit("man;woman")))
+    return uids.select(
+        F.concat(F.lit("p"), F.col("uid").cast("string")).alias("pid"),
+        gender.alias("gender_codes"),
+        F.concat(F.lit("age_"), (F.col("uid") % 6).cast("string"))
+        .alias("age_codes"),
+        (F.col("uid") % 11).alias("m11"))
+
+
+def _a4_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Participants table (insert, relabel update, dv delete) plus its
+    stream-maintained exploded A4 MV."""
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["pid"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a4_rows(spark, sf_dir, False).drop("m11"), 1)
+        # relabel commit: only uid % 5 == 0 rows actually change; the
+        # rest re-merge identically and the keyed diff suppresses them
+        merge(_a4_rows(spark, sf_dir, True).drop("m11"), 2)
+        dead = (_a4_rows(spark, sf_dir, False)
+                .where(F.col("m11") == 0).select("pid"))
+        delete_origins(spark, table, dead, strategy="dv")
+        _stream_into(spark, table, MV.mv_stream_sink(
+            os.path.join(path, "mv"), ["field", "code", "pid"], {},
+            prepare=_a4_prepare,
+            source_cols=["pid", "gender_codes", "age_codes"]))
+
+    return fixture_dir("a4_mv_pair", sf_dir, _build)
+
+
+def a4_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 demographic_distributions as a stream-maintained MV: per
+    (demog field, code) DISTINCT participant counts, read as COUNT(*)
+    over the exploded MV's witness groups, joined against the batch
+    recompute over the final table (reference
+    automated_analysis.py:83-87)."""
+    apply_runtime_conf(spark)
+    base = _a4_fixture(spark, sf_dir)
+    maintained = MV.read_mv_distinct(
+        spark, os.path.join(base, "mv"), ["field", "code"], {},
+        distinct_name="n_participants")
+    table = read_merged_table(spark, os.path.join(base, "table"))
+    batch = (_a4_prepare(table.select(
+        "pid", "gender_codes", "age_codes"))
+        .groupBy("field", "code")
+        .agg(F.countDistinct("pid").alias("n_participants_batch")))
+    return maintained.join(batch, ["field", "code"])
+
+
+A4_MV_STREAM_SQL = """
+WITH uids AS (
+  SELECT DISTINCT user_id AS uid FROM events WHERE event_id % 16 < 4
+),
+live AS (
+  SELECT uid,
+         CASE WHEN uid % 5 = 0 THEN uid + 1 ELSE uid END AS s
+  FROM uids WHERE uid % 11 <> 0
+),
+coded AS (
+  SELECT uid,
+         CASE WHEN s % 3 = 0 THEN 'man'
+              WHEN s % 3 = 1 THEN 'woman'
+              ELSE 'man;woman' END AS gender,
+         'age_' || CAST(uid % 6 AS VARCHAR) AS age
+  FROM live
+),
+exploded AS (
+  SELECT 'gender' AS field, UNNEST(string_split(gender, ';')) AS code,
+         uid
+  FROM coded
+  UNION ALL
+  SELECT 'age', age, uid FROM coded
+)
+SELECT field, code,
+       CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_participants,
+       CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_participants_batch
+FROM exploded GROUP BY field, code
+"""

@@ -7,7 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sinks.sync_back import advert_sync_batch, contact_fields
+from ..sinks.sync_back import (advert_sync_batch, contact_fields,
+                               contact_fields_incremental)
 from . import engagement
 from .engagement import CONFIG, _RESOLVED_CTE
 
@@ -65,3 +66,143 @@ advert AS (
 SELECT participant_uuid, 'tel:+254700' || CAST(num AS VARCHAR) AS urn
 FROM advert WHERE num % 3 <> 0
 """
+
+
+# --- K6 as a change-feed consumer (incremental sync-out) -------------------
+
+_K6I_DATASETS = ["s01e01", "s01e02", "s01e03"]
+
+
+def _k6i_rows(spark: SparkSession, sf_dir: str, updated: bool):
+    """Messages-shaped rows derived from `events`, clustered by
+    participant: slot-1/s8==5 rows change TEXT in the update commit
+    (s8==1 rows re-merge identically — the keyed diff must suppress
+    them, keeping their participants OUT of the touched set)."""
+    from ..tables import load
+
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_id") % 16 < 8)
+          .select(F.col("event_id").alias("e"),
+                  (F.col("user_id") % 40).alias("uid")))
+    body = F.when(F.lit(updated) & (F.col("e") % 4 == 1)
+                  & (F.col("e") % 8 == 5),
+                  F.concat(F.lit("msg2 "),
+                           (F.col("e") % 50).cast("string"))) \
+        .otherwise(F.concat(F.lit("msg "),
+                            (F.col("e") % 50).cast("string")))
+    code = F.when((F.col("uid") % 9 == 0) & (F.col("e") % 4 == 0),
+                  F.lit("STOP")) \
+        .otherwise(F.concat(F.lit("c"), (F.col("e") % 5).cast("string")))
+    return ev.select(
+        F.concat(F.lit("ev:"), F.col("e").cast("string"))
+        .alias("origin_id"),
+        F.concat(F.lit("p"), F.col("uid").cast("string"))
+        .alias("participant_uuid"),
+        F.concat(F.lit("s01e0"),
+                 (F.col("e") % 3 + 1).cast("string")).alias("dataset"),
+        F.when(F.col("e") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(body).alias("text"),
+        (F.col("e") * 1000).alias("timestamp"),
+        F.concat(F.lit("m"), F.col("e").cast("string"))
+        .alias("message_id"),
+        F.array(F.struct(code.alias("code_id"))).alias("labels"),
+        (F.col("e") % 4).alias("slot"), (F.col("e") % 8).alias("s8"))
+
+
+def _k6i_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Messages merge table CLUSTERED on participant_uuid
+    (bucket_cols) with three commits: insert, text-update, dv delete
+    (delete keys carry the bucket column)."""
+    import os
+
+    from ..streaming.ingest import delete_origins, foreach_batch_upsert
+    from ._helpers import fixture_dir
+
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(
+            table, ["origin_id"], n_buckets=4, txn_app_id="src",
+            bucket_cols=["participant_uuid"], mode="latest_wins")
+        merge(_k6i_rows(spark, sf_dir, False)
+              .where(F.col("slot").isin([0, 1, 2]))
+              .drop("slot", "s8"), 1)
+        merge(_k6i_rows(spark, sf_dir, True).where(F.col("slot") == 1)
+              .drop("slot", "s8"), 2)
+        dead = (_k6i_rows(spark, sf_dir, False)
+                .where((F.col("slot") == 2) & (F.col("s8") == 2))
+                .select("origin_id", "participant_uuid"))
+        delete_origins(spark, table, dead, strategy="dv")
+
+    return os.path.join(fixture_dir("k6_incr_table", sf_dir, _build),
+                        "table")
+
+
+def k6_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 contact-fields sync-out driven by the change feed
+    (`contact_fields_incremental`): only participants whose messages
+    changed since commit 1 (the text updates and the dv deletes — NOT
+    the identically re-merged rows, which the diff suppresses) are
+    recomputed, reading only their buckets of the participant-
+    clustered table. Joined against the full batch recompute over the
+    final state: every field column and the consent flag must agree —
+    a green hash proves incremental sync-out == the reference's
+    recompute-everything run, restricted to the touched set
+    (engagement_db_to_rapid_pro.py:62-135)."""
+    from ..streaming.ingest import read_merged_table
+    from ._helpers import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    table = _k6i_fixture(spark, sf_dir)
+    incr = contact_fields_incremental(spark, table, 1, _K6I_DATASETS)
+    batch = contact_fields(read_merged_table(spark, table),
+                           _K6I_DATASETS)
+    renamed = batch.select(
+        "participant_uuid",
+        *[F.col(c).alias(f"{c}_batch") for c in batch.columns
+          if c != "participant_uuid"])
+    return incr.join(renamed, "participant_uuid")
+
+
+def _k6i_sql() -> str:
+    fields = []
+    for d in _K6I_DATASETS:
+        fields.append(
+            f"COALESCE(string_agg('\"' || text || '\" - engagement_db.{d}',"
+            f" '; ' ORDER BY ts_us, mid) "
+            f"FILTER (WHERE ds = '{d}' AND text IS NOT NULL), '')"
+            f" AS field_{d}")
+    names = [f"field_{d}" for d in _K6I_DATASETS] + ["consent_withdrawn"]
+    dup = ", ".join(f"{n} AS {n}_batch" for n in names)
+    return f"""
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8,
+         user_id % 40 AS uid
+  FROM events WHERE event_id % 16 < 8
+),
+msgs AS (
+  SELECT uid, 'p' || CAST(uid AS VARCHAR) AS pid,
+         's01e0' || CAST(e % 3 + 1 AS VARCHAR) AS ds,
+         CASE WHEN e % 13 = 0 THEN NULL
+              WHEN slot = 1 AND s8 = 5
+                THEN 'msg2 ' || CAST(e % 50 AS VARCHAR)
+              ELSE 'msg ' || CAST(e % 50 AS VARCHAR) END AS text,
+         e * 1000 AS ts_us, 'm' || CAST(e AS VARCHAR) AS mid,
+         (uid % 9 = 0 AND e % 4 = 0) AS is_stop
+  FROM ev WHERE slot IN (0, 1, 2) AND NOT (slot = 2 AND s8 = 2)
+),
+touched AS (
+  SELECT DISTINCT uid FROM ev
+  WHERE (slot = 1 AND s8 = 5) OR (slot = 2 AND s8 = 2)
+),
+f AS (
+  SELECT pid AS participant_uuid, {', '.join(fields)},
+         CASE WHEN MAX(CASE WHEN is_stop THEN 1 ELSE 0 END) = 1
+              THEN 'yes' ELSE '' END AS consent_withdrawn
+  FROM msgs WHERE uid IN (SELECT uid FROM touched)
+  GROUP BY pid
+)
+SELECT participant_uuid, {', '.join(names)}, {dup} FROM f
+"""
+
+
+K6_INCREMENTAL_SQL = _k6i_sql()

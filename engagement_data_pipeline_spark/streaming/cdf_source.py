@@ -17,9 +17,17 @@ subscribe to a table instead of polling `table_changes`.
 Scale shape: `partitions()` emits ONE partition per changed bucket
 (manifest diff only — no data touched on the driver), and each
 executor task reads exactly its bucket's old + new files with
-pyarrow, computes the keyed diff with VECTORIZED pandas column ops,
-and yields `pyarrow.RecordBatch`es built against the exact Arrow
-schema Spark expects — no per-row Python anywhere on the hot path.
+pyarrow, joins the two sides on the scalar origin keys (pandas hash
+join over keys + row indices only), and diffs the payloads ENTIRELY
+IN ARROW: scalar columns via `pc.equal`, nested array/struct
+payloads (the flagship messages table's labels column) via a
+recursive vectorized kernel — struct = AND of fields, list =
+length-equal AND cumsum-reduced flattened-children-equal — so no
+per-row Python touches the hot path for any type the engine streams
+(only map columns and exotic types fall back to a normalized object
+compare). Output batches are `pyarrow.RecordBatch`es built against
+the exact Arrow schema Spark expects, payload buffers taken (never
+materialized as Python objects) from the source tables.
 O(changed buckets) per batch, embarrassingly parallel, no shuffle.
 Per-task memory is bounded by one bucket's old + new bytes — the
 layout's `TARGET_BUCKET_BYTES` sizing is what keeps that
@@ -258,6 +266,146 @@ def _read_bucket(table_path: str, man: dict | None, bucket: int,
     return pdf
 
 
+def _read_bucket_arrow(table_path: str, man: dict | None, bucket: int,
+                       columns: list[str], pa_types: dict):
+    """One bucket's dv-resolved rows as a `pyarrow.Table` with columns
+    cast to the feed's expected Arrow types — payloads NEVER
+    materialize as Python objects (nested array/struct values stay in
+    Arrow buffers end to end). Returns None when the manifest never
+    placed the bucket; raises if a referenced directory is gone (see
+    `_open_dir`). Missing columns (schema evolution) read back as
+    typed nulls; a column whose physical type has no direct cast
+    kernel to the expected type converts through the per-column
+    object path (correct, just not zero-copy)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    if man is None:
+        return None
+    d = _bucket_dir(table_path, man, bucket)
+    if d is None:
+        return None
+    fs, dp = _open_dir(table_path, d, man, "bucket")
+    ds = pads.dataset(dp, filesystem=fs, format="parquet")
+    have = set(ds.schema.names)
+    t = ds.to_table(columns=[c for c in columns if c in have])
+    n = t.num_rows
+    arrays, names = [], []
+    for c in columns:
+        want = pa_types[c]
+        if c in have:
+            arr = t[c].combine_chunks()
+            if arr.type != want:
+                try:
+                    arr = arr.cast(want)
+                except (pa.lib.ArrowInvalid,
+                        pa.lib.ArrowNotImplementedError):
+                    # no direct cast kernel: per-column object-path
+                    # conversion (correct, just not zero-copy)
+                    arr = pa.array(arr.to_pandas(), type=want,
+                                   from_pandas=True)
+        else:
+            arr = pa.nulls(n, type=want)
+        arrays.append(arr)
+        names.append(c)
+    t = pa.table(dict(zip(names, arrays)))
+    dv = _dv_dir(table_path, man, bucket)
+    if dv is not None:
+        dfs, dvp = _open_dir(table_path, dv, man, "deletion-vector")
+        origin = list(man["origin"])
+        dead = _read_pruned(dfs, dvp, origin).drop_duplicates()
+        keys = t.select(origin).to_pandas()
+        keys["__cdf_i"] = range(len(keys))
+        alive = keys.merge(dead, on=origin, how="left",
+                           indicator="__cdf_dv")
+        idx = alive.loc[alive["__cdf_dv"] == "left_only",
+                        "__cdf_i"].to_numpy()
+        t = t.take(pa.array(idx, type=pa.int64()))
+    return t
+
+
+def _validity(a):
+    import numpy as np
+
+    if a.null_count == 0:
+        return np.ones(len(a), dtype=bool)
+    return a.is_valid().to_numpy(zero_copy_only=False)
+
+
+def _content_eq(a, b):
+    """Per-row content equality of two same-type Arrow arrays as a
+    numpy bool array; values at rows where either side is null are
+    UNDEFINED (the caller masks them). Vectorized for every type the
+    feed streams: scalars via `pc.equal`, structs as the AND of their
+    fields, lists/maps by (length equal) AND (aligned flattened
+    children equal, reduced per row with a cumsum — no per-row Python
+    anywhere). Raises ValueError for types with no kernel; the caller
+    then falls back to the normalized object compare."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = a.type
+    if pa.types.is_null(t):
+        return np.ones(len(a), dtype=bool)
+    if pa.types.is_dictionary(t):
+        return _content_eq(a.dictionary_decode(), b.dictionary_decode())
+    if pa.types.is_struct(t):
+        out = np.ones(len(a), dtype=bool)
+        for i in range(t.num_fields):
+            out &= _arrow_eq(a.field(i), b.field(i))
+        return out
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_map(t)):
+        la = pc.list_value_length(a).fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lb = pc.list_value_length(b).fill_null(-2).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out = la == lb  # rows with a null side are masked by caller
+        cand = np.flatnonzero(out & (la > 0))
+        if len(cand):
+            idx = pa.array(cand, type=pa.int64())
+            af = pc.list_flatten(a.take(idx))
+            bf = pc.list_flatten(b.take(idx))
+            ceq = _arrow_eq(af, bf).astype(np.int64)
+            counts = la[cand]
+            ends = np.cumsum(counts)
+            cs = np.concatenate(([0], np.cumsum(ceq)))
+            row_ok = (cs[ends] - cs[ends - counts]) == counts
+            out[cand] = row_ok
+        return out
+    # scalar kernels (numeric, string, binary, bool, temporal,
+    # decimal): NULLs in the result are masked by the caller
+    return pc.equal(a, b).fill_null(False).to_numpy(
+        zero_copy_only=False)
+
+
+def _arrow_eq(a, b):
+    """NULL-safe per-row equality of two same-type Arrow arrays
+    (null == null is equal) as a numpy bool array — the vectorized
+    twin of `_norm(x) == _norm(y)`, covering the nested payloads the
+    feed streams without dropping to per-row Python. Float NaN is
+    treated as NULL (NaN == NaN, NaN == null — the same na-semantics
+    the pandas diff and `_norm` apply), so a NaN-carrying row does
+    not re-emit as a spurious update on every rewrite of its
+    bucket."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    va, vb = _validity(a), _validity(b)
+    if pa.types.is_floating(a.type):
+        va = va & ~pc.is_nan(a).fill_null(False).to_numpy(
+            zero_copy_only=False)
+        vb = vb & ~pc.is_nan(b).fill_null(False).to_numpy(
+            zero_copy_only=False)
+    both_valid = va & vb
+    eq = ~va & ~vb  # both-null rows compare equal
+    if both_valid.any():
+        content = _content_eq(a, b)
+        eq[both_valid] = content[both_valid]
+    return eq
+
+
 def _norm(v):
     """Normalize a payload value for cross-row equality: ndarray →
     list (pyarrow's to_pandas shape for array columns), NaN/NaT →
@@ -282,17 +430,19 @@ def _norm(v):
 def _neq(a, b):
     """Element-wise old≠new over two pandas Series, NULL-safe (both
     NULL compares equal). Vectorized for scalar dtypes; object
-    columns holding nested values (ndarray/dict) fall back to a
-    normalized python-object compare."""
+    columns holding nested values (ndarray/dict) go straight to the
+    normalized python-object compare — routing by dtype, because an
+    elementwise `==` over ndarray cells does not raise for empty or
+    length-1 arrays and would silently mis-compare them (r8 bug:
+    `[] != []` emitted spurious updates)."""
     import numpy as np
 
-    try:
+    if a.dtype != object and b.dtype != object:
         eq = (a == b) | (a.isna() & b.isna())
         return ~eq.to_numpy(dtype=bool)
-    except (TypeError, ValueError):
-        return np.fromiter(
-            (_norm(x) != _norm(y) for x, y in zip(a.tolist(), b.tolist())),
-            dtype=bool, count=len(a))
+    return np.fromiter(
+        (_norm(x) != _norm(y) for x, y in zip(a.tolist(), b.tolist())),
+        dtype=bool, count=len(a))
 
 
 class _ChangesPartition(InputPartition):
@@ -428,6 +578,7 @@ class _ChangesReader(DataSourceStreamReader):
 
     def read(self, partition: _ChangesPartition) -> Iterator:
         import numpy as np
+        import pandas as pd
         import pyarrow as pa
 
         if partition.bucket < 0:  # empty batch placeholder
@@ -436,20 +587,61 @@ class _ChangesReader(DataSourceStreamReader):
         man_to = partition.man_to
         origin = list(man_to["origin"])
         payload = [c for c in cols if c not in origin]
-        new = _read_bucket(partition.table_path, man_to,
-                           partition.bucket, cols)
-        old = _read_bucket(partition.table_path, partition.man_from,
-                           partition.bucket, cols)
-        j = old.merge(new, on=origin, how="outer",
-                      suffixes=("__o", "__n"), indicator="__cdf_m")
+        schema = partition.pa_schema
+        types = {f.name: f.type for f in schema}
+        new_t = _read_bucket_arrow(partition.table_path, man_to,
+                                   partition.bucket, cols, types)
+        old_t = _read_bucket_arrow(partition.table_path,
+                                   partition.man_from,
+                                   partition.bucket, cols, types)
+        # keyed outer merge on the ORIGIN columns only (scalar keys —
+        # pandas hash join); payload columns never leave Arrow
+        def _keys(t, iname):
+            if t is None:
+                k = pd.DataFrame(columns=origin)
+            else:
+                k = t.select(origin).to_pandas()
+            k[iname] = np.arange(len(k), dtype=np.int64)
+            return k
+
+        j = _keys(old_t, "__oi").merge(_keys(new_t, "__ni"), on=origin,
+                                       how="outer", indicator="__cdf_m")
         if len(j) == 0:
             return iter(())
         m = j["__cdf_m"].to_numpy(dtype=object)
         is_ins = m == "right_only"
         is_del = m == "left_only"
         is_both = m == "both"
-        neq = {c: _neq(j[f"{c}__o"], j[f"{c}__n"]) for c in payload}
-        any_chg = np.zeros(len(j), dtype=bool)
+        # side-aligned payload arrays: take() with a null index yields
+        # a typed null, so inserts' old side and deletes' new side are
+        # NULL with no masking step
+        oi = pa.array(pd.array(j["__oi"], dtype="Int64"))
+        ni = pa.array(pd.array(j["__ni"], dtype="Int64"))
+        n = len(j)
+
+        def _side(t, c, idx):
+            if t is None:
+                return pa.nulls(n, type=types[c])
+            arr = t[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            out = arr.take(idx)
+            if isinstance(out, pa.ChunkedArray):
+                out = out.combine_chunks()
+            return out
+
+        old_a = {c: _side(old_t, c, oi) for c in payload}
+        new_a = {c: _side(new_t, c, ni) for c in payload}
+        neq = {}
+        for c in payload:
+            try:
+                neq[c] = ~_arrow_eq(old_a[c], new_a[c])
+            except (ValueError, NotImplementedError,
+                    pa.lib.ArrowNotImplementedError):
+                # no vectorized kernel for this type: normalized
+                # object compare on this column only
+                neq[c] = _neq(old_a[c].to_pandas(), new_a[c].to_pandas())
+        any_chg = np.zeros(n, dtype=bool)
         for c in payload:
             any_chg |= neq[c]
         is_upd = is_both & any_chg
@@ -457,6 +649,7 @@ class _ChangesReader(DataSourceStreamReader):
         if not keep.any():
             return iter(())
         idx = np.flatnonzero(keep)
+        idx_pa = pa.array(idx, type=pa.int64())
         ins_k, del_k, upd_k = is_ins[idx], is_del[idx], is_upd[idx]
         op = np.full(len(idx), "update", dtype=object)
         op[ins_k] = "insert"
@@ -468,23 +661,17 @@ class _ChangesReader(DataSourceStreamReader):
 
         def col(name: str):
             if name == _OP:
-                return op
+                return pa.array(op, type=types[name], from_pandas=True)
             if name == _CHANGED:
-                return cc
+                return pa.array(cc, type=types[name], from_pandas=True)
             if name in origin:
-                return j[name].to_numpy(dtype=object)[idx]
+                return pa.array(j[name].to_numpy(dtype=object)[idx],
+                                type=types[name], from_pandas=True)
             if name.endswith(_OLD) and name[:-len(_OLD)] in payload:
-                v = j[f"{name[:-len(_OLD)]}__o"].to_numpy(
-                    dtype=object, copy=True)[idx]
-                v[ins_k] = None  # inserts have no pre-change payload
-                return v
-            v = j[f"{name}__n"].to_numpy(dtype=object, copy=True)[idx]
-            v[del_k] = None  # deletes carry NULL new payload
-            return v
+                return old_a[name[:-len(_OLD)]].take(idx_pa)
+            return new_a[name].take(idx_pa)
 
-        schema = partition.pa_schema
-        arrays = [pa.array(col(f.name), type=f.type, from_pandas=True)
-                  for f in schema]
+        arrays = [col(f.name) for f in schema]
         # chunked batches: a full bucket diff can run to hundreds of
         # MB at the target layout — bounded batches keep the arrow
         # pipe and downstream per-batch memory flat

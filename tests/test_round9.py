@@ -458,3 +458,177 @@ def test_prepare_requires_source_cols_and_invertible(spark, tmp_path):
                           prepare=lambda df: df)
     with pytest.raises(ValueError, match="invertible"):
         MV._check_prepare(lambda df: df, ["v"], {"m": ("v", "max")})
+
+
+# --- vectorized nested diff (Arrow kernel == object compare) ---------------
+
+import pyarrow as pa  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+LAB_T = pa.list_(pa.struct([("scheme", pa.string()),
+                            ("code", pa.string())]))
+NEST_T = pa.list_(pa.list_(pa.int64()))
+STRUCT_T = pa.struct([("n", pa.int64()),
+                      ("tags", pa.list_(pa.string())),
+                      ("x", pa.float64())])
+
+_s_str = st.one_of(st.none(), st.sampled_from(["a", "b", "c", ""]))
+_lab = st.one_of(st.none(), st.fixed_dictionaries(
+    {"scheme": _s_str, "code": _s_str}))
+_labels = st.one_of(st.none(), st.lists(_lab, max_size=3))
+_ints = st.one_of(st.none(), st.integers(-5, 5))
+_nest = st.one_of(st.none(), st.lists(
+    st.one_of(st.none(), st.lists(_ints, max_size=3)), max_size=3))
+_floats = st.one_of(st.none(), st.sampled_from(
+    [0.0, 1.5, -2.25, float("nan")]))
+_structs = st.one_of(st.none(), st.fixed_dictionaries(
+    {"n": _ints, "tags": st.one_of(st.none(),
+                                   st.lists(_s_str, max_size=3)),
+     "x": _floats}))
+
+
+def _assert_kernel_matches(pairs, typ):
+    a = pa.array([p[0] for p in pairs], type=typ)
+    b = pa.array([p[1] for p in pairs], type=typ)
+    got = list(cdf._arrow_eq(a, b))
+    want = [not x for x in cdf._neq(a.to_pandas(), b.to_pandas())]
+    assert got == want, (
+        f"arrow kernel disagrees with object compare for {typ}: "
+        f"{[(x, y) for x, y, g, w in zip(a.to_pylist(), b.to_pylist(), got, want) if g != w]}")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_labels, _labels), max_size=12))
+def test_arrow_eq_matches_object_compare_labels(pairs):
+    """The flagship labels shape (array<struct<scheme,code>>): the
+    vectorized kernel must agree with the normalized object compare
+    on every null/empty/nested combination."""
+    _assert_kernel_matches(pairs, LAB_T)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_nest, _nest), max_size=12))
+def test_arrow_eq_matches_object_compare_nested_lists(pairs):
+    _assert_kernel_matches(pairs, NEST_T)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_structs, _structs), max_size=12))
+def test_arrow_eq_matches_object_compare_struct_with_nan(pairs):
+    """struct<long, list<string>, double> incl. NaN: NaN ≡ NULL (the
+    pandas/na semantics) so NaN rows never re-emit as updates."""
+    _assert_kernel_matches(pairs, STRUCT_T)
+
+
+def test_arrow_eq_scalar_types(spark):
+    a = pa.array([1, None, 3, None], type=pa.int64())
+    b = pa.array([1, None, 4, 5], type=pa.int64())
+    assert list(cdf._arrow_eq(a, b)) == [True, True, False, False]
+    f = pa.array([float("nan"), None, 1.0], type=pa.float64())
+    g = pa.array([float("nan"), float("nan"), 2.0], type=pa.float64())
+    assert list(cdf._arrow_eq(f, g)) == [True, True, False]
+
+
+# --- MV fold physical plan pinned (broadcast + single-bucket scan) ---------
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    return (len(re.findall(r"\n[^\n]*\bExchange hashpartitioning", plan))
+            + len(re.findall(r"\n[^\n]*\bExchange rangepartitioning", plan))
+            + len(re.findall(r"\n[^\n]*\bExchange SinglePartition", plan)))
+
+
+def _spy_merge(monkeypatch, captured):
+    orig_fbu = MV.foreach_batch_upsert
+
+    def _spy_fbu(*a, **k):
+        inner = orig_fbu(*a, **k)
+
+        def _m(df, ver):
+            captured.append(df)
+            return inner(df, ver)
+        return _m
+
+    monkeypatch.setattr(MV, "foreach_batch_upsert", _spy_fbu)
+
+
+def _state_buckets(folded, mvp):
+    return {f.rsplit("/", 2)[-2] for f in folded.inputFiles()
+            if f.startswith(f"file:{mvp}") or f.startswith(mvp)}
+
+
+def test_mv_stream_fold_plan_single_bucket_broadcast(spark, tmp_path,
+                                                     monkeypatch):
+    """PLANS.md documents the push-path fold (`_apply_delta` fed by a
+    retract batch) as: exactly ONE exchange (the delta aggregate), a
+    BroadcastHashJoin LeftOuter build-right against the state slice,
+    and a state READ of only the touched group's bucket. Pin all
+    three so a regression to a shuffled fold or a full-state rescan
+    lands red, not silently."""
+    mvp = str(tmp_path / "mv")
+    group = ["grp"]
+    metrics = {"n_vals": ("val", "count"), "total": ("val", "sum")}
+    retract = ("grp string, val long, op string, changed_cols string, "
+               "grp__old string, val__old long")
+    fold = MV.mv_stream_sink(mvp, group, metrics, auto_compact=False)
+    fold(spark.createDataFrame(
+        [(f"g{i}", i, "insert", "", None, None) for i in range(16)],
+        retract), 0)
+    captured: list = []
+    _spy_merge(monkeypatch, captured)
+    fold(spark.createDataFrame([("g0", 100, "insert", "", None, None)],
+                               retract), 1)
+    assert captured, "stream fold did not reach the merge"
+    folded = captured[-1]
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, (
+        f"fold lost the broadcast left-outer join:\n{plan}")
+    assert _n_exchanges(plan) <= 1, (
+        f"fold has {_n_exchanges(plan)} shuffle exchanges (budget 1 — "
+        f"the delta aggregate):\n{plan}")
+    nb = int(ing.read_table_manifest(spark, mvp)["n_buckets"])
+    expect = {f"bucket={r[0]}" for r in
+              spark.createDataFrame([("g0",)], "grp string")
+              .select(ing.origin_bucket(["grp"], nb).alias("b"))
+              .collect()}
+    assert _state_buckets(folded, mvp) == expect, (
+        f"fold scanned state buckets {sorted(_state_buckets(folded, mvp))},"
+        f" expected only {sorted(expect)}")
+
+
+def test_mv_refresh_fold_plan_shape(spark, tmp_path, monkeypatch):
+    """Pull-path fold: the plan additionally contains the batch
+    `table_changes` diff of the changed source buckets (two keyed
+    full-outer diffs — plus and minus sides), so the exchange budget
+    is 5; the fold itself must still broadcast the delta against a
+    single-bucket state slice."""
+    path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
+    group = ["grp"]
+    metrics = {"n_vals": ("val", "count"), "total": ("val", "sum")}
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame(
+        [(f"o{i}", f"g{i}", i) for i in range(16)],
+        "origin string, grp string, val long"), 1)
+    MV.create_mv(spark, path, mvp, group, metrics, n_buckets=8)
+    merge(spark.createDataFrame([("o0", "g0", 100)],
+                                "origin string, grp string, val long"),
+          2)
+    captured: list = []
+    _spy_merge(monkeypatch, captured)
+    MV.refresh_mv(spark, path, mvp, group, metrics, auto_compact=False)
+    assert captured, "refresh did not reach the fold merge"
+    folded = captured[-1]
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert _n_exchanges(plan) <= 5, (
+        f"refresh fold has {_n_exchanges(plan)} exchanges "
+        f"(budget 5):\n{plan}")
+    expect = {f"bucket={r[0]}" for r in
+              spark.createDataFrame([("g0",)], "grp string")
+              .select(ing.origin_bucket(["grp"], 8).alias("b"))
+              .collect()}
+    assert _state_buckets(folded, mvp) == expect
