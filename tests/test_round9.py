@@ -555,8 +555,11 @@ def _spy_merge(monkeypatch, captured):
 
 
 def _state_buckets(folded, mvp):
+    # inputFiles() returns scheme-qualified URIs (file:///tmp/...);
+    # compare on the parsed path so the match is scheme-insensitive.
+    from urllib.parse import urlparse
     return {f.rsplit("/", 2)[-2] for f in folded.inputFiles()
-            if f.startswith(f"file:{mvp}") or f.startswith(mvp)}
+            if urlparse(f).path.startswith(mvp)}
 
 
 def test_mv_stream_fold_plan_single_bucket_broadcast(spark, tmp_path,
