@@ -191,8 +191,12 @@ msgs AS (
   FROM ev WHERE slot IN (0, 1, 2) AND NOT (slot = 2 AND s8 = 2)
 ),
 touched AS (
+  -- e % 13 = 0 events have NULL text both before and after the
+  -- update, so the engine's keyed diff suppresses them as no-ops; a
+  -- uid whose only slot=1/s8=5 events are all =0 (mod 13) is NOT
+  -- touched. Mirror that suppression here.
   SELECT DISTINCT uid FROM ev
-  WHERE (slot = 1 AND s8 = 5) OR (slot = 2 AND s8 = 2)
+  WHERE (slot = 1 AND s8 = 5 AND e % 13 <> 0) OR (slot = 2 AND s8 = 2)
 ),
 f AS (
   SELECT pid AS participant_uuid, {', '.join(fields)},

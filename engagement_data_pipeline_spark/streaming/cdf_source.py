@@ -23,9 +23,12 @@ IN ARROW: scalar columns via `pc.equal`, nested array/struct
 payloads (the flagship messages table's labels column) via a
 recursive vectorized kernel — struct = AND of fields, list =
 length-equal AND cumsum-reduced flattened-children-equal — so no
-per-row Python touches the hot path for any type the engine streams
-(only map columns and exotic types fall back to a normalized object
-compare). Output batches are `pyarrow.RecordBatch`es built against
+per-row Python touches the hot path for any type the engine streams.
+Map columns take the vectorized list path too (the flattened
+key/value struct children), which makes map equality POSITIONAL —
+key-order-sensitive, matching the object fallback's tuple
+representation; only types with no Arrow kernel fall back to a
+normalized object compare. Output batches are `pyarrow.RecordBatch`es built against
 the exact Arrow schema Spark expects, payload buffers taken (never
 materialized as Python objects) from the source tables.
 O(changed buckets) per batch, embarrassingly parallel, no shuffle.

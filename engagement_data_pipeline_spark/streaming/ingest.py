@@ -527,10 +527,12 @@ def _commit(spark: SparkSession, table_path: str, commit: int,
         json.dumps(man, indent=0))
     # Advisory latest-commit pointer: lets pollers (the change-feed
     # source's latestOffset) resolve the head in O(1) reads instead of
-    # listing the whole O(commits) log. Best-effort — commits are
-    # serialized under claims so plain overwrite is monotone, readers
-    # treat it as a floor hint and probe forward (a crash between the
-    # manifest rename and this write just leaves the hint one behind).
+    # listing the whole O(commits) log. Best-effort and NOT guaranteed
+    # monotone: a writer paused between publishing manifest N and this
+    # write can overwrite a successor's LATEST=N+1 with N. That is
+    # safe only because readers treat the pointer strictly as a
+    # lower-bound hint and probe forward from max(last-seen, hint);
+    # nothing may rely on it never regressing.
     try:
         _write_text_atomic(spark, f"{table_path}/{_LOG_DIR}/LATEST",
                            str(commit))

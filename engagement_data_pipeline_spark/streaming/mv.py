@@ -494,8 +494,14 @@ def read_mv_distinct(spark: SparkSession, mv_path: str,
     its inner groups are then EXACTLY the live witness set (zero-count
     groups are deleted from the state), so at read time
 
-      COUNT(*) over inner groups        == COUNT(DISTINCT x) per outer
+      COUNT over non-NULL-keyed groups  == COUNT(DISTINCT x) per outer
       SUM(inner count/sum metrics)      == the outer count/sum
+
+    NULL handling mirrors SQL's: COUNT(DISTINCT x) ignores NULL x, so
+    an inner group whose distinct key is NULL is excluded from the
+    witness count — but its rows still exist, so its metric sums DO
+    contribute to the outer rollup (exactly as a recompute's SUM
+    would include them).
 
     The rollup is O(inner groups) — the state's size, never the
     table's — and one exchange on the outer key. E.g. the reference's
@@ -508,7 +514,12 @@ def read_mv_distinct(spark: SparkSession, mv_path: str,
                          distinct_name="n_participants")
     """
     inner = read_mv(spark, mv_path, metrics, man=man)
-    aggs = [F.count(F.lit(1)).alias(distinct_name)]
+    distinct_cols = [c for c in inner.columns
+                     if c not in set(outer_group) and c not in metrics]
+    witness = F.lit(True)
+    for c in distinct_cols:
+        witness = witness & F.col(c).isNotNull()
+    aggs = [F.count(F.when(witness, F.lit(1))).alias(distinct_name)]
     for name in metrics:
         # count and sum metrics both re-aggregate by SUM; a NULL inner
         # sum (no non-NULL contributors) is skipped exactly as a

@@ -1,0 +1,86 @@
+"""Round-10 hardening: NULL-aware distinct-count MV reads, pinned
+map-equality semantics in the change-feed diff kernel, and the K6
+oracle's NULL-text no-op suppression."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.streaming import cdf_source as cdf
+from engagement_data_pipeline_spark.streaming import mv as MV
+
+RETRACT = ("grp string, val long, keep string, op string, "
+           "changed_cols string, grp__old string, val__old long, "
+           "keep__old string")
+
+
+# --- read_mv_distinct: NULL distinct keys are not witnesses ---------------
+
+def test_mv_distinct_null_key_not_a_witness(spark, tmp_path):
+    """COUNT(DISTINCT x) ignores NULL x; the two-level read must not
+    count a NULL-keyed inner group as a witness — but that group's
+    rows exist, so its metric sums DO contribute (exactly SQL's
+    COUNT(DISTINCT pid) vs COUNT(*) split over the same rows)."""
+    mvp = str(tmp_path / "mv")
+    metrics = {"n_msgs": ("val", "count")}
+    fold = MV.mv_stream_sink(
+        mvp, ["grp", "pid"], metrics,
+        prepare=lambda df: df.select(
+            F.col("keep").alias("pid"), "grp", "val"),
+        source_cols=["grp", "val", "keep"])
+    b0 = spark.createDataFrame(
+        [("d1", 1, "p1", "insert", "", None, None, None),
+         ("d1", 2, None, "insert", "", None, None, None),
+         ("d1", 3, None, "insert", "", None, None, None),
+         ("d2", 4, None, "insert", "", None, None, None)], RETRACT)
+    fold(b0, 0)
+    got = {tuple(r) for r in
+           MV.read_mv_distinct(spark, mvp, ["grp"], metrics,
+                               distinct_name="n_pids").collect()}
+    # d1: 3 rows but only ONE non-NULL distinct pid; d2: rows exist
+    # yet zero witnesses — the group must still appear with its sums.
+    assert got == {("d1", 1, 3), ("d2", 0, 1)}
+
+
+# --- map equality: positional in BOTH diff paths --------------------------
+
+MAP_T = pa.map_(pa.string(), pa.int64())
+
+_mkey = st.sampled_from(["a", "b", "c"])
+_mval = st.one_of(st.none(), st.integers(-3, 3))
+_map = st.one_of(st.none(),
+                 st.lists(st.tuples(_mkey, _mval), max_size=3))
+
+
+def _assert_kernel_matches(pairs, typ):
+    a = pa.array([p[0] for p in pairs], type=typ)
+    b = pa.array([p[1] for p in pairs], type=typ)
+    got = list(cdf._arrow_eq(a, b))
+    want = [not x for x in cdf._neq(a.to_pandas(), b.to_pandas())]
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_map, _map), max_size=12))
+def test_arrow_eq_matches_object_compare_maps(pairs):
+    """Map columns route through the vectorized list branch; equality
+    is POSITIONAL (key-order-sensitive) in both the Arrow kernel and
+    the object fallback — pin that they agree on every input."""
+    _assert_kernel_matches(pairs, MAP_T)
+
+
+def test_map_equality_is_positional_in_both_paths():
+    """{a:1, b:2} vs the same entries reordered: intended semantics
+    are positional (a false 'changed' only emits a benign re-merge
+    for this engine's stable writers) — both paths must agree it is
+    NOT equal, and agree reflexively that identical order IS."""
+    a = pa.array([[("a", 1), ("b", 2)], [("a", 1), ("b", 2)]],
+                 type=MAP_T)
+    b = pa.array([[("b", 2), ("a", 1)], [("a", 1), ("b", 2)]],
+                 type=MAP_T)
+    assert list(cdf._arrow_eq(a, b)) == [False, True]
+    assert list(cdf._neq(a.to_pandas(), b.to_pandas())) == [True, False]
