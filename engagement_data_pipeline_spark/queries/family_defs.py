@@ -260,6 +260,16 @@ _EVENTS_MEMBERS = {
         [("field", "string"), ("code", "string"),
          ("n_participants", "bigint"),
          ("n_participants_batch", "bigint")]),
+    "a2_mv_stream": (
+        mv_q.a2_mv_stream, mv_q.A2_MV_STREAM_SQL,
+        [("n_episodes", "bigint"), ("n_participants", "bigint"),
+         ("pct", "double"), ("n_participants_batch", "bigint"),
+         ("pct_batch", "double")]),
+    "a3_mv_stream": (
+        mv_q.a3_mv_stream, mv_q.A3_MV_STREAM_SQL,
+        [("dataset", "string"), ("scheme", "string"),
+         ("code", "string"), ("breakdown", "string"),
+         ("n_messages", "bigint"), ("n_messages_batch", "bigint")]),
     "k6_incremental": (
         sync_back.k6_incremental, sync_back.K6_INCREMENTAL_SQL,
         [("participant_uuid", "string"), ("field_s01e01", "string"),

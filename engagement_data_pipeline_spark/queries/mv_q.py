@@ -32,7 +32,7 @@ import os
 import tempfile
 import time as _time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..streaming import mv as MV
@@ -189,6 +189,195 @@ SELECT dataset, n_messages, n_participants,
        n_messages AS n_messages_batch,
        n_participants AS n_participants_batch
 FROM counts
+"""
+
+
+def a2_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 repeat_participations as a stream-maintained MV — and the
+    same inner witness state as A1: the MV keyed
+    (dataset, participant_uuid) answers BOTH rollups, COUNT(*) per
+    dataset for A1 and COUNT(*) per participant for A2 (episodes
+    participated), so one maintained table serves two reference
+    exports. The per-participant episode counts roll up into the
+    (n_episodes -> n_participants, pct) histogram at read time —
+    O(state) and two small exchanges, never a table scan — joined
+    against the batch recompute over the final table (reference
+    automated_analysis.py:71-75)."""
+    apply_runtime_conf(spark)
+    base = _a1_fixture(spark, sf_dir)
+    eps = MV.read_mv_distinct(
+        spark, os.path.join(base, "mv"), ["participant_uuid"],
+        A1_METRICS, distinct_name="n_episodes")
+    dist = (eps.groupBy("n_episodes")
+            .agg(F.count(F.lit(1)).alias("n_participants")))
+    w = Window.partitionBy()
+    maintained = dist.select(
+        "n_episodes", "n_participants",
+        (F.col("n_participants") * F.lit(100.0)
+         / F.sum("n_participants").over(w)).alias("pct"))
+    src = (read_merged_table(spark, os.path.join(base, "table"))
+           .where(F.col("consent_withdrawn") == "false"))
+    eps_b = (src.groupBy("participant_uuid")
+             .agg(F.countDistinct("dataset").alias("n_episodes")))
+    dist_b = (eps_b.groupBy("n_episodes")
+              .agg(F.count(F.lit(1)).alias("n_participants_batch")))
+    batch = dist_b.select(
+        "n_episodes", "n_participants_batch",
+        (F.col("n_participants_batch") * F.lit(100.0)
+         / F.sum("n_participants_batch").over(w)).alias("pct_batch"))
+    return maintained.join(batch, "n_episodes")
+
+
+A2_MV_STREAM_SQL = """
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8,
+         user_id % 50 AS uid
+  FROM events WHERE event_id % 16 < 8
+),
+live AS (
+  SELECT 'rqa_s01e0' || CAST(1 + CASE WHEN slot = 1 AND s8 = 5
+                                 THEN (e % 3 + 1) % 3
+                                 ELSE e % 3 END AS VARCHAR) AS dataset,
+         'p' || CAST(uid AS VARCHAR) AS participant_uuid
+  FROM ev
+  WHERE slot IN (0, 1, 2) AND NOT (slot = 2 AND s8 = 2)
+    AND uid % 7 <> 0
+),
+eps AS (
+  SELECT participant_uuid,
+         CAST(COUNT(DISTINCT dataset) AS BIGINT) AS n_episodes
+  FROM live GROUP BY participant_uuid
+),
+dist AS (
+  SELECT n_episodes, CAST(COUNT(*) AS BIGINT) AS n_participants
+  FROM eps GROUP BY n_episodes
+)
+SELECT n_episodes, n_participants,
+       n_participants * CAST(100.0 AS DOUBLE)
+         / SUM(n_participants) OVER () AS pct,
+       n_participants AS n_participants_batch,
+       n_participants * CAST(100.0 AS DOUBLE)
+         / SUM(n_participants) OVER () AS pct_batch
+FROM dist
+"""
+
+
+def _a3_rows(spark: SparkSession, sf_dir: str, relabeled: bool) -> DataFrame:
+    """Coded-messages rows derived from `events`: dataset is the RQA
+    episode, each row carries ONE code under its episode's scheme and
+    a gender breakdown; the relabel commit moves slot-1 rows with
+    e % 9 == 4 to the next code (a Coda recode), everything else
+    re-merges identically (the keyed diff suppresses the no-ops)."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_id") % 16 < 8)
+          .select(F.col("event_id").alias("e"),
+                  (F.col("user_id") % 50).alias("uid")))
+    c = F.when(F.lit(relabeled) & (F.col("e") % 9 == 4),
+               (F.col("e") + 1) % 5).otherwise(F.col("e") % 5)
+    return ev.select(
+        F.concat(F.lit("ev:"), F.col("e").cast("string"))
+        .alias("origin_id"),
+        F.concat(F.lit("rqa_s01e0"),
+                 (F.col("e") % 3 + 1).cast("string")).alias("dataset"),
+        F.concat(F.lit("code_"), c.cast("string")).alias("code"),
+        F.when(F.col("uid") % 3 == 0, F.lit("man"))
+        .when(F.col("uid") % 3 == 1, F.lit("woman"))
+        .otherwise(F.lit("unknown")).alias("gender"),
+        F.when(F.col("uid") % 7 == 0, F.lit("true"))
+        .otherwise(F.lit("false")).alias("consent_withdrawn"),
+        (F.col("e") % 4).alias("slot"), (F.col("e") % 8).alias("s8"))
+
+
+def _a3_prepare(df: DataFrame) -> DataFrame:
+    """Row-local filter + select into the theme-distributions grain
+    (dataset, scheme, code, breakdown): scheme is derived from the
+    row's own dataset, consent is constant per participant — both
+    flatMap-shaped, so exact under retraction."""
+    return (df.where(F.col("consent_withdrawn") == "false")
+            .select("dataset",
+                    F.concat(F.col("dataset"), F.lit("_scheme"))
+                    .alias("scheme"),
+                    "code", F.col("gender").alias("breakdown"),
+                    "origin_id"))
+
+
+A3_METRICS = {"n_messages": ("origin_id", "count")}
+
+
+def _a3_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Coded-messages table (3 commits: insert, Coda-recode update,
+    dv delete) plus its stream-maintained A3 MV. Unlike A1/A4, every
+    metric here is invertible (plain counts), so the MV state IS the
+    answer grain — no two-level read needed."""
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a3_rows(spark, sf_dir, False)
+              .where(F.col("slot").isin([0, 1, 2]))
+              .drop("slot", "s8"), 1)
+        merge(_a3_rows(spark, sf_dir, True).where(F.col("slot") == 1)
+              .drop("slot", "s8"), 2)
+        dead = (_a3_rows(spark, sf_dir, False)
+                .where((F.col("slot") == 2) & (F.col("s8") == 2))
+                .select("origin_id"))
+        delete_origins(spark, table, dead, strategy="dv")
+        _stream_into(spark, table, MV.mv_stream_sink(
+            os.path.join(path, "mv"),
+            ["dataset", "scheme", "code", "breakdown"], A3_METRICS,
+            prepare=_a3_prepare,
+            source_cols=["origin_id", "dataset", "code", "gender",
+                         "consent_withdrawn"]))
+
+    return fixture_dir("a3_mv_pair", sf_dir, _build)
+
+
+def a3_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 theme_distributions as a stream-maintained MV: per (RQA
+    dataset, scheme, code, demog breakdown) message counts kept flat
+    by the retract fold across the insert / recode / delete history —
+    the MV state is the exact answer grain (counts are invertible),
+    so the read is a bare state scan, joined against the batch
+    recompute over the final table (reference
+    automated_analysis.py:77-81)."""
+    apply_runtime_conf(spark)
+    base = _a3_fixture(spark, sf_dir)
+    maintained = (MV.read_mv(spark, os.path.join(base, "mv"),
+                             A3_METRICS)
+                  .select("dataset", "scheme", "code", "breakdown",
+                          F.col("n_messages").cast("long")
+                          .alias("n_messages")))
+    table = read_merged_table(spark, os.path.join(base, "table"))
+    batch = (_a3_prepare(table)
+             .groupBy("dataset", "scheme", "code", "breakdown")
+             .agg(F.count(F.lit(1)).alias("n_messages_batch")))
+    return maintained.join(batch,
+                           ["dataset", "scheme", "code", "breakdown"])
+
+
+A3_MV_STREAM_SQL = """
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8,
+         user_id % 50 AS uid
+  FROM events WHERE event_id % 16 < 8
+),
+live AS (
+  SELECT 'rqa_s01e0' || CAST(e % 3 + 1 AS VARCHAR) AS dataset,
+         'code_' || CAST(CASE WHEN slot = 1 AND e % 9 = 4
+                              THEN (e + 1) % 5
+                              ELSE e % 5 END AS VARCHAR) AS code,
+         CASE WHEN uid % 3 = 0 THEN 'man'
+              WHEN uid % 3 = 1 THEN 'woman'
+              ELSE 'unknown' END AS breakdown
+  FROM ev
+  WHERE slot IN (0, 1, 2) AND NOT (slot = 2 AND s8 = 2)
+    AND uid % 7 <> 0
+)
+SELECT dataset, dataset || '_scheme' AS scheme, code, breakdown,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(COUNT(*) AS BIGINT) AS n_messages_batch
+FROM live GROUP BY dataset, code, breakdown
 """
 
 
