@@ -1,8 +1,10 @@
 """Structural plan invariants for headline queries: the properties
 PLANS.md audits by hand, pinned so a refactor cannot silently
 reintroduce a slow shape. Explain-only — no query executes (the
-fixture-building and fit-collecting queries are excluded on
-purpose)."""
+fit-collecting queries are excluded on purpose). The MV/incremental
+queries DO build their on-disk fixture (a one-time stream drain per
+process, cached by fixture_dir) before the explain — the pinned plan
+is the read side, which is the part that must stay cheap."""
 
 import re
 
@@ -47,6 +49,15 @@ CASES = {
     # dv-resolved snapshot read = pure broadcast anti-join, NO shuffle
     "doc_dup_spans": (4, False),
     "table_dv_delete": (0, False),
+    # round 10: stream-maintained MV reads joined against their batch
+    # recompute (the proof harness doubles the plan; the maintained
+    # side alone is 1-2 exchanges). a3's state IS the answer grain —
+    # one exchange total even with the recompute join.
+    "a1_mv_stream": (8, False),
+    "a2_mv_stream": (8, False),
+    "a3_mv_stream": (2, False),
+    "a4_mv_stream": (4, False),
+    "k6_incremental": (8, False),
 }
 
 

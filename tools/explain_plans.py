@@ -89,6 +89,11 @@ HEADLINE = [
     "q08_market_share",         # conditional agg over 6-way star
     "q13_customer_distribution",  # outer-join count + histogram regroup
     "table_value_index",        # secondary index: one-bucket value read
+    "a1_mv_stream",             # two-level distinct MV read + recompute join
+    "a2_mv_stream",             # same witness MV, per-participant rollup
+    "a3_mv_stream",             # flat count MV: state scan IS the answer
+    "a4_mv_stream",             # exploded distinct MV read + recompute join
+    "k6_incremental",           # changed-participant recompute + batch join
 ]
 
 
