@@ -358,8 +358,15 @@ def _content_eq(a, b):
         for i in range(t.num_fields):
             out &= _arrow_eq(a.field(i), b.field(i))
         return out
-    if (pa.types.is_list(t) or pa.types.is_large_list(t)
-            or pa.types.is_map(t)):
+    if pa.types.is_map(t):
+        # pc.list_value_length has no map kernel (pyarrow 16), so view
+        # the map as its physical list<struct<key,value>> and recurse:
+        # same positional (key-order-sensitive) equality as the object
+        # fallback's tuple representation.
+        ls = pa.list_(pa.struct([("key", t.key_type),
+                                 ("value", t.item_type)]))
+        return _content_eq(a.cast(ls), b.cast(ls))
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
         la = pc.list_value_length(a).fill_null(-1).to_numpy(
             zero_copy_only=False).astype(np.int64)
         lb = pc.list_value_length(b).fill_null(-2).to_numpy(

@@ -1366,34 +1366,61 @@ def clear_retention_floor(spark: SparkSession, table_path: str,
         f"{table_path}/{_FLOORS_DIR}/{name}.json"), False)
 
 
-def read_retention_floors(spark: SparkSession,
-                          table_path: str) -> dict[str, int]:
-    """All registered consumer floors. An unparseable floor file reads
-    as 0 (retain everything) — a torn write must fail SAFE, never
-    license reclaiming a consumer's window."""
+def _floor_entries(spark: SparkSession,
+                   table_path: str) -> dict[str, tuple[int, int]]:
+    """name -> (floor commit, heartbeat ms). The heartbeat is the
+    floor file's modification time — streams rewrite their floor at
+    every engine commit, so a fresh mtime IS liveness. An unparseable
+    floor file reads as commit 0 (retain everything) — a torn write
+    must fail SAFE, never license reclaiming a consumer's window."""
     fs, jvm = _fs(spark, table_path)
     try:
         statuses = fs.listStatus(
             jvm.org.apache.hadoop.fs.Path(f"{table_path}/{_FLOORS_DIR}"))
     except Exception:
         return {}
-    floors: dict[str, int] = {}
+    floors: dict[str, tuple[int, int]] = {}
     for st in statuses:
         fname = st.getPath().getName()
         if not fname.endswith(".json"):
             continue
+        ts = int(st.getModificationTime())
         try:
-            floors[fname[:-5]] = int(_read_text(
-                spark, f"{table_path}/{_FLOORS_DIR}/{fname}").strip())
+            floors[fname[:-5]] = (int(_read_text(
+                spark, f"{table_path}/{_FLOORS_DIR}/{fname}").strip()),
+                ts)
         except Exception:
-            floors[fname[:-5]] = 0
+            floors[fname[:-5]] = (0, ts)
     return floors
+
+
+def read_retention_floors(spark: SparkSession,
+                          table_path: str) -> dict[str, int]:
+    """All registered consumer floors (name -> minimum live commit).
+    See `list_retention_floors` for ages."""
+    return {n: c for n, (c, _ts) in
+            _floor_entries(spark, table_path).items()}
+
+
+def list_retention_floors(spark: SparkSession,
+                          table_path: str) -> dict[str, dict]:
+    """Ops view of the registered floors: name ->
+    {"commit", "age_ms"} — a floor with a large age whose consumer is
+    gone is pinning vacuum; clear it (`clear_retention_floor`) or
+    vacuum with `floor_ttl_ms` to lease-expire it."""
+    import time as _time
+
+    now = _time.time() * 1000
+    return {n: {"commit": c, "age_ms": max(0, int(now - ts))}
+            for n, (c, ts) in
+            _floor_entries(spark, table_path).items()}
 
 
 def vacuum_table(spark: SparkSession, table_path: str,
                  keep_manifests: int = 10,
                  retain_ms: int | None = None,
-                 ignore_floors: bool = False) -> None:
+                 ignore_floors: bool = False,
+                 floor_ttl_ms: int | None = None) -> None:
     """Delete version/bucket directories no longer referenced by the
     LATEST manifest, then empty version dirs, then manifests older
     than the last `keep_manifests`. Safe against the single writer
@@ -1414,14 +1441,33 @@ def vacuum_table(spark: SparkSession, table_path: str,
     change windows cannot be reclaimed out from under it. Vacuum still
     reclaims everything below the floor. `ignore_floors=True` is the
     explicit force-override (decommissioning a dead consumer without
-    clearing its floor)."""
+    clearing its floor).
+
+    `floor_ttl_ms` lease-expires ABANDONED floors (a checkpoint
+    deleted without `clear_retention_floor` would otherwise pin
+    vacuum forever): a floor whose file has not been rewritten within
+    the TTL is deleted and ignored — streams rewrite their floor at
+    every engine commit, so the mtime is a heartbeat — while fresh
+    floors keep their full protection. Size the TTL well past the
+    slowest honest consumer's trigger interval: an honest-but-paused
+    stream whose floor expires fails LOUDLY on resume (the change-feed
+    source raises on reclaimed windows), it never reads wrong data.
+    Default None = floors never expire (the round-9 contract)."""
     import time as _time
 
     man = read_table_manifest(spark, table_path)
     if man is None:
         return
-    floors = {} if ignore_floors else read_retention_floors(
-        spark, table_path)
+    entries = {} if ignore_floors else _floor_entries(spark, table_path)
+    if floor_ttl_ms is not None and entries:
+        now = _time.time() * 1000
+        for name, (_c, ts) in list(entries.items()):
+            if now - ts > floor_ttl_ms:
+                # lease expiry, like claim expiry: the abandoned floor
+                # is removed so it cannot re-pin the next vacuum
+                clear_retention_floor(spark, table_path, name)
+                del entries[name]
+    floors = {n: c for n, (c, _ts) in entries.items()}
     floor = min(floors.values()) if floors else None
     fs, jvm = _fs(spark, table_path)
     hp = jvm.org.apache.hadoop.fs.Path

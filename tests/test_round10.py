@@ -11,6 +11,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from engagement_data_pipeline_spark.streaming import cdf_source as cdf
+from engagement_data_pipeline_spark.streaming import ingest as ing
 from engagement_data_pipeline_spark.streaming import mv as MV
 
 RETRACT = ("grp string, val long, keep string, op string, "
@@ -71,6 +72,63 @@ def test_arrow_eq_matches_object_compare_maps(pairs):
     is POSITIONAL (key-order-sensitive) in both the Arrow kernel and
     the object fallback — pin that they agree on every input."""
     _assert_kernel_matches(pairs, MAP_T)
+
+
+# --- retention-floor lease expiry -----------------------------------------
+
+def _mk_table(spark, path, n_commits):
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=1,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    for i in range(1, n_commits + 1):
+        merge(spark.createDataFrame([(f"o{i}", f"v{i}")],
+                                    "origin string, payload string"), i)
+    return merge
+
+
+def _age_floor(path, name, seconds):
+    import os
+    import time
+    fp = os.path.join(path, "_log", "_floors", f"{name}.json")
+    old = time.time() - seconds
+    os.utime(fp, (old, old))
+
+
+def test_vacuum_floor_ttl_expires_abandoned_floor_only(spark, tmp_path):
+    """A floor whose checkpoint was deleted without
+    clear_retention_floor would pin vacuum forever (floors only ever
+    advance). With floor_ttl_ms, the stale floor lease-expires — it
+    is deleted and its window reclaims — while a FRESH floor keeps
+    full protection, no ignore_floors sledgehammer needed."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, 5)
+    ing.set_retention_floor(spark, path, "abandoned", 1)
+    ing.set_retention_floor(spark, path, "honest", 3)
+    _age_floor(path, "abandoned", 3600)
+    ages = ing.list_retention_floors(spark, path)
+    assert ages["abandoned"]["age_ms"] > 3_000_000
+    assert ages["honest"]["age_ms"] < 60_000
+    ing.vacuum_table(spark, path, keep_manifests=1,
+                     floor_ttl_ms=600_000)
+    # the abandoned floor is gone (it cannot re-pin the next vacuum)
+    assert set(ing.read_retention_floors(spark, path)) == {"honest"}
+    # its window reclaimed; the honest floor's window survived
+    assert cdf._manifest(path, 1) is None
+    assert cdf._manifest(path, 2) is None
+    assert cdf._manifest(path, 3) is not None
+    assert cdf._manifest(path, 4) is not None
+
+
+def test_vacuum_no_ttl_keeps_stale_floors(spark, tmp_path):
+    """Default (floor_ttl_ms=None) preserves the round-9 contract:
+    even an ancient floor pins its window until cleared."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, 4)
+    ing.set_retention_floor(spark, path, "s", 2)
+    _age_floor(path, "s", 86_400)
+    ing.vacuum_table(spark, path, keep_manifests=1)
+    assert cdf._manifest(path, 2) is not None
+    assert ing.read_retention_floors(spark, path) == {"s": 2}
 
 
 def test_map_equality_is_positional_in_both_paths():
