@@ -270,6 +270,23 @@ _EVENTS_MEMBERS = {
         [("dataset", "string"), ("scheme", "string"),
          ("code", "string"), ("breakdown", "string"),
          ("n_messages", "bigint"), ("n_messages_batch", "bigint")]),
+    "a5_mv_stream": (
+        mv_q.a5_mv_stream, mv_q.A5_MV_STREAM_SQL,
+        [("code_a", "string"), ("code_b", "string"),
+         ("n_participants", "bigint"),
+         ("n_participants_batch", "bigint")]),
+    "a7_mv_stream": (
+        mv_q.a7_mv_stream, mv_q.A7_MV_STREAM_SQL,
+        [("day_us", "bigint"), ("dataset", "string"),
+         ("n_messages", "bigint"), ("n_messages_batch", "bigint")]),
+    "a8_mv_stream": (
+        mv_q.a8_mv_stream, mv_q.A8_MV_STREAM_SQL,
+        [("location_code", "string"), ("n_participants", "bigint"),
+         ("n_participants_batch", "bigint")]),
+    "a9_mv_stream": (
+        mv_q.a9_mv_stream, mv_q.A9_MV_STREAM_SQL,
+        [("participant_uuid", "string"), ("in_mv", "string"),
+         ("in_batch", "string")]),
     "k6_incremental": (
         sync_back.k6_incremental, sync_back.K6_INCREMENTAL_SQL,
         [("participant_uuid", "string"), ("field_s01e01", "string"),

@@ -1,19 +1,30 @@
-"""The reference's headline rollups maintained as STREAM-MAINTAINED
-MATERIALIZED VIEWS over the messages merge table — the maintenance
-machinery finally doing the reference's actual job incrementally.
+"""The reference's automated-analysis rollups maintained as
+STREAM-MAINTAINED MATERIALIZED VIEWS over the messages/participants
+merge tables — the maintenance machinery doing the reference's actual
+job incrementally.
 
-The reference recomputes A1 `engagement_counts` and A4
-`demographic_distributions` from scratch on every analysis run
-(src/engagement_db_to_analysis/automated_analysis.py:65-87); here each
-is an MV fed by the table's retract stream (`mv_stream_sink`), so a
-sync that touches K messages costs O(K + touched groups), never a
-table scan. A1 needs COUNT(DISTINCT participant) — not invertible —
-so it uses the TWO-LEVEL decomposition (`read_mv_distinct`): the MV is
-keyed (dataset, participant_uuid), and the distinct count is COUNT(*)
-over the inner witness groups at read time. A4's per-(field, code)
-participant counts explode the ';'-joined demographic code lists via a
-row-local `prepare` — exact under retraction because explode is
-flatMap-shaped.
+The reference recomputes every rollup from scratch on each analysis
+run (src/engagement_db_to_analysis/automated_analysis.py:55-171); here
+each is an MV fed by the table's retract stream (`mv_stream_sink`), so
+a sync that touches K rows costs O(K + touched groups), never a table
+scan. Coverage = the full suite except top-k A6 (a rank window is not
+retract-maintainable flat; it stays a read-time query):
+
+- A1 engagement_counts and A2 repeat_participations share ONE witness
+  MV keyed (dataset, participant_uuid): COUNT(DISTINCT) is not
+  invertible, so both use the TWO-LEVEL decomposition
+  (`read_mv_distinct`) — A1 rolls the witnesses up per dataset, A2 per
+  participant (episodes) then into the histogram.
+- A3 theme_distributions, A5 cross_tabs, A7 traffic_analysis are flat
+  count MVs — the state IS the answer grain (A7's prepare does the
+  fixed-calendar day binning, so a timestamp correction re-bins by
+  retract+add).
+- A4 demographic_distributions and A8 participation_map explode their
+  ';'-joined code lists via a row-local `prepare` — exact under
+  retraction because explode is flatMap-shaped.
+- A9 relevance_uuids is a bare witness MV keyed participant_uuid: the
+  live groups ARE the relevance set, proven by full-outer join with
+  presence flags.
 
 Each query returns the MAINTAINED answer joined with a from-scratch
 batch recompute over the final table state: the DuckDB oracle computes
@@ -280,6 +291,8 @@ def _a3_rows(spark: SparkSession, sf_dir: str, relabeled: bool) -> DataFrame:
         F.concat(F.lit("rqa_s01e0"),
                  (F.col("e") % 3 + 1).cast("string")).alias("dataset"),
         F.concat(F.lit("code_"), c.cast("string")).alias("code"),
+        F.concat(F.lit("p"), F.col("uid").cast("string"))
+        .alias("participant_uuid"),
         F.when(F.col("uid") % 3 == 0, F.lit("man"))
         .when(F.col("uid") % 3 == 1, F.lit("woman"))
         .otherwise(F.lit("unknown")).alias("gender"),
@@ -481,4 +494,353 @@ SELECT field, code,
        CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_participants,
        CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_participants_batch
 FROM exploded GROUP BY field, code
+"""
+
+
+# --- A5 cross_tabs ----------------------------------------------------------
+
+A5_METRICS = {"n_participants": ("pid", "count")}
+
+
+def _a5_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Participants table (same insert / relabel / dv-delete history
+    as the A4 fixture) plus a cross-tab MV keyed on the RAW folded
+    code strings (the reference cross-tabs the folded view, not the
+    exploded codes) — plain counts, fully invertible."""
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["pid"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a4_rows(spark, sf_dir, False).drop("m11"), 1)
+        merge(_a4_rows(spark, sf_dir, True).drop("m11"), 2)
+        dead = (_a4_rows(spark, sf_dir, False)
+                .where(F.col("m11") == 0).select("pid"))
+        delete_origins(spark, table, dead, strategy="dv")
+        _stream_into(spark, table, MV.mv_stream_sink(
+            os.path.join(path, "mv"), ["code_a", "code_b"], A5_METRICS,
+            prepare=lambda df: df.select(
+                F.col("gender_codes").alias("code_a"),
+                F.col("age_codes").alias("code_b"), "pid"),
+            source_cols=["pid", "gender_codes", "age_codes"]))
+
+    return fixture_dir("a5_mv_pair", sf_dir, _build)
+
+
+def a5_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 cross_tabs as a stream-maintained MV: the contingency table
+    of two folded coded fields, kept flat by the retract fold (each
+    participant is one row, so the count per (code_a, code_b) cell is
+    invertible), joined against the batch recompute over the final
+    table (reference automated_analysis.py:89-100)."""
+    apply_runtime_conf(spark)
+    base = _a5_fixture(spark, sf_dir)
+    maintained = (MV.read_mv(spark, os.path.join(base, "mv"),
+                             A5_METRICS)
+                  .select("code_a", "code_b",
+                          F.col("n_participants").cast("long")
+                          .alias("n_participants")))
+    table = read_merged_table(spark, os.path.join(base, "table"))
+    batch = (table.groupBy(F.col("gender_codes").alias("code_a"),
+                           F.col("age_codes").alias("code_b"))
+             .agg(F.count(F.lit(1)).alias("n_participants_batch")))
+    return maintained.join(batch, ["code_a", "code_b"])
+
+
+A5_MV_STREAM_SQL = """
+WITH uids AS (
+  SELECT DISTINCT user_id AS uid FROM events WHERE event_id % 16 < 4
+),
+live AS (
+  SELECT uid,
+         CASE WHEN uid % 5 = 0 THEN uid + 1 ELSE uid END AS s
+  FROM uids WHERE uid % 11 <> 0
+),
+coded AS (
+  SELECT CASE WHEN s % 3 = 0 THEN 'man'
+              WHEN s % 3 = 1 THEN 'woman'
+              ELSE 'man;woman' END AS code_a,
+         'age_' || CAST(uid % 6 AS VARCHAR) AS code_b
+  FROM live
+)
+SELECT code_a, code_b,
+       CAST(COUNT(*) AS BIGINT) AS n_participants,
+       CAST(COUNT(*) AS BIGINT) AS n_participants_batch
+FROM coded GROUP BY code_a, code_b
+"""
+
+
+# --- A7 traffic_analysis ----------------------------------------------------
+
+_DAY_US = 86_400_000_000
+A7_METRICS = {"n_messages": ("origin_id", "count")}
+
+
+def _a7_rows(spark: SparkSession, sf_dir: str, shifted: bool) -> DataFrame:
+    """Timestamped messages: ts spreads over a 7-day window; the
+    correction commit moves slot-1 rows with s8 == 5 one day later (a
+    timestamp fix re-binning the message), everything else re-merges
+    identically."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_id") % 16 < 8)
+          .select(F.col("event_id").alias("e"),
+                  (F.col("user_id") % 50).alias("uid")))
+    day = F.when(F.lit(shifted) & (F.col("e") % 8 == 5),
+                 F.col("e") % 7 + 1).otherwise(F.col("e") % 7)
+    ts = day * F.lit(_DAY_US) + (F.col("e") % 1000) * F.lit(1_000_000)
+    return ev.select(
+        F.concat(F.lit("ev:"), F.col("e").cast("string"))
+        .alias("origin_id"),
+        F.concat(F.lit("rqa_s01e0"),
+                 (F.col("e") % 3 + 1).cast("string")).alias("dataset"),
+        ts.cast("long").alias("timestamp_us"),
+        F.when(F.col("uid") % 7 == 0, F.lit("true"))
+        .otherwise(F.lit("false")).alias("consent_withdrawn"),
+        (F.col("e") % 4).alias("slot"), (F.col("e") % 8).alias("s8"))
+
+
+def _a7_prepare(df: DataFrame) -> DataFrame:
+    """Row-local consent filter + fixed-calendar day binning."""
+    return (df.where(F.col("consent_withdrawn") == "false")
+            .select((F.expr(f"timestamp_us div {_DAY_US}")
+                     * _DAY_US).alias("day_us"),
+                    "dataset", "origin_id"))
+
+
+def _a7_fixture(spark: SparkSession, sf_dir: str) -> str:
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a7_rows(spark, sf_dir, False)
+              .where(F.col("slot").isin([0, 1, 2]))
+              .drop("slot", "s8"), 1)
+        merge(_a7_rows(spark, sf_dir, True).where(F.col("slot") == 1)
+              .drop("slot", "s8"), 2)
+        dead = (_a7_rows(spark, sf_dir, False)
+                .where((F.col("slot") == 2) & (F.col("s8") == 2))
+                .select("origin_id"))
+        delete_origins(spark, table, dead, strategy="dv")
+        _stream_into(spark, table, MV.mv_stream_sink(
+            os.path.join(path, "mv"), ["day_us", "dataset"],
+            A7_METRICS, prepare=_a7_prepare,
+            source_cols=["origin_id", "dataset", "timestamp_us",
+                         "consent_withdrawn"]))
+
+    return fixture_dir("a7_mv_pair", sf_dir, _build)
+
+
+def a7_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 traffic_analysis as a stream-maintained MV: message counts
+    per (UTC day, dataset), kept flat across inserts, a timestamp
+    correction that RE-BINS rows to a different day (retract from the
+    old bin, add to the new), and dv deletes; joined against the
+    batch recompute (reference automated_analysis.py:108-116)."""
+    apply_runtime_conf(spark)
+    base = _a7_fixture(spark, sf_dir)
+    maintained = (MV.read_mv(spark, os.path.join(base, "mv"),
+                             A7_METRICS)
+                  .select("day_us", "dataset",
+                          F.col("n_messages").cast("long")
+                          .alias("n_messages")))
+    table = (read_merged_table(spark, os.path.join(base, "table"))
+             .where(F.col("consent_withdrawn") == "false"))
+    batch = (table.groupBy(
+        (F.expr(f"timestamp_us div {_DAY_US}") * _DAY_US)
+        .alias("day_us"), "dataset")
+        .agg(F.count(F.lit(1)).alias("n_messages_batch")))
+    return maintained.join(batch, ["day_us", "dataset"])
+
+
+A7_MV_STREAM_SQL = f"""
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8,
+         user_id % 50 AS uid
+  FROM events WHERE event_id % 16 < 8
+),
+live AS (
+  SELECT (CASE WHEN slot = 1 AND s8 = 5 THEN e % 7 + 1
+               ELSE e % 7 END) * {_DAY_US}
+           + (e % 1000) * 1000000 AS ts_us,
+         'rqa_s01e0' || CAST(e % 3 + 1 AS VARCHAR) AS dataset
+  FROM ev
+  WHERE slot IN (0, 1, 2) AND NOT (slot = 2 AND s8 = 2)
+    AND uid % 7 <> 0
+)
+SELECT CAST((ts_us // {_DAY_US}) * {_DAY_US} AS BIGINT) AS day_us,
+       dataset,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(COUNT(*) AS BIGINT) AS n_messages_batch
+FROM live GROUP BY 1, 2
+"""
+
+
+# --- A8 participation map ---------------------------------------------------
+
+A8_METRICS = {"n_participants": ("pid", "count")}
+
+
+def _a8_rows(spark: SparkSession, sf_dir: str, relabeled: bool) -> DataFrame:
+    """Participants with ';'-joined location code lists (district;
+    sometimes also a region roll-up code). The relabel commit moves
+    uid % 5 == 0 participants one district over."""
+    uids = (load(spark, sf_dir, "events")
+            .where(F.col("event_id") % 16 < 4)
+            .select(F.col("user_id").alias("uid")).distinct())
+    shift = F.when(F.lit(relabeled) & (F.col("uid") % 5 == 0),
+                   F.col("uid") + 1).otherwise(F.col("uid"))
+    district = F.concat(F.lit("district_"), (shift % 8).cast("string"))
+    locs = F.when(F.col("uid") % 3 == 0,
+                  F.concat(district, F.lit(";region_"),
+                           (shift % 4).cast("string"))).otherwise(district)
+    return uids.select(
+        F.concat(F.lit("p"), F.col("uid").cast("string")).alias("pid"),
+        locs.alias("location_codes"),
+        (F.col("uid") % 11).alias("m11"))
+
+
+def _a8_fixture(spark: SparkSession, sf_dir: str) -> str:
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["pid"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a8_rows(spark, sf_dir, False).drop("m11"), 1)
+        merge(_a8_rows(spark, sf_dir, True).drop("m11"), 2)
+        dead = (_a8_rows(spark, sf_dir, False)
+                .where(F.col("m11") == 0).select("pid"))
+        delete_origins(spark, table, dead, strategy="dv")
+        _stream_into(spark, table, MV.mv_stream_sink(
+            os.path.join(path, "mv"), ["location_code"], A8_METRICS,
+            prepare=lambda df: df.select(
+                F.explode(F.split(F.col("location_codes"), ";"))
+                .alias("location_code"), "pid"),
+            source_cols=["pid", "location_codes"]))
+
+    return fixture_dir("a8_mv_pair", sf_dir, _build)
+
+
+def a8_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 participation map as a stream-maintained MV: participants
+    per exploded location code (each participant's list carries each
+    code at most once, so the row count IS the participant count —
+    invertible, no two-level read), joined against the batch
+    recompute (reference automated_analysis.py:131-171; rendering
+    out of scope)."""
+    apply_runtime_conf(spark)
+    base = _a8_fixture(spark, sf_dir)
+    maintained = (MV.read_mv(spark, os.path.join(base, "mv"),
+                             A8_METRICS)
+                  .select("location_code",
+                          F.col("n_participants").cast("long")
+                          .alias("n_participants")))
+    table = read_merged_table(spark, os.path.join(base, "table"))
+    batch = (table.select(
+        F.explode(F.split(F.col("location_codes"), ";"))
+        .alias("location_code"))
+        .groupBy("location_code")
+        .agg(F.count(F.lit(1)).alias("n_participants_batch")))
+    return maintained.join(batch, ["location_code"])
+
+
+A8_MV_STREAM_SQL = """
+WITH uids AS (
+  SELECT DISTINCT user_id AS uid FROM events WHERE event_id % 16 < 4
+),
+live AS (
+  SELECT uid,
+         CASE WHEN uid % 5 = 0 THEN uid + 1 ELSE uid END AS s
+  FROM uids WHERE uid % 11 <> 0
+),
+exploded AS (
+  SELECT 'district_' || CAST(s % 8 AS VARCHAR) AS location_code
+  FROM live
+  UNION ALL
+  SELECT 'region_' || CAST(s % 4 AS VARCHAR)
+  FROM live WHERE uid % 3 = 0
+)
+SELECT location_code,
+       CAST(COUNT(*) AS BIGINT) AS n_participants,
+       CAST(COUNT(*) AS BIGINT) AS n_participants_batch
+FROM exploded GROUP BY location_code
+"""
+
+
+# --- A9 relevance uuids -----------------------------------------------------
+
+def _a9_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Coded-messages table (the A3 history: insert, recode, delete)
+    plus a WITNESS MV keyed on participant_uuid alone: the live inner
+    groups ARE the relevance set. 'code_0' stands in for the control
+    codes (NA/STOP/...) the reference excludes — the recode commit
+    moves some rows into and out of it, flipping participants'
+    relevance, which the witness fold tracks exactly (a participant
+    leaves the state when their last relevant message is recoded or
+    deleted)."""
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a3_rows(spark, sf_dir, False)
+              .where(F.col("slot").isin([0, 1, 2]))
+              .drop("slot", "s8"), 1)
+        merge(_a3_rows(spark, sf_dir, True).where(F.col("slot") == 1)
+              .drop("slot", "s8"), 2)
+        dead = (_a3_rows(spark, sf_dir, False)
+                .where((F.col("slot") == 2) & (F.col("s8") == 2))
+                .select("origin_id"))
+        delete_origins(spark, table, dead, strategy="dv")
+        _stream_into(spark, table, MV.mv_stream_sink(
+            os.path.join(path, "mv"), ["participant_uuid"], {},
+            prepare=lambda df: df.where(
+                (F.col("consent_withdrawn") == "false")
+                & (F.col("code") != "code_0"))
+            .select("participant_uuid"),
+            source_cols=["participant_uuid", "code",
+                         "consent_withdrawn"]))
+
+    return fixture_dir("a9_mv_pair", sf_dir, _build)
+
+
+def a9_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 relevance uuids as a stream-maintained witness MV: distinct
+    consenting participants with >=1 relevantly-coded message, read as
+    the MV's live groups in O(state). Proven against the batch
+    recompute by FULL OUTER join with presence flags — an element on
+    only one side surfaces as a NULL flag, so subset errors cannot
+    hide behind an inner join (reference
+    rapid_pro_advert_functions.py:72-107)."""
+    apply_runtime_conf(spark)
+    base = _a9_fixture(spark, sf_dir)
+    maintained = (MV.read_mv(spark, os.path.join(base, "mv"), {})
+                  .select("participant_uuid",
+                          F.lit("true").alias("in_mv")))
+    table = read_merged_table(spark, os.path.join(base, "table"))
+    batch = (table.where((F.col("consent_withdrawn") == "false")
+                         & (F.col("code") != "code_0"))
+             .select("participant_uuid").distinct()
+             .withColumn("in_batch", F.lit("true")))
+    return maintained.join(batch, "participant_uuid", "full_outer")
+
+
+A9_MV_STREAM_SQL = """
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8,
+         user_id % 50 AS uid
+  FROM events WHERE event_id % 16 < 8
+),
+live AS (
+  SELECT 'code_' || CAST(CASE WHEN slot = 1 AND e % 9 = 4
+                              THEN (e + 1) % 5
+                              ELSE e % 5 END AS VARCHAR) AS code,
+         'p' || CAST(uid AS VARCHAR) AS participant_uuid
+  FROM ev
+  WHERE slot IN (0, 1, 2) AND NOT (slot = 2 AND s8 = 2)
+    AND uid % 7 <> 0
+)
+SELECT DISTINCT participant_uuid,
+       'true' AS in_mv, 'true' AS in_batch
+FROM live WHERE code <> 'code_0'
 """

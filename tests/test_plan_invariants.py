@@ -58,6 +58,13 @@ CASES = {
     "a3_mv_stream": (2, False),
     "a4_mv_stream": (4, False),
     "k6_incremental": (8, False),
+    # flat count MVs: the state scan is the answer; one exchange even
+    # joined against the batch recompute. a9's witness set adds the
+    # recompute's distinct.
+    "a5_mv_stream": (2, False),
+    "a7_mv_stream": (2, False),
+    "a8_mv_stream": (2, False),
+    "a9_mv_stream": (3, False),
 }
 
 

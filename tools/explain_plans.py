@@ -94,6 +94,10 @@ HEADLINE = [
     "a3_mv_stream",             # flat count MV: state scan IS the answer
     "a4_mv_stream",             # exploded distinct MV read + recompute join
     "k6_incremental",           # changed-participant recompute + batch join
+    "a5_mv_stream",             # cross-tab count MV: state scan
+    "a7_mv_stream",             # day-binned traffic MV: re-bin by retract+add
+    "a8_mv_stream",             # exploded location count MV
+    "a9_mv_stream",             # witness-set MV: live groups ARE the answer
 ]
 
 
