@@ -48,3 +48,70 @@ def deterministic_group_sample(df: DataFrame, group_cols: Sequence[str],
     w = Window.partitionBy(*group_cols).orderBy(h, F.col(key_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def top_k_incremental(spark, table_path: str, from_commit: int,
+                      group_cols: Sequence[str],
+                      order_cols: Sequence[str], k: int,
+                      rank_col: str | None = None) -> DataFrame:
+    """A6 `sample_messages` as a CHANGE-FEED consumer: recompute the
+    per-group top-k only for groups whose membership changed since
+    `from_commit` — the reference re-samples EVERY code on every
+    analysis run (automated_analysis.py:102-106), a full pass per
+    sync. A deletion or recode can promote the (k+1)-th row, so the
+    top-k is not retract-maintainable flat; the incremental answer is
+    the k6 trick: touched groups from the feed's new payloads plus
+    the pre-change snapshot of updated/deleted keys (O(changed
+    buckets)), then an EXACT re-rank of just those groups. When the
+    table is clustered on a subset of `group_cols` (creation-time
+    `bucket_cols` — stable only if those columns never change for a
+    row), the re-rank reads ONLY the touched groups' buckets: a sync
+    is O(touched groups' buckets + changed rows), never a table scan.
+    Otherwise one scan + semi-join (still only shuffling touched
+    rows).
+
+    `order_cols` must be a TOTAL order (unique tiebreaker) for a
+    deterministic sample. Returns the re-ranked top-k restricted to
+    touched groups; a group whose every row was deleted drops out."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.ingest import (_bucket_on, _read_resolved,
+                                    origin_bucket, read_changed_at,
+                                    read_merged_table,
+                                    read_table_manifest, table_changes)
+
+    gcols = list(group_cols)
+    order_by = [F.col(c) for c in order_cols]
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    current = int(man["commit"])
+    empty = top_k_per_group(
+        read_merged_table(spark, table_path).limit(0), gcols,
+        order_by, k, rank_col)
+    if current <= from_commit:
+        return empty
+    origin = list(man["origin"])
+    ch = table_changes(spark, table_path, from_commit, current)
+    new_side = (ch.where(F.col(gcols[0]).isNotNull())
+                .select(*gcols))
+    old_side = (ch.where(F.col("op").isin("update", "delete"))
+                .select(*origin)
+                .join(read_changed_at(spark, table_path, from_commit,
+                                      current), origin)
+                .select(*gcols))
+    touched = new_side.unionByName(old_side).distinct()
+    bk = _bucket_on(man)
+    if set(bk) <= set(gcols):
+        nb = int(man["n_buckets"])
+        # O(n_buckets) collect of bucket ids, never group keys
+        hit = sorted({int(r[0]) for r in
+                      touched.select(origin_bucket(bk, nb).alias("b"))
+                      .distinct().collect()} & set(man["buckets"]))
+        rows = (_read_resolved(spark, table_path, man, only=hit)
+                if hit else
+                read_merged_table(spark, table_path).limit(0))
+    else:
+        rows = read_merged_table(spark, table_path)
+    live = rows.join(touched, gcols, "left_semi")
+    return top_k_per_group(live, gcols, order_by, k, rank_col)

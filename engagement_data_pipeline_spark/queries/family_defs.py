@@ -287,6 +287,12 @@ _EVENTS_MEMBERS = {
         mv_q.a9_mv_stream, mv_q.A9_MV_STREAM_SQL,
         [("participant_uuid", "string"), ("in_mv", "string"),
          ("in_batch", "string")]),
+    "a6_incremental": (
+        mv_q.a6_incremental, mv_q.A6_INCREMENTAL_SQL,
+        [("dataset", "string"), ("scheme", "string"),
+         ("code", "string"), ("rank", "int"), ("seq", "bigint"),
+         ("text", "string"), ("timestamp_us", "bigint"),
+         ("seq_batch", "bigint"), ("text_batch", "string")]),
     "k6_incremental": (
         sync_back.k6_incremental, sync_back.K6_INCREMENTAL_SQL,
         [("participant_uuid", "string"), ("field_s01e01", "string"),

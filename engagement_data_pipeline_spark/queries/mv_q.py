@@ -7,8 +7,9 @@ The reference recomputes every rollup from scratch on each analysis
 run (src/engagement_db_to_analysis/automated_analysis.py:55-171); here
 each is an MV fed by the table's retract stream (`mv_stream_sink`), so
 a sync that touches K rows costs O(K + touched groups), never a table
-scan. Coverage = the full suite except top-k A6 (a rank window is not
-retract-maintainable flat; it stays a read-time query):
+scan. Coverage = the full suite; top-k A6 is the one non-MV shape (a
+rank window is not retract-maintainable flat), maintained instead as
+a touched-group exact re-rank (`top_k_incremental`, the k6 pattern):
 
 - A1 engagement_counts and A2 repeat_participations share ONE witness
   MV keyed (dataset, participant_uuid): COUNT(DISTINCT) is not
@@ -843,4 +844,136 @@ live AS (
 SELECT DISTINCT participant_uuid,
        'true' AS in_mv, 'true' AS in_batch
 FROM live WHERE code <> 'code_0'
+"""
+
+
+# --- A6 sample_messages, incremental ---------------------------------------
+
+def _a6_rows(spark: SparkSession, sf_dir: str, relabeled: bool) -> DataFrame:
+    """Timestamped coded messages for the incremental top-k sample:
+    the recode commit moves slot-1 rows with e % 9 == 4 to the next
+    code — promoting/demoting rows at the sample boundary of BOTH the
+    old and the new group."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_id") % 16 < 8)
+          .select(F.col("event_id").alias("e")))
+    c = F.when(F.lit(relabeled) & (F.col("e") % 9 == 4),
+               (F.col("e") + 1) % 5).otherwise(F.col("e") % 5)
+    ts = (F.col("e") % 7) * F.lit(_DAY_US) \
+        + (F.col("e") % 1000) * F.lit(1_000_000)
+    return ev.select(
+        F.concat(F.lit("ev:"), F.col("e").cast("string"))
+        .alias("origin_id"),
+        F.concat(F.lit("rqa_s01e0"),
+                 (F.col("e") % 3 + 1).cast("string")).alias("dataset"),
+        F.concat(F.lit("code_"), c.cast("string")).alias("code"),
+        ts.cast("long").alias("timestamp_us"),
+        F.col("e").cast("long").alias("seq"),
+        F.concat(F.lit("msg "), (F.col("e") % 50).cast("string"))
+        .alias("text"),
+        (F.col("e") % 4).alias("slot"), (F.col("e") % 8).alias("s8"))
+
+
+def _a6_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Messages table CLUSTERED on dataset (a message's dataset never
+    changes in this history, so the partial-key bucketing is stable
+    and the incremental re-rank reads only touched datasets'
+    buckets), with the insert / recode / dv-delete history. Delete
+    keys CARRY the bucket column, as partial-key bucketing requires."""
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     bucket_cols=["dataset"],
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a6_rows(spark, sf_dir, False)
+              .where(F.col("slot").isin([0, 1, 2]))
+              .drop("slot", "s8"), 1)
+        merge(_a6_rows(spark, sf_dir, True).where(F.col("slot") == 1)
+              .drop("slot", "s8"), 2)
+        dead = (_a6_rows(spark, sf_dir, False)
+                .where((F.col("slot") == 2) & (F.col("s8") == 2))
+                .select("origin_id", "dataset"))
+        delete_origins(spark, table, dead, strategy="dv")
+
+    return fixture_dir("a6_incr_pair", sf_dir, _build)
+
+
+A6_K = 7
+
+
+def a6_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 sample_messages as a change-feed consumer
+    (`top_k_incremental`): after the recode + delete commits, the
+    top-k sample is re-ranked ONLY for the touched (dataset, code)
+    groups — a deletion can promote the (k+1)-th row, so top-k is not
+    retract-maintainable flat and the exact re-rank of touched groups
+    is the incremental answer (reference automated_analysis.py:102-106
+    re-samples every code every run). Joined against the batch top-k
+    over the final table restricted to the same groups: ranks AND
+    payloads must agree row-for-row."""
+    from ..operators.topk import top_k_incremental, top_k_per_group
+
+    apply_runtime_conf(spark)
+    base = _a6_fixture(spark, sf_dir)
+    table = os.path.join(base, "table")
+    inc = top_k_incremental(
+        spark, table, from_commit=1, group_cols=["dataset", "code"],
+        order_cols=["timestamp_us", "seq"], k=A6_K, rank_col="rank")
+    inc = inc.select("dataset",
+                     F.concat(F.col("dataset"), F.lit("_scheme"))
+                     .alias("scheme"),
+                     "code", "rank", "seq", "text", "timestamp_us")
+    batch = top_k_per_group(
+        read_merged_table(spark, table), ["dataset", "code"],
+        [F.col("timestamp_us"), F.col("seq")], A6_K, rank_col="rank")
+    batch = batch.select("dataset", "code", "rank",
+                         F.col("seq").alias("seq_batch"),
+                         F.col("text").alias("text_batch"))
+    return inc.join(batch, ["dataset", "code", "rank"])
+
+
+A6_INCREMENTAL_SQL = f"""
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8
+  FROM events WHERE event_id % 16 < 8
+),
+touched AS (
+  SELECT DISTINCT 'rqa_s01e0' || CAST(e % 3 + 1 AS VARCHAR) AS dataset,
+         'code_' || CAST((e + 1) % 5 AS VARCHAR) AS code
+  FROM ev WHERE slot = 1 AND e % 9 = 4
+  UNION
+  SELECT DISTINCT 'rqa_s01e0' || CAST(e % 3 + 1 AS VARCHAR),
+         'code_' || CAST(e % 5 AS VARCHAR)
+  FROM ev WHERE slot = 1 AND e % 9 = 4
+  UNION
+  SELECT DISTINCT 'rqa_s01e0' || CAST(e % 3 + 1 AS VARCHAR),
+         'code_' || CAST(e % 5 AS VARCHAR)
+  FROM ev WHERE slot = 2 AND s8 = 2
+),
+live AS (
+  SELECT 'rqa_s01e0' || CAST(e % 3 + 1 AS VARCHAR) AS dataset,
+         'code_' || CAST(CASE WHEN slot = 1 AND e % 9 = 4
+                              THEN (e + 1) % 5
+                              ELSE e % 5 END AS VARCHAR) AS code,
+         CAST((e % 7) * {_DAY_US} + (e % 1000) * 1000000 AS BIGINT)
+           AS timestamp_us,
+         CAST(e AS BIGINT) AS seq,
+         'msg ' || CAST(e % 50 AS VARCHAR) AS text
+  FROM ev
+  WHERE slot IN (0, 1, 2) AND NOT (slot = 2 AND s8 = 2)
+),
+ranked AS (
+  SELECT dataset, code, timestamp_us, seq, text,
+         CAST(ROW_NUMBER() OVER (PARTITION BY dataset, code
+                                 ORDER BY timestamp_us, seq) AS INT)
+           AS rank
+  FROM live
+)
+SELECT r.dataset, r.dataset || '_scheme' AS scheme, r.code, r.rank,
+       r.seq, r.text, r.timestamp_us,
+       r.seq AS seq_batch, r.text AS text_batch
+FROM ranked r JOIN touched t
+  ON r.dataset = t.dataset AND r.code = t.code
+WHERE r.rank <= {A6_K}
 """

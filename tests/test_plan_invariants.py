@@ -65,6 +65,9 @@ CASES = {
     "a7_mv_stream": (2, False),
     "a8_mv_stream": (2, False),
     "a9_mv_stream": (3, False),
+    # touched-group exact re-rank: feed scan + two rank windows +
+    # the proof join against the batch top-k
+    "a6_incremental": (8, False),
 }
 
 

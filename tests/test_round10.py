@@ -47,6 +47,69 @@ def test_mv_distinct_null_key_not_a_witness(spark, tmp_path):
     assert got == {("d1", 1, 3), ("d2", 0, 1)}
 
 
+# --- incremental top-k: touched-group re-rank, bucket-sliced --------------
+
+def test_top_k_incremental_bucket_sliced_and_promotes(spark, tmp_path):
+    """Deleting a group's rank-1 row must PROMOTE its (k+1)-th row —
+    the reason top-k is not retract-maintainable flat — and with the
+    table clustered on the group column the exact re-rank must read
+    ONLY the touched group's bucket (spied via _read_resolved)."""
+    from engagement_data_pipeline_spark.operators.topk import (
+        top_k_incremental)
+
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["k"], n_buckets=8,
+                                     bucket_cols=["grp"],
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    rows = [(f"k{g}_{i}", f"g{g}", i, g * 10 + i)
+            for g in range(4) for i in range(3)]
+    merge(spark.createDataFrame(
+        rows, "k string, grp string, ts long, seq long"), 1)
+    # delete g3's rank-1 row (delete keys CARRY the bucket column)
+    ing.delete_origins(spark, path,
+                       spark.createDataFrame([("k3_0", "g3")],
+                                             "k string, grp string"),
+                       strategy="dv")
+    reads: list[list[int]] = []
+    orig_rr = ing._read_resolved
+
+    def _spy(spark_, table_path_, man_, only=None, **kw):
+        reads.append(sorted(only or []))
+        return orig_rr(spark_, table_path_, man_, only=only, **kw)
+
+    ing._read_resolved = _spy
+    try:
+        got = {(r.grp, r.rank, r.ts) for r in top_k_incremental(
+            spark, path, 1, ["grp"], ["ts", "seq"], k=2,
+            rank_col="rank").collect()}
+    finally:
+        ing._read_resolved = orig_rr
+    # only the touched group, with its (k+1)-th row promoted to rank 2
+    assert got == {("g3", 1, 1), ("g3", 2, 2)}
+    expect = {r[0] for r in
+              spark.createDataFrame([("g3",)], "grp string")
+              .select(ing.origin_bucket(["grp"], 8).alias("b"))
+              .collect()}
+    assert any(set(r) == expect for r in reads if r), (
+        f"re-rank read buckets {reads}, wanted a {sorted(expect)} read")
+
+
+def test_top_k_incremental_noop_when_caught_up(spark, tmp_path):
+    from engagement_data_pipeline_spark.operators.topk import (
+        top_k_incremental)
+
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["k"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(spark.createDataFrame([("a", "g", 1, 1)],
+                                "k string, grp string, ts long, "
+                                "seq long"), 1)
+    assert top_k_incremental(spark, path, 1, ["grp"], ["ts", "seq"],
+                             k=2).count() == 0
+
+
 # --- map equality: positional in BOTH diff paths --------------------------
 
 MAP_T = pa.map_(pa.string(), pa.int64())

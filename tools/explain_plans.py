@@ -98,6 +98,7 @@ HEADLINE = [
     "a7_mv_stream",             # day-binned traffic MV: re-bin by retract+add
     "a8_mv_stream",             # exploded location count MV
     "a9_mv_stream",             # witness-set MV: live groups ARE the answer
+    "a6_incremental",           # touched-group exact top-k re-rank
 ]
 
 
