@@ -93,7 +93,9 @@ def top_k_incremental(spark, table_path: str, from_commit: int,
         return empty
     origin = list(man["origin"])
     ch = table_changes(spark, table_path, from_commit, current)
-    new_side = (ch.where(F.col(gcols[0]).isNotNull())
+    # insert/update rows carry the new payload (deletes carry only
+    # origin keys — their group comes from the old side's snapshot)
+    new_side = (ch.where(F.col("op").isin("insert", "update"))
                 .select(*gcols))
     old_side = (ch.where(F.col("op").isin("update", "delete"))
                 .select(*origin)

@@ -1461,8 +1461,16 @@ def vacuum_table(spark: SparkSession, table_path: str,
     entries = {} if ignore_floors else _floor_entries(spark, table_path)
     if floor_ttl_ms is not None and entries:
         now = _time.time() * 1000
-        for name, (_c, ts) in list(entries.items()):
-            if now - ts > floor_ttl_ms:
+        for name, (c, ts) in list(entries.items()):
+            # Lease-expire only floors that LAG the head: consumers
+            # rewrite their floor at every processed batch, so a
+            # lagging floor with a stale mtime is abandoned. A
+            # stale-mtime floor AT the head is a healthy caught-up
+            # consumer on an idle table (no batches -> no rewrites) —
+            # it pins nothing beyond the latest manifest, and
+            # expiring it could strand the stream the moment the
+            # table resumes. Keep it.
+            if now - ts > floor_ttl_ms and c < int(man["commit"]):
                 # lease expiry, like claim expiry: the abandoned floor
                 # is removed so it cannot re-pin the next vacuum
                 clear_retention_floor(spark, table_path, name)

@@ -182,6 +182,21 @@ def test_vacuum_floor_ttl_expires_abandoned_floor_only(spark, tmp_path):
     assert cdf._manifest(path, 4) is not None
 
 
+def test_vacuum_floor_ttl_keeps_stale_floor_at_head(spark, tmp_path):
+    """A stale-mtime floor AT the head is a healthy caught-up
+    consumer on an idle table (no batches -> no rewrites), not an
+    abandoned one — it pins nothing beyond the latest manifest and
+    must survive TTL vacuum so the stream is not stranded when the
+    table resumes."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, 3)
+    ing.set_retention_floor(spark, path, "idle_ok", 3)
+    _age_floor(path, "idle_ok", 3600)
+    ing.vacuum_table(spark, path, keep_manifests=1,
+                     floor_ttl_ms=600_000)
+    assert ing.read_retention_floors(spark, path) == {"idle_ok": 3}
+
+
 def test_vacuum_no_ttl_keeps_stale_floors(spark, tmp_path):
     """Default (floor_ttl_ms=None) preserves the round-9 contract:
     even an ancient floor pins its window until cleared."""
