@@ -32,10 +32,13 @@ batch recompute over the final table state: the DuckDB oracle computes
 the same values once and duplicates the columns, so a green hash IS
 the proof that stream-maintenance == recompute across the mixed
 insert / WS-move-update / dv-delete history (consenting filter
-included, constant per participant so the row-level filtered MV equals
-the reference's participant-level opt-out; the participant-level
-consent CASCADE on fold-time flips is the views' job, certified by
-`participants_view`).
+included, constant per participant in most fixtures so the row-level
+filtered MV equals the reference's participant-level opt-out). The
+participant-level consent CASCADE on FOLD-TIME FLIPS — a late STOP
+retro-excluding its sender, a deleted STOP restoring them — is not
+row-local and so cannot be a `prepare`; `a1_mv_cascade` maintains it
+as TWO states fed by one stream (the unfiltered witness MV and a
+stop-set witness MV) anti-joined at read time, both O(state).
 """
 
 from __future__ import annotations
@@ -976,4 +979,133 @@ SELECT r.dataset, r.dataset || '_scheme' AS scheme, r.code, r.rank,
 FROM ranked r JOIN touched t
   ON r.dataset = t.dataset AND r.code = t.code
 WHERE r.rank <= {A6_K}
+"""
+
+
+# --- A1 with the consent CASCADE, incremental -------------------------------
+
+A1C_METRICS = {"n_messages": ("origin_id", "count")}
+
+
+def _a1c_rows(spark: SparkSession, sf_dir: str, flipped: bool) -> DataFrame:
+    """Messages where consent is NOT constant: uid%9 participants
+    carry an initial STOP (their slot-0/s8==4 row); the flip commit
+    re-merges slot-1 rows so uid%13 participants' s8==5 row BECOMES a
+    STOP (a late opt-out that must retro-exclude their entire
+    history); the delete commit then removes every slot-0/s8==4 row —
+    erasing the initial STOPs, so uid%9 participants flip BACK to
+    consenting unless they also gained a late STOP."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_id") % 16 < 8)
+          .select(F.col("event_id").alias("e"),
+                  (F.col("user_id") % 50).alias("uid")))
+    stop = ((F.col("e") % 8 == 4) & (F.col("uid") % 9 == 0)) | \
+        (F.lit(flipped) & (F.col("e") % 8 == 5)
+         & (F.col("uid") % 13 == 0))
+    return ev.select(
+        F.concat(F.lit("ev:"), F.col("e").cast("string"))
+        .alias("origin_id"),
+        F.concat(F.lit("rqa_s01e0"),
+                 (F.col("e") % 3 + 1).cast("string")).alias("dataset"),
+        F.concat(F.lit("p"), F.col("uid").cast("string"))
+        .alias("participant_uuid"),
+        F.when(stop, F.lit("true")).otherwise(F.lit("false"))
+        .alias("is_stop"),
+        (F.col("e") % 4).alias("slot"), (F.col("e") % 8).alias("s8"))
+
+
+def _a1c_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """ONE retract stream feeding TWO sinks: the UNFILTERED witness MV
+    (dataset, participant_uuid) and the stop-set witness MV
+    (participant_uuid over is_stop rows). The consent cascade is a
+    participant-level, fold-time property — NOT row-local, so it
+    cannot be a `prepare` filter; it becomes a read-time anti-join of
+    one maintained state against the other."""
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a1c_rows(spark, sf_dir, False)
+              .where(F.col("slot").isin([0, 1, 2]))
+              .drop("slot", "s8"), 1)
+        merge(_a1c_rows(spark, sf_dir, True).where(F.col("slot") == 1)
+              .drop("slot", "s8"), 2)
+        dead = (_a1c_rows(spark, sf_dir, False)
+                .where((F.col("slot") == 0) & (F.col("s8") == 4))
+                .select("origin_id"))
+        delete_origins(spark, table, dead, strategy="dv")
+        main = MV.mv_stream_sink(
+            os.path.join(path, "mv"),
+            ["dataset", "participant_uuid"], A1C_METRICS,
+            prepare=lambda df: df.select(
+                "dataset", "participant_uuid", "origin_id"),
+            source_cols=["origin_id", "dataset", "participant_uuid"])
+        stops = MV.mv_stream_sink(
+            os.path.join(path, "stops"), ["participant_uuid"], {},
+            prepare=lambda df: df.where(F.col("is_stop") == "true")
+            .select("participant_uuid"),
+            source_cols=["participant_uuid", "is_stop"])
+
+        def _both(df, bid):
+            main(df, bid)
+            stops(df, bid)
+
+        _stream_into(spark, table, _both)
+
+    return fixture_dir("a1c_mv_pair", sf_dir, _build)
+
+
+def a1_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 engagement_counts under the PARTICIPANT-LEVEL consent
+    cascade, incremental: a late STOP message must retro-exclude its
+    sender's entire history, and deleting the last STOP must restore
+    them — a fold-time flip no row-local filter can express
+    (reference consent.py + automated_analysis.py:65-69). Maintained
+    answer = the unfiltered witness MV ANTI-JOINED against the
+    stop-set witness MV at read time (both O(state); the stop set is
+    the small side and broadcasts), rolled up per dataset; joined
+    against the batch recompute with the same cascade semantics."""
+    apply_runtime_conf(spark)
+    base = _a1c_fixture(spark, sf_dir)
+    inner = MV.read_mv(spark, os.path.join(base, "mv"), A1C_METRICS)
+    stops = MV.read_mv(spark, os.path.join(base, "stops"), {})
+    ok = inner.join(stops, "participant_uuid", "left_anti")
+    maintained = ok.groupBy("dataset").agg(
+        F.sum("n_messages").cast("long").alias("n_messages"),
+        F.count(F.lit(1)).alias("n_participants"))
+    table = read_merged_table(spark, os.path.join(base, "table"))
+    stopped_b = (table.where(F.col("is_stop") == "true")
+                 .select("participant_uuid").distinct())
+    ok_b = table.join(stopped_b, "participant_uuid", "left_anti")
+    batch = ok_b.groupBy("dataset").agg(
+        F.count(F.lit(1)).alias("n_messages_batch"),
+        F.countDistinct("participant_uuid")
+        .alias("n_participants_batch"))
+    return maintained.join(batch, "dataset")
+
+
+A1_MV_CASCADE_SQL = """
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8,
+         user_id % 50 AS uid
+  FROM events WHERE event_id % 16 < 8
+),
+live AS (
+  SELECT 'rqa_s01e0' || CAST(e % 3 + 1 AS VARCHAR) AS dataset, uid,
+         CASE WHEN slot = 1 AND s8 = 5 AND uid % 13 = 0
+              THEN 1 ELSE 0 END AS is_stop
+  FROM ev
+  WHERE slot IN (0, 1, 2) AND NOT (slot = 0 AND s8 = 4)
+),
+stopped AS (SELECT DISTINCT uid FROM live WHERE is_stop = 1),
+ok AS (
+  SELECT * FROM live WHERE uid NOT IN (SELECT uid FROM stopped)
+)
+SELECT dataset,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_participants,
+       CAST(COUNT(*) AS BIGINT) AS n_messages_batch,
+       CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_participants_batch
+FROM ok GROUP BY dataset
 """

@@ -68,6 +68,9 @@ CASES = {
     # touched-group exact re-rank: feed scan + two rank windows +
     # the proof join against the batch top-k
     "a6_incremental": (8, False),
+    # anti-join of two maintained states (stop set broadcasts) + the
+    # per-dataset rollup, doubled by the proof recompute
+    "a1_mv_cascade": (5, False),
 }
 
 

@@ -99,6 +99,7 @@ HEADLINE = [
     "a8_mv_stream",             # exploded location count MV
     "a9_mv_stream",             # witness-set MV: live groups ARE the answer
     "a6_incremental",           # touched-group exact top-k re-rank
+    "a1_mv_cascade",            # two maintained states anti-joined: consent cascade
 ]
 
 
