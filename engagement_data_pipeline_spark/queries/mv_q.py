@@ -1068,8 +1068,11 @@ def a1_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the batch recompute with the same cascade semantics."""
     apply_runtime_conf(spark)
     base = _a1c_fixture(spark, sf_dir)
-    inner = MV.read_mv(spark, os.path.join(base, "mv"), A1C_METRICS)
-    stops = MV.read_mv(spark, os.path.join(base, "stops"), {})
+    # the pair must reflect the SAME stream batch: a torn read would
+    # half-apply the cascade (see read_mv_pair_consistent)
+    inner, stops = MV.read_mv_pair_consistent(
+        spark, [os.path.join(base, "mv"), os.path.join(base, "stops")],
+        [A1C_METRICS, {}])
     ok = inner.join(stops, "participant_uuid", "left_anti")
     maintained = ok.groupBy("dataset").agg(
         F.sum("n_messages").cast("long").alias("n_messages"),

@@ -481,6 +481,41 @@ def read_consistent(spark: SparkSession, table_path: str, mv_path: str,
             read_mv(spark, mv_path, metrics, man=mv_man))
 
 
+def read_mv_pair_consistent(spark: SparkSession,
+                            mv_paths: Sequence[str],
+                            metrics_list: Sequence[dict],
+                            retries: int = 5) -> list[DataFrame]:
+    """Read SEVERAL sink-maintained MVs fed by the SAME stream at the
+    SAME batch watermark — the multi-state analog of
+    `read_consistent`. A foreachBatch that folds one batch into N
+    states applies them sequentially, so a concurrent reader can
+    catch state A at batch B and state B at batch B-1; for paired
+    states that answer ONE question (e.g. the cascade's witness MV +
+    stop set) that read silently mixes generations — a participant
+    half-excluded. Each read re-resolves every manifest and returns
+    only when all `__mv_stream` watermarks agree, reading each state
+    from the exact manifest its watermark came from; a persistent
+    mismatch (a sink crashed mid-batch and was not restarted — the
+    stream's replay is what converges the lagging state) raises
+    loudly after `retries` attempts instead of returning a torn
+    pair."""
+    last: list[int] = []
+    for _ in range(max(1, retries)):
+        mans = [read_table_manifest(spark, p) for p in mv_paths]
+        wms = [(-1 if m is None else
+                int(m.get("txn", {}).get(_MV_STREAM_TXN, -1)))
+               for m in mans]
+        last = wms
+        if len(set(wms)) == 1 and wms[0] >= 0:
+            return [read_mv(spark, p, mx, man=m)
+                    for p, mx, m in zip(mv_paths, metrics_list, mans)]
+    raise RuntimeError(
+        f"MV pair {list(mv_paths)} did not converge to one stream "
+        f"batch watermark (saw {last}) — a sink is mid-batch or "
+        "crashed without restart; restart the stream (its replay "
+        "converges the lagging state) before reading the pair")
+
+
 def read_mv_distinct(spark: SparkSession, mv_path: str,
                      outer_group: Sequence[str],
                      metrics: dict[str, tuple[str, str]],

@@ -47,6 +47,78 @@ def test_mv_distinct_null_key_not_a_witness(spark, tmp_path):
     assert got == {("d1", 1, 3), ("d2", 0, 1)}
 
 
+# --- two sinks, one stream: consistent pair reads + replay convergence ----
+
+RETRACT1 = ("grp string, pid string, flag string, op string, "
+            "changed_cols string, grp__old string, pid__old string, "
+            "flag__old string")
+
+
+def _pair_sinks(tmp_path):
+    main = MV.mv_stream_sink(
+        str(tmp_path / "main"), ["grp", "pid"], {},
+        prepare=lambda df: df.select("grp", "pid"),
+        source_cols=["grp", "pid"])
+    stops = MV.mv_stream_sink(
+        str(tmp_path / "stops"), ["pid"], {},
+        prepare=lambda df: df.where(F.col("flag") == "true")
+        .select("pid"),
+        source_cols=["pid", "flag"])
+    return main, stops
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(
+        [(g, p, f, "insert", "", None, None, None)
+         for g, p, f in rows], RETRACT1)
+
+
+def test_mv_pair_consistent_read_and_torn_pair_raises(spark, tmp_path):
+    """Equal __mv_stream watermarks -> both states returned from the
+    resolved manifests; a lagging sink (crash between the two folds)
+    -> the pair read raises instead of mixing generations."""
+    main, stops = _pair_sinks(tmp_path)
+    b0 = _b(spark, [("d1", "p1", "false"), ("d1", "p2", "true")])
+    main(b0, 0)
+    stops(b0, 0)
+    inner, stop = MV.read_mv_pair_consistent(
+        spark, [str(tmp_path / "main"), str(tmp_path / "stops")],
+        [{}, {}])
+    assert {tuple(r) for r in inner.collect()} == {("d1", "p1"),
+                                                   ("d1", "p2")}
+    assert {r.pid for r in stop.collect()} == {"p2"}
+    # batch 1 lands in main only — a reader must refuse the torn pair
+    b1 = _b(spark, [("d2", "p3", "true")])
+    main(b1, 1)
+    with pytest.raises(RuntimeError, match="one stream batch"):
+        MV.read_mv_pair_consistent(
+            spark, [str(tmp_path / "main"), str(tmp_path / "stops")],
+            [{}, {}], retries=2)
+
+
+def test_mv_pair_crash_replay_converges(spark, tmp_path):
+    """foreachBatch crash between the two folds, then the engine
+    replays the batch: the already-applied sink skips via its
+    watermark, the lagging sink applies — both states converge to the
+    full application and the pair read succeeds."""
+    main, stops = _pair_sinks(tmp_path)
+    b0 = _b(spark, [("d1", "p1", "false"), ("d1", "p2", "true")])
+    main(b0, 0)
+    stops(b0, 0)
+    b1 = _b(spark, [("d2", "p3", "true"), ("d2", "p4", "false")])
+    main(b1, 1)  # crash here: stops never saw batch 1
+    # engine replay of batch 1 hits BOTH sinks
+    main(b1, 1)
+    stops(b1, 1)
+    inner, stop = MV.read_mv_pair_consistent(
+        spark, [str(tmp_path / "main"), str(tmp_path / "stops")],
+        [{}, {}])
+    # main did NOT double-apply; stops caught up
+    assert {tuple(r) for r in inner.collect()} == {
+        ("d1", "p1"), ("d1", "p2"), ("d2", "p3"), ("d2", "p4")}
+    assert {r.pid for r in stop.collect()} == {"p2", "p3"}
+
+
 # --- incremental top-k: touched-group re-rank, bucket-sliced --------------
 
 def test_top_k_incremental_bucket_sliced_and_promotes(spark, tmp_path):
