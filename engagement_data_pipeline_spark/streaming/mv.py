@@ -499,8 +499,10 @@ def read_mv_pair_consistent(spark: SparkSession,
     stream's replay is what converges the lagging state) raises
     loudly after `retries` attempts instead of returning a torn
     pair."""
+    import time as _time
+
     last: list[int] = []
-    for _ in range(max(1, retries)):
+    for attempt in range(max(1, retries)):
         mans = [read_table_manifest(spark, p) for p in mv_paths]
         wms = [(-1 if m is None else
                 int(m.get("txn", {}).get(_MV_STREAM_TXN, -1)))
@@ -509,6 +511,10 @@ def read_mv_pair_consistent(spark: SparkSession,
         if len(set(wms)) == 1 and wms[0] >= 0:
             return [read_mv(spark, p, mx, man=m)
                     for p, mx, m in zip(mv_paths, metrics_list, mans)]
+        # a healthy fold is mid-batch for seconds, not microseconds —
+        # back off so retries observe progress instead of exhausting
+        # instantly against the same torn snapshot
+        _time.sleep(0.2 * (attempt + 1))
     raise RuntimeError(
         f"MV pair {list(mv_paths)} did not converge to one stream "
         f"batch watermark (saw {last}) — a sink is mid-batch or "
