@@ -287,6 +287,11 @@ _EVENTS_MEMBERS = {
         mv_q.a9_mv_stream, mv_q.A9_MV_STREAM_SQL,
         [("participant_uuid", "string"), ("in_mv", "string"),
          ("in_batch", "string")]),
+    "a1_mv_tiered": (
+        mv_q.a1_mv_tiered, mv_q.A1_MV_TIERED_SQL,
+        [("dataset", "string"), ("n_messages", "bigint"),
+         ("n_participants", "bigint"), ("n_messages_batch", "bigint"),
+         ("n_participants_batch", "bigint")]),
     "a1_mv_cascade": (
         mv_q.a1_mv_cascade, mv_q.A1_MV_CASCADE_SQL,
         [("dataset", "string"), ("n_messages", "bigint"),

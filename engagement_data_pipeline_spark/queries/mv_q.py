@@ -39,6 +39,11 @@ retro-excluding its sender, a deleted STOP restoring them — is not
 row-local and so cannot be a `prepare`; `a1_mv_cascade` maintains it
 as TWO states fed by one stream (the unfiltered witness MV and a
 stop-set witness MV) anti-joined at read time, both O(state).
+
+And because the inner witness MV is itself a merge table with a
+change feed, MVs CASCADE: `a1_mv_tiered` maintains the per-dataset
+rollup from the witness MV's own retract stream — COUNT(DISTINCT)
+flat, read O(#datasets) — with zero new machinery.
 """
 
 from __future__ import annotations
@@ -1111,4 +1116,104 @@ SELECT dataset,
        CAST(COUNT(*) AS BIGINT) AS n_messages_batch,
        CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_participants_batch
 FROM ok GROUP BY dataset
+"""
+
+
+# --- A1 tiered: MV over the MV's own change feed ----------------------------
+
+A1T_OUTER_METRICS = {"n_participants": ("participant_uuid", "count"),
+                     "n_messages": ("n_messages", "sum")}
+
+
+def _a1t_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """CASCADING incremental MVs: the inner witness MV is itself a
+    merge table, so its change feed is consumable — a second
+    mv_stream_sink maintains the per-dataset rollup FROM THE INNER
+    MV'S FEED. A witness group appearing is +1 participant, leaving
+    (deleted at count 0) is -1, and an update to its message count
+    retracts the old sum and adds the new; all of it falls out of the
+    existing includeOld fold with zero new machinery. COUNT(DISTINCT)
+    becomes O(answer) at read time instead of O(state)."""
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        inner = os.path.join(path, "inner")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a1_rows(spark, sf_dir, False)
+              .where(F.col("slot").isin([0, 1, 2]))
+              .drop("slot", "s8"), 1)
+        merge(_a1_rows(spark, sf_dir, True).where(F.col("slot") == 1)
+              .drop("slot", "s8"), 2)
+        dead = (_a1_rows(spark, sf_dir, False)
+                .where((F.col("slot") == 2) & (F.col("s8") == 2))
+                .select("origin_id"))
+        delete_origins(spark, table, dead, strategy="dv")
+        _stream_into(spark, table, MV.mv_stream_sink(
+            inner, ["dataset", "participant_uuid"], A1_METRICS,
+            prepare=lambda df: df.where(
+                F.col("consent_withdrawn") == "false")
+            .select("dataset", "participant_uuid", "origin_id"),
+            source_cols=["origin_id", "dataset", "participant_uuid",
+                         "consent_withdrawn"]))
+        # tier 2: the inner MV's OWN retract stream feeds the rollup
+        _stream_into(spark, inner, MV.mv_stream_sink(
+            os.path.join(path, "outer"), ["dataset"],
+            A1T_OUTER_METRICS,
+            prepare=lambda df: df.select(
+                "dataset", "participant_uuid", "n_messages"),
+            source_cols=["dataset", "participant_uuid",
+                         "n_messages"]))
+
+    return fixture_dir("a1t_mv_pair", sf_dir, _build)
+
+
+def a1_mv_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 engagement_counts with COUNT(DISTINCT) maintained FLAT by a
+    CASCADE of incremental MVs (table feed -> witness MV; witness
+    MV's feed -> per-dataset rollup): the outer state IS the answer —
+    the read is O(#datasets), no witness rollup at read time — proven
+    against the batch recompute over the final table (reference
+    automated_analysis.py:65-69)."""
+    apply_runtime_conf(spark)
+    base = _a1t_fixture(spark, sf_dir)
+    maintained = (MV.read_mv(spark, os.path.join(base, "outer"),
+                             A1T_OUTER_METRICS)
+                  .select("dataset",
+                          F.col("n_messages").cast("long")
+                          .alias("n_messages"),
+                          F.col("n_participants").cast("long")
+                          .alias("n_participants")))
+    src = (read_merged_table(spark, os.path.join(base, "table"))
+           .where(F.col("consent_withdrawn") == "false"))
+    batch = src.groupBy("dataset").agg(
+        F.count(F.lit(1)).alias("n_messages_batch"),
+        F.countDistinct("participant_uuid")
+        .alias("n_participants_batch"))
+    return maintained.join(batch, "dataset")
+
+
+A1_MV_TIERED_SQL = """
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8,
+         user_id % 50 AS uid
+  FROM events WHERE event_id % 16 < 8
+),
+live AS (
+  SELECT 'rqa_s01e0' || CAST(1 + CASE WHEN slot = 1 AND s8 = 5
+                                 THEN (e % 3 + 1) % 3
+                                 ELSE e % 3 END AS VARCHAR) AS dataset,
+         'p' || CAST(uid AS VARCHAR) AS participant_uuid
+  FROM ev
+  WHERE slot IN (0, 1, 2) AND NOT (slot = 2 AND s8 = 2)
+    AND uid % 7 <> 0
+)
+SELECT dataset,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(COUNT(DISTINCT participant_uuid) AS BIGINT)
+         AS n_participants,
+       CAST(COUNT(*) AS BIGINT) AS n_messages_batch,
+       CAST(COUNT(DISTINCT participant_uuid) AS BIGINT)
+         AS n_participants_batch
+FROM live GROUP BY dataset
 """

@@ -71,6 +71,9 @@ CASES = {
     # anti-join of two maintained states (stop set broadcasts) + the
     # per-dataset rollup, doubled by the proof recompute
     "a1_mv_cascade": (5, False),
+    # tier-2 state IS the per-dataset answer: one scan + the proof
+    # recompute's distinct
+    "a1_mv_tiered": (2, False),
 }
 
 

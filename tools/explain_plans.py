@@ -100,6 +100,7 @@ HEADLINE = [
     "a9_mv_stream",             # witness-set MV: live groups ARE the answer
     "a6_incremental",           # touched-group exact top-k re-rank
     "a1_mv_cascade",            # two maintained states anti-joined: consent cascade
+    "a1_mv_tiered",             # MV over the MV's feed: COUNT(DISTINCT) flat
 ]
 
 
