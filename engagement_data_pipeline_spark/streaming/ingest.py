@@ -1452,7 +1452,13 @@ def vacuum_table(spark: SparkSession, table_path: str,
     slowest honest consumer's trigger interval: an honest-but-paused
     stream whose floor expires fails LOUDLY on resume (the change-feed
     source raises on reclaimed windows), it never reads wrong data.
-    Default None = floors never expire (the round-9 contract)."""
+    Default None = floors never expire (the round-9 contract).
+
+    Clock-skew caveat: expiry compares THIS host's clock against the
+    store's reported floor mtimes, so skew between the two shifts the
+    lease by the skew. Size the TTL to dominate plausible skew (object
+    stores drift seconds, not minutes — a TTL of hours is unaffected);
+    the failure mode is still loud-on-resume, never wrong data."""
     import time as _time
 
     man = read_table_manifest(spark, table_path)
@@ -1471,6 +1477,14 @@ def vacuum_table(spark: SparkSession, table_path: str,
             # expiring it could strand the stream the moment the
             # table resumes. Keep it.
             if now - ts > floor_ttl_ms and c < int(man["commit"]):
+                # TOCTOU guard: a live consumer may have rewritten its
+                # floor between the listing stat and now — re-stat and
+                # skip expiry if the heartbeat advanced (it stays a
+                # normal floor this run; the next vacuum re-evaluates)
+                cur = _path_mtime_s(
+                    spark, f"{table_path}/{_FLOORS_DIR}/{name}.json")
+                if cur is not None and int(cur * 1000) > ts:
+                    continue
                 # lease expiry, like claim expiry: the abandoned floor
                 # is removed so it cannot re-pin the next vacuum
                 clear_retention_floor(spark, table_path, name)

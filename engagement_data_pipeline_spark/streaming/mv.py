@@ -526,7 +526,8 @@ def read_mv_distinct(spark: SparkSession, mv_path: str,
                      outer_group: Sequence[str],
                      metrics: dict[str, tuple[str, str]],
                      man: dict | None = None,
-                     distinct_name: str = "n_distinct") -> DataFrame:
+                     distinct_name: str = "n_distinct",
+                     distinct_cols: Sequence[str] | None = None) -> DataFrame:
     """Distinct-count read over a TWO-LEVEL MV — the standard
     incremental answer to COUNT(DISTINCT x), which no retraction can
     maintain flat (forgetting whether a deleted row was its group's
@@ -555,8 +556,28 @@ def read_mv_distinct(spark: SparkSession, mv_path: str,
                          distinct_name="n_participants")
     """
     inner = read_mv(spark, mv_path, metrics, man=man)
-    distinct_cols = [c for c in inner.columns
-                     if c not in set(outer_group) and c not in metrics]
+    if distinct_cols is None:
+        # inferred = every state column that is neither outer key nor
+        # metric; correct ONLY when `metrics` names ALL of the sink's
+        # metric columns — a caller reading a subset must pass
+        # `distinct_cols` explicitly or the omitted metric would be
+        # silently treated as a witness key
+        distinct_cols = [c for c in inner.columns
+                         if c not in set(outer_group) and c not in metrics]
+    else:
+        distinct_cols = list(distinct_cols)
+        missing = [c for c in distinct_cols if c not in inner.columns]
+        if missing:
+            raise ValueError(
+                f"distinct_cols {missing} not in MV state columns "
+                f"{inner.columns}")
+        overlap = [c for c in distinct_cols
+                   if c in set(outer_group) or c in metrics]
+        if overlap:
+            raise ValueError(
+                f"distinct_cols {overlap} collide with outer_group/"
+                "metrics — a witness key cannot also be an outer key "
+                "or a metric")
     witness = F.lit(True)
     for c in distinct_cols:
         witness = witness & F.col(c).isNotNull()

@@ -1,14 +1,17 @@
 """The ship gate: everything that must be green before a snapshot.
 
-Runs, in order (fail-fast, nonzero exit on any failure):
-  1. python tools/counts.py --check      (README count drift — seconds)
+Runs (nonzero exit on any failure):
+  1. python tools/counts.py --check      (README count drift — seconds;
+                                          fail-fast: a drift stops here)
   2. python -m pytest tests/ -q          (full suite, ~15 min)
   3. python tools/check_correctness.py   (all queries vs DuckDB, ~15 min)
 
 Round 9 shipped with 3 red tests and a red counts gate because the
 end-of-round snapshot was not gated on its own checks; this script IS
-the ritual. Steps 2 and 3 run in PARALLEL (they contend only mildly —
-do not run bench.py at the same time, it is wall-clock-sensitive).
+the ritual. Steps 2 and 3 run in PARALLEL and BOTH run to completion
+even if one fails (the final report names every red gate, which beats
+saving minutes on an already-failed ship). They contend only mildly —
+do not run bench.py at the same time, it is wall-clock-sensitive.
 
 Run: python tools/gate.py [--quick]
   --quick skips the two long gates and runs counts + the driver-style
