@@ -1,0 +1,312 @@
+"""Persisted IVF-flat ANN index, maintained incrementally from the
+corpus table's change feed.
+
+`similarity.cosine_topk_ivf` is the right shape for a ONE-SHOT batch
+query, but it re-assigns the entire corpus to cells on every call —
+at 100 TB every repeated ANN query would re-scan and re-project the
+whole embedding table. This module pays the assignment pass ONCE and
+persists it, the same treatment the engine already gives the text
+index (`ranking.build_text_index` / `text_index_stream_sink`) and the
+value index (`streaming/secondary.py`):
+
+Layout at ``index_path``:
+
+* ``centroids/`` — one tiny parquet (cid, cvec array<double>, cnorm):
+  the coarse quantizer. Seeded (`similarity.seed_centroids_ivf`) or
+  TRAINED (`clustering.kmeans_fit`) — the index stores whichever it
+  was built with, so queries and maintenance always use the exact
+  quantizer the postings were assigned under.
+* ``cells/`` — a versioned merge table of postings
+  (cell string, vec_id string, embedding array<float>), unique on
+  (cell, vec_id) but BUCKETED ON THE CELL ONLY (partial-key
+  bucketing), so all vectors of one cell are co-located and a query
+  reads EXACTLY its probed cells' buckets — O(probed cells), never
+  O(corpus).
+
+Query path (`ann_topk_indexed`): probe cells are ranked DRIVER-side
+against the k·d centroid table (the standard IVF arrangement — the
+quantizer is index metadata, not data), the probed cells' bucket ids
+are derived from the manifest, and the scoring scan is
+`_read_resolved(only=probed buckets)` + one broadcast join of the
+queries. All arithmetic uses the module-wide sequential-fold
+convention, so the result is bit-identical to `cosine_topk_ivf` with
+the same centroid table (pinned by oracle: `ann_topk_ivf_indexed`
+shares `ANN_TOPK_IVF_SQL`).
+
+Maintenance (`ann_index_stream_sink`): a foreachBatch fold over a
+``merge_table_changes`` stream opened with ``includeOld=true`` — the
+push-based twin of the value-index sink. The OLD embedding in the
+retract batch yields the OLD cell, so removals need ZERO reads of the
+source; an update whose embedding did not change is filtered out
+entirely. Replay-safe via the cells table's txn watermark; dv
+removals + per-fold `maybe_compact` keep the index self-maintaining.
+
+Reference parity: the reference has no ANN (its corpus is Firestore
+messages); this is an extension component of the LLM-training-data
+brief, following FAISS's IVF-flat layout (Johnson et al., 2017)
+re-expressed as lakehouse tables.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.topk import top_k_per_group
+# module-ref (not from-import) so test spies on ingest._read_resolved
+# observe this module's reads, same as operators/topk.py
+from ..streaming import ingest as _ing
+from .similarity import _fold_sq, _nearest_cells, cosine
+
+CELLS_DIR = "cells"
+CENTROIDS_DIR = "centroids"
+
+#: txn app id of the push-based sink (a stream BATCH id — the same
+#: namespace-isolation contract as the value/text index sinks).
+_STREAM_TXN = "__ann_index_stream"
+#: txn app id of a one-shot `build_ann_index` (a snapshot build, not
+#: a stream batch); the namespaces must never mix — the sink refuses
+#: a build-owned index (rebuild or replay from startingCommit=0).
+_BUILD_TXN = "__ann_index_build"
+
+
+# --- centroid table I/O ----------------------------------------------------
+
+def write_centroids(spark: SparkSession, index_path: str,
+                    cents: Sequence[tuple[int, list[float], float]]) -> None:
+    """Persist the quantizer: k·d doubles — one tiny single-file
+    parquet, read whole at query/maintenance time (the FAISS
+    in-memory centroid table, durable)."""
+    rows = [(int(cid), [float(x) for x in cvec], float(cn))
+            for cid, cvec, cn in cents]
+    df = spark.createDataFrame(rows, "cid long, cvec array<double>, cnorm double")
+    (df.coalesce(1).write.mode("overwrite")
+     .parquet(f"{index_path}/{CENTROIDS_DIR}"))
+
+
+def load_centroids(spark: SparkSession, index_path: str
+                   ) -> list[tuple[int, list[float], float]]:
+    rows = spark.read.parquet(f"{index_path}/{CENTROIDS_DIR}").collect()
+    return [(int(r["cid"]), [float(x) for x in r["cvec"]], float(r["cnorm"]))
+            for r in sorted(rows, key=lambda r: r["cid"])]
+
+
+def _cents_equal(a: Sequence[tuple[int, list[float], float]],
+                 b: Sequence[tuple[int, list[float], float]]) -> bool:
+    if len(a) != len(b):
+        return False
+    for (ca, va, _na), (cb, vb, _nb) in zip(a, b):
+        if ca != cb or list(va) != list(vb):
+            return False
+    return True
+
+
+def _cell_expr(emb_col: Column, cents) -> Column:
+    """The nearest centroid's id as a STRING (origin keys are strings
+    throughout the engine) — a zero-shuffle projection."""
+    return F.get(_nearest_cells(emb_col, list(cents), 1), 0).cast("string")
+
+
+def default_n_buckets(cents: Sequence) -> int:
+    """Power-of-two bucket count ≥ the cell count, capped — at real
+    scale pick buckets from expected index bytes instead
+    (`ingest.suggest_n_buckets`) and let multiple cells share a
+    bucket (reads filter on the cell column after the slice)."""
+    n = max(1, len(cents))
+    return min(1 << (n - 1).bit_length(), 64)
+
+
+# --- build ------------------------------------------------------------------
+
+def build_ann_index(spark: SparkSession, embeddings: DataFrame,
+                    index_path: str,
+                    cents: Sequence[tuple[int, list[float], float]],
+                    n_buckets: int | None = None,
+                    id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> None:
+    """One-shot build from a corpus snapshot: ONE assignment pass over
+    the embeddings (the pass `cosine_topk_ivf` re-runs per query),
+    merged into the cell-bucketed postings table. The quantizer is
+    persisted first so a crash between the two writes leaves a
+    rebuildable, never a lying, index."""
+    write_centroids(spark, index_path, cents)
+    if n_buckets is None:
+        n_buckets = default_n_buckets(cents)
+    postings = embeddings.select(
+        _cell_expr(F.col(emb_col), cents).alias("cell"),
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+    ).where(F.col("embedding").isNotNull())
+    merge = _ing.foreach_batch_upsert(
+        f"{index_path}/{CELLS_DIR}", ["cell", "vec_id"],
+        n_buckets=n_buckets, txn_app_id=_BUILD_TXN,
+        bucket_cols=["cell"])
+    merge(postings, 0)
+
+
+# --- query ------------------------------------------------------------------
+
+def _probe_cells_py(q_emb: Sequence[float],
+                    cents: Sequence[tuple[int, list[float], float]],
+                    n_probe: int) -> list[int]:
+    """Driver-side mirror of `_nearest_cells`: cosine via the same
+    sequential left fold over IEEE doubles, ranked (cosine DESC, cid
+    ASC) — bit-identical to the Spark/DuckDB expression, the same
+    plan-time/runtime equivalence `_hyperplane_py` relies on."""
+    qn = math.sqrt(_fold_sq([float(x) for x in q_emb]))
+    scored = []
+    for cid, cvec, cn in cents:
+        acc = 0.0
+        for x, c in zip(q_emb, cvec):
+            acc = acc + float(x) * c
+        scored.append((acc / (qn * cn), -int(cid)))
+    scored.sort(reverse=True)
+    return [-n for _, n in scored[:n_probe]]
+
+
+def ann_topk_indexed(spark: SparkSession, index_path: str,
+                     queries: DataFrame, k: int = 10, n_probe: int = 4,
+                     ) -> DataFrame:
+    """Cosine top-k over the persisted index. `queries` is a
+    broadcast-small (query_id, q_emb) frame — collected driver-side
+    (|Q|·d floats, the same scale as any IVF query buffer) to rank
+    probe cells against the stored quantizer; the corpus-side read
+    then touches ONLY the probed cells' buckets. Self-matches
+    (vec_id == query_id) are excluded, matching `cosine_topk_ivf`.
+
+    Cost per query batch: |Q|·C driver dots + a scan of
+    n_probe·|Q| cell buckets — independent of corpus size, the whole
+    point of persisting the assignment."""
+    cents = load_centroids(spark, index_path)
+    table = f"{index_path}/{CELLS_DIR}"
+    man = _ing.read_table_manifest(spark, table)
+    if man is None:
+        raise ValueError(f"{index_path} has no built cells table")
+    qrows = queries.select("query_id", "q_emb").collect()
+    probe = [(int(r["query_id"]), [float(x) for x in r["q_emb"]], str(c))
+             for r in qrows
+             for c in _probe_cells_py(r["q_emb"], cents, n_probe)]
+    if not probe:
+        raise ValueError("empty query set")
+    cells = sorted({c for _, _, c in probe})
+    # bucket ids of the probed cells: a pure hash of the cell string
+    # (one tiny local job — no executor round trip of the corpus)
+    cdf = spark.createDataFrame([(c,) for c in cells], "cell string")
+    hit = sorted({int(r["b"]) for r in
+                  cdf.select(_ing.origin_bucket(["cell"], man["n_buckets"])
+                             .alias("b")).collect()} & set(man["buckets"]))
+    if not hit:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int")
+    idx = (_ing._read_resolved(spark, table, man, only=hit)
+           .where(F.col("cell").isin(cells)))
+    qdf = spark.createDataFrame(
+        [(qid, emb, c) for qid, emb, c in probe],
+        "query_id long, q_emb array<double>, cell string")
+    scored = (
+        idx.join(F.broadcast(qdf), "cell")
+        .where(F.col("vec_id").cast("long") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").cast("long").alias("vec_id"),
+                cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"))
+    )
+    return top_k_per_group(scored, ["query_id"],
+                           [F.col("cosine").desc(), F.col("vec_id")], k,
+                           rank_col="rank")
+
+
+# --- incremental maintenance -------------------------------------------------
+
+def ann_index_stream_sink(index_path: str,
+                          cents: Sequence[tuple[int, list[float], float]],
+                          id_col: str = "vec_id",
+                          emb_col: str = "embedding",
+                          n_buckets: int | None = None,
+                          auto_compact: bool = True):
+    """A foreachBatch function maintaining the ANN index DIRECTLY from
+    the corpus table's retract stream (``merge_table_changes`` with
+    ``includeOld=true``) — the push-based twin of `build_ann_index`,
+    same contract as `secondary.index_stream_sink`:
+
+    * insert → assign the NEW embedding, add its posting;
+    * update touching `emb_col` → remove the OLD embedding's posting
+      (old cell derived from ``<emb_col>__old`` — zero source reads),
+      add the new one (cell moves re-bucket automatically because the
+      cell IS the bucket key);
+    * delete → remove the old posting;
+    * update NOT touching `emb_col` → filtered out entirely.
+
+    The centroid table is FROZEN at build: postings were assigned
+    under it, so maintenance must use the identical quantizer — the
+    sink persists `cents` on bootstrap and REFUSES a path whose stored
+    quantizer differs (retrain ⇒ rebuild, the standard IVF contract).
+    Replay safety: the whole fold is guarded by the cells table's txn
+    watermark, so a crash-replayed batch is a complete no-op. Removals
+    are dv tombstones; `auto_compact` materializes them once the
+    metadata thresholds trip, keeping a long-running sink
+    self-maintaining."""
+    cents = [(int(c), [float(x) for x in v], float(n)) for c, v, n in cents]
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        table = f"{index_path}/{CELLS_DIR}"
+        man = _ing.read_table_manifest(spark, table)
+        if man is None:
+            write_centroids(spark, index_path, cents)
+        else:
+            if _BUILD_TXN in man.get("txn", {}):
+                raise ValueError(
+                    f"{index_path} was built by build_ann_index (a "
+                    "snapshot-build watermark) — the sink's batch-id "
+                    "watermark cannot continue it; replay the stream "
+                    "from startingCommit=0 against an empty path")
+            if _STREAM_TXN not in man.get("txn", {}):
+                raise ValueError(
+                    f"{index_path} exists but carries no {_STREAM_TXN} "
+                    "watermark — not an index this sink maintains")
+            stored = load_centroids(spark, index_path)
+            if not _cents_equal(stored, cents):
+                raise ValueError(
+                    f"{index_path} was built under a different "
+                    "quantizer — its postings' cells are stale under "
+                    "the new centroids; rebuild the index instead of "
+                    "folding into it")
+            if batch_id <= int(man.get("txn", {}).get(_STREAM_TXN, -1)):
+                return  # crash-replay of an already-applied batch
+        touched = F.array_contains(
+            F.split(F.col("changed_cols"), ","), emb_col)
+        removals = (batch.where(
+            (F.col("op") == "delete")
+            | ((F.col("op") == "update") & touched))
+            .select(_cell_expr(F.col(f"{emb_col}__old"), cents).alias("cell"),
+                    F.col(id_col).cast("string").alias("vec_id"))
+            .where(F.col("cell").isNotNull()))
+        additions = (batch.where(
+            (F.col("op") == "insert")
+            | ((F.col("op") == "update") & touched))
+            .select(_cell_expr(F.col(emb_col), cents).alias("cell"),
+                    F.col(id_col).cast("string").alias("vec_id"),
+                    F.col(emb_col).alias("embedding"))
+            .where(F.col("embedding").isNotNull()))
+        if not removals.isEmpty():
+            if man is None:
+                raise RuntimeError(
+                    f"{index_path} has no index but the batch carries "
+                    "removals — replay the stream from "
+                    "startingCommit=0 so the bootstrap sees the full "
+                    "history")
+            from ..streaming.ingest import delete_origins
+            delete_origins(spark, table, removals, strategy="dv")
+        merge = _ing.foreach_batch_upsert(
+            table, ["cell", "vec_id"],
+            n_buckets=(n_buckets if n_buckets is not None
+                       else default_n_buckets(cents)),
+            txn_app_id=_STREAM_TXN, bucket_cols=["cell"])
+        merge(additions, batch_id)
+        if auto_compact:
+            from ..streaming.ingest import maybe_compact
+            maybe_compact(spark, table)
+
+    return _fold

@@ -216,21 +216,14 @@ def _nearest_cells(emb: Column, cents: list[tuple[int, list[float], float]],
                        lambda s: (-s["n"]).cast("long"))
 
 
-def cosine_topk_ivf(embeddings: DataFrame, query_ids: Sequence[int],
-                    k: int = 10, centroid_ids: Sequence[int] = IVF_CENTROID_IDS,
-                    n_probe: int = IVF_NPROBE,
-                    id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """IVF-flat ANN: deterministic seed centroids (fixed vector ids —
-    the k-means analog of a trained coarse quantizer, held driver-side
-    like any IVF index's centroid table), each vector assigned to its
-    nearest centroid's cell as a zero-shuffle projection, each query
-    probing its `n_probe` nearest cells. The candidate join shuffles
-    on the cell key; cost ≈ n·C assignment dots + (n·n_probe/C)·|Q|
-    scoring dots — the standard IVF trade against brute force's n·|Q|.
-
-    Recall vs `cosine_topk` is tested in tests/test_similarity.py;
-    exactness of the arithmetic (not of recall) is oracle-checked via
-    the same sequential-fold convention as the other ANN operators."""
+def seed_centroids_ivf(embeddings: DataFrame,
+                       centroid_ids: Sequence[int] = IVF_CENTROID_IDS,
+                       id_col: str = "vec_id", emb_col: str = "embedding"
+                       ) -> list[tuple[int, list[float], float]]:
+    """The deterministic seed centroid table [(cid, vector, norm)]:
+    fixed vector ids, centroid id == the seed's vec_id (the convention
+    `ANN_TOPK_IVF_SQL` mirrors). Norms use the same sequential fold as
+    `_norm`, so a plan-time literal equals the runtime column."""
     import math
 
     cent_rows = (
@@ -241,6 +234,36 @@ def cosine_topk_ivf(embeddings: DataFrame, query_ids: Sequence[int],
         cvec = [float(x) for x in r[1]]
         norm = math.sqrt(_fold_sq(cvec))
         cents.append((int(r[0]), cvec, norm))
+    return cents
+
+
+def cosine_topk_ivf(embeddings: DataFrame, query_ids: Sequence[int],
+                    k: int = 10, centroid_ids: Sequence[int] = IVF_CENTROID_IDS,
+                    n_probe: int = IVF_NPROBE,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    cents: Sequence[tuple[int, list[float], float]] | None = None,
+                    ) -> DataFrame:
+    """IVF-flat ANN: a driver-side centroid table (the coarse
+    quantizer — deterministic seed vectors by default, or a TRAINED
+    table from `clustering.kmeans_fit` via `cents`), each vector
+    assigned to its nearest centroid's cell as a zero-shuffle
+    projection, each query probing its `n_probe` nearest cells. The
+    candidate join shuffles on the cell key; cost ≈ n·C assignment
+    dots + (n·n_probe/C)·|Q| scoring dots — the standard IVF trade
+    against brute force's n·|Q|.
+
+    For REPEATED queries the assignment pass should be paid once, not
+    per call — `ann_index.build_ann_index` persists it as a merge
+    table bucketed on the cell and `ann_index.ann_topk_indexed` reads
+    only the probed cells' buckets.
+
+    Recall vs `cosine_topk` is tested in tests/test_similarity.py;
+    exactness of the arithmetic (not of recall) is oracle-checked via
+    the same sequential-fold convention as the other ANN operators."""
+    if cents is None:
+        cents = seed_centroids_ivf(embeddings, centroid_ids, id_col, emb_col)
+    else:
+        cents = list(cents)
 
     # The assignment projection is CPU-heavy (C cosine folds per row);
     # spread a small single-file scan across all cores first — on a

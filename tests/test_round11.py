@@ -1,0 +1,155 @@
+"""Round 11: persisted/stream-maintained ANN index, trained quantizer
+wiring, incremental column views."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.streaming import ingest as ing
+from engagement_data_pipeline_spark.training import ann_index as AI
+from engagement_data_pipeline_spark.training import similarity as S
+
+SF = "/root/testdata/sf0.001"
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _queries_df(emb, ids=QUERY_IDS):
+    return (emb.where(F.col("vec_id").isin(ids))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb")))
+
+
+# --- indexed IVF == direct IVF --------------------------------------------
+
+def test_ann_indexed_equals_direct(spark, tmp_path):
+    """The persisted index must return BIT-IDENTICAL results to the
+    per-query-assignment `cosine_topk_ivf` under the same quantizer —
+    the index changes the read path, never the answer."""
+    emb = _emb(spark)
+    cents = S.seed_centroids_ivf(emb)
+    idx = str(tmp_path / "ann")
+    AI.build_ann_index(spark, emb, idx, cents)
+    direct = {(r.query_id, r.vec_id, r.cosine, r.rank)
+              for r in S.cosine_topk_ivf(emb, QUERY_IDS, 10).collect()}
+    indexed = {(r.query_id, r.vec_id, r.cosine, r.rank)
+               for r in AI.ann_topk_indexed(
+                   spark, idx, _queries_df(emb), 10,
+                   n_probe=S.IVF_NPROBE).collect()}
+    assert indexed == direct
+    assert len(indexed) == len(QUERY_IDS) * 10
+
+
+def test_ann_indexed_reads_only_probed_buckets(spark, tmp_path):
+    """The query's state read must be sliced to the probed cells'
+    buckets (the whole point of persisting the assignment)."""
+    emb = _emb(spark)
+    cents = S.seed_centroids_ivf(emb)
+    idx = str(tmp_path / "ann")
+    AI.build_ann_index(spark, emb, idx, cents)
+    man = ing.read_table_manifest(spark, f"{idx}/{AI.CELLS_DIR}")
+    reads: list[list[int] | None] = []
+    orig_rr = ing._read_resolved
+
+    def _spy(spark_, table_path_, man_, only=None, **kw):
+        reads.append(sorted(only) if only is not None else None)
+        return orig_rr(spark_, table_path_, man_, only=only, **kw)
+
+    ing._read_resolved = _spy
+    try:
+        AI.ann_topk_indexed(spark, idx, _queries_df(emb, [0]), 5,
+                            n_probe=2).collect()
+    finally:
+        ing._read_resolved = orig_rr
+    assert len(reads) == 1 and reads[0] is not None
+    # 2 probed cells -> at most 2 buckets, strictly fewer than the
+    # index's populated buckets (16 cells over >=2 buckets here)
+    assert 1 <= len(reads[0]) <= 2 < len(man["buckets"])
+
+
+def test_ann_stream_sink_matches_rebuild(spark, tmp_path):
+    """Fold an insert/update/delete history through the sink; the
+    maintained index must equal a from-scratch build on the final
+    state — postings AND query answers."""
+    emb = _emb(spark)
+    cents = S.seed_centroids_ivf(emb)
+    src = str(tmp_path / "src")
+    merge = ing.foreach_batch_upsert(src, ["vec_id"], n_buckets=4,
+                                     txn_app_id="fix", mode="latest_wins")
+    rows = emb.select(F.col("vec_id").cast("string").alias("vec_id"),
+                      "embedding")
+    vid = F.col("vec_id").cast("long")
+    merge(rows.where(vid % 5 != 4), 1)
+    upd = (rows.where((vid % 7 == 3) & (vid % 5 != 4))
+           .withColumn("embedding", F.reverse(F.col("embedding"))))
+    merge(upd.unionByName(rows.where(vid % 5 == 4)), 2)
+    ing.delete_origins(
+        spark, src,
+        rows.where((vid % 11 == 5) & (vid % 7 != 3) & (vid % 5 != 4))
+        .select("vec_id"),
+        strategy="dv")
+
+    import tempfile
+
+    from engagement_data_pipeline_spark.streaming.cdf_source import (
+        MergeTableChangesDataSource)
+    spark.dataSource.register(MergeTableChangesDataSource)
+    idx = str(tmp_path / "ann_maintained")
+    q = (spark.readStream.format("merge_table_changes")
+         .option("path", src).option("includeOld", "true")
+         .option("maxCommitsPerTrigger", "1").load()
+         .writeStream.foreachBatch(AI.ann_index_stream_sink(idx, cents))
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ann-ckpt-"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    rebuilt = str(tmp_path / "ann_rebuilt")
+    AI.build_ann_index(spark, ing.read_merged_table(spark, src), rebuilt,
+                       cents, id_col="vec_id")
+    got = {(r.cell, r.vec_id, tuple(r.embedding)) for r in
+           ing.read_merged_table(spark, f"{idx}/{AI.CELLS_DIR}").collect()}
+    want = {(r.cell, r.vec_id, tuple(r.embedding)) for r in
+            ing.read_merged_table(spark,
+                                  f"{rebuilt}/{AI.CELLS_DIR}").collect()}
+    assert got == want and len(got) > 0
+    qdf = (ing.read_merged_table(spark, src)
+           .where(F.col("vec_id").cast("long").isin(QUERY_IDS))
+           .select(F.col("vec_id").cast("long").alias("query_id"),
+                   F.col("embedding").alias("q_emb")))
+    a = {tuple(r) for r in
+         AI.ann_topk_indexed(spark, idx, qdf, 10).collect()}
+    b = {tuple(r) for r in
+         AI.ann_topk_indexed(spark, rebuilt, qdf, 10).collect()}
+    assert a == b and len(a) == len(QUERY_IDS) * 10
+
+
+def test_ann_sink_refuses_foreign_or_retrained(spark, tmp_path):
+    """The sink must refuse (a) a build-owned index (watermark
+    namespaces never mix) and (b) a different quantizer (postings
+    would be stale under it)."""
+    emb = _emb(spark)
+    cents = S.seed_centroids_ivf(emb)
+    rows = emb.limit(50).select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding")
+    # a hand-built insert-only retract batch (the stream's shape)
+    batch = rows.select(
+        F.lit("insert").alias("op"), F.lit("").alias("changed_cols"),
+        "vec_id", "embedding",
+        F.lit(None).cast("array<float>").alias("embedding__old"))
+
+    built = str(tmp_path / "built")
+    AI.build_ann_index(spark, rows, built, cents)
+    with pytest.raises(ValueError, match="build_ann_index"):
+        AI.ann_index_stream_sink(built, cents)(batch, 0)
+
+    maintained = str(tmp_path / "maintained")
+    AI.ann_index_stream_sink(maintained, cents)(batch, 0)
+    other = [(cid, [v + 1.0 for v in vec], n) for cid, vec, n in cents]
+    with pytest.raises(ValueError, match="quantizer"):
+        AI.ann_index_stream_sink(maintained, other)(batch, 1)
