@@ -21,7 +21,7 @@ from . import (adapters_extra, analysis, cdc_q, cleaning_q,  # noqa: F401
                similarity, sketch_q, skew_q, stats_q, streaming_q,
                temporal_q, tpch, training)
 from . import curation_q, layout_q, profile_q, splits_q  # noqa: F401
-from . import bpe_q, classifier_q, collocations_q, hybrid_q, linkage_q  # noqa: F401
+from . import ann_q, bpe_q, classifier_q, collocations_q, hybrid_q, linkage_q  # noqa: F401
 from . import mv_q, regression, sync_back  # noqa: F401
 from .families import family_query, family_sql
 
@@ -565,6 +565,23 @@ _SIMILARITY_MM_MEMBERS = {
         [("id_a", "string"), ("id_b", "string"), ("dist", "int")]),
     "ann_recall_eval": (
         similarity.ann_recall_eval, similarity.ANN_RECALL_EVAL_SQL,
+        [("index", "string"), ("query_id", "bigint"),
+         ("n_hits", "bigint"), ("recall_at_k", "double"),
+         ("rr", "double")]),
+    "ann_topk_ivf_indexed": (
+        ann_q.ann_topk_ivf_indexed, ann_q.ANN_TOPK_IVF_INDEXED_SQL,
+        [("query_id", "bigint"), ("vec_id", "bigint"),
+         ("cosine", "double"), ("rank", "int")]),
+    "ann_topk_ivf_trained": (
+        ann_q.ann_topk_ivf_trained, ann_q.ANN_TOPK_IVF_TRAINED_SQL,
+        [("query_id", "bigint"), ("vec_id", "bigint"),
+         ("cosine", "double"), ("rank", "int")]),
+    "ann_ivf_stream": (
+        ann_q.ann_ivf_stream, ann_q.ANN_IVF_STREAM_SQL,
+        [("query_id", "bigint"), ("vec_id", "bigint"),
+         ("cosine", "double"), ("rank", "int")]),
+    "ann_recall_trained": (
+        ann_q.ann_recall_trained, ann_q.ANN_RECALL_TRAINED_SQL,
         [("index", "string"), ("query_id", "bigint"),
          ("n_hits", "bigint"), ("recall_at_k", "double"),
          ("rr", "double")]),
