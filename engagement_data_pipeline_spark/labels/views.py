@@ -210,3 +210,62 @@ def messages_by_column(imputed: DataFrame, config: AnalysisConfig) -> DataFrame:
         F.when(F.col("__withdrawn"), stop_lit)
         .otherwise(F.col("channel_operator")).alias("operators"))
     return joined.select(*out_cols)
+
+
+# --- incremental twins (change-feed consumers) ------------------------------
+#
+# The reference recomputes BOTH column views over the full corpus on
+# every analysis run (column_view_conversion.py:291-413) — at scale
+# the pipeline's most expensive stage. The folds are non-invertible
+# (ordered '; ' concat, sorted-distinct label merge, the M6-M8
+# participant-level cascade), so no flat retract-MV can maintain
+# them; the incremental answer is the same trick top-k/K6 use
+# (operators/topk.py:touched_group_slice): derive the touched
+# PARTICIPANTS from the change feed (new payloads + the pre-change
+# snapshot of updated/deleted keys, O(changed buckets)), then re-fold
+# EXACTLY — but only those participants' rows, read bucket-sliced
+# when the imputed-messages table is clustered on participant_uuid.
+# A sync is O(touched participants' buckets + changed rows), never a
+# corpus scan. Everything participant-grain (consent cascade, TM/NIC,
+# F7) is self-contained within the slice because every rule reads
+# only the participant's own rows.
+
+def participants_view_incremental(spark, table_path: str,
+                                  from_commit: int,
+                                  config: AnalysisConfig) -> DataFrame:
+    """G1 `participants_by_column` as a change-feed consumer: the
+    exact re-fold of ONLY the participants touched since
+    `from_commit` over the stored imputed-messages merge table.
+    Returns their fresh view rows; a touched participant folding to
+    nothing (lost their last RQA message — F7) simply drops out, and
+    the maintainer deletes their row. Upsert + delete against the
+    previous view state == a full recompute (oracle-pinned by the
+    `participants_view_incr` registry query)."""
+    from ..operators.topk import touched_group_slice
+
+    live = touched_group_slice(spark, table_path, from_commit,
+                               ["participant_uuid"])
+    if live is None:
+        from ..streaming.ingest import read_merged_table
+
+        live = read_merged_table(spark, table_path).limit(0)
+    return participants_by_column(live, config)
+
+
+def messages_view_incremental(spark, table_path: str,
+                              from_commit: int,
+                              config: AnalysisConfig) -> DataFrame:
+    """G2 `messages_by_column` as a change-feed consumer — same
+    touched-participant slice as the G1 twin (the demog fold, the
+    withdrawn window and the demog⋈RQA join are all keyed on
+    participant_uuid, so the participant IS the refold unit): returns
+    the fresh per-RQA-message rows of every touched participant."""
+    from ..operators.topk import touched_group_slice
+
+    live = touched_group_slice(spark, table_path, from_commit,
+                               ["participant_uuid"])
+    if live is None:
+        from ..streaming.ingest import read_merged_table
+
+        live = read_merged_table(spark, table_path).limit(0)
+    return messages_by_column(live, config)

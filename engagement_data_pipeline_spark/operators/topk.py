@@ -50,6 +50,60 @@ def deterministic_group_sample(df: DataFrame, group_cols: Sequence[str],
             .where(F.col("__rn") <= k).drop("__rn"))
 
 
+def touched_group_slice(spark, table_path: str, from_commit: int,
+                        group_cols: Sequence[str]) -> DataFrame | None:
+    """The LIVE rows of every group the change feed touched since
+    `from_commit` — the shared machinery of every non-invertible
+    incremental recompute (top-k re-rank, K6 writeback, the G1/G2
+    column-view re-fold): touched group keys come from the feed's new
+    payloads plus the pre-change snapshot of updated/deleted keys
+    (O(changed buckets)); when the table is clustered on a subset of
+    `group_cols` (creation-time `bucket_cols`, stable only if those
+    columns never change for a row) the state read is sliced to the
+    touched groups' buckets, otherwise one scan + semi-join (still
+    shuffling only touched rows). Returns None when the table has no
+    commits past `from_commit`."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.ingest import (_bucket_on, _read_resolved,
+                                    origin_bucket, read_changed_at,
+                                    read_merged_table,
+                                    read_table_manifest, table_changes)
+
+    gcols = list(group_cols)
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    current = int(man["commit"])
+    if current <= from_commit:
+        return None
+    origin = list(man["origin"])
+    ch = table_changes(spark, table_path, from_commit, current)
+    # insert/update rows carry the new payload (deletes carry only
+    # origin keys — their group comes from the old side's snapshot)
+    new_side = (ch.where(F.col("op").isin("insert", "update"))
+                .select(*gcols))
+    old_side = (ch.where(F.col("op").isin("update", "delete"))
+                .select(*origin)
+                .join(read_changed_at(spark, table_path, from_commit,
+                                      current), origin)
+                .select(*gcols))
+    touched = new_side.unionByName(old_side).distinct()
+    bk = _bucket_on(man)
+    if set(bk) <= set(gcols):
+        nb = int(man["n_buckets"])
+        # O(n_buckets) collect of bucket ids, never group keys
+        hit = sorted({int(r[0]) for r in
+                      touched.select(origin_bucket(bk, nb).alias("b"))
+                      .distinct().collect()} & set(man["buckets"]))
+        rows = (_read_resolved(spark, table_path, man, only=hit)
+                if hit else
+                read_merged_table(spark, table_path).limit(0))
+    else:
+        rows = read_merged_table(spark, table_path)
+    return rows.join(touched, gcols, "left_semi")
+
+
 def top_k_incremental(spark, table_path: str, from_commit: int,
                       group_cols: Sequence[str],
                       order_cols: Sequence[str], k: int,
@@ -75,45 +129,13 @@ def top_k_incremental(spark, table_path: str, from_commit: int,
     touched groups; a group whose every row was deleted drops out."""
     from pyspark.sql import functions as F
 
-    from ..streaming.ingest import (_bucket_on, _read_resolved,
-                                    origin_bucket, read_changed_at,
-                                    read_merged_table,
-                                    read_table_manifest, table_changes)
+    from ..streaming.ingest import read_merged_table
 
     gcols = list(group_cols)
     order_by = [F.col(c) for c in order_cols]
-    man = read_table_manifest(spark, table_path)
-    if man is None:
-        raise ValueError(f"{table_path} has no commits")
-    current = int(man["commit"])
-    empty = top_k_per_group(
-        read_merged_table(spark, table_path).limit(0), gcols,
-        order_by, k, rank_col)
-    if current <= from_commit:
-        return empty
-    origin = list(man["origin"])
-    ch = table_changes(spark, table_path, from_commit, current)
-    # insert/update rows carry the new payload (deletes carry only
-    # origin keys — their group comes from the old side's snapshot)
-    new_side = (ch.where(F.col("op").isin("insert", "update"))
-                .select(*gcols))
-    old_side = (ch.where(F.col("op").isin("update", "delete"))
-                .select(*origin)
-                .join(read_changed_at(spark, table_path, from_commit,
-                                      current), origin)
-                .select(*gcols))
-    touched = new_side.unionByName(old_side).distinct()
-    bk = _bucket_on(man)
-    if set(bk) <= set(gcols):
-        nb = int(man["n_buckets"])
-        # O(n_buckets) collect of bucket ids, never group keys
-        hit = sorted({int(r[0]) for r in
-                      touched.select(origin_bucket(bk, nb).alias("b"))
-                      .distinct().collect()} & set(man["buckets"]))
-        rows = (_read_resolved(spark, table_path, man, only=hit)
-                if hit else
-                read_merged_table(spark, table_path).limit(0))
-    else:
-        rows = read_merged_table(spark, table_path)
-    live = rows.join(touched, gcols, "left_semi")
+    live = touched_group_slice(spark, table_path, from_commit, gcols)
+    if live is None:
+        return top_k_per_group(
+            read_merged_table(spark, table_path).limit(0), gcols,
+            order_by, k, rank_col)
     return top_k_per_group(live, gcols, order_by, k, rank_col)

@@ -405,8 +405,14 @@ _NIC_SQL = (
 )
 
 
-def _participants_view_sql() -> str:
-    # grouped: per-participant raw folds + code lists from `imp`
+def _participants_view_sql(src: str = "imp", extra_cte: str = "",
+                           final_join: str = "") -> str:
+    """G1 oracle, parameterized for the incremental twin: `src` is the
+    imp-shaped CTE the view folds (default the batch `imp`);
+    `extra_cte` appends CTEs after imp (the final-state mirror and the
+    touched set); `final_join` restricts the output (the incremental
+    result covers touched participants only)."""
+    # grouped: per-participant raw folds + code lists from `src`
     selects = []
     coded = []  # (field, is_demog)
     for d in CONFIG.datasets:
@@ -448,26 +454,28 @@ def _participants_view_sql() -> str:
 
     raw_fields = ", ".join(d.raw_field for d in CONFIG.datasets)
     return (
-        "WITH " + _IMPUTED_CTE + f""",
-senders AS (SELECT DISTINCT participant_uuid FROM imp WHERE dataset IN {_RQA_IN}),
+        "WITH " + _IMPUTED_CTE + extra_cte + f""",
+senders AS (SELECT DISTINCT participant_uuid FROM {src} WHERE dataset IN {_RQA_IN}),
 grouped AS (
-  SELECT imp.participant_uuid, {', '.join(selects)}
-  FROM imp JOIN senders USING (participant_uuid)
-  GROUP BY imp.participant_uuid
+  SELECT {src}.participant_uuid, {', '.join(selects)}
+  FROM {src} JOIN senders USING (participant_uuid)
+  GROUP BY {src}.participant_uuid
 ),
 tmv AS (
   SELECT participant_uuid, {raw_fields}, operators, {', '.join(tm_cols)}
   FROM grouped
 ),
 cw AS (SELECT *, ({withdrawn}) AS __w FROM tmv)
-SELECT {', '.join(out)} FROM cw"""
+SELECT {', '.join(out)} FROM cw {final_join}"""
     )
 
 
 PARTICIPANTS_VIEW_SQL = _participants_view_sql()
 
 
-def _messages_view_sql() -> str:
+def _messages_view_sql(src: str = "imp", extra_cte: str = "",
+                       final_join: str = "") -> str:
+    """G2 oracle, parameterized exactly like `_participants_view_sql`."""
     demogs = [d for d in CONFIG.datasets if d.dataset_type == DEMOGRAPHIC]
     dsel = []
     for d in demogs:
@@ -517,22 +525,153 @@ def _messages_view_sql() -> str:
     out.append("CASE WHEN __w THEN 'STOP' ELSE channel_operator END AS operators")
 
     return (
-        "WITH " + _IMPUTED_CTE + f""",
+        "WITH " + _IMPUTED_CTE + extra_cte + f""",
 demog_g AS (
   SELECT participant_uuid, {', '.join(dsel)}
-  FROM imp WHERE dataset NOT IN {_RQA_IN}
+  FROM {src} WHERE dataset NOT IN {_RQA_IN}
   GROUP BY participant_uuid
 ),
-withdrawn AS (SELECT DISTINCT participant_uuid FROM imp WHERE primary_code = 'STOP'),
+withdrawn AS (SELECT DISTINCT participant_uuid FROM {src} WHERE primary_code = 'STOP'),
 mj AS (
   SELECT r.*, {', '.join(fixes)},
          (w.participant_uuid IS NOT NULL) AS __w
-  FROM (SELECT * FROM imp WHERE dataset IN {_RQA_IN}) r
+  FROM (SELECT * FROM {src} WHERE dataset IN {_RQA_IN}) r
   LEFT JOIN demog_g d USING (participant_uuid)
   LEFT JOIN withdrawn w USING (participant_uuid)
 )
-SELECT {', '.join(out)} FROM mj"""
+SELECT {', '.join(out)} FROM mj {final_join}"""
     )
 
 
 MESSAGES_VIEW_SQL = _messages_view_sql()
+
+
+# ---------------------------------------------------------------------------
+# G1/G2 incremental twins: touched-participant re-fold over an
+# insert / recode / WS-move / dv-delete history
+# ---------------------------------------------------------------------------
+#
+# The imputed message-grain frame is materialized as a merge table
+# CLUSTERED on participant_uuid (stable: a message's participant never
+# changes), then mutated:
+#   commit 1: all imputed rows except eid % 13 == 7 (the base; eid is
+#             the event id recovered from message_id = 'msg-'||eid —
+#             both engines parse it identically)
+#   commit 2: eid % 13 == 7 inserted late;
+#             s01e01 rows with eid % 23 == 9 RECODED (theme ->
+#             'theme_recoded' — an M12/Coda relabel arriving);
+#             s01e02 rows with eid % 29 == 13 WS-MOVED to s01e01
+#             (dataset + label scheme ids rewritten — M10);
+#   commit 3: eid % 19 == 11 (base rows only) dv-deleted.
+# The incremental twin re-folds ONLY the feed-touched participants;
+# the oracle recomputes the full batch view over the mirrored final
+# state and restricts it to the same participants.
+
+_RECODE_EXPR = (
+    "transform(labels, l -> CASE WHEN l.scheme_id = 's01e01_theme_scheme' "
+    "THEN named_struct('scheme_id', l.scheme_id, 'code_id', 'theme_recoded', "
+    "'date_time_utc', l.date_time_utc, 'checked', l.checked, "
+    "'origin_id', l.origin_id) ELSE l END)")
+_MOVE_EXPR = (
+    "transform(labels, l -> named_struct("
+    "'scheme_id', replace(l.scheme_id, 's01e02', 's01e01'), "
+    "'code_id', l.code_id, 'date_time_utc', l.date_time_utc, "
+    "'checked', l.checked, 'origin_id', l.origin_id))")
+
+_EID = "CAST(substring(message_id, 5) AS BIGINT)"
+_LATE = f"{_EID} % 13 = 7"
+_RECODE = f"dataset = 's01e01' AND {_EID} % 23 = 9 AND {_EID} % 13 <> 7"
+_MOVE = f"dataset = 's01e02' AND {_EID} % 29 = 13 AND {_EID} % 13 <> 7"
+# excludes late rows: a row inserted AND deleted inside one feed
+# window never appears in the snapshot diff, so its participant
+# would not be touched — the oracle must mirror the feed exactly
+_DEAD = f"{_EID} % 19 = 11 AND {_EID} % 13 <> 7"
+
+_VIEWS_INCR_EXTRA_CTE = f""",
+fin AS (
+  SELECT * REPLACE (
+    CASE WHEN {_MOVE} THEN 's01e01' ELSE dataset END AS dataset,
+    CASE WHEN {_RECODE} THEN 'theme_recoded' ELSE primary_code END
+      AS primary_code)
+  FROM imp WHERE NOT ({_DEAD})
+),
+touched AS (
+  SELECT DISTINCT participant_uuid FROM imp
+  WHERE {_LATE} OR {_DEAD} OR ({_RECODE}) OR ({_MOVE})
+)"""
+
+
+def _views_incr_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from ..streaming.ingest import delete_origins, foreach_batch_upsert
+    from ._helpers import fixture_dir
+
+    def _build(path: str) -> None:
+        import os
+
+        table = os.path.join(path, "table")
+        imp = _imputed(spark, sf_dir).select(
+            "message_id", "participant_uuid", "dataset", "timestamp",
+            "text", "labels", "channel_operator")
+        merge = foreach_batch_upsert(table, ["message_id"], n_buckets=8,
+                                     bucket_cols=["participant_uuid"],
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(imp.where(f"NOT ({_LATE})"), 1)
+        recode = (imp.where(_RECODE)
+                  .withColumn("labels", F.expr(_RECODE_EXPR)))
+        move = (imp.where(_MOVE)
+                .withColumn("dataset", F.lit("s01e01"))
+                .withColumn("labels", F.expr(_MOVE_EXPR)))
+        late = imp.where(_LATE)
+        merge(recode.unionByName(move).unionByName(late), 2)
+        # delete keys CARRY the bucket column (partial-key bucketing)
+        delete_origins(spark, table,
+                       imp.where(_DEAD)
+                       .select("message_id", "participant_uuid"),
+                       strategy="dv")
+
+    import os
+
+    return os.path.join(
+        fixture_dir("views_incr", sf_dir, _build), "table")
+
+
+def participants_view_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 `participants_by_column` as a change-feed consumer: after
+    the recode / WS-move / delete commits, re-fold ONLY the touched
+    participants (labels/views.py:participants_view_incremental) —
+    the fold is non-invertible ('; ' concat in (timestamp,message_id)
+    order, sorted-distinct code merge, the participant-level M6-M8
+    cascade), so the exact bucket-sliced re-fold is the incremental
+    answer. The oracle recomputes the batch view over the final state
+    and restricts it to the same participants: every column must
+    hash-match (reference column_view_conversion.py:291-413 recomputes
+    the whole corpus per run)."""
+    from ..labels.views import participants_view_incremental
+
+    apply_runtime_conf(spark)
+    table = _views_incr_fixture(spark, sf_dir)
+    return participants_view_incremental(spark, table, 1, CONFIG)
+
+
+PARTICIPANTS_VIEW_INCR_SQL = _participants_view_sql(
+    src="fin", extra_cte=_VIEWS_INCR_EXTRA_CTE,
+    final_join="JOIN touched USING (participant_uuid)")
+
+
+def messages_view_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 `messages_by_column` as a change-feed consumer — same
+    touched-participant slice as G1 (demog fold, withdrawn window and
+    demog⋈RQA join are all participant-keyed): the fresh per-message
+    rows of every touched participant, oracle-checked against the
+    batch view over the final state restricted to the same set."""
+    from ..labels.views import messages_view_incremental
+
+    apply_runtime_conf(spark)
+    table = _views_incr_fixture(spark, sf_dir)
+    return messages_view_incremental(spark, table, 1, CONFIG)
+
+
+MESSAGES_VIEW_INCR_SQL = _messages_view_sql(
+    src="fin", extra_cte=_VIEWS_INCR_EXTRA_CTE,
+    final_join="JOIN touched USING (participant_uuid)")

@@ -22,7 +22,7 @@ from . import (adapters_extra, analysis, cdc_q, cleaning_q,  # noqa: F401
                temporal_q, tpch, training)
 from . import curation_q, layout_q, profile_q, splits_q  # noqa: F401
 from . import ann_q, bpe_q, classifier_q, collocations_q, hybrid_q, linkage_q  # noqa: F401
-from . import mv_q, regression, sync_back  # noqa: F401
+from . import engagement, mv_q, regression, sync_back  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -303,6 +303,34 @@ _EVENTS_MEMBERS = {
          ("code", "string"), ("rank", "int"), ("seq", "bigint"),
          ("text", "string"), ("timestamp_us", "bigint"),
          ("seq_batch", "bigint"), ("text_batch", "string")]),
+    "participants_view_incr": (
+        engagement.participants_view_incr,
+        engagement.PARTICIPANTS_VIEW_INCR_SQL,
+        [("participant_uuid", "string"), ("consent_withdrawn", "string"),
+         ("gender_raw", "string"), ("gender_codes", "string"),
+         ("age_raw", "string"), ("age_codes", "string"),
+         ("age_category_codes", "string"), ("location_raw", "string"),
+         ("location_codes", "string"), ("location_county_codes", "string"),
+         ("location_region_codes", "string"), ("s01e01_raw", "string"),
+         ("s01e01_theme_codes", "string"),
+         ("s01e01_sentiment_codes", "string"), ("s01e02_raw", "string"),
+         ("s01e02_theme_codes", "string"),
+         ("s01e02_sentiment_codes", "string"), ("operators", "string")]),
+    "messages_view_incr": (
+        engagement.messages_view_incr,
+        engagement.MESSAGES_VIEW_INCR_SQL,
+        [("participant_uuid", "string"), ("message_id", "string"),
+         ("timestamp_us", "bigint"), ("dataset", "string"),
+         ("consent_withdrawn", "string"),
+         ("gender_raw", "string"), ("gender_codes", "string"),
+         ("age_raw", "string"), ("age_codes", "string"),
+         ("age_category_codes", "string"), ("location_raw", "string"),
+         ("location_codes", "string"), ("location_county_codes", "string"),
+         ("location_region_codes", "string"), ("s01e01_raw", "string"),
+         ("s01e01_theme_codes", "string"),
+         ("s01e01_sentiment_codes", "string"), ("s01e02_raw", "string"),
+         ("s01e02_theme_codes", "string"),
+         ("s01e02_sentiment_codes", "string"), ("operators", "string")]),
     "k6_incremental": (
         sync_back.k6_incremental, sync_back.K6_INCREMENTAL_SQL,
         [("participant_uuid", "string"), ("field_s01e01", "string"),

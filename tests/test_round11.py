@@ -153,3 +153,106 @@ def test_ann_sink_refuses_foreign_or_retrained(spark, tmp_path):
     other = [(cid, [v + 1.0 for v in vec], n) for cid, vec, n in cents]
     with pytest.raises(ValueError, match="quantizer"):
         AI.ann_index_stream_sink(maintained, other)(batch, 1)
+
+
+# --- incremental column views (G1/G2): touched-participant re-fold ---------
+
+def _mini_imputed(spark):
+    """A tiny imputed-messages frame: 3 participants, RQA + demog
+    rows, labels in the engine's Label schema."""
+    rows = []
+    for p in range(3):
+        uuid = f"avf-participant-uuid-{p}"
+        rows.append((f"m{p}_rqa", uuid, "s01e01", 1000 + p, f"answer {p}",
+                     [("s01e01_theme_scheme", f"code_{p}"),
+                      ("s01e01_sentiment_scheme", "sent_pos")], "telegram"))
+        rows.append((f"m{p}_dem", uuid, "gender", 2000 + p, "male",
+                     [("gender_scheme", "male")], "telegram"))
+    df = spark.createDataFrame(
+        rows, "message_id string, participant_uuid string, dataset string,"
+              " ts long, text string, raw array<struct<s string, c string>>,"
+              " channel_operator string")
+    return df.select(
+        "message_id", "participant_uuid", "dataset",
+        F.timestamp_micros(F.col("ts") * 1000000).alias("timestamp"),
+        "text",
+        F.expr("transform(raw, l -> named_struct("
+               "'scheme_id', l.s, 'code_id', l.c, "
+               "'date_time_utc', timestamp_micros(0), "
+               "'checked', true, 'origin_id', 'test'))").alias("labels"),
+        "channel_operator")
+
+
+def test_participants_view_incremental_bucket_sliced(spark, tmp_path):
+    """A recode touching ONE participant must re-fold only that
+    participant — and read only its bucket (spied) — and the fresh
+    row must equal the batch view's row over the final state."""
+    from engagement_data_pipeline_spark.labels.config import (
+        SYNTHETIC_CONFIG)
+    from engagement_data_pipeline_spark.labels.views import (
+        participants_by_column, participants_view_incremental)
+
+    table = str(tmp_path / "t")
+    imp = _mini_imputed(spark)
+    merge = ing.foreach_batch_upsert(table, ["message_id"], n_buckets=8,
+                                     bucket_cols=["participant_uuid"],
+                                     txn_app_id="src", mode="latest_wins")
+    merge(imp, 1)
+    recode = (imp.where("message_id = 'm1_rqa'")
+              .withColumn("labels", F.expr(
+                  "transform(labels, l -> CASE WHEN l.scheme_id = "
+                  "'s01e01_theme_scheme' THEN named_struct("
+                  "'scheme_id', l.scheme_id, 'code_id', 'code_recoded', "
+                  "'date_time_utc', l.date_time_utc, 'checked', l.checked,"
+                  " 'origin_id', l.origin_id) ELSE l END)")))
+    merge(recode, 2)
+
+    reads: list[list[int] | None] = []
+    orig_rr = ing._read_resolved
+
+    def _spy(spark_, table_path_, man_, only=None, **kw):
+        reads.append(sorted(only) if only is not None else None)
+        return orig_rr(spark_, table_path_, man_, only=only, **kw)
+
+    ing._read_resolved = _spy
+    try:
+        got = participants_view_incremental(
+            spark, table, 1, SYNTHETIC_CONFIG).collect()
+    finally:
+        ing._read_resolved = orig_rr
+    assert len(got) == 1
+    assert got[0]["participant_uuid"] == "avf-participant-uuid-1"
+    assert got[0]["s01e01_theme_codes"] == "code_recoded"
+    # the state read for the re-fold is sliced to ONE bucket (the
+    # touched participant's); the change-feed machinery may read
+    # whole changed buckets, but never `only=None` (a table scan)
+    assert all(r is not None for r in reads)
+    assert any(len(r) == 1 for r in reads)
+    batch = {r["participant_uuid"]: r for r in participants_by_column(
+        ing.read_merged_table(spark, table), SYNTHETIC_CONFIG).collect()}
+    assert got[0] == batch["avf-participant-uuid-1"]
+
+
+def test_participants_view_incremental_delete_drops_row(spark, tmp_path):
+    """Deleting a participant's only RQA message must surface them as
+    touched and fold them to NOTHING (F7) — the maintainer's cue to
+    delete their row."""
+    from engagement_data_pipeline_spark.labels.config import (
+        SYNTHETIC_CONFIG)
+    from engagement_data_pipeline_spark.labels.views import (
+        participants_view_incremental)
+
+    table = str(tmp_path / "t")
+    imp = _mini_imputed(spark)
+    merge = ing.foreach_batch_upsert(table, ["message_id"], n_buckets=8,
+                                     bucket_cols=["participant_uuid"],
+                                     txn_app_id="src", mode="latest_wins")
+    merge(imp, 1)
+    ing.delete_origins(
+        spark, table,
+        spark.createDataFrame([("m2_rqa", "avf-participant-uuid-2")],
+                              "message_id string, participant_uuid string"),
+        strategy="dv")
+    got = participants_view_incremental(
+        spark, table, 1, SYNTHETIC_CONFIG).collect()
+    assert got == []  # touched, but no RQA messages left -> no row
