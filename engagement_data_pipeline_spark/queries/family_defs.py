@@ -297,6 +297,11 @@ _EVENTS_MEMBERS = {
         [("dataset", "string"), ("n_messages", "bigint"),
          ("n_participants", "bigint"), ("n_messages_batch", "bigint"),
          ("n_participants_batch", "bigint")]),
+    "a1_mv_cascade_labels": (
+        mv_q.a1_mv_cascade_labels, mv_q.A1_MV_CASCADE_LABELS_SQL,
+        [("dataset", "string"), ("n_messages", "bigint"),
+         ("n_participants", "bigint"), ("n_messages_batch", "bigint"),
+         ("n_participants_batch", "bigint")]),
     "a6_incremental": (
         mv_q.a6_incremental, mv_q.A6_INCREMENTAL_SQL,
         [("dataset", "string"), ("scheme", "string"),

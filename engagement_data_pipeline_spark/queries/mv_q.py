@@ -1217,3 +1217,125 @@ SELECT dataset,
          AS n_participants_batch
 FROM live GROUP BY dataset
 """
+
+
+# --- A1 cascade over the PRODUCTION message schema (labels arrays) ----------
+#
+# `a1_mv_cascade` proves the two-state cascade mechanics on rows whose
+# STOP flag is a pre-computed string column; production messages carry
+# consent inside the NESTED `labels: array<struct>` payload and the
+# reference detects it with exists(labels, is_STOP)
+# (code_imputation_functions.py:684-708, G4). This twin re-cuts the
+# SAME history with real Label structs, so the stop sink's `prepare`
+# exercises the exact nested-array path the engine runs in production:
+# the retract stream diffs labels arrays vectorized, carries
+# labels__old, and the prepare's F.exists(...) filters both sides.
+
+def _a1cl_rows(spark: SparkSession, sf_dir: str,
+               flipped: bool) -> DataFrame:
+    """`_a1c_rows` with the consent flag encoded as a real labels
+    array: the STOP rows carry a Label struct whose code_id is STOP
+    under the dataset's theme scheme; every other row carries its
+    normal theme code."""
+    from ..labels.config import STOP
+
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_id") % 16 < 8)
+          .select(F.col("event_id").alias("e"),
+                  (F.col("user_id") % 50).alias("uid")))
+    stop = ((F.col("e") % 8 == 4) & (F.col("uid") % 9 == 0)) | \
+        (F.lit(flipped) & (F.col("e") % 8 == 5)
+         & (F.col("uid") % 13 == 0))
+    code = (F.when(stop, F.lit(STOP))
+            .otherwise(F.concat(F.lit("code_"),
+                                (F.col("e") % 5).cast("string"))))
+    dataset = F.concat(F.lit("rqa_s01e0"),
+                       (F.col("e") % 3 + 1).cast("string"))
+    label = F.struct(
+        F.concat(dataset, F.lit("_theme_scheme")).alias("scheme_id"),
+        code.alias("code_id"),
+        F.timestamp_micros(F.col("e") * 1000000).alias("date_time_utc"),
+        F.lit(True).alias("checked"),
+        F.lit("synthetic").alias("origin_id"))
+    return ev.select(
+        F.concat(F.lit("ev:"), F.col("e").cast("string"))
+        .alias("origin_id"),
+        dataset.alias("dataset"),
+        F.concat(F.lit("p"), F.col("uid").cast("string"))
+        .alias("participant_uuid"),
+        F.array(label).alias("labels"),
+        (F.col("e") % 4).alias("slot"), (F.col("e") % 8).alias("s8"))
+
+
+def _a1cl_fixture(spark: SparkSession, sf_dir: str) -> str:
+    def _build(path: str) -> None:
+        from ..labels.config import STOP
+
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a1cl_rows(spark, sf_dir, False)
+              .where(F.col("slot").isin([0, 1, 2]))
+              .drop("slot", "s8"), 1)
+        merge(_a1cl_rows(spark, sf_dir, True).where(F.col("slot") == 1)
+              .drop("slot", "s8"), 2)
+        dead = (_a1cl_rows(spark, sf_dir, False)
+                .where((F.col("slot") == 0) & (F.col("s8") == 4))
+                .select("origin_id"))
+        delete_origins(spark, table, dead, strategy="dv")
+        main = MV.mv_stream_sink(
+            os.path.join(path, "mv"),
+            ["dataset", "participant_uuid"], A1C_METRICS,
+            prepare=lambda df: df.select(
+                "dataset", "participant_uuid", "origin_id"),
+            source_cols=["origin_id", "dataset", "participant_uuid"])
+        stops = MV.mv_stream_sink(
+            os.path.join(path, "stops"), ["participant_uuid"], {},
+            prepare=lambda df: df.where(
+                F.exists(F.col("labels"),
+                         lambda l: l["code_id"] == STOP))
+            .select("participant_uuid"),
+            source_cols=["participant_uuid", "labels"])
+
+        def _both(df, bid):
+            main(df, bid)
+            stops(df, bid)
+
+        _stream_into(spark, table, _both)
+
+    return fixture_dir("a1cl_mv_pair", sf_dir, _build)
+
+
+def a1_mv_cascade_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`a1_mv_cascade` on the production message schema: consent
+    lives in the nested labels array and the stop-set witness MV's
+    prepare is the reference's exists(labels, is_STOP) (G4) — the
+    retract stream's vectorized nested diff and labels__old payloads
+    drive retro-exclusion and restore-on-erasure end to end. Same
+    read (consistent pair, anti-join, per-dataset rollup, batch proof
+    columns) and same oracle as the flat-flag twin."""
+    from ..labels.config import STOP
+
+    apply_runtime_conf(spark)
+    base = _a1cl_fixture(spark, sf_dir)
+    inner, stops = MV.read_mv_pair_consistent(
+        spark, [os.path.join(base, "mv"), os.path.join(base, "stops")],
+        [A1C_METRICS, {}])
+    ok = inner.join(stops, "participant_uuid", "left_anti")
+    maintained = ok.groupBy("dataset").agg(
+        F.sum("n_messages").cast("long").alias("n_messages"),
+        F.count(F.lit(1)).alias("n_participants"))
+    table = read_merged_table(spark, os.path.join(base, "table"))
+    stopped_b = (table.where(
+        F.exists(F.col("labels"), lambda l: l["code_id"] == STOP))
+        .select("participant_uuid").distinct())
+    ok_b = table.join(stopped_b, "participant_uuid", "left_anti")
+    batch = ok_b.groupBy("dataset").agg(
+        F.count(F.lit(1)).alias("n_messages_batch"),
+        F.countDistinct("participant_uuid")
+        .alias("n_participants_batch"))
+    return maintained.join(batch, "dataset")
+
+
+A1_MV_CASCADE_LABELS_SQL = A1_MV_CASCADE_SQL
