@@ -302,6 +302,10 @@ _EVENTS_MEMBERS = {
         [("dataset", "string"), ("n_messages", "bigint"),
          ("n_participants", "bigint"), ("n_messages_batch", "bigint"),
          ("n_participants_batch", "bigint")]),
+    "ws_move_feed_mv": (
+        mv_q.ws_move_feed_mv, mv_q.WS_MOVE_FEED_MV_SQL,
+        [("dataset", "string"), ("chain", "string"),
+         ("n_messages", "bigint"), ("n_messages_mv", "bigint")]),
     "a6_incremental": (
         mv_q.a6_incremental, mv_q.A6_INCREMENTAL_SQL,
         [("dataset", "string"), ("scheme", "string"),

@@ -1339,3 +1339,115 @@ def a1_mv_cascade_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A1_MV_CASCADE_LABELS_SQL = A1_MV_CASCADE_SQL
+
+
+# --- M10/M11 WS-moves through the change feed, previous_datasets kept -------
+#
+# The reference's trickiest semantic (lib.py:202-456): a WS-corrected
+# message MOVES datasets — repeatedly, sometimes in a cycle back to
+# where it started (M11) — and every move must (a) flow into every
+# maintained rollup as retract(old dataset) + add(new dataset) and
+# (b) append the hop to `previous_datasets` (the S3 moved-message
+# scan's input). This fixture is a move-heavy history: e%8==5 rows
+# hop twice (d1 -> d2 -> d3), e%8==1 rows hop out and CYCLE BACK
+# (d1 -> d2 -> d1); the flat per-dataset MV is maintained from the
+# stream one source commit per micro-batch, so each hop really is a
+# retraction pair, never a collapsed snapshot diff.
+
+def _ws_name(d) -> F.Column:
+    return F.concat(F.lit("rqa_s01e0"), (d + 1).cast("string"))
+
+
+def _ws_move_rows(spark: SparkSession, sf_dir: str, hop: int) -> DataFrame:
+    """The fixture rows after `hop` moves (0 = initial insert; 1 =
+    first move of the e%8∈{1,5} rows; 2 = second move — e%8==5 rows
+    advance again, e%8==1 rows cycle back)."""
+    ev = (load(spark, sf_dir, "events")
+          .where((F.col("event_id") % 16 < 8)
+                 & (F.col("event_id") % 4 < 3))
+          .select(F.col("event_id").alias("e")))
+    d1 = F.col("e") % 3
+    d2 = (d1 + 1) % 3
+    d3 = (d1 + 2) % 3
+    mover = F.col("e") % 8 == 5
+    cycler = F.col("e") % 8 == 1
+    if hop == 0:
+        ds, prev = d1, F.array().cast("array<string>")
+    elif hop == 1:
+        ds = F.when(mover | cycler, d2).otherwise(d1)
+        prev = (F.when(mover | cycler, F.array(_ws_name(d1)))
+                .otherwise(F.array().cast("array<string>")))
+    else:
+        ds = F.when(mover, d3).otherwise(d1)
+        prev = (F.when(mover | cycler,
+                       F.array(_ws_name(d1), _ws_name(d2)))
+                .otherwise(F.array().cast("array<string>")))
+    return ev.select(
+        F.concat(F.lit("ev:"), F.col("e").cast("string"))
+        .alias("origin_id"),
+        _ws_name(ds).alias("dataset"),
+        prev.alias("previous_datasets"),
+        (F.col("e") % 8).alias("s8"))
+
+
+def _ws_move_fixture(spark: SparkSession, sf_dir: str) -> str:
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_ws_move_rows(spark, sf_dir, 0).drop("s8"), 1)
+        for hop in (1, 2):
+            merge(_ws_move_rows(spark, sf_dir, hop)
+                  .where(F.col("s8").isin([1, 5])).drop("s8"), hop + 1)
+        _stream_into(spark, table, MV.mv_stream_sink(
+            os.path.join(path, "mv"), ["dataset"],
+            {"n_messages": ("origin_id", "count")},
+            prepare=lambda df: df.select("dataset", "origin_id"),
+            source_cols=["origin_id", "dataset"]))
+
+    return fixture_dir("ws_move_mv", sf_dir, _build)
+
+
+def ws_move_feed_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10/M11 WS-moves proven end-to-end incrementally: per final
+    (dataset, previous_datasets-chain) the surviving row counts, each
+    row joined with the stream-MAINTAINED per-dataset count — double
+    hops, cycles back to the origin dataset, and the accumulated
+    `previous_datasets` chains must all hash-match the oracle's
+    re-derivation (reference lib.py:202-456; S3 scan input)."""
+    apply_runtime_conf(spark)
+    base = _ws_move_fixture(spark, sf_dir)
+    mv = MV.read_mv(spark, os.path.join(base, "mv"),
+                    {"n_messages": ("origin_id", "count")})
+    tbl = read_merged_table(spark, os.path.join(base, "table"))
+    per = (tbl.groupBy(
+        "dataset",
+        F.array_join(F.col("previous_datasets"), ",").alias("chain"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_messages")))
+    return per.join(
+        mv.select("dataset",
+                  F.col("n_messages").alias("n_messages_mv")),
+        "dataset")
+
+
+WS_MOVE_FEED_MV_SQL = """
+WITH ev AS (
+  SELECT event_id AS e FROM events
+  WHERE event_id % 16 < 8 AND event_id % 4 < 3
+),
+fin AS (
+  SELECT e,
+    CASE WHEN e % 8 = 5 THEN (e % 3 + 2) % 3 ELSE e % 3 END AS dfin,
+    CASE WHEN e % 8 IN (1, 5) THEN
+      'rqa_s01e0' || CAST(e % 3 + 1 AS VARCHAR) || ',' ||
+      'rqa_s01e0' || CAST((e % 3 + 1) % 3 + 1 AS VARCHAR)
+    ELSE '' END AS chain
+  FROM ev
+)
+SELECT 'rqa_s01e0' || CAST(dfin + 1 AS VARCHAR) AS dataset, chain,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(SUM(COUNT(*)) OVER (
+         PARTITION BY dfin) AS BIGINT) AS n_messages_mv
+FROM fin GROUP BY dfin, chain
+"""
