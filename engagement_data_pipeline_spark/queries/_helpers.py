@@ -97,7 +97,11 @@ def fixture_dir(name: str, sf_dir: str, build) -> str:
     if os.path.exists(os.path.join(final, "_FIXTURE_OK")):
         return final
     stage = f"{final}.build-{uuid.uuid4().hex}"
+    import time as _time
+
+    t0 = _time.perf_counter()
     build(stage)
+    _FIXTURE_BUILD_S[0] += _time.perf_counter() - t0
     with open(os.path.join(stage, "_FIXTURE_OK"), "w") as f:
         f.write("ok")
     os.makedirs(os.path.dirname(final), exist_ok=True)
@@ -109,3 +113,12 @@ def fixture_dir(name: str, sf_dir: str, build) -> str:
 
 
 _FIXTURE_ROOT = None
+#: cumulative wall seconds spent INSIDE fixture build() calls this
+#: process — bench.py diffs it per run to attribute the run-1 vs
+#: run-N spread (fixtures build once per process, so run 1 absorbs
+#: all of it).
+_FIXTURE_BUILD_S = [0.0]
+
+
+def fixture_build_seconds() -> float:
+    return _FIXTURE_BUILD_S[0]
