@@ -80,13 +80,17 @@ def touched_group_slice(spark, table_path: str, from_commit: int,
     origin = list(man["origin"])
     ch = table_changes(spark, table_path, from_commit, current)
     # insert/update rows carry the new payload (deletes carry only
-    # origin keys — their group comes from the old side's snapshot)
+    # origin keys — their group comes from the old side's snapshot).
+    # The feed keys and the touched set are O(changes) — broadcast
+    # them so the snapshot/state sides never sort-merge (an
+    # incremental window is small by contract; a full backfill uses
+    # the batch recompute instead).
     new_side = (ch.where(F.col("op").isin("insert", "update"))
                 .select(*gcols))
-    old_side = (ch.where(F.col("op").isin("update", "delete"))
-                .select(*origin)
-                .join(read_changed_at(spark, table_path, from_commit,
-                                      current), origin)
+    old_side = (read_changed_at(spark, table_path, from_commit, current)
+                .join(F.broadcast(
+                    ch.where(F.col("op").isin("update", "delete"))
+                    .select(*origin)), origin, "left_semi")
                 .select(*gcols))
     touched = new_side.unionByName(old_side).distinct()
     bk = _bucket_on(man)
@@ -101,7 +105,7 @@ def touched_group_slice(spark, table_path: str, from_commit: int,
                 read_merged_table(spark, table_path).limit(0))
     else:
         rows = read_merged_table(spark, table_path)
-    return rows.join(touched, gcols, "left_semi")
+    return rows.join(F.broadcast(touched), gcols, "left_semi")
 
 
 def top_k_incremental(spark, table_path: str, from_commit: int,

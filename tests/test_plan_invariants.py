@@ -74,6 +74,23 @@ CASES = {
     # tier-2 state IS the per-dataset answer: one scan + the proof
     # recompute's distinct
     "a1_mv_tiered": (2, False),
+    # round 11: persisted IVF — probe cells resolved driver-side, the
+    # scan reads only probed buckets; one exchange for the per-query
+    # top-k. Same budget trained and stream-maintained.
+    "ann_topk_ivf_indexed": (2, False),
+    "ann_topk_ivf_trained": (2, False),
+    "ann_ivf_stream": (2, False),
+    # G1/G2 incremental re-fold: feed diff (full-outer per changed
+    # bucket) + touched-set broadcast semi-join + the one
+    # participant-grain fold shuffle; G2 doubles the branches (demog
+    # fold + withdrawn window + RQA join)
+    "participants_view_incr": (7, False),
+    "messages_view_incr": (13, False),
+    # cascade read over labels-array fixture: same shape as
+    # a1_mv_cascade (stop set broadcasts)
+    "a1_mv_cascade_labels": (5, False),
+    # WS-move MV read joined against the (dataset, chain) recompute
+    "ws_move_feed_mv": (2, False),
 }
 
 

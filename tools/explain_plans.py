@@ -101,6 +101,13 @@ HEADLINE = [
     "a6_incremental",           # touched-group exact top-k re-rank
     "a1_mv_cascade",            # two maintained states anti-joined: consent cascade
     "a1_mv_tiered",             # MV over the MV's feed: COUNT(DISTINCT) flat
+    "ann_topk_ivf_indexed",     # persisted IVF: probed-bucket read only
+    "ann_topk_ivf_trained",     # trained quantizer served from the index
+    "ann_ivf_stream",           # stream-maintained index read
+    "participants_view_incr",   # G1 re-fold of touched participants only
+    "messages_view_incr",       # G2 re-fold of touched participants only
+    "a1_mv_cascade_labels",     # cascade w/ exists(labels) stop detection
+    "ws_move_feed_mv",          # WS-move retract+add + previous_datasets
 ]
 
 
