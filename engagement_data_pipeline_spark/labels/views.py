@@ -243,13 +243,14 @@ def participants_view_incremental(spark, table_path: str,
     `participants_view_incr` registry query)."""
     from ..operators.topk import touched_group_slice
 
-    live = touched_group_slice(spark, table_path, from_commit,
-                               ["participant_uuid"])
-    if live is None:
+    sliced = touched_group_slice(spark, table_path, from_commit,
+                                 ["participant_uuid"])
+    if sliced is None:
         from ..streaming.ingest import read_merged_table
 
-        live = read_merged_table(spark, table_path).limit(0)
-    return participants_by_column(live, config)
+        return participants_by_column(
+            read_merged_table(spark, table_path).limit(0), config)
+    return participants_by_column(sliced[0], config)
 
 
 def messages_view_incremental(spark, table_path: str,
@@ -262,10 +263,81 @@ def messages_view_incremental(spark, table_path: str,
     the fresh per-RQA-message rows of every touched participant."""
     from ..operators.topk import touched_group_slice
 
-    live = touched_group_slice(spark, table_path, from_commit,
-                               ["participant_uuid"])
-    if live is None:
+    sliced = touched_group_slice(spark, table_path, from_commit,
+                                 ["participant_uuid"])
+    if sliced is None:
         from ..streaming.ingest import read_merged_table
 
-        live = read_merged_table(spark, table_path).limit(0)
-    return messages_by_column(live, config)
+        return messages_by_column(
+            read_merged_table(spark, table_path).limit(0), config)
+    return messages_by_column(sliced[0], config)
+
+
+#: txn app id of the maintained participants-view table: the SOURCE
+#: commit last folded in (refresh_value_index's replay-skip idiom).
+_PVIEW_TXN = "__participants_view_src"
+
+
+def build_participants_view(spark, table_path: str, view_path: str,
+                            config: AnalysisConfig,
+                            n_buckets: int | None = None) -> None:
+    """Materialize G1 from the imputed-messages table's CURRENT
+    snapshot — the only full fold the maintained view ever takes.
+    Records the source commit it reflects, so the first
+    `refresh_participants_view` continues from exactly here."""
+    from ..streaming.ingest import (foreach_batch_upsert,
+                                    read_merged_table,
+                                    read_table_manifest)
+
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    view = participants_by_column(
+        read_merged_table(spark, table_path), config)
+    merge = foreach_batch_upsert(view_path, ["participant_uuid"],
+                                 n_buckets=n_buckets,
+                                 txn_app_id=_PVIEW_TXN,
+                                 mode="latest_wins")
+    merge(view, int(man["commit"]))
+
+
+def refresh_participants_view(spark, table_path: str, view_path: str,
+                              config: AnalysisConfig) -> int | None:
+    """Fold the source's change feed since the last refresh into the
+    MATERIALIZED G1 view: exact re-fold of the touched participants
+    (O(touched buckets + changed rows)), upsert their fresh rows,
+    dv-delete participants that folded to nothing (lost their last
+    RQA message — F7 — or were fully erased). Returns the source
+    commit now reflected (None = already current). Crash-replay safe
+    the same way `refresh_value_index` is: deletes of absent keys are
+    no-ops and the merge's txn watermark skips an already-applied
+    refresh."""
+    from ..operators.topk import touched_group_slice
+    from ..streaming.ingest import (delete_origins, foreach_batch_upsert,
+                                    maybe_compact, read_table_manifest)
+
+    src_man = read_table_manifest(spark, table_path)
+    v_man = read_table_manifest(spark, view_path)
+    if src_man is None or v_man is None:
+        raise ValueError("source and view must both exist")
+    if _PVIEW_TXN not in v_man.get("txn", {}):
+        raise ValueError(
+            f"{view_path} carries no {_PVIEW_TXN} watermark — not a "
+            "view this maintainer owns")
+    applied = int(v_man["txn"][_PVIEW_TXN])
+    current = int(src_man["commit"])
+    if current <= applied:
+        return None
+    live, touched = touched_group_slice(spark, table_path, applied,
+                                        ["participant_uuid"])
+    fresh = participants_by_column(live, config)
+    gone = touched.join(fresh.select("participant_uuid"),
+                        "participant_uuid", "left_anti")
+    if not gone.isEmpty():
+        delete_origins(spark, view_path, gone, strategy="dv")
+    merge = foreach_batch_upsert(view_path, ["participant_uuid"],
+                                 txn_app_id=_PVIEW_TXN,
+                                 mode="latest_wins")
+    merge(fresh, current)
+    maybe_compact(spark, view_path)
+    return current

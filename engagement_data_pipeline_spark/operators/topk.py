@@ -51,7 +51,8 @@ def deterministic_group_sample(df: DataFrame, group_cols: Sequence[str],
 
 
 def touched_group_slice(spark, table_path: str, from_commit: int,
-                        group_cols: Sequence[str]) -> DataFrame | None:
+                        group_cols: Sequence[str]
+                        ) -> tuple[DataFrame, DataFrame] | None:
     """The LIVE rows of every group the change feed touched since
     `from_commit` — the shared machinery of every non-invertible
     incremental recompute (top-k re-rank, K6 writeback, the G1/G2
@@ -105,7 +106,7 @@ def touched_group_slice(spark, table_path: str, from_commit: int,
                 read_merged_table(spark, table_path).limit(0))
     else:
         rows = read_merged_table(spark, table_path)
-    return rows.join(F.broadcast(touched), gcols, "left_semi")
+    return rows.join(F.broadcast(touched), gcols, "left_semi"), touched
 
 
 def top_k_incremental(spark, table_path: str, from_commit: int,
@@ -137,9 +138,9 @@ def top_k_incremental(spark, table_path: str, from_commit: int,
 
     gcols = list(group_cols)
     order_by = [F.col(c) for c in order_cols]
-    live = touched_group_slice(spark, table_path, from_commit, gcols)
-    if live is None:
+    sliced = touched_group_slice(spark, table_path, from_commit, gcols)
+    if sliced is None:
         return top_k_per_group(
             read_merged_table(spark, table_path).limit(0), gcols,
             order_by, k, rank_col)
-    return top_k_per_group(live, gcols, order_by, k, rank_col)
+    return top_k_per_group(sliced[0], gcols, order_by, k, rank_col)

@@ -601,34 +601,48 @@ touched AS (
 )"""
 
 
-def _views_incr_fixture(spark: SparkSession, sf_dir: str) -> str:
+def _views_history(spark: SparkSession, sf_dir: str, table: str,
+                   on_commit=None) -> None:
+    """Apply the 3-commit insert/recode/WS-move/delete history to
+    `table`; `on_commit(n)` (optional) runs after each source commit —
+    the hook the MAINTAINED-view fixture uses to refresh stepwise."""
     from ..streaming.ingest import delete_origins, foreach_batch_upsert
+
+    imp = _imputed(spark, sf_dir).select(
+        "message_id", "participant_uuid", "dataset", "timestamp",
+        "text", "labels", "channel_operator")
+    merge = foreach_batch_upsert(table, ["message_id"], n_buckets=8,
+                                 bucket_cols=["participant_uuid"],
+                                 txn_app_id="src",
+                                 mode="latest_wins")
+    merge(imp.where(f"NOT ({_LATE})"), 1)
+    if on_commit is not None:
+        on_commit(1)
+    recode = (imp.where(_RECODE)
+              .withColumn("labels", F.expr(_RECODE_EXPR)))
+    move = (imp.where(_MOVE)
+            .withColumn("dataset", F.lit("s01e01"))
+            .withColumn("labels", F.expr(_MOVE_EXPR)))
+    late = imp.where(_LATE)
+    merge(recode.unionByName(move).unionByName(late), 2)
+    if on_commit is not None:
+        on_commit(2)
+    # delete keys CARRY the bucket column (partial-key bucketing)
+    delete_origins(spark, table,
+                   imp.where(_DEAD)
+                   .select("message_id", "participant_uuid"),
+                   strategy="dv")
+    if on_commit is not None:
+        on_commit(3)
+
+
+def _views_incr_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ._helpers import fixture_dir
 
     def _build(path: str) -> None:
         import os
 
-        table = os.path.join(path, "table")
-        imp = _imputed(spark, sf_dir).select(
-            "message_id", "participant_uuid", "dataset", "timestamp",
-            "text", "labels", "channel_operator")
-        merge = foreach_batch_upsert(table, ["message_id"], n_buckets=8,
-                                     bucket_cols=["participant_uuid"],
-                                     txn_app_id="src",
-                                     mode="latest_wins")
-        merge(imp.where(f"NOT ({_LATE})"), 1)
-        recode = (imp.where(_RECODE)
-                  .withColumn("labels", F.expr(_RECODE_EXPR)))
-        move = (imp.where(_MOVE)
-                .withColumn("dataset", F.lit("s01e01"))
-                .withColumn("labels", F.expr(_MOVE_EXPR)))
-        late = imp.where(_LATE)
-        merge(recode.unionByName(move).unionByName(late), 2)
-        # delete keys CARRY the bucket column (partial-key bucketing)
-        delete_origins(spark, table,
-                       imp.where(_DEAD)
-                       .select("message_id", "participant_uuid"),
-                       strategy="dv")
+        _views_history(spark, sf_dir, os.path.join(path, "table"))
 
     import os
 
@@ -675,3 +689,50 @@ def messages_view_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
 MESSAGES_VIEW_INCR_SQL = _messages_view_sql(
     src="fin", extra_cte=_VIEWS_INCR_EXTRA_CTE,
     final_join="JOIN touched USING (participant_uuid)")
+
+
+def _views_sync_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Table + MAINTAINED G1 view: built at commit 1, then refreshed
+    after every subsequent commit — the view state crosses the whole
+    recode/WS-move/delete history incrementally."""
+    from ..labels.views import (build_participants_view,
+                                refresh_participants_view)
+    from ._helpers import fixture_dir
+
+    def _build(path: str) -> None:
+        import os
+
+        table = os.path.join(path, "table")
+        view = os.path.join(path, "pview")
+
+        def _sync(commit: int) -> None:
+            if commit == 1:
+                build_participants_view(spark, table, view, CONFIG,
+                                        n_buckets=4)
+            else:
+                refresh_participants_view(spark, table, view, CONFIG)
+
+        _views_history(spark, sf_dir, table, on_commit=_sync)
+
+    return fixture_dir("views_sync", sf_dir, _build)
+
+
+def participants_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTAINED G1 view table after stepwise refreshes across
+    the insert / recode / WS-move / dv-delete history — upserts for
+    re-folded participants, dv-deletes for participants whose fold
+    vanished (F7). Read back in FULL and hash-compared against the
+    batch recompute over the final state: the strongest form of the
+    incremental-view proof (state equality, not just slice
+    equality)."""
+    import os
+
+    from ..streaming.ingest import read_merged_table as _rmt
+
+    apply_runtime_conf(spark)
+    base = _views_sync_fixture(spark, sf_dir)
+    return _rmt(spark, os.path.join(base, "pview"))
+
+
+PARTICIPANTS_VIEW_SYNC_SQL = _participants_view_sql(
+    src="fin", extra_cte=_VIEWS_INCR_EXTRA_CTE)

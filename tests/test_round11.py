@@ -256,3 +256,56 @@ def test_participants_view_incremental_delete_drops_row(spark, tmp_path):
     got = participants_view_incremental(
         spark, table, 1, SYNTHETIC_CONFIG).collect()
     assert got == []  # touched, but no RQA messages left -> no row
+
+
+# --- read_mv_distinct explicit distinct_cols (advisor note) -----------------
+
+def test_read_mv_distinct_explicit_cols_validated(spark, tmp_path):
+    """Passing distinct_cols must override inference (so reading a
+    SUBSET of the sink's metrics cannot silently turn an omitted
+    metric column into a witness key) and reject columns that are
+    absent or collide with outer_group/metrics."""
+    from engagement_data_pipeline_spark.streaming import mv as MV
+
+    mvp = str(tmp_path / "mv")
+    rows = spark.createDataFrame(
+        [("g1", "w1", 5), ("g1", "w2", 7), ("g2", "w1", 11)],
+        "grp string, wit string, v long").withColumn("sign", F.lit(1))
+    metrics = {"n_rows": ("wit", "count"), "sum_v": ("v", "sum")}
+    state = MV._signed_state(rows, ["grp", "wit"], metrics)
+    merge = ing.foreach_batch_upsert(mvp, ["grp", "wit"],
+                                     txn_app_id=MV._MV_STREAM_TXN)
+    merge(state, 0)
+
+    got = {r["grp"]: (r["n_wit"], r["sum_v"]) for r in MV.read_mv_distinct(
+        spark, mvp, ["grp"], metrics, distinct_name="n_wit",
+        distinct_cols=["wit"]).collect()}
+    assert got == {"g1": (2, 12), "g2": (1, 11)}
+    # a SUBSET of the metrics with explicit distinct_cols: the omitted
+    # metric column must NOT become a witness key
+    got2 = {r["grp"]: r["n_wit"] for r in MV.read_mv_distinct(
+        spark, mvp, ["grp"], {"n_rows": ("wit", "count")},
+        distinct_name="n_wit", distinct_cols=["wit"]).collect()}
+    assert got2 == {"g1": 2, "g2": 1}
+    with pytest.raises(ValueError, match="not in MV state"):
+        MV.read_mv_distinct(spark, mvp, ["grp"], metrics,
+                            distinct_cols=["nope"]).collect()
+    with pytest.raises(ValueError, match="collide"):
+        MV.read_mv_distinct(spark, mvp, ["grp"], metrics,
+                            distinct_cols=["grp"]).collect()
+
+
+# --- maintained G1 view: refresh ownership guard ----------------------------
+
+def test_refresh_participants_view_refuses_foreign_table(spark, tmp_path):
+    from engagement_data_pipeline_spark.labels.config import (
+        SYNTHETIC_CONFIG)
+    from engagement_data_pipeline_spark.labels.views import (
+        refresh_participants_view)
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["message_id"], n_buckets=2,
+                                     txn_app_id="src")
+    merge(_mini_imputed(spark), 1)
+    with pytest.raises(ValueError, match="watermark"):
+        refresh_participants_view(spark, table, table, SYNTHETIC_CONFIG)
