@@ -341,3 +341,74 @@ def refresh_participants_view(spark, table_path: str, view_path: str,
     merge(fresh, current)
     maybe_compact(spark, view_path)
     return current
+
+
+#: txn app id of the maintained messages-view table.
+_MVIEW_TXN = "__messages_view_src"
+
+
+def build_messages_view(spark, table_path: str, view_path: str,
+                        config: AnalysisConfig,
+                        n_buckets: int | None = None) -> None:
+    """Materialize G2 from the imputed-messages table's CURRENT
+    snapshot: one row per RQA message, CLUSTERED on participant_uuid
+    (the refresh grain — a demog change re-derives ALL of its
+    participant's message rows, so co-locating them makes the
+    stale-row sweep a one-bucket read per touched participant)."""
+    from ..streaming.ingest import (foreach_batch_upsert,
+                                    read_merged_table,
+                                    read_table_manifest)
+
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    view = messages_by_column(
+        read_merged_table(spark, table_path), config)
+    merge = foreach_batch_upsert(view_path, ["message_id"],
+                                 n_buckets=n_buckets,
+                                 bucket_cols=["participant_uuid"],
+                                 txn_app_id=_MVIEW_TXN,
+                                 mode="latest_wins")
+    merge(view, int(man["commit"]))
+
+
+def refresh_messages_view(spark, table_path: str, view_path: str,
+                          config: AnalysisConfig) -> int | None:
+    """Fold the source's change feed into the MATERIALIZED G2 view:
+    message-grain state, PARTICIPANT-grain refresh (a demog or
+    consent change rewrites every message row of its sender) — fresh
+    rows upserted by message_id, stale rows (deleted messages, or
+    messages whose participant no longer clears F7) dv-deleted. The
+    stale sweep reads only the touched participants' VIEW buckets
+    (the view is clustered on participant_uuid)."""
+    from ..operators.topk import group_rows_slice, touched_group_slice
+    from ..streaming.ingest import (delete_origins, foreach_batch_upsert,
+                                    maybe_compact, read_table_manifest)
+
+    src_man = read_table_manifest(spark, table_path)
+    v_man = read_table_manifest(spark, view_path)
+    if src_man is None or v_man is None:
+        raise ValueError("source and view must both exist")
+    if _MVIEW_TXN not in v_man.get("txn", {}):
+        raise ValueError(
+            f"{view_path} carries no {_MVIEW_TXN} watermark — not a "
+            "view this maintainer owns")
+    applied = int(v_man["txn"][_MVIEW_TXN])
+    current = int(src_man["commit"])
+    if current <= applied:
+        return None
+    live, touched = touched_group_slice(spark, table_path, applied,
+                                        ["participant_uuid"])
+    fresh = messages_by_column(live, config)
+    old_rows = group_rows_slice(spark, view_path, touched,
+                                ["participant_uuid"])
+    gone = (old_rows.select("message_id", "participant_uuid")
+            .join(fresh.select("message_id"), "message_id", "left_anti"))
+    if not gone.isEmpty():
+        delete_origins(spark, view_path, gone, strategy="dv")
+    merge = foreach_batch_upsert(view_path, ["message_id"],
+                                 txn_app_id=_MVIEW_TXN,
+                                 mode="latest_wins")
+    merge(fresh, current)
+    maybe_compact(spark, view_path)
+    return current

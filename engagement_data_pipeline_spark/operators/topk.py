@@ -50,6 +50,37 @@ def deterministic_group_sample(df: DataFrame, group_cols: Sequence[str],
             .where(F.col("__rn") <= k).drop("__rn"))
 
 
+def group_rows_slice(spark, table_path: str, keys: DataFrame,
+                     group_cols: Sequence[str]) -> DataFrame:
+    """The LIVE rows of the given group keys — bucket-sliced when the
+    table is clustered on a subset of `group_cols`, else one scan +
+    broadcast semi-join. `keys` must be broadcast-small (it is the
+    touched set of an incremental window, O(changes) by contract)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.ingest import (_bucket_on, _read_resolved,
+                                    origin_bucket, read_merged_table,
+                                    read_table_manifest)
+
+    gcols = list(group_cols)
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    bk = _bucket_on(man)
+    if set(bk) <= set(gcols):
+        nb = int(man["n_buckets"])
+        # O(n_buckets) collect of bucket ids, never group keys
+        hit = sorted({int(r[0]) for r in
+                      keys.select(origin_bucket(bk, nb).alias("b"))
+                      .distinct().collect()} & set(man["buckets"]))
+        rows = (_read_resolved(spark, table_path, man, only=hit)
+                if hit else
+                read_merged_table(spark, table_path).limit(0))
+    else:
+        rows = read_merged_table(spark, table_path)
+    return rows.join(F.broadcast(keys), gcols, "left_semi")
+
+
 def touched_group_slice(spark, table_path: str, from_commit: int,
                         group_cols: Sequence[str]
                         ) -> tuple[DataFrame, DataFrame] | None:
@@ -66,10 +97,8 @@ def touched_group_slice(spark, table_path: str, from_commit: int,
     commits past `from_commit`."""
     from pyspark.sql import functions as F
 
-    from ..streaming.ingest import (_bucket_on, _read_resolved,
-                                    origin_bucket, read_changed_at,
-                                    read_merged_table,
-                                    read_table_manifest, table_changes)
+    from ..streaming.ingest import (read_changed_at, read_table_manifest,
+                                    table_changes)
 
     gcols = list(group_cols)
     man = read_table_manifest(spark, table_path)
@@ -94,19 +123,7 @@ def touched_group_slice(spark, table_path: str, from_commit: int,
                     .select(*origin)), origin, "left_semi")
                 .select(*gcols))
     touched = new_side.unionByName(old_side).distinct()
-    bk = _bucket_on(man)
-    if set(bk) <= set(gcols):
-        nb = int(man["n_buckets"])
-        # O(n_buckets) collect of bucket ids, never group keys
-        hit = sorted({int(r[0]) for r in
-                      touched.select(origin_bucket(bk, nb).alias("b"))
-                      .distinct().collect()} & set(man["buckets"]))
-        rows = (_read_resolved(spark, table_path, man, only=hit)
-                if hit else
-                read_merged_table(spark, table_path).limit(0))
-    else:
-        rows = read_merged_table(spark, table_path)
-    return rows.join(F.broadcast(touched), gcols, "left_semi"), touched
+    return group_rows_slice(spark, table_path, touched, gcols), touched
 
 
 def top_k_incremental(spark, table_path: str, from_commit: int,

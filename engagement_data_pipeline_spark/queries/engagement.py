@@ -692,10 +692,12 @@ MESSAGES_VIEW_INCR_SQL = _messages_view_sql(
 
 
 def _views_sync_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Table + MAINTAINED G1 view: built at commit 1, then refreshed
-    after every subsequent commit — the view state crosses the whole
-    recode/WS-move/delete history incrementally."""
-    from ..labels.views import (build_participants_view,
+    """Table + MAINTAINED G1 and G2 views: built at commit 1, then
+    refreshed after every subsequent commit — both view states cross
+    the whole recode/WS-move/delete history incrementally."""
+    from ..labels.views import (build_messages_view,
+                                build_participants_view,
+                                refresh_messages_view,
                                 refresh_participants_view)
     from ._helpers import fixture_dir
 
@@ -703,14 +705,18 @@ def _views_sync_fixture(spark: SparkSession, sf_dir: str) -> str:
         import os
 
         table = os.path.join(path, "table")
-        view = os.path.join(path, "pview")
+        pview = os.path.join(path, "pview")
+        mview = os.path.join(path, "mview")
 
         def _sync(commit: int) -> None:
             if commit == 1:
-                build_participants_view(spark, table, view, CONFIG,
+                build_participants_view(spark, table, pview, CONFIG,
                                         n_buckets=4)
+                build_messages_view(spark, table, mview, CONFIG,
+                                    n_buckets=4)
             else:
-                refresh_participants_view(spark, table, view, CONFIG)
+                refresh_participants_view(spark, table, pview, CONFIG)
+                refresh_messages_view(spark, table, mview, CONFIG)
 
         _views_history(spark, sf_dir, table, on_commit=_sync)
 
@@ -735,4 +741,23 @@ def participants_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PARTICIPANTS_VIEW_SYNC_SQL = _participants_view_sql(
+    src="fin", extra_cte=_VIEWS_INCR_EXTRA_CTE)
+
+
+def messages_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTAINED G2 view table after stepwise refreshes across
+    the same history — message-grain upserts, participant-grain
+    refresh (a recode rewrites one row; a WS-move rewrites the moved
+    row; a delete sweeps the participant's stale rows). Full-state
+    hash against the batch recompute over the final state."""
+    import os
+
+    from ..streaming.ingest import read_merged_table as _rmt
+
+    apply_runtime_conf(spark)
+    base = _views_sync_fixture(spark, sf_dir)
+    return _rmt(spark, os.path.join(base, "mview"))
+
+
+MESSAGES_VIEW_SYNC_SQL = _messages_view_sql(
     src="fin", extra_cte=_VIEWS_INCR_EXTRA_CTE)

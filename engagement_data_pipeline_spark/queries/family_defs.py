@@ -338,6 +338,21 @@ _EVENTS_MEMBERS = {
          ("s01e01_sentiment_codes", "string"), ("s01e02_raw", "string"),
          ("s01e02_theme_codes", "string"),
          ("s01e02_sentiment_codes", "string"), ("operators", "string")]),
+    "messages_view_sync": (
+        engagement.messages_view_sync,
+        engagement.MESSAGES_VIEW_SYNC_SQL,
+        [("participant_uuid", "string"), ("message_id", "string"),
+         ("timestamp_us", "bigint"), ("dataset", "string"),
+         ("consent_withdrawn", "string"),
+         ("gender_raw", "string"), ("gender_codes", "string"),
+         ("age_raw", "string"), ("age_codes", "string"),
+         ("age_category_codes", "string"), ("location_raw", "string"),
+         ("location_codes", "string"), ("location_county_codes", "string"),
+         ("location_region_codes", "string"), ("s01e01_raw", "string"),
+         ("s01e01_theme_codes", "string"),
+         ("s01e01_sentiment_codes", "string"), ("s01e02_raw", "string"),
+         ("s01e02_theme_codes", "string"),
+         ("s01e02_sentiment_codes", "string"), ("operators", "string")]),
     "messages_view_incr": (
         engagement.messages_view_incr,
         engagement.MESSAGES_VIEW_INCR_SQL,

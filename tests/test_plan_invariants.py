@@ -91,9 +91,10 @@ CASES = {
     "a1_mv_cascade_labels": (5, False),
     # WS-move MV read joined against the (dataset, chain) recompute
     "ws_move_feed_mv": (2, False),
-    # maintained G1 view: a dv-resolved table read — broadcast
+    # maintained G1/G2 views: dv-resolved table reads — broadcast
     # anti-join only, zero shuffles
     "participants_view_sync": (0, False),
+    "messages_view_sync": (0, False),
 }
 
 
