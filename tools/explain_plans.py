@@ -107,6 +107,7 @@ HEADLINE = [
     "participants_view_incr",   # G1 re-fold of touched participants only
     "messages_view_incr",       # G2 re-fold of touched participants only
     "participants_view_sync",   # maintained G1 view table: full-state read
+    "messages_view_sync",       # maintained G2 view table: full-state read
     "a1_mv_cascade_labels",     # cascade w/ exists(labels) stop detection
     "ws_move_feed_mv",          # WS-move retract+add + previous_datasets
 ]
