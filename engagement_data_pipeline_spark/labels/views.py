@@ -330,7 +330,9 @@ def refresh_participants_view(spark, table_path: str, view_path: str,
         return None
     live, touched = touched_group_slice(spark, table_path, applied,
                                         ["participant_uuid"])
-    fresh = participants_by_column(live, config)
+    # materialize the fold once: gone's anti-join, delete and merge
+    # would otherwise each re-run the feed-diff + re-fold DAG
+    fresh = participants_by_column(live, config).localCheckpoint()
     gone = touched.join(fresh.select("participant_uuid"),
                         "participant_uuid", "left_anti")
     if not gone.isEmpty():
@@ -399,7 +401,9 @@ def refresh_messages_view(spark, table_path: str, view_path: str,
         return None
     live, touched = touched_group_slice(spark, table_path, applied,
                                         ["participant_uuid"])
-    fresh = messages_by_column(live, config)
+    # materialize the fold once: the stale sweep, delete and merge
+    # would otherwise each re-run the feed-diff + re-fold DAG
+    fresh = messages_by_column(live, config).localCheckpoint()
     old_rows = group_rows_slice(spark, view_path, touched,
                                 ["participant_uuid"])
     gone = (old_rows.select("message_id", "participant_uuid")

@@ -122,7 +122,11 @@ def touched_group_slice(spark, table_path: str, from_commit: int,
                     ch.where(F.col("op").isin("update", "delete"))
                     .select(*origin)), origin, "left_semi")
                 .select(*gcols))
-    touched = new_side.unionByName(old_side).distinct()
+    # Materialize the touched set once (it is O(changes) small):
+    # every consumer re-uses it at least twice (bucket-id collect +
+    # semi-join, and maintainers add a gone anti-join), and without
+    # the checkpoint each use re-runs the whole feed diff DAG.
+    touched = new_side.unionByName(old_side).distinct().localCheckpoint()
     return group_rows_slice(spark, table_path, touched, gcols), touched
 
 

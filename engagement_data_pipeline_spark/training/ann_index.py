@@ -131,7 +131,18 @@ def build_ann_index(spark: SparkSession, embeddings: DataFrame,
     the embeddings (the pass `cosine_topk_ivf` re-runs per query),
     merged into the cell-bucketed postings table. The quantizer is
     persisted first so a crash between the two writes leaves a
-    rebuildable, never a lying, index."""
+    rebuildable, never a lying, index.
+
+    Refuses a path that already holds a cells table: the merge's txn
+    watermark would skip the re-build's batch while the quantizer had
+    already been overwritten — postings assigned under the OLD
+    centroids served under the NEW ones, silently wrong neighbors.
+    Rebuild into a fresh path (or delete the old index first)."""
+    if _ing.read_table_manifest(spark, f"{index_path}/{CELLS_DIR}") is not None:
+        raise ValueError(
+            f"{index_path} already holds an index — a re-build over "
+            "it would overwrite the quantizer while the postings "
+            "merge replays as a no-op; build into a fresh path")
     write_centroids(spark, index_path, cents)
     if n_buckets is None:
         n_buckets = default_n_buckets(cents)
@@ -169,47 +180,60 @@ def _probe_cells_py(q_emb: Sequence[float],
 
 def ann_topk_indexed(spark: SparkSession, index_path: str,
                      queries: DataFrame, k: int = 10, n_probe: int = 4,
-                     ) -> DataFrame:
+                     id_out_type: str = "long") -> DataFrame:
     """Cosine top-k over the persisted index. `queries` is a
     broadcast-small (query_id, q_emb) frame — collected driver-side
     (|Q|·d floats, the same scale as any IVF query buffer) to rank
     probe cells against the stored quantizer; the corpus-side read
-    then touches ONLY the probed cells' buckets. Self-matches
-    (vec_id == query_id) are excluded, matching `cosine_topk_ivf`.
+    then touches ONLY the probed cells' buckets
+    (`operators.topk.group_rows_slice` — the engine's one
+    bucket-slicing idiom). Self-matches (vec_id == query_id) are
+    excluded by STRING comparison (postings store ids as strings),
+    so string-keyed corpora work too; `id_out_type` picks the output
+    vec_id type (default long, the numeric-id convention of the
+    `embeddings` table). An empty query frame returns an empty
+    result, matching `cosine_topk_ivf`.
 
     Cost per query batch: |Q|·C driver dots + a scan of
     n_probe·|Q| cell buckets — independent of corpus size, the whole
     point of persisting the assignment."""
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StringType, StructField, StructType)
+
+    from ..operators.topk import group_rows_slice
+
     cents = load_centroids(spark, index_path)
     table = f"{index_path}/{CELLS_DIR}"
     man = _ing.read_table_manifest(spark, table)
     if man is None:
         raise ValueError(f"{index_path} has no built cells table")
     qrows = queries.select("query_id", "q_emb").collect()
-    probe = [(int(r["query_id"]), [float(x) for x in r["q_emb"]], str(c))
+    probe = [(r["query_id"], [float(x) for x in r["q_emb"]], str(c))
              for r in qrows
              for c in _probe_cells_py(r["q_emb"], cents, n_probe)]
+    q_field = queries.schema["query_id"]
+    probe_schema = StructType([
+        StructField("query_id", q_field.dataType, q_field.nullable),
+        StructField("q_emb", ArrayType(DoubleType()), False),
+        StructField("cell", StringType(), False)])
+    qdf = spark.createDataFrame(probe, probe_schema)
     if not probe:
-        raise ValueError("empty query set")
-    cells = sorted({c for _, _, c in probe})
-    # bucket ids of the probed cells: a pure hash of the cell string
-    # (one tiny local job — no executor round trip of the corpus)
-    cdf = spark.createDataFrame([(c,) for c in cells], "cell string")
-    hit = sorted({int(r["b"]) for r in
-                  cdf.select(_ing.origin_bucket(["cell"], man["n_buckets"])
-                             .alias("b")).collect()} & set(man["buckets"]))
-    if not hit:
         return spark.createDataFrame(
-            [], "query_id long, vec_id long, cosine double, rank int")
-    idx = (_ing._read_resolved(spark, table, man, only=hit)
-           .where(F.col("cell").isin(cells)))
-    qdf = spark.createDataFrame(
-        [(qid, emb, c) for qid, emb, c in probe],
-        "query_id long, q_emb array<double>, cell string")
+            [], StructType([
+                probe_schema["query_id"],
+                StructField("vec_id", (
+                    spark.createDataFrame([], f"v {id_out_type}")
+                    .schema["v"].dataType), True),
+                StructField("cosine", DoubleType(), True),
+                StructField("rank", IntegerType(), False)]))
+    cells = sorted({c for _, _, c in probe})
+    cdf = spark.createDataFrame([(c,) for c in cells], "cell string")
+    idx = group_rows_slice(spark, table, cdf, ["cell"])
     scored = (
         idx.join(F.broadcast(qdf), "cell")
-        .where(F.col("vec_id").cast("long") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").cast("long").alias("vec_id"),
+        .where(F.col("vec_id") != F.col("query_id").cast("string"))
+        .select("query_id",
+                F.col("vec_id").cast(id_out_type).alias("vec_id"),
                 cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"))
     )
     return top_k_per_group(scored, ["query_id"],

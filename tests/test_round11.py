@@ -309,3 +309,47 @@ def test_refresh_participants_view_refuses_foreign_table(spark, tmp_path):
     merge(_mini_imputed(spark), 1)
     with pytest.raises(ValueError, match="watermark"):
         refresh_participants_view(spark, table, table, SYNTHETIC_CONFIG)
+
+
+# --- self-review regressions (round-11 review findings) ---------------------
+
+def test_ann_build_refuses_existing_index(spark, tmp_path):
+    """Re-building over an existing index must refuse loudly: the
+    merge watermark would replay-skip the postings while the quantizer
+    had already been overwritten — silently wrong neighbors."""
+    emb = _emb(spark).limit(40)
+    cents = S.seed_centroids_ivf(emb, list(range(0, 28, 7)))
+    idx = str(tmp_path / "ann")
+    AI.build_ann_index(spark, emb, idx, cents)
+    with pytest.raises(ValueError, match="fresh path"):
+        AI.build_ann_index(spark, emb, idx, cents)
+
+
+def test_ann_indexed_empty_queries_and_string_ids(spark, tmp_path):
+    """An empty query frame returns an empty typed result (matching
+    cosine_topk_ivf), and a STRING-keyed corpus round-trips: the
+    self-match exclusion compares strings, never a lossy long cast."""
+    emb = _emb(spark).limit(60)
+    cents = S.seed_centroids_ivf(emb, list(range(0, 28, 7)))
+    rows = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+        .alias("doc_id"), "embedding")
+    idx = str(tmp_path / "ann")
+    AI.build_ann_index(spark, rows, idx, cents, id_col="doc_id")
+    empty = AI.ann_topk_indexed(
+        spark, idx, rows.limit(0).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").alias("q_emb")),
+        5, id_out_type="string")
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "vec_id", "cosine", "rank"]
+    got = AI.ann_topk_indexed(
+        spark, idx,
+        rows.where(F.col("doc_id") == "doc-3").select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").alias("q_emb")),
+        5, id_out_type="string").collect()
+    assert len(got) == 5
+    assert all(r.vec_id.startswith("doc-") and r.vec_id != "doc-3"
+               for r in got)
