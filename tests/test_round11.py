@@ -353,3 +353,99 @@ def test_ann_indexed_empty_queries_and_string_ids(spark, tmp_path):
     assert len(got) == 5
     assert all(r.vec_id.startswith("doc-") and r.vec_id != "doc-3"
                for r in got)
+
+
+# --- ANN sink random-ops model test -----------------------------------------
+
+def test_ann_sink_random_histories_match_rebuild(spark, tmp_path):
+    """Seeded-random insert/update/delete histories folded through the
+    sink must equal a from-scratch build on each final state — the
+    ingest-path model-test idiom (cf. tests/test_round7.py) applied to
+    the ANN index. Also queries with EXTERNAL embeddings (query vector
+    not in the corpus): the probe path takes any (query_id, q_emb)."""
+    import random
+    import tempfile
+
+    from engagement_data_pipeline_spark.streaming.cdf_source import (
+        MergeTableChangesDataSource)
+
+    emb = _emb(spark).limit(80)
+    cents = S.seed_centroids_ivf(emb, list(range(0, 28, 7)))
+    pool = [(str(r.vec_id), list(r.embedding)) for r in emb.collect()]
+    spark.dataSource.register(MergeTableChangesDataSource)
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        src = str(tmp_path / f"src{seed}")
+        merge = ing.foreach_batch_upsert(src, ["vec_id"], n_buckets=4,
+                                         txn_app_id="fix",
+                                         mode="latest_wins")
+        alive: dict[str, list[float]] = {}
+        commit = 0
+        base = rng.sample(pool, 50)
+        commit += 1
+        merge(spark.createDataFrame(base,
+                                    "vec_id string, embedding array<float>"),
+              commit)
+        alive.update(dict(base))
+        for _ in range(3):
+            ups, dels = [], []
+            for vid, vec in rng.sample(sorted(alive.items()), 8):
+                if rng.random() < 0.4:
+                    dels.append((vid,))
+                    del alive[vid]
+                else:
+                    nv = list(reversed(vec)) if rng.random() < 0.5 else \
+                        vec[1:] + vec[:1]
+                    ups.append((vid, nv))
+                    alive[vid] = nv
+            # re-inserting a vid deleted THIS round would be undone
+            # by the delete commit applied after the merge below
+            round_dels = {d[0] for d in dels}
+            fresh = [p for p in pool
+                     if p[0] not in alive and p[0] not in round_dels
+                     and rng.random() < 0.1]
+            for vid, vec in fresh:
+                ups.append((vid, vec))
+                alive[vid] = vec
+            if ups:
+                commit += 1
+                merge(spark.createDataFrame(
+                    ups, "vec_id string, embedding array<float>"), commit)
+            if dels:
+                ing.delete_origins(
+                    spark, src,
+                    spark.createDataFrame(dels, "vec_id string"),
+                    strategy="dv")
+                commit += 1
+
+        idx = str(tmp_path / f"ann{seed}")
+        q = (spark.readStream.format("merge_table_changes")
+             .option("path", src).option("includeOld", "true")
+             .option("maxCommitsPerTrigger", "1").load()
+             .writeStream.foreachBatch(
+                 AI.ann_index_stream_sink(idx, cents))
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="ann-model-ckpt-"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+        rebuilt = str(tmp_path / f"rebuilt{seed}")
+        AI.build_ann_index(spark, ing.read_merged_table(spark, src),
+                           rebuilt, cents)
+        got = {(r.cell, r.vec_id, tuple(r.embedding)) for r in
+               ing.read_merged_table(
+                   spark, f"{idx}/{AI.CELLS_DIR}").collect()}
+        want = {(r.cell, r.vec_id, tuple(r.embedding)) for r in
+                ing.read_merged_table(
+                    spark, f"{rebuilt}/{AI.CELLS_DIR}").collect()}
+        assert got == want, f"seed {seed}: sink != rebuild"
+        assert {v for _, v, _ in got} == set(alive), f"seed {seed}"
+
+    # external query vector (not a corpus member): no self-exclusion
+    # applies, plain probed-bucket search
+    ext = [(999999, [float((i * 7) % 13 - 6) for i in range(64)])]
+    qdf = spark.createDataFrame(ext, "query_id long, q_emb array<double>")
+    got = AI.ann_topk_indexed(spark, str(tmp_path / "ann7"), qdf, 5).collect()
+    assert len(got) == 5 and all(r.query_id == 999999 for r in got)
