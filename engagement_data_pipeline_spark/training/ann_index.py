@@ -334,3 +334,102 @@ def ann_index_stream_sink(index_path: str,
             maybe_compact(spark, table)
 
     return _fold
+
+
+# --- pull-based maintenance (build from a merge table + refresh) -------------
+#
+# The secondary.py twin pair: where the stream sink is push-based
+# (every source commit folded as it lands), build/refresh serve the
+# cron-shaped deployment — build once from the corpus table's current
+# snapshot, then fold the change feed on whatever cadence the ANN
+# consumer needs. The index records the last APPLIED source commit
+# under its own txn watermark, so a crashed refresh replays
+# idempotently and the three maintenance owners (snapshot build,
+# stream sink, source-commit refresh) refuse each other's indexes.
+
+#: txn app id recording the last APPLIED source commit (pull path).
+_SRC_TXN = "__ann_index_src"
+
+
+def build_ann_index_from_table(spark: SparkSession, table_path: str,
+                               index_path: str,
+                               cents: Sequence[tuple[int, list[float], float]],
+                               n_buckets: int | None = None,
+                               id_col: str = "vec_id",
+                               emb_col: str = "embedding") -> None:
+    """Create the index from a MERGE TABLE's current snapshot and
+    record the source commit it reflects, so the first
+    `refresh_ann_index` continues from exactly here (the
+    `build_value_index` idiom)."""
+    man = _ing.read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    if _ing.read_table_manifest(spark, f"{index_path}/{CELLS_DIR}") is not None:
+        raise ValueError(
+            f"{index_path} already holds an index — build into a "
+            "fresh path (see build_ann_index)")
+    write_centroids(spark, index_path, cents)
+    if n_buckets is None:
+        n_buckets = default_n_buckets(cents)
+    postings = _ing.read_merged_table(spark, table_path).select(
+        _cell_expr(F.col(emb_col), cents).alias("cell"),
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+    ).where(F.col("embedding").isNotNull())
+    merge = _ing.foreach_batch_upsert(
+        f"{index_path}/{CELLS_DIR}", ["cell", "vec_id"],
+        n_buckets=n_buckets, txn_app_id=_SRC_TXN,
+        bucket_cols=["cell"])
+    merge(postings, int(man["commit"]))
+
+
+def refresh_ann_index(spark: SparkSession, table_path: str,
+                      index_path: str,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> int | None:
+    """Fold the corpus table's change feed since the last refresh into
+    the index: old cells derived from the pre-change snapshot's
+    embeddings (read O(changed buckets) via `read_changed_at`), new
+    cells from the feed's new payloads, under the FROZEN stored
+    quantizer. Returns the source commit now reflected (None =
+    already current). O(changes) per refresh, crash-replay safe via
+    the `_SRC_TXN` watermark."""
+    src_man = _ing.read_table_manifest(spark, table_path)
+    table = f"{index_path}/{CELLS_DIR}"
+    idx_man = _ing.read_table_manifest(spark, table)
+    if src_man is None or idx_man is None:
+        raise ValueError("source and index must both exist")
+    txn = idx_man.get("txn", {})
+    if _STREAM_TXN in txn or _BUILD_TXN in txn or _SRC_TXN not in txn:
+        raise ValueError(
+            f"{index_path} is not a build_ann_index_from_table index "
+            "(its watermark namespace belongs to the stream sink or a "
+            "one-shot snapshot build) — the source-commit refresh "
+            "cannot continue it")
+    applied = int(txn[_SRC_TXN])
+    current = int(src_man["commit"])
+    if current <= applied:
+        return None
+    cents = load_centroids(spark, index_path)
+    origin = list(src_man["origin"])
+    ch = _ing.table_changes(spark, table_path, applied, current)
+    removals = (_ing.read_changed_at(spark, table_path, applied, current)
+                .join(F.broadcast(
+                    ch.where(F.col("op").isin("update", "delete"))
+                    .select(*origin)), origin, "left_semi")
+                .select(_cell_expr(F.col(emb_col), cents).alias("cell"),
+                        F.col(id_col).cast("string").alias("vec_id"))
+                .where(F.col("cell").isNotNull()))
+    additions = (ch.where(F.col("op").isin("insert", "update"))
+                 .select(_cell_expr(F.col(emb_col), cents).alias("cell"),
+                         F.col(id_col).cast("string").alias("vec_id"),
+                         F.col(emb_col).alias("embedding"))
+                 .where(F.col("embedding").isNotNull()))
+    if not removals.isEmpty():
+        _ing.delete_origins(spark, table, removals, strategy="dv")
+    merge = _ing.foreach_batch_upsert(table, ["cell", "vec_id"],
+                                      txn_app_id=_SRC_TXN,
+                                      bucket_cols=["cell"])
+    merge(additions, current)
+    _ing.maybe_compact(spark, table)
+    return current

@@ -449,3 +449,50 @@ def test_ann_sink_random_histories_match_rebuild(spark, tmp_path):
     qdf = spark.createDataFrame(ext, "query_id long, q_emb array<double>")
     got = AI.ann_topk_indexed(spark, str(tmp_path / "ann7"), qdf, 5).collect()
     assert len(got) == 5 and all(r.query_id == 999999 for r in got)
+
+
+def test_refresh_ann_index_matches_rebuild(spark, tmp_path):
+    """The PULL-based twin: build from the table's snapshot, mutate
+    the corpus (update/delete/insert), refresh — the index must equal
+    a from-scratch build on the final state; a second refresh is a
+    no-op; foreign watermark namespaces are refused."""
+    emb = _emb(spark)
+    cents = S.seed_centroids_ivf(emb)
+    src = str(tmp_path / "src")
+    merge = ing.foreach_batch_upsert(src, ["vec_id"], n_buckets=4,
+                                     txn_app_id="fix", mode="latest_wins")
+    rows = emb.select(F.col("vec_id").cast("string").alias("vec_id"),
+                      "embedding")
+    vid = F.col("vec_id").cast("long")
+    merge(rows.where(vid % 5 != 4), 1)
+    idx = str(tmp_path / "ann")
+    AI.build_ann_index_from_table(spark, src, idx, cents)
+    upd = (rows.where((vid % 7 == 3) & (vid % 5 != 4))
+           .withColumn("embedding", F.reverse(F.col("embedding"))))
+    merge(upd.unionByName(rows.where(vid % 5 == 4)), 2)
+    ing.delete_origins(
+        spark, src,
+        rows.where((vid % 11 == 5) & (vid % 7 != 3) & (vid % 5 != 4))
+        .select("vec_id"), strategy="dv")
+
+    assert AI.refresh_ann_index(spark, src, idx) == 3
+    assert AI.refresh_ann_index(spark, src, idx) is None
+
+    rebuilt = str(tmp_path / "rebuilt")
+    AI.build_ann_index(spark, ing.read_merged_table(spark, src), rebuilt,
+                       cents)
+    got = {(r.cell, r.vec_id, tuple(r.embedding)) for r in
+           ing.read_merged_table(spark, f"{idx}/{AI.CELLS_DIR}").collect()}
+    want = {(r.cell, r.vec_id, tuple(r.embedding)) for r in
+            ing.read_merged_table(spark,
+                                  f"{rebuilt}/{AI.CELLS_DIR}").collect()}
+    assert got == want and len(got) > 0
+
+    with pytest.raises(ValueError, match="cannot continue"):
+        AI.refresh_ann_index(spark, src, rebuilt)  # build-owned
+    batch = rows.limit(1).select(
+        F.lit("insert").alias("op"), F.lit("").alias("changed_cols"),
+        "vec_id", "embedding",
+        F.lit(None).cast("array<float>").alias("embedding__old"))
+    with pytest.raises(ValueError, match="watermark"):
+        AI.ann_index_stream_sink(idx, cents)(batch, 99)  # src-owned
