@@ -1,6 +1,6 @@
-"""Measured ANN-index evidence: indexed query cost as the corpus
-grows 10x with the cell count scaled alongside (C ∝ n, the standard
-IVF sizing — per-cell bytes constant).
+"""Measured ANN-index evidence: indexed QUERY and REFRESH cost as the
+corpus grows 10x with the cell count scaled alongside (C ∝ n, the
+standard IVF sizing — per-cell bytes constant).
 
 `ann_topk_indexed` ranks probe cells driver-side (|Q|·C dots) and
 reads ONLY the probed cells' buckets, so the scoring scan is
@@ -34,6 +34,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    from engagement_data_pipeline_spark.streaming import ingest as ing
     from engagement_data_pipeline_spark.training import ann_index as AI
     from engagement_data_pipeline_spark.training import similarity as S
 
@@ -58,10 +59,30 @@ def main() -> None:
                    "cast(pmod(xxhash64(id, i), 1000) / 500.0 - 1.0 "
                    "as float))").alias("embedding"))
         cents = S.seed_centroids_ivf(emb, list(range(cells)))
-        idx = os.path.join(tempfile.mkdtemp(prefix="edp-ann-"), "ann")
+        root = tempfile.mkdtemp(prefix="edp-ann-")
+        idx = os.path.join(root, "ann")
+        # corpus as a merge table so the refresh path has a feed
+        src = os.path.join(root, "src")
+        # production sizing: bucket count grows with the corpus so
+        # per-bucket bytes stay constant — a fixed-size delta then
+        # touches a FIXED number of bucket-bytes however big the table
+        merge = ing.foreach_batch_upsert(src, ["vec_id"],
+                                         n_buckets=cells,
+                                         txn_app_id="fix",
+                                         mode="latest_wins")
+        srows = emb.select(F.col("vec_id").cast("string").alias("vec_id"),
+                           "embedding")
+        merge(srows, 1)
         t0 = time.perf_counter()
-        AI.build_ann_index(spark, emb, idx, cents, n_buckets=cells)
+        AI.build_ann_index_from_table(spark, src, idx, cents,
+                                      n_buckets=cells)
         build_s = time.perf_counter() - t0
+        # fixed-size change: 10 embeddings updated -> refresh
+        merge(srows.where(F.col("vec_id").cast("long") < 10)
+              .withColumn("embedding", F.reverse(F.col("embedding"))), 2)
+        t0 = time.perf_counter()
+        assert AI.refresh_ann_index(spark, src, idx) == 2
+        refresh_s = time.perf_counter() - t0
 
         qdf = (emb.where(F.col("vec_id").isin(QUERY_IDS))
                .select(F.col("vec_id").alias("query_id"),
@@ -78,19 +99,23 @@ def main() -> None:
         direct_s = time.perf_counter() - t0
 
         rows_out.append((factor, n, cells, round(build_s, 2),
+                         round(refresh_s, 2),
                          round(idx_s, 2), round(direct_s, 2)))
         print(f"x{factor}: n={n} cells={cells} build={build_s:.2f}s "
+              f"refresh={refresh_s:.2f}s "
               f"indexed_query={idx_s:.2f}s direct_query={direct_s:.2f}s",
               flush=True)
 
     with open(out_md, "a") as f:
-        f.write("\n## ANN indexed query cost vs corpus size (measured; "
-                "5 queries, k=10, n_probe=4, cells scaled with n)\n\n")
+        f.write("\n## ANN indexed query + refresh cost vs corpus size "
+                "(measured; 5 queries, k=10, n_probe=4, 10-row "
+                "refresh delta, buckets & cells scaled with n)\n\n")
         f.write("| factor | corpus_rows | cells | build_seconds | "
-                "indexed_query_seconds | direct_ivf_seconds |\n"
-                "|---|---|---|---|---|---|\n")
+                "refresh_seconds | indexed_query_seconds | "
+                "direct_ivf_seconds |\n"
+                "|---|---|---|---|---|---|---|\n")
         for r in rows_out:
-            f.write("| x{} | {} | {} | {} | {} | {} |\n".format(*r))
+            f.write("| x{} | {} | {} | {} | {} | {} | {} |\n".format(*r))
         f.write("\nReading: the indexed query stays flat across a 10x "
                 "corpus — probe cells are ranked driver-side against "
                 "the stored quantizer and the scan touches only the "
@@ -100,7 +125,13 @@ def main() -> None:
                 "(`cosine_topk_ivf`) re-assigns ALL n rows per call — "
                 "its cost grows with the corpus; the one-time build "
                 "pays that pass once and amortizes it over every "
-                "later query.\n")
+                "later query. The refresh (a fixed 10-row delta "
+                "through `refresh_ann_index`) touches constant DATA "
+                "(feed diff, old-cell snapshot read and index merge "
+                "are all O(touched buckets' bytes)); its residual "
+                "wall growth is driver-side plan/codegen of the "
+                "C*d-literal quantizer (C grows with n in this "
+                "stress; production IVF sizes C~sqrt(n)).\n")
     spark.stop()
 
 
