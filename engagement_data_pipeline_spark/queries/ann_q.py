@@ -137,9 +137,7 @@ ANN_TOPK_IVF_TRAINED_SQL = _ivf_from_fit_sql(C.KMEANS_ITERS)
 
 def _stream_index_fixture(spark: SparkSession, sf_dir: str) -> str:
     def _build(path: str) -> None:
-        import tempfile
-
-        from ..streaming.cdf_source import MergeTableChangesDataSource
+        from ..streaming.drain import drain_changes
 
         src = os.path.join(path, "src")
         emb = load(spark, sf_dir, "embeddings").select(
@@ -158,17 +156,9 @@ def _stream_index_fixture(spark: SparkSession, sf_dir: str) -> str:
             .select("vec_id"),
             strategy="dv")
         cents = S.seed_centroids_ivf(load(spark, sf_dir, "embeddings"))
-        spark.dataSource.register(MergeTableChangesDataSource)
-        q = (spark.readStream.format("merge_table_changes")
-             .option("path", src).option("includeOld", "true")
-             .option("maxCommitsPerTrigger", "1").load()
-             .writeStream.foreachBatch(
-                 AI.ann_index_stream_sink(os.path.join(path, "ann"), cents))
-             .option("checkpointLocation",
-                     tempfile.mkdtemp(prefix="edp-annq-ckpt-"))
-             .start())
-        q.processAllAvailable()
-        q.stop()
+        drain_changes(spark, src,
+                      AI.ann_index_stream_sink(os.path.join(path, "ann"),
+                                               cents))
 
     return fixture_dir("ann_stream_index", sf_dir, _build)
 

@@ -291,17 +291,14 @@ def doc_bm25_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt-from-scratch BM25. Table + index are one fixture; bench
     measures index SERVING."""
     import os
-    import tempfile
-    import time as _time
 
     from pyspark.sql import functions as F
 
-    from ..streaming.cdf_source import MergeTableChangesDataSource
+    from ..streaming.drain import drain_changes
     from ..streaming.ingest import delete_origins, foreach_batch_upsert
     from ._helpers import fixture_dir
 
     apply_runtime_conf(spark)
-    spark.dataSource.register(MergeTableChangesDataSource)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     k = F.col("doc_id")
 
@@ -319,23 +316,9 @@ def doc_bm25_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_origins(spark, table,
                        docs.where(k % 20 == 1).select("doc_id"),
                        strategy="dv")
-        q = (spark.readStream.format("merge_table_changes")
-             .option("path", table).option("includeOld", "true")
-             .option("maxCommitsPerTrigger", "1").load()
-             .writeStream.foreachBatch(
-                 R.text_index_stream_sink(idx, "text", "doc_id"))
-             .option("checkpointLocation",
-                     tempfile.mkdtemp(prefix="edp-bm25stream-"))
-             .start())
-        try:
-            deadline = _time.time() + 180
-            while _time.time() < deadline:
-                q.processAllAvailable()
-                if not q.status["isDataAvailable"]:
-                    break
-                _time.sleep(0.2)
-        finally:
-            q.stop()
+        drain_changes(spark, table,
+                      R.text_index_stream_sink(idx, "text", "doc_id"),
+                      timeout_s=180)
 
     base = fixture_dir("bm25_stream_index", sf_dir, _build)
     return R.bm25_topk_indexed(spark, os.path.join(base, "text"),

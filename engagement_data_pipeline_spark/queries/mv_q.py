@@ -49,14 +49,12 @@ flat, read O(#datasets) — with zero new machinery.
 from __future__ import annotations
 
 import os
-import tempfile
-import time as _time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..streaming import mv as MV
-from ..streaming.cdf_source import MergeTableChangesDataSource
+from ..streaming.drain import drain_changes
 from ..streaming.ingest import (delete_origins, foreach_batch_upsert,
                                 read_merged_table)
 from ..tables import load
@@ -68,24 +66,11 @@ A1_METRICS = {"n_messages": ("origin_id", "count")}
 def _stream_into(spark: SparkSession, table: str, sink) -> None:
     """Drain the table's full retract stream into a foreachBatch sink,
     one source commit per micro-batch (so updates and deletes arrive
-    as true retractions, not collapsed into the snapshot diff)."""
-    spark.dataSource.register(MergeTableChangesDataSource)
-    q = (spark.readStream.format("merge_table_changes")
-         .option("path", table).option("includeOld", "true")
-         .option("maxCommitsPerTrigger", "1").load()
-         .writeStream.foreachBatch(sink)
-         .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix="edp-mvq-ckpt-"))
-         .start())
-    try:
-        deadline = _time.time() + 120
-        while _time.time() < deadline:
-            q.processAllAvailable()
-            if not q.status["isDataAvailable"]:
-                break
-            _time.sleep(0.2)
-    finally:
-        q.stop()
+    as true retractions, not collapsed into the snapshot diff).
+    `drain_changes` is the engine's AvailableNow-semantics primitive:
+    offset-bounded at the head commit recorded on entry, loud on
+    timeout."""
+    drain_changes(spark, table, sink, timeout_s=120)
 
 
 def _a1_rows(spark: SparkSession, sf_dir: str, moved: bool) -> DataFrame:

@@ -340,13 +340,9 @@ def table_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     `TABLE_CHANGES_FEED_SQL` as its oracle. Offsets are commit ids;
     each batch diffs only changed buckets, executor-side via pyarrow,
     deletion vectors resolved."""
-    import tempfile
-    import time as _time
-
-    from ..streaming.cdf_source import MergeTableChangesDataSource
+    from ..streaming.drain import drain_changes
 
     apply_runtime_conf(spark)
-    spark.dataSource.register(MergeTableChangesDataSource)
     table = _cdf_fixture(spark, sf_dir)
     rows: list[tuple] = []
 
@@ -355,21 +351,9 @@ def table_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                      r.participant_uuid, r.text, r.received_on)
                     for r in df.collect())
 
-    q = (spark.readStream.format("merge_table_changes")
-         .option("path", table).option("startingCommit", "1").load()
-         .writeStream.foreachBatch(_sink)
-         .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix="edp-cdfsrc-"))
-         .start())
-    try:
-        deadline = _time.time() + 120
-        while _time.time() < deadline:
-            q.processAllAvailable()
-            if not q.status["isDataAvailable"]:
-                break
-            _time.sleep(0.2)
-    finally:
-        q.stop()
+    drain_changes(spark, table, _sink, include_old=False,
+                  max_commits_per_trigger=None,
+                  options={"startingCommit": "1"}, timeout_s=120)
     return spark.createDataFrame(
         rows, "origin_id string, op string, changed_cols string, "
               "participant_uuid string, text string, received_on string")
@@ -702,13 +686,9 @@ def table_changes_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying the pre-change array on updates and deletes. Labels are
     emitted as `scheme:code` comma-joins so the DuckDB oracle can
     state the same diff in SQL."""
-    import tempfile
-    import time as _time
-
-    from ..streaming.cdf_source import MergeTableChangesDataSource
+    from ..streaming.drain import drain_changes
 
     apply_runtime_conf(spark)
-    spark.dataSource.register(MergeTableChangesDataSource)
     table = _nested_cdf_fixture(spark, sf_dir)
 
     def _s(labels) -> str | None:
@@ -723,22 +703,8 @@ def table_changes_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                      _s(r.labels), _s(r.labels__old))
                     for r in df.collect())
 
-    q = (spark.readStream.format("merge_table_changes")
-         .option("path", table).option("startingCommit", "1")
-         .option("includeOld", "true").load()
-         .writeStream.foreachBatch(_sink)
-         .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix="edp-cdfnest-"))
-         .start())
-    try:
-        deadline = _time.time() + 120
-        while _time.time() < deadline:
-            q.processAllAvailable()
-            if not q.status["isDataAvailable"]:
-                break
-            _time.sleep(0.2)
-    finally:
-        q.stop()
+    drain_changes(spark, table, _sink, max_commits_per_trigger=None,
+                  options={"startingCommit": "1"}, timeout_s=120)
     return spark.createDataFrame(
         rows, "origin_id string, op string, changed_cols string, "
               "n long, labels string, labels_old string")
@@ -831,38 +797,20 @@ def table_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fixture (same pattern as `table_mv_refresh`): the
     measured work is reading the maintained index; the per-batch
     streaming cost is carried honestly by `table_changes_stream`."""
-    import tempfile
-    import time as _time
-
-    from ..streaming.cdf_source import MergeTableChangesDataSource
+    from ..streaming.drain import drain_changes
     from ..streaming.ingest import read_merged_table
     from ..streaming.secondary import index_stream_sink
     from ._helpers import fixture_dir
 
     apply_runtime_conf(spark)
-    spark.dataSource.register(MergeTableChangesDataSource)
     table = _index_src_fixture(spark, sf_dir)
 
     def _build(path: str) -> None:
         idx = os.path.join(path, "idx")
-        q = (spark.readStream.format("merge_table_changes")
-             .option("path", table).option("includeOld", "true")
-             .option("maxCommitsPerTrigger", "1").load()
-             .writeStream.foreachBatch(
-                 index_stream_sink(idx, "participant_uuid",
-                                   ["origin_id"], n_buckets=8))
-             .option("checkpointLocation",
-                     tempfile.mkdtemp(prefix="edp-idxstream-ckpt-"))
-             .start())
-        try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                q.processAllAvailable()
-                if not q.status["isDataAvailable"]:
-                    break
-                _time.sleep(0.2)
-        finally:
-            q.stop()
+        drain_changes(spark, table,
+                      index_stream_sink(idx, "participant_uuid",
+                                        ["origin_id"], n_buckets=8),
+                      timeout_s=120)
 
     idx = os.path.join(fixture_dir("index_stream_idx", sf_dir, _build),
                        "idx")

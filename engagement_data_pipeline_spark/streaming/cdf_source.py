@@ -25,10 +25,12 @@ recursive vectorized kernel — struct = AND of fields, list =
 length-equal AND cumsum-reduced flattened-children-equal — so no
 per-row Python touches the hot path for any type the engine streams.
 Map columns take the vectorized list path too (the flattened
-key/value struct children), which makes map equality POSITIONAL —
-key-order-sensitive, matching the object fallback's tuple
-representation; only types with no Arrow kernel fall back to a
-normalized object compare. Output batches are `pyarrow.RecordBatch`es built against
+key/value struct children) after CANONICALIZING entry order — both
+diff paths stable-sort each map's entries by key (one `np.lexsort`
+over (row, key) for the whole batch, no per-row Python), so two
+writers that emit the same map with different key order do not
+manufacture spurious update rows; only types with no Arrow kernel
+fall back to a normalized object compare. Output batches are `pyarrow.RecordBatch`es built against
 the exact Arrow schema Spark expects, payload buffers taken (never
 materialized as Python objects) from the source tables.
 O(changed buckets) per batch, embarrassingly parallel, no shuffle.
@@ -360,12 +362,14 @@ def _content_eq(a, b):
         return out
     if pa.types.is_map(t):
         # pc.list_value_length has no map kernel (pyarrow 16), so view
-        # the map as its physical list<struct<key,value>> and recurse:
-        # same positional (key-order-sensitive) equality as the object
-        # fallback's tuple representation.
+        # the map as its physical list<struct<key,value>> and recurse —
+        # after sorting each row's entries by key, so semantically
+        # equal maps written with different key order compare EQUAL
+        # (matching the object fallback, which sorts too).
         ls = pa.list_(pa.struct([("key", t.key_type),
                                  ("value", t.item_type)]))
-        return _content_eq(a.cast(ls), b.cast(ls))
+        return _content_eq(_canon_map_entries(a, ls),
+                           _canon_map_entries(b, ls))
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         la = pc.list_value_length(a).fill_null(-1).to_numpy(
             zero_copy_only=False).astype(np.int64)
@@ -388,6 +392,42 @@ def _content_eq(a, b):
     # decimal): NULLs in the result are masked by the caller
     return pc.equal(a, b).fill_null(False).to_numpy(
         zero_copy_only=False)
+
+
+def _canon_map_entries(m, ls):
+    """View a map array as list<struct<key,value>> with each row's
+    entries STABLE-SORTED by key, vectorized: one `np.lexsort` over
+    (parent row, key) for the whole batch, then a single `take` and a
+    rebuild against fresh offsets — no per-row Python. Duplicate keys
+    keep their input order (both lexsort and the object fallback's
+    `list.sort` are stable, so the two diff paths agree). Keys numpy
+    cannot order (nested key types — not produced by this engine)
+    keep the positional view."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lst = m.cast(ls)
+    lengths = pc.list_value_length(lst).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if not lengths.sum():
+        return lst
+    parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lst)
+    try:
+        keys = flat.field(0).to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, parent))
+    except (TypeError, ValueError, pa.lib.ArrowInvalid):
+        return lst
+    if (order == np.arange(len(order))).all():
+        return lst
+    values = flat.take(pa.array(order, type=pa.int64()))
+    offsets = pa.array(np.concatenate(([0], np.cumsum(lengths))),
+                       type=pa.int32())
+    # null map rows become empty lists here; the caller (_arrow_eq)
+    # masks rows where either ORIGINAL side is null, so validity of
+    # the canonical view never reaches the result.
+    return pa.ListArray.from_arrays(offsets, values)
 
 
 def _arrow_eq(a, b):
@@ -419,14 +459,23 @@ def _arrow_eq(a, b):
 def _norm(v):
     """Normalize a payload value for cross-row equality: ndarray →
     list (pyarrow's to_pandas shape for array columns), NaN/NaT →
-    None, recursively through lists and structs-as-dicts."""
+    None, recursively through lists and structs-as-dicts. Map cells
+    (pyarrow renders them as lists of (key, value) TUPLES — the only
+    tuples its to_pandas produces) are stable-sorted by key, the same
+    canonical order `_canon_map_entries` gives the Arrow kernel."""
     import numpy as np
     import pandas as pd
 
     if isinstance(v, np.ndarray):
-        return [_norm(x) for x in v.tolist()]
+        v = v.tolist()
     if isinstance(v, (list, tuple)):
-        return [_norm(x) for x in v]
+        out = [_norm(x) for x in v]
+        if out and all(isinstance(x, tuple) and len(x) == 2 for x in v):
+            try:
+                out.sort(key=lambda kv: kv[0])
+            except TypeError:
+                pass
+        return out
     if isinstance(v, dict):
         return {k: _norm(x) for k, x in v.items()}
     try:

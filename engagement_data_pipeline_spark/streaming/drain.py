@@ -1,0 +1,128 @@
+"""Bounded catch-up drain of a merge table's change feed — the
+engine's `Trigger.AvailableNow` equivalent.
+
+Spark's AvailableNow trigger needs the source to implement
+`SupportsTriggerAvailableNow`; `PythonMicroBatchStream` (the wrapper
+around every Python `DataSourceStreamReader`, our change feed
+included) does not, and Spark then *falls back to single-batch
+execution* — the stream logs a warning, processes ONE micro-batch and
+terminates, which both collapses the per-commit retraction sequence
+(`maxCommitsPerTrigger` is ignored by the fallback's stop decision)
+and can stop before the head when the source rate-limits its
+`latestOffset`. Verified against Spark 4.1: a 5-commit table drained
+with `trigger(availableNow=True)` processed commit 1 and stopped.
+
+So the bounded drain is driven from the driver with the SAME contract
+AvailableNow gives JVM sources: record the table's head commit before
+starting, process everything up to it (one source commit per
+micro-batch by default, so updates and deletes arrive as true
+retract+add pairs), then stop. Commits racing in after the head are
+left for the next drain — exactly AvailableNow's "data available at
+query start" semantics. Termination is decided by OFFSET ARITHMETIC
+(the last completed batch's endOffset vs the recorded head), not by
+polling `status["isDataAvailable"]` — the status flag is a UI hint
+updated asynchronously, while the committed offset is the engine's
+own progress record; the flag remains only as a fast-path exit for
+an already-caught-up checkpoint where no batch runs at all.
+
+Reference analog: the reference's incremental fetch loop pulls
+Firestore docs updated since the last run token and stops at "now"
+(SURVEY §2.1 S2, §2.12); `drain_changes` is that run-to-now loop over
+the table's own commit log.
+"""
+
+from __future__ import annotations
+
+import ast
+import tempfile
+import time
+from typing import Callable, Mapping
+
+from pyspark.sql import SparkSession
+
+from .cdf_source import MergeTableChangesDataSource, _latest_commit
+
+
+def _committed_commit(query) -> int | None:
+    """The source commit id the last COMPLETED micro-batch ended at,
+    from StreamingQueryProgress (None before any batch completes).
+    The endOffset is the repr of the offset dict the reader returned
+    (pyspark renders Python-source offsets with repr, not json —
+    single quotes), hence literal_eval."""
+    progress = query.lastProgress
+    if not progress:
+        return None
+    try:
+        off = progress["sources"][0]["endOffset"]
+        if isinstance(off, str):
+            off = ast.literal_eval(off)
+        return int(off["commit"])
+    except (KeyError, IndexError, TypeError, ValueError, SyntaxError):
+        return None
+
+
+def drain_changes(spark: SparkSession, table_path: str,
+                  sink: Callable, *, include_old: bool = True,
+                  max_commits_per_trigger: int | None = 1,
+                  checkpoint: str | None = None,
+                  options: Mapping[str, str] | None = None,
+                  timeout_s: float = 300.0) -> int:
+    """Run `table_path`'s change feed into a foreachBatch `sink`
+    until every commit that existed WHEN THIS CALL STARTED has been
+    processed, then stop the stream. Returns the head commit drained
+    to (0 for an empty table).
+
+    - `include_old=True` ships `<col>__old` pre-images so retract
+      sinks (MV maintenance, index sinks) can subtract exactly.
+    - `max_commits_per_trigger=1` (default) delivers one source
+      commit per micro-batch — updates and deletes arrive as true
+      retractions instead of being collapsed into a snapshot diff.
+      Pass None to let the source batch freely (pure-insert feeds).
+    - `checkpoint`: pass a stable directory for restart-safe
+      incremental consumers (each drain resumes after the last one);
+      default is a fresh temp dir = "from the beginning, once".
+    - `options`: extra reader options (e.g. `startingCommit`,
+      `retentionFloorName`, `columns`).
+
+    Raises TimeoutError (after stopping the stream) if the head is
+    not reached within `timeout_s` — loud, never a silent partial
+    drain. The sink sees each batch exactly once per checkpoint
+    (engine-checkpointed offsets; immutable version dirs make replays
+    after a crash byte-identical)."""
+    head = _latest_commit(table_path)
+    if head is None:
+        return 0
+    spark.dataSource.register(MergeTableChangesDataSource)
+    reader = (spark.readStream.format("merge_table_changes")
+              .option("path", table_path)
+              .option("includeOld", "true" if include_old else "false"))
+    if max_commits_per_trigger is not None:
+        reader = reader.option("maxCommitsPerTrigger",
+                               str(max_commits_per_trigger))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, str(v))
+    query = (reader.load()
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation",
+                     checkpoint
+                     or tempfile.mkdtemp(prefix="edp-drain-ckpt-"))
+             .start())
+    try:
+        deadline = time.time() + timeout_s
+        while True:
+            query.processAllAvailable()
+            done = _committed_commit(query)
+            if done is not None and done >= head:
+                break
+            if done is None and not query.status["isDataAvailable"]:
+                # caught-up checkpoint: nothing to replay, no batch
+                # ran, so there is no progress record to compare
+                break
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"drain of {table_path} reached commit {done} "
+                    f"but not head {head} within {timeout_s}s")
+            time.sleep(0.05)
+    finally:
+        query.stop()
+    return head

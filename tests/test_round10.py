@@ -182,7 +182,7 @@ def test_top_k_incremental_noop_when_caught_up(spark, tmp_path):
                              k=2).count() == 0
 
 
-# --- map equality: positional in BOTH diff paths --------------------------
+# --- map equality: canonical (key-order-insensitive) in BOTH paths --------
 
 MAP_T = pa.map_(pa.string(), pa.int64())
 
@@ -203,9 +203,11 @@ def _assert_kernel_matches(pairs, typ):
 @settings(max_examples=60, deadline=None)
 @given(st.lists(st.tuples(_map, _map), max_size=12))
 def test_arrow_eq_matches_object_compare_maps(pairs):
-    """Map columns route through the vectorized list branch; equality
-    is POSITIONAL (key-order-sensitive) in both the Arrow kernel and
-    the object fallback — pin that they agree on every input."""
+    """Map columns route through the vectorized list branch after a
+    stable key-sort; equality is CANONICAL (key-order-insensitive) in
+    both the Arrow kernel and the object fallback — pin that they
+    agree on every input, duplicate keys included (both sorts are
+    stable, so dup-key entries keep input order in both paths)."""
     _assert_kernel_matches(pairs, MAP_T)
 
 
@@ -281,14 +283,20 @@ def test_vacuum_no_ttl_keeps_stale_floors(spark, tmp_path):
     assert ing.read_retention_floors(spark, path) == {"s": 2}
 
 
-def test_map_equality_is_positional_in_both_paths():
-    """{a:1, b:2} vs the same entries reordered: intended semantics
-    are positional (a false 'changed' only emits a benign re-merge
-    for this engine's stable writers) — both paths must agree it is
-    NOT equal, and agree reflexively that identical order IS."""
-    a = pa.array([[("a", 1), ("b", 2)], [("a", 1), ("b", 2)]],
+def test_map_equality_is_canonical_in_both_paths():
+    """{a:1, b:2} vs the same entries reordered is semantically the
+    SAME map: a writer that does not preserve key order must not
+    manufacture a change row (round-11 advisory). Both paths sort
+    entries by key before comparing, so reordered-equal maps compare
+    equal, genuinely different maps (changed value, extra key) do
+    not, and null-vs-empty stays unequal."""
+    a = pa.array([[("a", 1), ("b", 2)], [("a", 1), ("b", 2)],
+                  [("a", 1), ("b", 2)], [("a", 1)], None],
                  type=MAP_T)
-    b = pa.array([[("b", 2), ("a", 1)], [("a", 1), ("b", 2)]],
+    b = pa.array([[("b", 2), ("a", 1)], [("a", 1), ("b", 2)],
+                  [("b", 3), ("a", 1)], [("a", 1), ("b", 2)], []],
                  type=MAP_T)
-    assert list(cdf._arrow_eq(a, b)) == [False, True]
-    assert list(cdf._neq(a.to_pandas(), b.to_pandas())) == [True, False]
+    want = [True, True, False, False, False]
+    assert list(cdf._arrow_eq(a, b)) == want
+    assert list(cdf._neq(a.to_pandas(), b.to_pandas())) == \
+        [not x for x in want]
