@@ -306,6 +306,11 @@ _EVENTS_MEMBERS = {
         mv_q.ws_move_feed_mv, mv_q.WS_MOVE_FEED_MV_SQL,
         [("dataset", "string"), ("chain", "string"),
          ("n_messages", "bigint"), ("n_messages_mv", "bigint")]),
+    "maintenance_fanout": (
+        mv_q.maintenance_fanout, mv_q.MAINTENANCE_FANOUT_SQL,
+        [("dataset", "string"), ("n_messages", "bigint"),
+         ("n_participants", "bigint"), ("n_slot_rows", "bigint"),
+         ("n_slots", "bigint"), ("n_postings", "bigint")]),
     "a6_incremental": (
         mv_q.a6_incremental, mv_q.A6_INCREMENTAL_SQL,
         [("dataset", "string"), ("scheme", "string"),

@@ -1436,3 +1436,97 @@ SELECT 'rqa_s01e0' || CAST(dfin + 1 AS VARCHAR) AS dataset, chain,
          PARTITION BY dfin) AS BIGINT) AS n_messages_mv
 FROM fin GROUP BY dfin, chain
 """
+
+
+# --- fan-out maintenance: one feed scan, K maintained artifacts -------------
+
+def _fanout_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Messages table (3 commits: insert, WS-move update, dv delete)
+    whose THREE derived artifacts — the A1 witness MV, a
+    (dataset, slot) rollup MV, and a dataset→origin secondary index —
+    are all maintained by ONE `drain_changes` call through
+    `fan_out`: each commit's bucket diff is computed once and feeds
+    every sink, instead of K streams re-scanning the same feed."""
+    from ..streaming.drain import drain_changes, fan_out
+    from ..streaming.secondary import index_stream_sink
+
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        merge = foreach_batch_upsert(table, ["origin_id"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(_a1_rows(spark, sf_dir, False)
+              .where(F.col("slot").isin([0, 1, 2])).drop("s8"), 1)
+        merge(_a1_rows(spark, sf_dir, True).where(F.col("slot") == 1)
+              .drop("s8"), 2)
+        dead = (_a1_rows(spark, sf_dir, False)
+                .where((F.col("slot") == 2) & (F.col("s8") == 2))
+                .select("origin_id"))
+        delete_origins(spark, table, dead, strategy="dv")
+        drain_changes(spark, table, fan_out(
+            MV.mv_stream_sink(os.path.join(path, "wit"),
+                              ["dataset", "participant_uuid"],
+                              A1_METRICS),
+            MV.mv_stream_sink(os.path.join(path, "slots"),
+                              ["dataset", "slot"],
+                              {"n_rows": ("origin_id", "count")}),
+            index_stream_sink(os.path.join(path, "idx"), "dataset",
+                              ["origin_id"], n_buckets=4)))
+
+    return fixture_dir("maintenance_fanout", sf_dir, _build)
+
+
+def maintenance_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's maintenance story composed: a single change-feed
+    drain (`fan_out`, one scan + Arrow diff per commit) maintained
+    three artifacts of three different shapes across an insert /
+    WS-move / dv-delete history — a two-level witness MV (A1's
+    COUNT(DISTINCT) decomposition), a flat rollup MV, and a secondary
+    index whose postings retract via `dataset__old`. All three are
+    read back per dataset in O(state) and joined; the oracle
+    recomputes every column from the final logical table state, so
+    one green hash proves all K fan-out consumers converged exactly
+    (reference analog: run_pipeline.sh re-derives each artifact from
+    scratch per run, SURVEY §3.1)."""
+    apply_runtime_conf(spark)
+    base = _fanout_fixture(spark, sf_dir)
+    wit = (MV.read_mv_distinct(spark, os.path.join(base, "wit"),
+                               ["dataset"], A1_METRICS,
+                               distinct_name="n_participants")
+           .select("dataset",
+                   F.col("n_messages").cast("long").alias("n_messages"),
+                   "n_participants"))
+    slots = (MV.read_mv(spark, os.path.join(base, "slots"),
+                        {"n_rows": ("origin_id", "count")})
+             .groupBy("dataset")
+             .agg(F.sum("n_rows").cast("long").alias("n_slot_rows"),
+                  F.countDistinct("slot").alias("n_slots")))
+    idx = (read_merged_table(spark, os.path.join(base, "idx"))
+           .groupBy("dataset")
+           .agg(F.count(F.lit(1)).alias("n_postings")))
+    return wit.join(slots, "dataset").join(idx, "dataset")
+
+
+MAINTENANCE_FANOUT_SQL = """
+WITH ev AS (
+  SELECT event_id AS e, event_id % 4 AS slot, event_id % 8 AS s8,
+         user_id % 50 AS uid
+  FROM events WHERE event_id % 16 < 8
+),
+live AS (
+  SELECT 'rqa_s01e0' || CAST(1 + CASE WHEN slot = 1 AND s8 = 5
+                                 THEN (e % 3 + 1) % 3
+                                 ELSE e % 3 END AS VARCHAR) AS dataset,
+         'p' || CAST(uid AS VARCHAR) AS participant_uuid, slot
+  FROM ev
+  WHERE slot IN (0, 1, 2) AND NOT (slot = 2 AND s8 = 2)
+)
+SELECT dataset,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(COUNT(DISTINCT participant_uuid) AS BIGINT)
+         AS n_participants,
+       CAST(COUNT(*) AS BIGINT) AS n_slot_rows,
+       CAST(COUNT(DISTINCT slot) AS BIGINT) AS n_slots,
+       CAST(COUNT(*) AS BIGINT) AS n_postings
+FROM live GROUP BY dataset
+"""

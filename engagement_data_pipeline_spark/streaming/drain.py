@@ -38,7 +38,7 @@ import tempfile
 import time
 from typing import Callable, Mapping
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from .cdf_source import MergeTableChangesDataSource, _latest_commit
 
@@ -59,6 +59,40 @@ def _committed_commit(query) -> int | None:
         return int(off["commit"])
     except (KeyError, IndexError, TypeError, ValueError, SyntaxError):
         return None
+
+
+def fan_out(*sinks: Callable) -> Callable:
+    """Compose K exactly-once foreachBatch sinks into ONE, so a
+    single drain (or long-running stream) maintains K artifacts —
+    MVs, secondary indexes, text/ANN indexes — from ONE scan of the
+    change feed. Without this, K consumers mean K streams over the
+    same table: every commit's bucket diff is recomputed K times
+    (read amplification ∝ K, the dominant maintenance cost at 100 TB
+    once several MVs hang off one fact table).
+
+    The batch is persisted and materialized ONCE before the sinks
+    run — inside foreachBatch each action re-executes the source
+    plan, so without the persist every sink would re-run the
+    Python-source scan + Arrow diff.
+
+    Exactly-once survives a crash BETWEEN sinks: each sink keeps its
+    own txn watermark (MV: stream-batch id, index: batch id), so when
+    the stream dies after sink i applied batch B and the checkpoint
+    has no commit for B, the replayed batch is byte-identical
+    (immutable version dirs) — sinks ≤ i no-op on their watermark,
+    sinks > i apply. Order sinks stably across restarts; adding a
+    sink mid-stream is fine (it bootstraps from its first batch only
+    if its artifact is empty — point new sinks at a fresh drain from
+    startingCommit=0 instead)."""
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            batch.count()
+            for sink in sinks:
+                sink(batch, batch_id)
+        finally:
+            batch.unpersist()
+    return _apply
 
 
 def drain_changes(spark: SparkSession, table_path: str,
@@ -111,6 +145,11 @@ def drain_changes(spark: SparkSession, table_path: str,
         deadline = time.time() + timeout_s
         while True:
             query.processAllAvailable()
+            if not query.isActive and query.exception() is not None:
+                # a sink raise kills the stream; processAllAvailable
+                # just returns — surface the real failure, not a
+                # drain timeout
+                raise query.exception()
             done = _committed_commit(query)
             if done is not None and done >= head:
                 break

@@ -149,6 +149,9 @@ def index_stream_sink(index_path: str, col: str, origin: list[str],
             index_stream_sink(idx_path, "participant_uuid",
                               ["origin_id"])).start()
 
+    Bounded catch-up: `drain.drain_changes`; several artifacts from
+    one feed scan: `drain.fan_out` (exactly-once per sink).
+
     Replay safety: the whole batch (remove phase + add phase) is
     guarded by the index's txn watermark — a foreachBatch crash-replay
     of an already-applied batch is a complete no-op, so the remove

@@ -127,3 +127,52 @@ def test_drain_timeout_is_loud(spark, tmp_path, monkeypatch):
     with pytest.raises(TimeoutError, match="commit 1 but not head 99"):
         drain_changes(spark, path, lambda df, eid: df.count(),
                       timeout_s=3)
+
+
+def test_fan_out_crash_between_sinks_replays_convergently(spark, tmp_path):
+    """fan_out's exactly-once contract: the stream dies AFTER sink 1
+    applied batch 1 but BEFORE sink 2 did. The drain surfaces the
+    sink's error (not a timeout), and the restarted drain replays the
+    uncommitted batch: sink 1 no-ops on its own watermark, sink 2
+    applies — both MVs converge to the true counts, nothing
+    double-applied."""
+    from engagement_data_pipeline_spark.streaming import mv as MV
+    from engagement_data_pipeline_spark.streaming.drain import fan_out
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    mv1 = str(tmp_path / "mv1")
+    mv2 = str(tmp_path / "mv2")
+    merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    rows = "origin string, grp string"
+    merge(spark.createDataFrame([("a", "g1"), ("b", "g1"),
+                                 ("c", "g2")], rows), 1)
+    merge(spark.createDataFrame([("d", "g2")], rows), 2)
+
+    metrics = {"n": ("origin", "count")}
+    sink1 = MV.mv_stream_sink(mv1, ["grp"], metrics)
+    sink2 = MV.mv_stream_sink(mv2, ["grp"], metrics)
+    armed = {"on": True}
+
+    def exploding(batch, batch_id):
+        if armed["on"] and batch_id == 1:
+            raise RuntimeError("boom between sinks")
+        sink2(batch, batch_id)
+
+    with pytest.raises(Exception, match="boom between sinks"):
+        drain_changes(spark, path, fan_out(sink1, exploding),
+                      checkpoint=ckpt, timeout_s=60)
+
+    armed["on"] = False
+    assert drain_changes(spark, path, fan_out(sink1, exploding),
+                         checkpoint=ckpt, timeout_s=60) == 2
+
+    want = {("g1", 2), ("g2", 2)}
+    got1 = {(r.grp, r.n) for r in
+            MV.read_mv(spark, mv1, metrics).collect()}
+    got2 = {(r.grp, r.n) for r in
+            MV.read_mv(spark, mv2, metrics).collect()}
+    assert got1 == want
+    assert got2 == want

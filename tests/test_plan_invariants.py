@@ -91,6 +91,10 @@ CASES = {
     "a1_mv_cascade_labels": (5, False),
     # WS-move MV read joined against the (dataset, chain) recompute
     "ws_move_feed_mv": (2, False),
+    # fan-out read: three maintained states (witness MV, slot MV,
+    # secondary index) each rolled up per dataset (3 exchanges) +
+    # one join exchange — never a source-table scan
+    "maintenance_fanout": (4, False),
     # maintained G1/G2 views: dv-resolved table reads — broadcast
     # anti-join only, zero shuffles
     "participants_view_sync": (0, False),

@@ -110,6 +110,7 @@ HEADLINE = [
     "messages_view_sync",       # maintained G2 view table: full-state read
     "a1_mv_cascade_labels",     # cascade w/ exists(labels) stop detection
     "ws_move_feed_mv",          # WS-move retract+add + previous_datasets
+    "maintenance_fanout",       # one drain, 3 sinks: per-dataset rollups
 ]
 
 
