@@ -301,8 +301,31 @@ def build_participants_view(spark, table_path: str, view_path: str,
     merge(view, int(man["commit"]))
 
 
+def _resolve_slice(spark, table_path: str, applied: int,
+                   shared_slice) -> tuple:
+    """The (live, touched) pair a view refresh folds from — computed
+    here, or taken from `shared_slice` when the caller (refresh_views)
+    already derived it for a sibling view at the SAME watermark. A
+    shared slice carries the from-commit it was derived at and is
+    refused loudly on a window mismatch: folding another window's
+    slice would silently skip or double-fold rows."""
+    from ..operators.topk import touched_group_slice
+
+    if shared_slice is None:
+        return touched_group_slice(spark, table_path, applied,
+                                   ["participant_uuid"])
+    live, touched, from_commit = shared_slice
+    if from_commit != applied:
+        raise ValueError(
+            f"shared slice was derived at source commit {from_commit} "
+            f"but this view's watermark is {applied} — refresh "
+            "independently or re-derive the slice")
+    return live, touched
+
+
 def refresh_participants_view(spark, table_path: str, view_path: str,
-                              config: AnalysisConfig) -> int | None:
+                              config: AnalysisConfig,
+                              shared_slice=None) -> int | None:
     """Fold the source's change feed since the last refresh into the
     MATERIALIZED G1 view: exact re-fold of the touched participants
     (O(touched buckets + changed rows)), upsert their fresh rows,
@@ -311,8 +334,8 @@ def refresh_participants_view(spark, table_path: str, view_path: str,
     commit now reflected (None = already current). Crash-replay safe
     the same way `refresh_value_index` is: deletes of absent keys are
     no-ops and the merge's txn watermark skips an already-applied
-    refresh."""
-    from ..operators.topk import touched_group_slice
+    refresh. `shared_slice` (from `refresh_views`) reuses one feed
+    diff across sibling views at the same watermark."""
     from ..streaming.ingest import (delete_origins, foreach_batch_upsert,
                                     maybe_compact, read_table_manifest)
 
@@ -328,8 +351,8 @@ def refresh_participants_view(spark, table_path: str, view_path: str,
     current = int(src_man["commit"])
     if current <= applied:
         return None
-    live, touched = touched_group_slice(spark, table_path, applied,
-                                        ["participant_uuid"])
+    live, touched = _resolve_slice(spark, table_path, applied,
+                                   shared_slice)
     # materialize the fold once: gone's anti-join, delete and merge
     # would otherwise each re-run the feed-diff + re-fold DAG
     fresh = participants_by_column(live, config).localCheckpoint()
@@ -375,15 +398,18 @@ def build_messages_view(spark, table_path: str, view_path: str,
 
 
 def refresh_messages_view(spark, table_path: str, view_path: str,
-                          config: AnalysisConfig) -> int | None:
+                          config: AnalysisConfig,
+                          shared_slice=None) -> int | None:
     """Fold the source's change feed into the MATERIALIZED G2 view:
     message-grain state, PARTICIPANT-grain refresh (a demog or
     consent change rewrites every message row of its sender) — fresh
     rows upserted by message_id, stale rows (deleted messages, or
     messages whose participant no longer clears F7) dv-deleted. The
     stale sweep reads only the touched participants' VIEW buckets
-    (the view is clustered on participant_uuid)."""
-    from ..operators.topk import group_rows_slice, touched_group_slice
+    (the view is clustered on participant_uuid). `shared_slice`
+    (from `refresh_views`) reuses one feed diff across sibling views
+    at the same watermark."""
+    from ..operators.topk import group_rows_slice
     from ..streaming.ingest import (delete_origins, foreach_batch_upsert,
                                     maybe_compact, read_table_manifest)
 
@@ -399,8 +425,8 @@ def refresh_messages_view(spark, table_path: str, view_path: str,
     current = int(src_man["commit"])
     if current <= applied:
         return None
-    live, touched = touched_group_slice(spark, table_path, applied,
-                                        ["participant_uuid"])
+    live, touched = _resolve_slice(spark, table_path, applied,
+                                   shared_slice)
     # materialize the fold once: the stale sweep, delete and merge
     # would otherwise each re-run the feed-diff + re-fold DAG
     fresh = messages_by_column(live, config).localCheckpoint()
@@ -416,3 +442,52 @@ def refresh_messages_view(spark, table_path: str, view_path: str,
     merge(fresh, current)
     maybe_compact(spark, view_path)
     return current
+
+
+def refresh_views(spark, table_path: str, pview_path: str,
+                  mview_path: str, config: AnalysisConfig
+                  ) -> dict[str, int | None]:
+    """Advance BOTH maintained column views (G1 + G2) with ONE feed
+    diff + touched-set derivation — the pull-side analog of
+    `streaming.drain.fan_out`: co-maintained views sit at the same
+    source watermark after every sync, so deriving
+    `touched_group_slice` once and folding both views from it halves
+    the per-sync feed work (the diff, the pre-change snapshot join
+    and the touched-set checkpoint; the folds themselves are
+    view-specific and cannot be shared). When the watermarks DIVERGE
+    (one view was built later, or a previous run died between the
+    two refreshes), each view refreshes independently over its own
+    window — the shared slice is only ever used where it is exactly
+    both views' window, enforced again inside `_resolve_slice`.
+
+    Returns {"participants": commit|None, "messages": commit|None}
+    (None = that view was already current)."""
+    from ..operators.topk import touched_group_slice
+    from ..streaming.ingest import read_table_manifest
+
+    src_man = read_table_manifest(spark, table_path)
+    p_man = read_table_manifest(spark, pview_path)
+    m_man = read_table_manifest(spark, mview_path)
+    if src_man is None or p_man is None or m_man is None:
+        raise ValueError("source and both views must exist")
+    current = int(src_man["commit"])
+    try:
+        applied_p = int(p_man["txn"][_PVIEW_TXN])
+        applied_m = int(m_man["txn"][_MVIEW_TXN])
+    except KeyError as e:
+        raise ValueError(
+            f"view missing its maintainer watermark: {e}") from e
+    shared = None
+    if applied_p == applied_m and current > applied_p:
+        live, touched = touched_group_slice(spark, table_path,
+                                            applied_p,
+                                            ["participant_uuid"])
+        shared = (live, touched, applied_p)
+    return {
+        "participants": refresh_participants_view(
+            spark, table_path, pview_path, config,
+            shared_slice=shared),
+        "messages": refresh_messages_view(
+            spark, table_path, mview_path, config,
+            shared_slice=shared),
+    }

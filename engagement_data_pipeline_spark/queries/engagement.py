@@ -696,9 +696,7 @@ def _views_sync_fixture(spark: SparkSession, sf_dir: str) -> str:
     refreshed after every subsequent commit — both view states cross
     the whole recode/WS-move/delete history incrementally."""
     from ..labels.views import (build_messages_view,
-                                build_participants_view,
-                                refresh_messages_view,
-                                refresh_participants_view)
+                                build_participants_view, refresh_views)
     from ._helpers import fixture_dir
 
     def _build(path: str) -> None:
@@ -715,8 +713,10 @@ def _views_sync_fixture(spark: SparkSession, sf_dir: str) -> str:
                 build_messages_view(spark, table, mview, CONFIG,
                                     n_buckets=4)
             else:
-                refresh_participants_view(spark, table, pview, CONFIG)
-                refresh_messages_view(spark, table, mview, CONFIG)
+                # co-maintained views advance through the composed
+                # refresher: ONE feed diff + touched set feeds both
+                # folds (the shared slice the sync_* oracles certify)
+                refresh_views(spark, table, pview, mview, CONFIG)
 
         _views_history(spark, sf_dir, table, on_commit=_sync)
 

@@ -496,3 +496,166 @@ def test_refresh_ann_index_matches_rebuild(spark, tmp_path):
         F.lit(None).cast("array<float>").alias("embedding__old"))
     with pytest.raises(ValueError, match="watermark"):
         AI.ann_index_stream_sink(idx, cents)(batch, 99)  # src-owned
+
+
+# --- refresh_views: one feed diff feeds both maintained views -------------
+
+def _recode_m1(imp):
+    return (imp.where("message_id = 'm1_rqa'")
+            .withColumn("labels", F.expr(
+                "transform(labels, l -> CASE WHEN l.scheme_id = "
+                "'s01e01_theme_scheme' THEN named_struct("
+                "'scheme_id', l.scheme_id, 'code_id', 'code_recoded', "
+                "'date_time_utc', l.date_time_utc, 'checked', l.checked,"
+                " 'origin_id', l.origin_id) ELSE l END)")))
+
+
+def _views_equal_batch(spark, table, pview, mview):
+    from engagement_data_pipeline_spark.labels.config import (
+        SYNTHETIC_CONFIG)
+    from engagement_data_pipeline_spark.labels.views import (
+        messages_by_column, participants_by_column)
+
+    src = ing.read_merged_table(spark, table)
+    for view_path, fold, key in (
+            (pview, participants_by_column, "participant_uuid"),
+            (mview, messages_by_column, "message_id")):
+        got = {r[key]: r.asDict() for r in
+               ing.read_merged_table(spark, view_path).collect()}
+        want = {r[key]: r.asDict() for r in
+                fold(src, SYNTHETIC_CONFIG).collect()}
+        assert got == want, view_path
+
+
+def test_refresh_views_shared_slice_matches_independent(spark, tmp_path):
+    """Co-maintained G1+G2 advance through ONE touched_group_slice
+    derivation per sync (spied) — the pull-side fan-out — and both
+    full view states equal the batch recomputes across a
+    recode + delete history."""
+    from engagement_data_pipeline_spark.labels.config import (
+        SYNTHETIC_CONFIG)
+    from engagement_data_pipeline_spark.labels.views import (
+        build_messages_view, build_participants_view, refresh_views)
+    from engagement_data_pipeline_spark.operators import topk
+
+    table = str(tmp_path / "t")
+    pview = str(tmp_path / "pv")
+    mview = str(tmp_path / "mv")
+    imp = _mini_imputed(spark)
+    merge = ing.foreach_batch_upsert(table, ["message_id"], n_buckets=8,
+                                     bucket_cols=["participant_uuid"],
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(imp, 1)
+    build_participants_view(spark, table, pview, SYNTHETIC_CONFIG,
+                            n_buckets=4)
+    build_messages_view(spark, table, mview, SYNTHETIC_CONFIG,
+                        n_buckets=4)
+
+    calls = []
+    orig = topk.touched_group_slice
+
+    def _spy(*a, **kw):
+        calls.append(a[2])
+        return orig(*a, **kw)
+
+    topk.touched_group_slice = _spy
+    try:
+        merge(_recode_m1(imp), 2)
+        got = refresh_views(spark, table, pview, mview,
+                            SYNTHETIC_CONFIG)
+        assert got == {"participants": 2, "messages": 2}
+        ing.delete_origins(
+            spark, table,
+            imp.where("message_id = 'm2_rqa'")
+            .select("message_id", "participant_uuid"),
+            strategy="dv")
+        got = refresh_views(spark, table, pview, mview,
+                            SYNTHETIC_CONFIG)
+        assert got == {"participants": 3, "messages": 3}
+    finally:
+        topk.touched_group_slice = orig
+    # one slice derivation per sync, shared by both view folds
+    assert calls == [1, 2]
+    _views_equal_batch(spark, table, pview, mview)
+    # idempotent when current
+    assert refresh_views(spark, table, pview, mview,
+                         SYNTHETIC_CONFIG) == {
+        "participants": None, "messages": None}
+
+
+def test_refresh_views_diverged_watermarks_fall_back(spark, tmp_path):
+    """Views at DIFFERENT watermarks (one built later) cannot share a
+    slice: refresh_views derives each view's own window (two slice
+    calls) and still converges both to the head."""
+    from engagement_data_pipeline_spark.labels.config import (
+        SYNTHETIC_CONFIG)
+    from engagement_data_pipeline_spark.labels.views import (
+        build_messages_view, build_participants_view, refresh_views)
+    from engagement_data_pipeline_spark.operators import topk
+
+    table = str(tmp_path / "t")
+    pview = str(tmp_path / "pv")
+    mview = str(tmp_path / "mv")
+    imp = _mini_imputed(spark)
+    merge = ing.foreach_batch_upsert(table, ["message_id"], n_buckets=8,
+                                     bucket_cols=["participant_uuid"],
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(imp, 1)
+    build_participants_view(spark, table, pview, SYNTHETIC_CONFIG,
+                            n_buckets=4)
+    merge(_recode_m1(imp), 2)
+    build_messages_view(spark, table, mview, SYNTHETIC_CONFIG,
+                        n_buckets=4)  # watermark 2; pview is at 1
+    merge(imp.where("message_id = 'm0_dem'")
+          .withColumn("text", F.lit("female")), 3)
+
+    calls = []
+    orig = topk.touched_group_slice
+
+    def _spy(*a, **kw):
+        calls.append(a[2])
+        return orig(*a, **kw)
+
+    topk.touched_group_slice = _spy
+    try:
+        got = refresh_views(spark, table, pview, mview,
+                            SYNTHETIC_CONFIG)
+    finally:
+        topk.touched_group_slice = orig
+    assert got == {"participants": 3, "messages": 3}
+    assert sorted(calls) == [1, 2]  # per-view windows, no sharing
+    _views_equal_batch(spark, table, pview, mview)
+
+
+def test_refresh_view_refuses_mismatched_shared_slice(spark, tmp_path):
+    """A shared slice derived at a different from-commit than the
+    view's watermark is refused loudly — folding another window's
+    slice would skip or double-fold rows."""
+    from engagement_data_pipeline_spark.labels.config import (
+        SYNTHETIC_CONFIG)
+    from engagement_data_pipeline_spark.labels.views import (
+        build_participants_view, refresh_participants_view)
+    from engagement_data_pipeline_spark.operators.topk import (
+        touched_group_slice)
+
+    table = str(tmp_path / "t")
+    pview = str(tmp_path / "pv")
+    imp = _mini_imputed(spark)
+    merge = ing.foreach_batch_upsert(table, ["message_id"], n_buckets=8,
+                                     bucket_cols=["participant_uuid"],
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    merge(imp, 1)
+    build_participants_view(spark, table, pview, SYNTHETIC_CONFIG,
+                            n_buckets=4)  # watermark 1
+    merge(_recode_m1(imp), 2)
+    merge(imp.where("message_id = 'm0_dem'")
+          .withColumn("text", F.lit("female")), 3)
+    live, touched = touched_group_slice(spark, table, 2,
+                                        ["participant_uuid"])
+    with pytest.raises(ValueError, match="derived at source commit 2"):
+        refresh_participants_view(spark, table, pview,
+                                  SYNTHETIC_CONFIG,
+                                  shared_slice=(live, touched, 2))
