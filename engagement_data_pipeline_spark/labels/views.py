@@ -301,26 +301,32 @@ def build_participants_view(spark, table_path: str, view_path: str,
     merge(view, int(man["commit"]))
 
 
-def _resolve_slice(spark, table_path: str, applied: int,
+def _resolve_slice(spark, table_path: str, applied: int, current: int,
                    shared_slice) -> tuple:
-    """The (live, touched) pair a view refresh folds from — computed
-    here, or taken from `shared_slice` when the caller (refresh_views)
-    already derived it for a sibling view at the SAME watermark. A
-    shared slice carries the from-commit it was derived at and is
-    refused loudly on a window mismatch: folding another window's
-    slice would silently skip or double-fold rows."""
+    """The (live, touched, to_commit) a view refresh folds from —
+    computed here, or taken from `shared_slice` when the caller
+    (refresh_views) already derived it for a sibling view at the SAME
+    watermark. A shared slice carries its window and is refused
+    loudly on a from-commit mismatch: folding another window's slice
+    would silently skip or double-fold rows. The refresh RECORDS the
+    slice's to-commit, not a freshly-read head: a commit landing
+    between the slice derivation and this refresh must stay pending
+    (watermark below it), or its changes would be skipped forever —
+    over-folding the same window again later is safe (the fold is an
+    exact recompute of touched groups), skipping one is not."""
     from ..operators.topk import touched_group_slice
 
     if shared_slice is None:
-        return touched_group_slice(spark, table_path, applied,
-                                   ["participant_uuid"])
-    live, touched, from_commit = shared_slice
+        sliced = touched_group_slice(spark, table_path, applied,
+                                     ["participant_uuid"])
+        return sliced[0], sliced[1], current
+    live, touched, from_commit, to_commit = shared_slice
     if from_commit != applied:
         raise ValueError(
             f"shared slice was derived at source commit {from_commit} "
             f"but this view's watermark is {applied} — refresh "
             "independently or re-derive the slice")
-    return live, touched
+    return live, touched, to_commit
 
 
 def refresh_participants_view(spark, table_path: str, view_path: str,
@@ -351,8 +357,8 @@ def refresh_participants_view(spark, table_path: str, view_path: str,
     current = int(src_man["commit"])
     if current <= applied:
         return None
-    live, touched = _resolve_slice(spark, table_path, applied,
-                                   shared_slice)
+    live, touched, current = _resolve_slice(spark, table_path, applied,
+                                            current, shared_slice)
     # materialize the fold once: gone's anti-join, delete and merge
     # would otherwise each re-run the feed-diff + re-fold DAG
     fresh = participants_by_column(live, config).localCheckpoint()
@@ -425,8 +431,8 @@ def refresh_messages_view(spark, table_path: str, view_path: str,
     current = int(src_man["commit"])
     if current <= applied:
         return None
-    live, touched = _resolve_slice(spark, table_path, applied,
-                                   shared_slice)
+    live, touched, current = _resolve_slice(spark, table_path, applied,
+                                            current, shared_slice)
     # materialize the fold once: the stale sweep, delete and merge
     # would otherwise each re-run the feed-diff + re-fold DAG
     fresh = messages_by_column(live, config).localCheckpoint()
@@ -479,10 +485,15 @@ def refresh_views(spark, table_path: str, pview_path: str,
             f"view missing its maintainer watermark: {e}") from e
     shared = None
     if applied_p == applied_m and current > applied_p:
+        # `current` is read BEFORE the slice derivation, so the slice
+        # reflects at least `current`; both refreshes record exactly
+        # `current` (via the tuple's to-commit), leaving any commit
+        # that lands mid-refresh pending for the next sync instead of
+        # silently skipping it under a fresher watermark
         live, touched = touched_group_slice(spark, table_path,
                                             applied_p,
                                             ["participant_uuid"])
-        shared = (live, touched, applied_p)
+        shared = (live, touched, applied_p, current)
     return {
         "participants": refresh_participants_view(
             spark, table_path, pview_path, config,

@@ -471,8 +471,11 @@ def _norm(v):
     if isinstance(v, (list, tuple)):
         out = [_norm(x) for x in v]
         if out and all(isinstance(x, tuple) and len(x) == 2 for x in v):
+            # out-of-place: a TypeError mid-sort (unorderable keys,
+            # e.g. a NaN key normalized to None) must leave the
+            # positional view intact, not a partially-permuted list
             try:
-                out.sort(key=lambda kv: kv[0])
+                out = sorted(out, key=lambda kv: kv[0])
             except TypeError:
                 pass
         return out
@@ -520,12 +523,17 @@ class _ChangesReader(DataSourceStreamReader):
     def __init__(self, table_path: str, starting_commit: int,
                  columns: list[str], pa_schema,
                  max_commits_per_trigger: int | None = None,
-                 retention_name: str | None = None):
+                 retention_name: str | None = None,
+                 ending_commit: int | None = None):
         self.table_path = table_path
         self.start = starting_commit
         self.columns = columns  # origin + payload (no op/changed)
         self.pa_schema = pa_schema
         self.max_per_trigger = max_commits_per_trigger
+        # upper bound (inclusive): latestOffset never advances past it,
+        # so commits landing after a bounded drain started are excluded
+        # — the SupportsTriggerAvailableNow cap, source-side
+        self.end = ending_commit
         # retention contract: when named, the reader registers its
         # position as a vacuum floor — windows it has not yet read
         # cannot be reclaimed (the PREVENTIVE half of the loud
@@ -577,6 +585,8 @@ class _ChangesReader(DataSourceStreamReader):
                                 floor=self._seen if self._seen > 0 else None)
         if latest is None:
             return {"commit": self._seen}
+        if self.end is not None:
+            latest = min(latest, self.end)
         # rate limiting (the Delta maxFilesPerTrigger analog): a
         # backlogged stream advances at most N commits per micro-batch
         # — each batch's diff window, and therefore its bucket-read
@@ -780,6 +790,10 @@ class MergeTableChangesDataSource(DataSource):
     `maxCommitsPerTrigger` (default unlimited) bounds how many source
     commits one micro-batch may span — the Delta `maxFilesPerTrigger`
     analog for catching up on a backlog with bounded per-batch work;
+    `endingCommit` (default unbounded) caps `latestOffset` at that
+    commit (inclusive) — the SupportsTriggerAvailableNow bound done
+    source-side, used by `drain.drain_changes` so commits racing in
+    after a bounded drain started are excluded, never half-included;
     `select` (comma-separated payload columns, default all) PROJECTS
     the feed — the parquet scan prunes to origin + selected columns,
     so a consumer maintaining a 2-column rollup never pays a wide
@@ -882,9 +896,11 @@ class MergeTableChangesDataSource(DataSource):
         cols = [n for n, _t in self._columns_and_types()
                 if n not in (_OP, _CHANGED)]
         mpt = self.options.get("maxCommitsPerTrigger")
+        end = self.options.get("endingCommit")
         return _ChangesReader(
             self._table_path(),
             int(self.options.get("startingCommit", 0)),
             cols, to_arrow_schema(schema),
             int(mpt) if mpt is not None else None,
-            self.options.get("retentionName"))
+            self.options.get("retentionName"),
+            int(end) if end is not None else None)

@@ -116,7 +116,9 @@ def drain_changes(spark: SparkSession, table_path: str,
       incremental consumers (each drain resumes after the last one);
       default is a fresh temp dir = "from the beginning, once".
     - `options`: extra reader options (e.g. `startingCommit`,
-      `retentionFloorName`, `columns`).
+      `retentionName`, `select`). An `endingCommit` here lowers the
+      drain bound below the head (the drain stops there and returns
+      it); the bound is otherwise set to the head automatically.
 
     Raises TimeoutError (after stopping the stream) if the head is
     not reached within `timeout_s` — loud, never a silent partial
@@ -126,6 +128,11 @@ def drain_changes(spark: SparkSession, table_path: str,
     head = _latest_commit(table_path)
     if head is None:
         return 0
+    opts = dict(options or {})
+    if "endingCommit" in opts:
+        head = min(head, int(opts["endingCommit"]))
+    else:
+        opts["endingCommit"] = str(head)
     spark.dataSource.register(MergeTableChangesDataSource)
     reader = (spark.readStream.format("merge_table_changes")
               .option("path", table_path)
@@ -133,7 +140,7 @@ def drain_changes(spark: SparkSession, table_path: str,
     if max_commits_per_trigger is not None:
         reader = reader.option("maxCommitsPerTrigger",
                                str(max_commits_per_trigger))
-    for k, v in (options or {}).items():
+    for k, v in opts.items():
         reader = reader.option(k, str(v))
     query = (reader.load()
              .writeStream.foreachBatch(sink)

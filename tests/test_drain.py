@@ -176,3 +176,30 @@ def test_fan_out_crash_between_sinks_replays_convergently(spark, tmp_path):
             MV.read_mv(spark, mv2, metrics).collect()}
     assert got1 == want
     assert got2 == want
+
+
+def test_drain_ending_commit_bounds_the_stream(spark, tmp_path):
+    """The AvailableNow bound is enforced SOURCE-side: with
+    endingCommit the stream's latestOffset never advances past it, so
+    a drain delivers exactly the bounded window and a later drain on
+    the same checkpoint picks up the rest — commits past the bound
+    are excluded, never half-included."""
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    merge = _merge(spark, path)
+    for i in range(1, 5):
+        merge(_row(spark, f"o{i}", "v"), i)
+
+    rows: list[str] = []
+
+    def sink(df, _eid):
+        rows.extend(r.origin for r in df.collect())
+
+    head = drain_changes(spark, path, sink, checkpoint=ckpt,
+                         options={"endingCommit": "2"})
+    assert head == 2
+    assert sorted(rows) == ["o1", "o2"]
+
+    rows.clear()
+    assert drain_changes(spark, path, sink, checkpoint=ckpt) == 4
+    assert sorted(rows) == ["o3", "o4"]

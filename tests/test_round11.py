@@ -658,4 +658,4 @@ def test_refresh_view_refuses_mismatched_shared_slice(spark, tmp_path):
     with pytest.raises(ValueError, match="derived at source commit 2"):
         refresh_participants_view(spark, table, pview,
                                   SYNTHETIC_CONFIG,
-                                  shared_slice=(live, touched, 2))
+                                  shared_slice=(live, touched, 2, 3))
