@@ -83,7 +83,14 @@ def fan_out(*sinks: Callable) -> Callable:
     sinks > i apply. Order sinks stably across restarts; adding a
     sink mid-stream is fine (it bootstraps from its first batch only
     if its artifact is empty — point new sinks at a fresh drain from
-    startingCommit=0 instead)."""
+    startingCommit=0 instead).
+
+    Readers note: sinks apply SEQUENTIALLY within a batch, so two
+    fanned-out states answering one question can briefly disagree
+    mid-fold (state A at batch B, state B at B-1) — the same torn
+    window as N independent sinks on one stream. For paired MV states
+    use `mv.read_mv_pair_consistent`, which returns only when both
+    `__mv_stream` watermarks agree."""
     def _apply(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:

@@ -300,3 +300,22 @@ def test_map_equality_is_canonical_in_both_paths():
     assert list(cdf._arrow_eq(a, b)) == want
     assert list(cdf._neq(a.to_pandas(), b.to_pandas())) == \
         [not x for x in want]
+
+
+MAP_NESTED_T = pa.map_(pa.string(), pa.list_(pa.int64()))
+
+_mval_list = st.one_of(st.none(),
+                       st.lists(st.integers(-2, 2), max_size=3))
+_map_nested = st.one_of(st.none(),
+                        st.lists(st.tuples(_mkey, _mval_list),
+                                 max_size=3))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(_map_nested, _map_nested), max_size=10))
+def test_arrow_eq_matches_object_compare_nested_maps(pairs):
+    """map<string, list<int>>: the canonical key-sort composes with
+    the recursive list kernel in the Arrow path and with recursive
+    normalization in the object fallback — both paths must still
+    agree on every input."""
+    _assert_kernel_matches(pairs, MAP_NESTED_T)
