@@ -311,6 +311,12 @@ _EVENTS_MEMBERS = {
         [("dataset", "string"), ("n_messages", "bigint"),
          ("n_participants", "bigint"), ("n_slot_rows", "bigint"),
          ("n_slots", "bigint"), ("n_postings", "bigint")]),
+    "table_describe": (
+        streaming_q.table_describe, streaming_q.TABLE_DESCRIBE_SQL,
+        [("buckets_present", "bigint"), ("head_version", "bigint"),
+         ("all_buckets_have_files", "boolean"),
+         ("physical_rows", "bigint"), ("dv_rows", "bigint"),
+         ("live_rows", "bigint")]),
     "a6_incremental": (
         mv_q.a6_incremental, mv_q.A6_INCREMENTAL_SQL,
         [("dataset", "string"), ("scheme", "string"),

@@ -899,3 +899,75 @@ SELECT participant_uuid,
        CAST(COUNT(origin_id) AS BIGINT) AS n_detail
 FROM state_at_2 GROUP BY participant_uuid
 """
+
+
+# --- DESCRIBE DETAIL: metadata-only current-state audit --------------------
+
+def _describe_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """4-bucket table over `events` keys: insert (commit 1), payload
+    update of every e%8==3 key (commit 2 — versions advance), dv
+    delete of every e%8==5 key (commit 3 — versions do NOT advance,
+    keys land in deletion vectors)."""
+    from ..streaming.ingest import delete_origins
+    from ._helpers import fixture_dir
+
+    def _build(path: str) -> None:
+        table = os.path.join(path, "table")
+        ev = (load(spark, sf_dir, "events")
+              .where(F.col("event_id") % 16 < 8)
+              .select(F.concat(F.lit("k"), F.col("event_id")
+                               .cast("string")).alias("k"),
+                      (F.col("event_id") % 7).alias("v"),
+                      (F.col("event_id") % 8).alias("m8")))
+        merge = foreach_batch_upsert(table, ["k"], n_buckets=4,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(ev.drop("m8"), 1)
+        merge(ev.where(F.col("m8") == 3).withColumn("v", F.col("v") + 100)
+              .drop("m8"), 2)
+        delete_origins(spark, table,
+                       ev.where(F.col("m8") == 5).select("k"),
+                       strategy="dv")
+
+    return os.path.join(fixture_dir("describe_table", sf_dir, _build),
+                        "table")
+
+
+def table_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`describe_table` — the DESCRIBE DETAIL analog: per-bucket
+    (version, files, bytes, physical/dv/live rows) from METADATA only
+    (fs listing + parquet footers + the manifest's dv_rows field; no
+    data pages read), aggregated here to the table grain so the
+    DuckDB oracle can recompute every column from the fixture's
+    history: physical_rows = keys ever merged, dv_rows = pending
+    deleted keys, live_rows = the final logical count, head_version =
+    the last DATA commit (the dv delete advances no version), and all
+    4 buckets populated. Ops surface for capacity/skew/compaction
+    audits at O(buckets) metadata cost."""
+    from ..streaming.ingest import describe_table
+
+    apply_runtime_conf(spark)
+    d = describe_table(spark, _describe_fixture(spark, sf_dir))
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_present"),
+        F.max("version").cast("long").alias("head_version"),
+        F.min(F.col("n_files") >= 1).alias("all_buckets_have_files"),
+        F.sum("physical_rows").cast("long").alias("physical_rows"),
+        F.sum("dv_rows").cast("long").alias("dv_rows"),
+        F.sum("live_rows").cast("long").alias("live_rows"))
+
+
+TABLE_DESCRIBE_SQL = """
+WITH ev AS (
+  SELECT event_id AS e FROM events WHERE event_id % 16 < 8
+)
+SELECT CAST(4 AS BIGINT) AS buckets_present,
+       CAST(2 AS BIGINT) AS head_version,
+       TRUE AS all_buckets_have_files,
+       CAST(COUNT(*) AS BIGINT) AS physical_rows,
+       CAST(SUM(CASE WHEN e % 8 = 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dv_rows,
+       CAST(COUNT(*) - SUM(CASE WHEN e % 8 = 5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS live_rows
+FROM ev
+"""

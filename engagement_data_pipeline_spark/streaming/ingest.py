@@ -1635,6 +1635,67 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
         .orderBy(F.col("commit").desc()))
 
 
+def describe_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Current-state detail, one row per bucket of the head commit —
+    the DESCRIBE DETAIL analog to `table_history`'s DESCRIBE HISTORY:
+    (bucket, version, n_files, bytes, physical_rows, dv_rows,
+    live_rows). METADATA-ONLY: bytes from the filesystem listing, row
+    counts from parquet FOOTERS (no data pages are read), deleted-key
+    counts from the manifest's `dv_rows` field (footer-counted only
+    for pre-field manifests). physical_rows is the merged key count
+    stored in the bucket's current version; live_rows subtracts the
+    pending deletion-vector keys — exact because the merge keeps one
+    row per key and a dv lists distinct existing keys.
+
+    Driver-side O(buckets) metadata ops — an OPS command (capacity
+    audits, skew checks, compaction planning: feed `bytes` skew into
+    `rebucket`/`compact_table` decisions), not a query-path
+    primitive. At the 100 TB layout's 262144 buckets that is ~10^5
+    footer stats, the cost class of DESCRIBE DETAIL on an equal-size
+    Delta table."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    from .cdf_source import _fs_path
+
+    man = read_table_manifest(spark, table_path)
+    if man is None:
+        raise ValueError(f"{table_path} has no commits")
+    dv_counts = _dv_rows(man)
+    dv_map = _dv(man)
+    bases, vdirs = _bases(man), _vdirs(man)
+
+    def _dir_stats(path: str) -> tuple[int, int, int]:
+        fs, p = _fs_path(path)
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(p))
+        except (OSError, FileNotFoundError):
+            return 0, 0, 0
+        files = [i for i in infos if i.path.endswith(".parquet")]
+        n_rows = 0
+        for i in files:
+            with fs.open_input_file(i.path) as f:
+                n_rows += pq.ParquetFile(f).metadata.num_rows
+        return len(files), sum(i.size or 0 for i in files), n_rows
+
+    rows = []
+    for b, ver in sorted((int(k), int(v))
+                         for k, v in man["buckets"].items()):
+        bdir = (_bucket_paths(table_path, {b: ver}, bases=bases,
+                              vdirs=vdirs))[0]
+        n_files, n_bytes, phys = _dir_stats(bdir)
+        if b in dv_counts:
+            dvr = dv_counts[b]
+        elif b in dv_map:  # pre-dv_rows manifest: count from footers
+            dvr = _dir_stats(_dv_paths(table_path, man, only=[b])[0])[2]
+        else:
+            dvr = 0
+        rows.append((b, ver, n_files, n_bytes, phys, dvr, phys - dvr))
+    return spark.createDataFrame(
+        rows, "bucket int, version int, n_files int, bytes long, "
+              "physical_rows long, dv_rows long, live_rows long")
+
+
 def clone_table(spark: SparkSession, src_path: str, dst_path: str) -> None:
     """SHALLOW CLONE: create `dst_path` as a zero-copy view of the
     source's current commit — one manifest write, no data movement,

@@ -659,3 +659,41 @@ def test_refresh_view_refuses_mismatched_shared_slice(spark, tmp_path):
         refresh_participants_view(spark, table, pview,
                                   SYNTHETIC_CONFIG,
                                   shared_slice=(live, touched, 2, 3))
+
+
+# --- describe_table: DESCRIBE DETAIL from metadata only -------------------
+
+def test_describe_table_bucket_grain(spark, tmp_path):
+    """Per-bucket detail from footers + manifest: physical rows =
+    merged keys, dv subtracted into live, versions advance only on
+    data commits (the dv delete leaves them), and totals reconcile
+    with the logical read."""
+    path = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(path, ["k"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    rows = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(40)], "k string, v long")
+    merge(rows, 1)
+    merge(rows.where("v % 10 = 3").withColumn("v", F.col("v") + 100), 2)
+    ing.delete_origins(spark, path,
+                       rows.where("v % 10 = 5").select("k"),
+                       strategy="dv")
+
+    d = {r.bucket: r for r in ing.describe_table(spark, path).collect()}
+    assert set(d) <= {0, 1} and len(d) == 2
+    assert sum(r.physical_rows for r in d.values()) == 40
+    assert sum(r.dv_rows for r in d.values()) == 4
+    assert sum(r.live_rows for r in d.values()) == 36
+    assert all(r.live_rows == r.physical_rows - r.dv_rows
+               for r in d.values())
+    assert all(r.n_files >= 1 and r.bytes > 0 for r in d.values())
+    # the dv commit wrote no version: heads stay at the last DATA write
+    assert {r.version for r in d.values()} <= {1, 2}
+    assert max(r.version for r in d.values()) == 2
+    assert ing.read_merged_table(spark, path).count() == 36
+
+
+def test_describe_table_empty_table_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no commits"):
+        ing.describe_table(spark, str(tmp_path / "nope"))
