@@ -136,8 +136,13 @@ def drain_changes(spark: SparkSession, table_path: str,
     if head is None:
         return 0
     opts = dict(options or {})
-    if "endingCommit" in opts:
-        head = min(head, int(opts["endingCommit"]))
+    # data-source options are case-insensitive on the reader side, so
+    # honor a caller's bound under any spelling instead of silently
+    # overriding it with the head
+    end_key = next((k for k in opts if k.lower() == "endingcommit"),
+                   None)
+    if end_key is not None:
+        head = min(head, int(opts[end_key]))
     else:
         opts["endingCommit"] = str(head)
     spark.dataSource.register(MergeTableChangesDataSource)

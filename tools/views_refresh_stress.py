@@ -23,15 +23,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FACTORS = (1, 3, 10)
-BASE_PARTICIPANTS = 2_000
-MSGS_PER_PARTICIPANT = 40  # 80k/240k/800k rows
+from _stress_common import (BASE_PARTICIPANTS, FACTORS,  # noqa: E402
+                            MSGS_PER_PARTICIPANT, recode_m5,
+                            stress_session, synthetic_imputed)
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
-
     from engagement_data_pipeline_spark.labels.config import (
         SYNTHETIC_CONFIG)
     from engagement_data_pipeline_spark.labels.views import (
@@ -40,40 +37,14 @@ def main() -> None:
     from engagement_data_pipeline_spark.streaming import ingest as ing
 
     out_md = sys.argv[1] if len(sys.argv) > 1 else "SCALE_EVIDENCE.md"
-    spark = (SparkSession.builder.master(f"local[{os.cpu_count()}]")
-             .appName("views-refresh-stress")
-             .config("spark.sql.shuffle.partitions", "16")
-             .config("spark.driver.memory",
-                     os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-             .config("spark.ui.enabled", "false")
-             .getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark = stress_session("views-refresh-stress")
 
     rows_out = []
     for factor in FACTORS:
         parts = BASE_PARTICIPANTS * factor
         n = parts * MSGS_PER_PARTICIPANT
         base = os.path.join(tempfile.mkdtemp(prefix="edp-views-"), "t")
-        # imputed-messages-shaped rows: alternating demog/RQA, one
-        # label struct per message
-        rows = spark.range(0, n).select(
-            F.concat(F.lit("m"), F.col("id").cast("string"))
-            .alias("message_id"),
-            F.concat(F.lit("p"), (F.col("id") % parts).cast("string"))
-            .alias("participant_uuid"),
-            F.when(F.col("id") % 4 == 0, F.lit("gender"))
-            .otherwise(F.lit("s01e01")).alias("dataset"),
-            F.timestamp_micros(F.col("id") * 1000).alias("timestamp"),
-            F.concat(F.lit("msg "), (F.col("id") % 97).cast("string"))
-            .alias("text"),
-            F.expr(
-                "array(named_struct('scheme_id', CASE WHEN id % 4 = 0 "
-                "THEN 'gender_scheme' ELSE 's01e01_theme_scheme' END, "
-                "'code_id', 'code_' || CAST(id % 5 AS STRING), "
-                "'date_time_utc', timestamp_micros(0), "
-                "'checked', true, 'origin_id', 'syn'))").alias("labels"),
-            F.lit("telegram").alias("channel_operator"))
+        rows = synthetic_imputed(spark, parts, n)
         merge = ing.foreach_batch_upsert(base, ["message_id"],
                                          n_buckets=8 * factor,
                                          bucket_cols=["participant_uuid"],
@@ -84,12 +55,7 @@ def main() -> None:
         build_participants_view(spark, base, view, SYNTHETIC_CONFIG,
                                 n_buckets=8 * factor)
         # the fixed-size change: recode ONE participant's one message
-        merge(rows.where(F.col("message_id") == "m5")
-              .withColumn("labels", F.expr(
-                  "transform(labels, l -> named_struct("
-                  "'scheme_id', l.scheme_id, 'code_id', 'recoded', "
-                  "'date_time_utc', l.date_time_utc, 'checked', "
-                  "l.checked, 'origin_id', l.origin_id))")), 2)
+        merge(recode_m5(rows), 2)
 
         t0 = time.perf_counter()
         got = refresh_participants_view(spark, base, view,

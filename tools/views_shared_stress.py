@@ -21,13 +21,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FACTORS = (1, 3, 10)
-BASE_PARTICIPANTS = 2_000
-MSGS_PER_PARTICIPANT = 40  # 80k/240k/800k rows
+from _stress_common import (BASE_PARTICIPANTS, FACTORS,  # noqa: E402
+                            MSGS_PER_PARTICIPANT, recode_m5,
+                            stress_session, synthetic_imputed)
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from engagement_data_pipeline_spark.labels.config import (
@@ -39,15 +38,7 @@ def main() -> None:
     from engagement_data_pipeline_spark.streaming import ingest as ing
 
     out_md = sys.argv[1] if len(sys.argv) > 1 else "SCALE_EVIDENCE.md"
-    spark = (SparkSession.builder.master(f"local[{os.cpu_count()}]")
-             .appName("views-shared-stress")
-             .config("spark.sql.shuffle.partitions", "16")
-             .config("spark.driver.memory",
-                     os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-             .config("spark.ui.enabled", "false")
-             .getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark = stress_session("views-shared-stress")
 
     rows_out = []
     for factor in FACTORS:
@@ -55,23 +46,7 @@ def main() -> None:
         n = parts * MSGS_PER_PARTICIPANT
         root = tempfile.mkdtemp(prefix="edp-vshared-")
         base = os.path.join(root, "t")
-        rows = spark.range(0, n).select(
-            F.concat(F.lit("m"), F.col("id").cast("string"))
-            .alias("message_id"),
-            F.concat(F.lit("p"), (F.col("id") % parts).cast("string"))
-            .alias("participant_uuid"),
-            F.when(F.col("id") % 4 == 0, F.lit("gender"))
-            .otherwise(F.lit("s01e01")).alias("dataset"),
-            F.timestamp_micros(F.col("id") * 1000).alias("timestamp"),
-            F.concat(F.lit("msg "), (F.col("id") % 97).cast("string"))
-            .alias("text"),
-            F.expr(
-                "array(named_struct('scheme_id', CASE WHEN id % 4 = 0 "
-                "THEN 'gender_scheme' ELSE 's01e01_theme_scheme' END, "
-                "'code_id', 'code_' || CAST(id % 5 AS STRING), "
-                "'date_time_utc', timestamp_micros(0), "
-                "'checked', true, 'origin_id', 'syn'))").alias("labels"),
-            F.lit("telegram").alias("channel_operator"))
+        rows = synthetic_imputed(spark, parts, n)
         merge = ing.foreach_batch_upsert(base, ["message_id"],
                                          n_buckets=8 * factor,
                                          bucket_cols=["participant_uuid"],
@@ -87,12 +62,7 @@ def main() -> None:
                                     n_buckets=8 * factor)
             build_messages_view(spark, base, views[tag][1],
                                 SYNTHETIC_CONFIG, n_buckets=8 * factor)
-        merge(rows.where(F.col("message_id") == "m5")
-              .withColumn("labels", F.expr(
-                  "transform(labels, l -> named_struct("
-                  "'scheme_id', l.scheme_id, 'code_id', 'recoded', "
-                  "'date_time_utc', l.date_time_utc, 'checked', "
-                  "l.checked, 'origin_id', l.origin_id))")), 2)
+        merge(recode_m5(rows), 2)
 
         pv, mv = views["ind"]
         t0 = time.perf_counter()
