@@ -126,6 +126,12 @@ def drain_changes(spark: SparkSession, table_path: str,
       `retentionName`, `select`). An `endingCommit` here lowers the
       drain bound below the head (the drain stops there and returns
       it); the bound is otherwise set to the head automatically.
+      With `retentionName`, the registered vacuum floor LAGS the
+      drained head by one commit: the engine confirms a batch only
+      when planning past it, and the checkpoint may replay the final
+      batch on restart — the lagging floor is the conservative
+      position that still protects that batch's window; the next
+      drain advances it.
 
     Raises TimeoutError (after stopping the stream) if the head is
     not reached within `timeout_s` — loud, never a silent partial

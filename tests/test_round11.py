@@ -697,3 +697,65 @@ def test_describe_table_bucket_grain(spark, tmp_path):
 def test_describe_table_empty_table_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no commits"):
         ing.describe_table(spark, str(tmp_path / "nope"))
+
+
+def test_describe_table_on_shallow_clone(spark, tmp_path):
+    """A clone's buckets resolve to the SOURCE root until they
+    diverge (bases map); describe_table must stat the inherited
+    version dirs there — same totals as the source — and report the
+    clone's own rewrite after divergence."""
+    src = str(tmp_path / "src")
+    clone = str(tmp_path / "clone")
+    merge = ing.foreach_batch_upsert(src, ["k"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    rows = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(20)], "k string, v long")
+    merge(rows, 1)
+    ing.clone_table(spark, src, clone)
+    before = {r.bucket: r for r in
+              ing.describe_table(spark, clone).collect()}
+    assert sum(r.physical_rows for r in before.values()) == 20
+    assert all(r.n_files >= 1 and r.bytes > 0 for r in before.values())
+    # diverge one bucket: only ITS version advances past the source's
+    cmerge = ing.foreach_batch_upsert(clone, ["k"],
+                                      txn_app_id="clone",
+                                      mode="latest_wins")
+    cmerge(rows.where("k = 'k0'").withColumn("v", F.lit(999)), 1)
+    after = {r.bucket: r for r in
+             ing.describe_table(spark, clone).collect()}
+    assert sum(r.physical_rows for r in after.values()) == 20
+    assert sum(1 for b in after
+               if after[b].version != before[b].version) == 1
+    # the source is untouched by the clone's write
+    assert sum(r.physical_rows for r in
+               ing.describe_table(spark, src).collect()) == 20
+
+
+def test_drain_with_retention_floor(spark, tmp_path):
+    """options={'retentionName': ...} threads through the drain: the
+    stream registers its position as a vacuum floor. The floor LAGS
+    the drained head by one commit — the engine only confirms a batch
+    (commit()) when planning past it, and the checkpoint may REPLAY
+    the final batch on restart, so the lagging floor is the
+    conservative-correct position: it still protects the last batch's
+    window. The next drain advances it."""
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    merge = ing.foreach_batch_upsert(path, ["k"], n_buckets=2,
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+    for i in range(1, 4):
+        merge(spark.createDataFrame([(f"k{i}", i)], "k string, v long"),
+              i)
+    from engagement_data_pipeline_spark.streaming.drain import (
+        drain_changes)
+
+    opts = {"retentionName": "consumer"}
+    assert drain_changes(spark, path, lambda df, eid: df.count(),
+                         checkpoint=ckpt, options=opts) == 3
+    assert ing.read_retention_floors(spark, path) == {"consumer": 2}
+    merge(spark.createDataFrame([("k4", 4)], "k string, v long"), 4)
+    assert drain_changes(spark, path, lambda df, eid: df.count(),
+                         checkpoint=ckpt, options=opts) == 4
+    assert ing.read_retention_floors(spark, path) == {"consumer": 3}
