@@ -45,20 +45,33 @@ from .cdf_source import MergeTableChangesDataSource, _latest_commit
 
 def _committed_commit(query) -> int | None:
     """The source commit id the last COMPLETED micro-batch ended at,
-    from StreamingQueryProgress (None before any batch completes).
-    The endOffset is the repr of the offset dict the reader returned
-    (pyspark renders Python-source offsets with repr, not json —
-    single quotes), hence literal_eval."""
+    from StreamingQueryProgress. None ONLY when there is no progress
+    record at all (no batch has completed) or the record carries no
+    end offset yet; a progress record whose endOffset EXISTS but does
+    not parse raises — that is engine format drift (e.g. a future
+    Spark changing the offset rendering), and silently returning None
+    here would let the drain loop fall back to the async
+    `isDataAvailable` status flag this module explicitly disavows,
+    ending a drain early without a word. The endOffset is the repr of
+    the offset dict the reader returned (pyspark renders
+    Python-source offsets with repr, not json — single quotes), hence
+    literal_eval."""
     progress = query.lastProgress
     if not progress:
         return None
+    sources = progress.get("sources") or []
+    off = sources[0].get("endOffset") if sources else None
+    if off is None:
+        return None
     try:
-        off = progress["sources"][0]["endOffset"]
         if isinstance(off, str):
             off = ast.literal_eval(off)
         return int(off["commit"])
-    except (KeyError, IndexError, TypeError, ValueError, SyntaxError):
-        return None
+    except (KeyError, TypeError, ValueError, SyntaxError) as e:
+        raise RuntimeError(
+            "streaming progress carried an endOffset this drain cannot "
+            f"parse ({off!r}) — offset format drift; refusing to fall "
+            "back to the async status flag") from e
 
 
 def fan_out(*sinks: Callable) -> Callable:
@@ -160,11 +173,15 @@ def drain_changes(spark: SparkSession, table_path: str,
                                str(max_commits_per_trigger))
     for k, v in opts.items():
         reader = reader.option(k, str(v))
+    # a caller without a stable checkpoint gets a temp one REMOVED on
+    # exit — fixture-heavy paths funnel many drains through here, and
+    # leaking one WAL dir per drain accumulates in /tmp
+    tmp_ckpt = (tempfile.TemporaryDirectory(prefix="edp-drain-ckpt-")
+                if checkpoint is None else None)
     query = (reader.load()
              .writeStream.foreachBatch(sink)
              .option("checkpointLocation",
-                     checkpoint
-                     or tempfile.mkdtemp(prefix="edp-drain-ckpt-"))
+                     checkpoint if tmp_ckpt is None else tmp_ckpt.name)
              .start())
     try:
         deadline = time.time() + timeout_s
@@ -189,4 +206,6 @@ def drain_changes(spark: SparkSession, table_path: str,
             time.sleep(0.05)
     finally:
         query.stop()
+        if tmp_ckpt is not None:
+            tmp_ckpt.cleanup()
     return head

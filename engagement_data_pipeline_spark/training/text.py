@@ -16,18 +16,60 @@ from pyspark.sql import functions as F
 from .dedup import normalize_text
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728', '134217728b',
+    '128m', '1g') to bytes."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?",
+                     conf_val.strip().lower())
+    if m is None:
+        return 128 * 1024 * 1024
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+            "t": 1 << 40}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
 def spread_narrow_scan(df: DataFrame) -> DataFrame:
-    """Repartition ONLY when the input has fewer partitions than the
+    """Repartition ONLY when the input scan is narrower than the
     cluster has slots. A single small parquet file scans as one task,
     which serializes any compute-heavy projection that follows (the
     explode/regex stages here) onto one core; a genuinely wide input
     (the 100 TB case) already exceeds the slot count and passes
-    through untouched — no shuffle is ever added to big data."""
-    ctx = df.sparkSession.sparkContext
-    target = ctx.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    through untouched — no shuffle is ever added to big data.
+
+    Width is estimated from the scan's file list (`inputFiles`), never
+    the RDD API (`df.rdd` forces plan analysis through the RDD
+    conversion path): locally-stat-able files are sized against
+    `spark.sql.files.maxPartitionBytes` (a single huge file splits
+    into many scan partitions, so it is NOT narrow), remote files
+    count as one split each — conservative for a remote single-file
+    giant, exact everywhere else. Frames with no file lineage (post-
+    shuffle) are already `spark.sql.shuffle.partitions` wide and pass
+    through."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df
+    max_bytes = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes",
+                       str(128 * 1024 * 1024)))
+    splits = 0
+    for f in files:
+        if f.startswith("file:"):
+            import os
+            from urllib.parse import urlparse
+            try:
+                size = os.path.getsize(urlparse(f).path)
+            except OSError:
+                size = 0
+            splits += max(1, -(-size // max_bytes))
+        else:
+            splits += 1
+        if splits >= target:
+            return df
+    return df.repartition(target)
 
 # A small english-ish stopword list for quality scoring (the reference
 # pipeline's quality heuristics are length/ratio based; SURVEY brief
