@@ -94,11 +94,24 @@ def main():
         fixture_s.append(round(fixture_build_seconds() - fb0, 1))
 
     total, timings = min(runs, key=lambda r: r[0])
+    # Per-query variance band across the N runs: [min, max] seconds.
+    # The per-query MIN is the noise-floor estimator (host contention
+    # only ever inflates a query), so a round-over-round regression of
+    # the MIN is a real code regression while a max-only swing is host
+    # noise — the mechanical separation VERDICT r11 asked for.
+    spread: dict[str, list[float]] = {}
+    for _, t in runs:
+        for name, v in t.items():
+            if v is None:
+                continue
+            lo, hi = spread.get(name, (v, v))
+            spread[name] = [min(lo, v), max(hi, v)]
     result = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": [r[0] for r in runs],
@@ -126,6 +139,9 @@ def main():
             ((k, v) for k, v in timings.items() if v is not None),
             key=lambda kv: kv[1], reverse=True)[:30])
         result["queries"] = {k: round(v, 2) for k, v in slowest.items()}
+        result["queries_spread"] = {
+            k: [round(lo, 2), round(hi, 2)]
+            for k, (lo, hi) in spread.items() if k in slowest}
         result["queries_truncated_to_slowest"] = len(slowest)
         result["queries_full_in"] = "BENCH_LOCAL.json"
         line = json.dumps(result, separators=(",", ":"))

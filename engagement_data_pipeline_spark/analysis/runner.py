@@ -1,0 +1,118 @@
+"""Composed incremental pipeline runs with a RUN MANIFEST — the
+§3.1 orchestration analog.
+
+The reference wraps every pipeline invocation in
+PipelineRunStart/PipelineRunEnd log events and threads a per-stage
+incremental cache through the stages (src/common/cache.py:11-103
+stores each stage's last-seen token so the next run fetches only
+newer docs). Here both jobs land in one small versioned merge table —
+the RUN MANIFEST — keyed (run_id, stage):
+
+    run_id | stage     | status  | applied_commit
+    r42    | __run__   | done    | NULL
+    r42    | imputed   | done    | 7        <- source commit folded to
+    r42    | views     | done    | 9
+    r42    | analysis  | started | NULL     <- crashed here
+
+* `__run__` rows are the PipelineRunStart/End bookends.
+* Stage rows flip started -> done, recording the upstream watermark
+  the stage reached (the cache.py token analog; the authoritative
+  replay-skip watermarks stay ON the maintained tables themselves as
+  txn entries — the manifest is the composition's map of them).
+* Because the manifest is a merge table, `table_history` /
+  `describe_table` reconstruct any run's exact sequence of
+  transitions from the commit log, and time travel shows the manifest
+  as any past run saw it.
+
+Crash-resume contract: re-invoking `run_incremental_pipeline` with
+the same run_id skips stages already `done` for that run and re-runs
+the one that was `started` — safe because every stage refresher in
+this engine is idempotent per source commit (transactional txn
+watermarks on the maintained tables; replayed windows converge). A
+crashed run therefore finishes with AT MOST one re-executed stage,
+and a fully-done run re-invoked is a no-op.
+
+Scale: the manifest carries O(runs × stages) rows and each transition
+is one tiny commit — bookkeeping, never data-path work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.ingest import (foreach_batch_upsert, read_merged_table,
+                                read_table_manifest)
+
+#: txn app id of the manifest table's own merge stream (the version is
+#: a per-write monotonic counter, not a stage watermark).
+_MANIFEST_TXN = "__run_manifest"
+
+RUN_STAGE = "__run__"
+
+_SCHEMA = ("run_id string, stage string, status string, "
+           "applied_commit bigint")
+
+
+def record_stage(spark: SparkSession, manifest_path: str, run_id: str,
+                 stage: str, status: str,
+                 applied_commit: int | None = None) -> None:
+    """Upsert one (run_id, stage) transition into the manifest. Each
+    call is its own atomic commit, so the commit log IS the run's
+    event sequence."""
+    man = read_table_manifest(spark, manifest_path)
+    version = 1 + int((man or {}).get("txn", {}).get(_MANIFEST_TXN, 0))
+    row = spark.createDataFrame(
+        [(run_id, stage, status,
+          None if applied_commit is None else int(applied_commit))],
+        _SCHEMA)
+    merge = foreach_batch_upsert(manifest_path, ["run_id", "stage"],
+                                 n_buckets=4, txn_app_id=_MANIFEST_TXN,
+                                 mode="latest_wins")
+    merge(row, version)
+
+
+def read_run(spark: SparkSession, manifest_path: str,
+             run_id: str) -> dict[str, tuple[str, int | None]]:
+    """{stage: (status, applied_commit)} for one run — O(stages)."""
+    man = read_table_manifest(spark, manifest_path)
+    if man is None:
+        return {}
+    rows = (read_merged_table(spark, manifest_path)
+            .where(F.col("run_id") == run_id).collect())
+    return {r.stage: (r.status, r.applied_commit) for r in rows}
+
+
+def run_incremental_pipeline(
+        spark: SparkSession, manifest_path: str, run_id: str,
+        stages: Sequence[tuple[str, Callable[[], int | None]]],
+) -> dict[str, int | None]:
+    """Execute `stages` (ordered (name, refresh) pairs; each refresh
+    returns the upstream commit it reached, or None for already-
+    current) under run-manifest bookkeeping. Stages already `done`
+    for this run_id are SKIPPED (crash-resume; their recorded
+    watermark is returned); upstream commits landing after a skipped
+    stage ran stay pending for the NEXT run, exactly as if the
+    original invocation had finished uninterrupted."""
+    names = [n for n, _fn in stages]
+    if RUN_STAGE in names:
+        raise ValueError(f"{RUN_STAGE!r} is the reserved bookend stage")
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names in {names}")
+    state = read_run(spark, manifest_path, run_id)
+    if state.get(RUN_STAGE, ("", None))[0] == "done":
+        return {n: state[n][1] for n in names if n in state}
+    record_stage(spark, manifest_path, run_id, RUN_STAGE, "started")
+    results: dict[str, int | None] = {}
+    for name, refresh in stages:
+        if state.get(name, ("", None))[0] == "done":
+            results[name] = state[name][1]
+            continue
+        record_stage(spark, manifest_path, run_id, name, "started")
+        commit = refresh()
+        record_stage(spark, manifest_path, run_id, name, "done", commit)
+        results[name] = commit
+    record_stage(spark, manifest_path, run_id, RUN_STAGE, "done")
+    return results
