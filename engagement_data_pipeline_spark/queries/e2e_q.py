@@ -1,0 +1,709 @@
+"""END-TO-END incremental certification of the reference's full
+analysis lifecycle (SURVEY §3.2) — the round-12 capstone.
+
+The reference runs, daily, the composition fetch → filter → impute →
+column views → exports → automated analysis over the WHOLE corpus
+(run_pipeline.sh:29-57 → engagement_db_to_analysis.py:54-162). This
+module proves the engine can run that exact composition
+INCREMENTALLY, end to end, from one change-feed chain:
+
+    raw messages table        (3-commit history: inserts, a theme
+      │ change feed            recode, a WS move, a late consent
+      ▼                        STOP, a dv delete)
+    imputed messages table    row-local F5/F6 filter + M1-M5
+      │ change feed            imputation (streaming/transform.py)
+      ▼
+    maintained G1/G2 views    touched-participant re-folds
+      │ change feeds           (labels/views.py refresh_views)
+      ▼
+    A-series MV states        one drain per view feed, fan_out over
+    K2/K3 export tables        mv_stream_sink + transform tables
+
+Each of the three source commits triggers ONE composed pipeline run
+(analysis/runner.py) recorded in a RUN MANIFEST; after run 3 every
+maintained artifact is read back IN FULL and checksum-compared
+against a from-scratch batch recompute over the final raw state —
+the DuckDB oracle recomputes the same artifacts from the mirrored
+history (`fin` CTE), so one green `e2e_incremental_run` row per
+artifact certifies maintained == batch for the whole chain.
+
+Scale story: a day's sync of this composition costs O(changed
+buckets + changed rows) at every stage — raw feed → imputed upserts,
+touched-participant view re-folds, MV delta folds, export-row
+rewrites — never a corpus scan; the batch recompute the oracle runs
+is exactly the work the incremental chain avoids.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..analysis import automated
+from ..analysis.runner import run_incremental_pipeline
+from ..analysis.spine import filter_messages
+from ..labels.config import CONTROL_CODES, DEMOGRAPHIC, RESEARCH_QUESTION_ANSWER
+from ..labels.imputation import impute_message_grain, latest_label_code
+from ..labels.views import (
+    build_messages_view,
+    build_participants_view,
+    refresh_views,
+)
+from ..sinks.exports import analysis_matrix, analysis_matrix_headers
+from ..streaming import mv as MV
+from ..streaming.drain import drain_changes, fan_out
+from ..streaming.ingest import (
+    delete_origins,
+    foreach_batch_upsert,
+    read_merged_table,
+    read_table_manifest,
+)
+from ..streaming.transform import (
+    build_transform_table,
+    refresh_transform_table,
+)
+from . import engagement
+from ._helpers import apply_runtime_conf, fixture_dir
+from .engagement import CONFIG, _imputed  # noqa: F401 (imp CTE mirror)
+from .families import member_checksum, member_checksum_sql
+from .sinks_sources import SCHEME_CODES
+
+# ---------------------------------------------------------------------------
+# The history (all predicates mirrored in SQL over the eid recovered
+# from message_id = 'msg-<eid>'; both engines parse it identically)
+# ---------------------------------------------------------------------------
+
+_EID = "CAST(substring(message_id, 5) AS BIGINT)"
+#: inserted late (commit 2), not in the base commit
+_LATE = f"{_EID} % 13 = 7"
+#: commit 2: s01e01 labels replaced by a checked recode (M12/Coda
+#: relabel arriving through the feed)
+_RECODE = f"dataset = 's01e01' AND {_EID} % 23 = 9 AND NOT ({_LATE})"
+#: commit 2: a late consent STOP — flips the participant's M8 cascade
+_STOPPED = (f"dataset = 's01e01' AND {_EID} % 31 = 17 "
+            f"AND {_EID} % 23 <> 9 AND NOT ({_LATE})")
+#: commit 2: WS move s01e02 -> s01e01 (M10: dataset + scheme ids move)
+_MOVE = f"dataset = 's01e02' AND {_EID} % 29 = 13 AND NOT ({_LATE})"
+#: commit 3: dv-deleted
+_DEAD = f"{_EID} % 19 = 11"
+
+_LABEL_FIELDS = ("'date_time_utc', last_updated, 'checked', true, "
+                 "'origin_id', 'e2e:relabel'")
+#: replacement labels: one CHECKED label per configured scheme, so M1
+#: keeps them verbatim (text is never empty on RQA rows; were it, M3
+#: would yield NC in both engines)
+_RECODE_LABELS = (
+    "array(named_struct('scheme_id', 's01e01_theme_scheme', "
+    f"'code_id', 'theme_recoded', {_LABEL_FIELDS}), "
+    "named_struct('scheme_id', 's01e01_sentiment_scheme', "
+    f"'code_id', 'scode_recoded', {_LABEL_FIELDS}))")
+_STOP_LABELS = (
+    "array(named_struct('scheme_id', 's01e01_theme_scheme', "
+    f"'code_id', 'STOP', {_LABEL_FIELDS}), "
+    "named_struct('scheme_id', 's01e01_sentiment_scheme', "
+    f"'code_id', 'STOP', {_LABEL_FIELDS}))")
+#: the move rewrites scheme ids with the dataset (labels keep their
+#: checked mix — imputation then runs under the NEW dataset's config,
+#: which is scheme-for-scheme symmetric, so the flattened codes are
+#: unchanged and only `dataset` moves in the mirror)
+_MOVE_LABELS = (
+    "transform(labels, l -> named_struct("
+    "'scheme_id', replace(l.scheme_id, 's01e02', 's01e01'), "
+    "'code_id', l.code_id, 'date_time_utc', l.date_time_utc, "
+    "'checked', l.checked, 'origin_id', l.origin_id))")
+
+#: final-state mirror at the flattened `imp` level: the recode/STOP
+#: replacements are all-checked single labels per scheme (M1 keeps,
+#: M2 XOR false, M4/M5 not configured for s01e01), so they land as
+#: plain code substitutions; the move only relocates `dataset`.
+_E2E_CTE = f""",
+fin AS (
+  SELECT * REPLACE (
+    CASE WHEN {_MOVE} THEN 's01e01' ELSE dataset END AS dataset,
+    CASE WHEN {_RECODE} THEN 'theme_recoded'
+         WHEN {_STOPPED} THEN 'STOP'
+         ELSE primary_code END AS primary_code,
+    CASE WHEN {_RECODE} THEN 'scode_recoded'
+         WHEN {_STOPPED} THEN 'STOP'
+         ELSE sent_code END AS sent_code)
+  FROM imp WHERE NOT ({_DEAD})
+)"""
+
+_RAW_COLS = ["message_id", "participant_uuid", "dataset", "timestamp",
+             "text", "labels", "channel_operator", "last_updated"]
+
+
+# ---------------------------------------------------------------------------
+# Stage definitions (the composition the runner executes per commit)
+# ---------------------------------------------------------------------------
+
+def _impute_tf(df: DataFrame) -> DataFrame:
+    """Row-local stage-1 transform: F5/F6 filter + M1-M5 imputation
+    (each raw row -> 0 or 1 imputed rows)."""
+    return impute_message_grain(
+        filter_messages(df, CONFIG.rqa_datasets, CONFIG.rqa_start,
+                        CONFIG.rqa_end, CONFIG.test_participants),
+        CONFIG)
+
+
+_RQA_CCS = [(d, cc) for d in CONFIG.datasets
+            if d.dataset_type == RESEARCH_QUESTION_ANSWER
+            for cc in d.coding_configs]
+_DEMOG_CCS = [(d, cc) for d in CONFIG.datasets
+              if d.dataset_type == DEMOGRAPHIC
+              for cc in d.coding_configs]
+
+def _consenting():
+    # built lazily: module import must not require an active session
+    return F.col("consent_withdrawn") == "false"
+
+# A-series MV shapes over the maintained view feeds. Every prepare is
+# row-local (filter/select/explode over ONE view row), so retraction
+# maintenance is exact; consent flips arrive as row UPDATES because
+# the G2 view materializes the participant-level cascade per message
+# row — the composition solves structurally what a1_mv_cascade needs
+# two states for.
+A1_METRICS = {"n_messages": ("message_id", "count")}
+A3_METRICS = {"n_messages": ("scheme", "count")}
+A4_METRICS = {"n_participants": ("field", "count")}
+A5_METRICS = {"n_participants": ("code_a", "count")}
+A7_METRICS = {"n_messages": ("dataset", "count")}
+A8_METRICS = {"n_participants": ("location_code", "count")}
+A9_METRICS = {"n_rows": ("participant_uuid", "count")}
+
+
+def _a1_prepare(df: DataFrame) -> DataFrame:
+    return df.where(_consenting()).select("dataset", "participant_uuid",
+                                        "message_id")
+
+
+def _a3_prepare(df: DataFrame) -> DataFrame:
+    entries = F.array(*[
+        F.when(F.col("dataset") == d.name,
+               F.struct(F.lit(cc.scheme_id).alias("scheme"),
+                        F.col(cc.coded_field).alias("code")))
+        for d, cc in _RQA_CCS])
+    return (df.where(_consenting())
+            .select("dataset", F.col("gender_codes").alias("breakdown"),
+                    F.explode(F.filter(entries,
+                                       lambda x: x.isNotNull())).alias("e"))
+            .select("dataset", F.col("e.scheme").alias("scheme"),
+                    F.col("e.code").alias("code"), "breakdown"))
+
+
+def _a4_prepare(df: DataFrame) -> DataFrame:
+    entries = F.array(*[
+        F.struct(F.lit(cc.coded_field).alias("field"),
+                 F.split(F.col(cc.coded_field), ";").alias("codes"))
+        for _, cc in _DEMOG_CCS])
+    return (df.where(_consenting())
+            .select(F.explode(entries).alias("e"))
+            .select(F.col("e.field").alias("field"),
+                    F.explode("e.codes").alias("code")))
+
+
+def _a5_prepare(df: DataFrame) -> DataFrame:
+    return (df.where(_consenting())
+            .select(F.col("gender_codes").alias("code_a"),
+                    F.col("age_category_codes").alias("code_b")))
+
+
+def _a7_prepare(df: DataFrame) -> DataFrame:
+    day = (F.expr(f"timestamp_us div {automated.MICROS_PER_DAY}")
+           * automated.MICROS_PER_DAY).alias("day_us")
+    return df.where(_consenting()).select(day, "dataset")
+
+
+def _a8_prepare(df: DataFrame) -> DataFrame:
+    return (df.where(_consenting())
+            .select(F.explode(F.split(F.col("location_codes"), ";"))
+                    .alias("location_code")))
+
+
+def _a9_prepare(df: DataFrame) -> DataFrame:
+    relevant = None
+    for d, cc in _RQA_CCS:
+        c = ((F.col("dataset") == d.name)
+             & ~F.col(cc.coded_field).isin(CONTROL_CODES))
+        relevant = c if relevant is None else (relevant | c)
+    return df.where(_consenting() & relevant).select("participant_uuid")
+
+
+_MV_SINKS = [  # (subdir, group_cols, metrics, prepare, source_cols)
+    ("mv_a1", ["dataset", "participant_uuid"], A1_METRICS, _a1_prepare,
+     ["dataset", "participant_uuid", "message_id", "consent_withdrawn"]),
+    ("mv_a3", ["dataset", "scheme", "code", "breakdown"], A3_METRICS,
+     _a3_prepare,
+     ["dataset", "gender_codes", "consent_withdrawn"]
+     + [cc.coded_field for _, cc in _RQA_CCS]),
+    ("mv_a7", ["day_us", "dataset"], A7_METRICS, _a7_prepare,
+     ["dataset", "timestamp_us", "consent_withdrawn"]),
+    ("mv_a9", ["participant_uuid"], A9_METRICS, _a9_prepare,
+     ["participant_uuid", "dataset", "consent_withdrawn"]
+     + [cc.coded_field for _, cc in _RQA_CCS]),
+]
+_PV_SINKS = [
+    ("mv_a4", ["field", "code"], A4_METRICS, _a4_prepare,
+     ["consent_withdrawn"] + [cc.coded_field for _, cc in _DEMOG_CCS]),
+    ("mv_a5", ["code_a", "code_b"], A5_METRICS, _a5_prepare,
+     ["consent_withdrawn", "gender_codes", "age_category_codes"]),
+    ("mv_a8", ["location_code"], A8_METRICS, _a8_prepare,
+     ["consent_withdrawn", "location_codes"]),
+]
+
+
+def _k2_tf(mv: DataFrame) -> DataFrame:
+    """K2 production columns, keyed by message_id for maintenance (the
+    export drops the key column at read time)."""
+    return mv.select("message_id", "participant_uuid", "timestamp_us",
+                     *[d.raw_field for d in CONFIG.datasets])
+
+
+def _k3_tf(pv: DataFrame) -> DataFrame:
+    return analysis_matrix(pv, CONFIG, SCHEME_CODES)
+
+
+def _run_pipeline_once(spark: SparkSession, base: str, commit: int) -> None:
+    """One composed incremental run over everything pending in `raw`,
+    under run-manifest bookkeeping."""
+    raw = os.path.join(base, "raw")
+    imputed = os.path.join(base, "imputed")
+    pview = os.path.join(base, "pview")
+    mview = os.path.join(base, "mview")
+
+    def _stage_imputed() -> int | None:
+        if read_table_manifest(spark, imputed) is None:
+            build_transform_table(spark, raw, imputed, _impute_tf,
+                                  ["message_id"], n_buckets=8,
+                                  bucket_cols=["participant_uuid"])
+            return int(read_table_manifest(spark, raw)["commit"])
+        return refresh_transform_table(spark, raw, imputed, _impute_tf)
+
+    def _stage_views() -> int | None:
+        if read_table_manifest(spark, pview) is None:
+            build_participants_view(spark, imputed, pview, CONFIG,
+                                    n_buckets=4)
+            build_messages_view(spark, imputed, mview, CONFIG,
+                                n_buckets=4)
+            return int(read_table_manifest(spark, imputed)["commit"])
+        return refresh_views(spark, imputed, pview, mview,
+                             CONFIG)["messages"]
+
+    def _stage_analysis() -> int:
+        # ONE scan of each view feed maintains all seven A-series
+        # states (fan_out), under stable checkpoints so each run
+        # drains only the commits its views refresh just produced
+        drain_changes(spark, mview, fan_out(*[
+            MV.mv_stream_sink(os.path.join(base, sub), gcols, metrics,
+                              prepare=prep, source_cols=cols)
+            for sub, gcols, metrics, prep, cols in _MV_SINKS]),
+            checkpoint=os.path.join(base, "ckpt_mview"), timeout_s=180)
+        return drain_changes(spark, pview, fan_out(*[
+            MV.mv_stream_sink(os.path.join(base, sub), gcols, metrics,
+                              prepare=prep, source_cols=cols)
+            for sub, gcols, metrics, prep, cols in _PV_SINKS]),
+            checkpoint=os.path.join(base, "ckpt_pview"), timeout_s=180)
+
+    def _stage_exports() -> int | None:
+        k2 = os.path.join(base, "k2")
+        k3 = os.path.join(base, "k3")
+        if read_table_manifest(spark, k2) is None:
+            build_transform_table(spark, mview, k2, _k2_tf,
+                                  ["message_id"], n_buckets=4,
+                                  bucket_cols=["participant_uuid"])
+            build_transform_table(spark, pview, k3, _k3_tf,
+                                  ["participant_uuid"], n_buckets=4)
+            return int(read_table_manifest(spark, mview)["commit"])
+        refresh_transform_table(spark, pview, k3, _k3_tf)
+        return refresh_transform_table(spark, mview, k2, _k2_tf)
+
+    run_incremental_pipeline(
+        spark, os.path.join(base, "runs"), f"run{commit}",
+        [("imputed", _stage_imputed), ("views", _stage_views),
+         ("analysis", _stage_analysis), ("exports", _stage_exports)])
+
+
+def _e2e_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Raw table + 3-commit history, with ONE composed incremental
+    pipeline run after each source commit."""
+    def _build(path: str) -> None:
+        raw = os.path.join(path, "raw")
+        res = (engagement._resolved(spark, sf_dir).select(*_RAW_COLS)
+               .localCheckpoint())
+        merge = foreach_batch_upsert(raw, ["message_id"], n_buckets=8,
+                                     bucket_cols=["participant_uuid"],
+                                     txn_app_id="src",
+                                     mode="latest_wins")
+        merge(res.where(f"NOT ({_LATE})"), 1)
+        _run_pipeline_once(spark, path, 1)
+        recode = (res.where(_RECODE)
+                  .withColumn("labels", F.expr(_RECODE_LABELS)))
+        stop = (res.where(_STOPPED)
+                .withColumn("labels", F.expr(_STOP_LABELS)))
+        move = (res.where(_MOVE)
+                .withColumn("dataset", F.lit("s01e01"))
+                .withColumn("labels", F.expr(_MOVE_LABELS)))
+        late = res.where(_LATE)
+        merge(recode.unionByName(stop).unionByName(move)
+              .unionByName(late), 2)
+        _run_pipeline_once(spark, path, 2)
+        delete_origins(spark, raw,
+                       res.where(_DEAD)
+                       .select("message_id", "participant_uuid"),
+                       strategy="dv")
+        _run_pipeline_once(spark, path, 3)
+
+    return fixture_dir("e2e_run", sf_dir, _build)
+
+
+# ---------------------------------------------------------------------------
+# Readers over the maintained states
+# ---------------------------------------------------------------------------
+
+def _imputed_long(df: DataFrame) -> DataFrame:
+    """Latest imputed code per (message, configured scheme) — the
+    scalar projection of the nested imputed state (mirrors
+    engagement.messages_imputed)."""
+    pairs = None
+    for ds in CONFIG.datasets:
+        arr = F.array(*[
+            F.struct(F.lit(s).alias("scheme"),
+                     latest_label_code(F.col("labels"), s).alias("code"))
+            for s in ds.scheme_ids])
+        cond = F.col("dataset") == ds.name
+        pairs = F.when(cond, arr) if pairs is None else pairs.when(cond, arr)
+    return (df.select("message_id", "participant_uuid", "dataset",
+                      F.explode(pairs).alias("sc"))
+            .select("message_id", "participant_uuid", "dataset",
+                    F.col("sc.scheme").alias("scheme"),
+                    F.col("sc.code").alias("code")))
+
+
+def _a1_read(spark: SparkSession, base: str) -> DataFrame:
+    mvp = os.path.join(base, "mv_a1")
+    inner = MV.read_mv(spark, mvp, A1_METRICS)
+    per_ds = MV.read_mv_distinct(spark, mvp, ["dataset"], A1_METRICS,
+                                 distinct_name="n_participants",
+                                 distinct_cols=["participant_uuid"])
+    total = (inner.agg(
+        F.sum("n_messages").cast("long").alias("n_messages"),
+        F.countDistinct("participant_uuid").alias("n_participants"))
+        .select(F.lit("total").alias("dataset"), "n_messages",
+                "n_participants"))
+    return (per_ds.select("dataset",
+                          F.col("n_messages").cast("long")
+                          .alias("n_messages"), "n_participants")
+            .unionByName(total))
+
+
+def _a2_read(spark: SparkSession, base: str) -> DataFrame:
+    # the a1 witness state's live inner groups ARE the distinct
+    # (dataset, participant) pairs — A2 is a pure read-time rollup
+    inner = MV.read_mv(spark, os.path.join(base, "mv_a1"), A1_METRICS)
+    eps = (inner.groupBy("participant_uuid")
+           .agg(F.count(F.lit(1)).alias("n_episodes")))
+    dist = (eps.groupBy("n_episodes")
+            .agg(F.count(F.lit(1)).alias("n_participants")))
+    total = F.sum("n_participants").over(Window.partitionBy())
+    return dist.withColumn(
+        "pct", F.col("n_participants") * F.lit(100.0) / total)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL: batch recompute of every artifact over the mirrored
+# final state
+# ---------------------------------------------------------------------------
+
+_E2E_PV_SQL = engagement._participants_view_sql(src="fin",
+                                                extra_cte=_E2E_CTE)
+_E2E_MV_SQL = engagement._messages_view_sql(src="fin",
+                                            extra_cte=_E2E_CTE)
+_MV_W = f"WITH mv AS ({_E2E_MV_SQL})\n"
+_PV_W = f"WITH pv AS ({_E2E_PV_SQL})\n"
+_MV_OK = "mv WHERE consent_withdrawn = 'false'"
+_PV_OK = "pv WHERE consent_withdrawn = 'false'"
+
+
+def _e2e_imputed_sql() -> str:
+    parts = [
+        f"SELECT message_id, participant_uuid, dataset, "
+        f"'{cc.scheme_id}' AS scheme, "
+        f"{engagement._scheme_code_sql(ds.name, cc.scheme_id)} AS code "
+        f"FROM fin WHERE dataset = '{ds.name}'"
+        for ds in CONFIG.datasets for cc in ds.coding_configs]
+    return ("WITH " + engagement._IMPUTED_CTE + _E2E_CTE + "\n"
+            + "\nUNION ALL\n".join(parts))
+
+
+_A1_SQL = _MV_W + f"""
+SELECT dataset, COUNT(*) AS n_messages,
+       COUNT(DISTINCT participant_uuid) AS n_participants
+FROM {_MV_OK} GROUP BY dataset
+UNION ALL
+SELECT 'total', COUNT(*), COUNT(DISTINCT participant_uuid)
+FROM {_MV_OK}
+"""
+
+_A2_SQL = _MV_W + f""",
+eps AS (
+  SELECT participant_uuid, COUNT(DISTINCT dataset) AS n_episodes
+  FROM {_MV_OK} GROUP BY participant_uuid
+),
+dist AS (SELECT n_episodes, COUNT(*) AS n_participants
+         FROM eps GROUP BY n_episodes)
+SELECT n_episodes, n_participants,
+       n_participants * CAST(100.0 AS DOUBLE)
+         / SUM(n_participants) OVER () AS pct
+FROM dist
+"""
+
+_A3_SQL = _MV_W + "\nUNION ALL\n".join(
+    f"SELECT '{d.name}' AS dataset, '{cc.scheme_id}' AS scheme, "
+    f"{cc.coded_field} AS code, gender_codes AS breakdown, "
+    f"COUNT(*) AS n_messages FROM {_MV_OK} AND dataset = '{d.name}' "
+    f"GROUP BY {cc.coded_field}, gender_codes"
+    for d, cc in _RQA_CCS)
+
+_A4_SQL = _PV_W + "\nUNION ALL\n".join(
+    f"SELECT field, code, COUNT(*) AS n_participants FROM ("
+    f"SELECT '{cc.coded_field}' AS field, "
+    f"unnest(string_split({cc.coded_field}, ';')) AS code "
+    f"FROM {_PV_OK}) GROUP BY field, code"
+    for _, cc in _DEMOG_CCS)
+
+_A5_SQL = _PV_W + f"""
+SELECT gender_codes AS code_a, age_category_codes AS code_b,
+       COUNT(*) AS n_participants
+FROM {_PV_OK} GROUP BY gender_codes, age_category_codes
+"""
+
+_A6_SQL = _MV_W + """,
+un AS (
+""" + "\nUNION ALL\n".join(
+    f"SELECT '{d.name}' AS dataset, '{cc.scheme_id}' AS scheme, "
+    f"{cc.coded_field} AS code, timestamp_us, message_id, "
+    f"{d.raw_field} AS text FROM {_MV_OK} AND dataset = '{d.name}'"
+    for d, cc in _RQA_CCS) + """
+)
+SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY dataset, scheme, code
+      ORDER BY timestamp_us, message_id) AS rank
+  FROM un
+) WHERE rank <= 100
+"""
+
+_A7_SQL = _MV_W + f"""
+SELECT (timestamp_us // {automated.MICROS_PER_DAY})
+         * {automated.MICROS_PER_DAY} AS day_us,
+       dataset, COUNT(*) AS n_messages
+FROM {_MV_OK} GROUP BY day_us, dataset
+"""
+
+_A8_SQL = _PV_W + f"""
+SELECT location_code, COUNT(*) AS n_participants FROM (
+  SELECT unnest(string_split(location_codes, ';')) AS location_code
+  FROM {_PV_OK}
+) GROUP BY location_code
+"""
+
+_CONTROL_IN = "(" + ", ".join(f"'{c}'" for c in CONTROL_CODES) + ")"
+_A9_SQL = _MV_W + """
+SELECT DISTINCT participant_uuid FROM mv
+WHERE consent_withdrawn = 'false' AND (
+""" + "\n OR ".join(
+    f"(dataset = '{d.name}' AND {cc.coded_field} NOT IN {_CONTROL_IN})"
+    for d, cc in _RQA_CCS) + ")"
+
+_K2_SQL = _MV_W + f"""
+SELECT participant_uuid, timestamp_us,
+       {", ".join(d.raw_field for d in CONFIG.datasets)}
+FROM mv
+"""
+
+
+def _k3_sql() -> str:
+    cols = ["participant_uuid", "consent_withdrawn"]
+    for d in CONFIG.datasets:
+        cols.append(d.raw_field)
+        for cc in d.coding_configs:
+            name = cc.coded_field.removesuffix("_codes")
+            for code in SCHEME_CODES[cc.scheme_id]:
+                cols.append(
+                    f"CASE WHEN list_contains("
+                    f"string_split({cc.coded_field}, ';'), '{code}') "
+                    f"THEN 1 ELSE 0 END AS \"{name}:{code}\"")
+    return _PV_W + "SELECT " + ",\n  ".join(cols) + "\nFROM pv"
+
+
+# ---------------------------------------------------------------------------
+# Member schemas
+# ---------------------------------------------------------------------------
+
+def _view_spec(message_grain: bool) -> list[tuple[str, str]]:
+    cols = [("participant_uuid", "string"),
+            ("consent_withdrawn", "string")]
+    if message_grain:
+        cols += [("message_id", "string"), ("timestamp_us", "bigint"),
+                 ("dataset", "string")]
+    for d in CONFIG.datasets:
+        cols.append((d.raw_field, "string"))
+        for cc in d.coding_configs:
+            cols.append((cc.coded_field, "string"))
+    cols.append(("operators", "string"))
+    return cols
+
+
+def _k3_spec() -> list[tuple[str, str]]:
+    return [(h, "string") if (h in ("participant_uuid",
+                                    "consent_withdrawn")
+             or h.endswith("_raw")) else (h, "int")
+            for h in analysis_matrix_headers(CONFIG, SCHEME_CODES)]
+
+
+_SPECS: dict[str, list[tuple[str, str]]] = {
+    "imputed": [("message_id", "string"), ("participant_uuid", "string"),
+                ("dataset", "string"), ("scheme", "string"),
+                ("code", "string")],
+    "participants_view": _view_spec(False),
+    "messages_view": _view_spec(True),
+    "a1": [("dataset", "string"), ("n_messages", "bigint"),
+           ("n_participants", "bigint")],
+    "a2": [("n_episodes", "bigint"), ("n_participants", "bigint"),
+           ("pct", "double")],
+    "a3": [("dataset", "string"), ("scheme", "string"),
+           ("code", "string"), ("breakdown", "string"),
+           ("n_messages", "bigint")],
+    "a4": [("field", "string"), ("code", "string"),
+           ("n_participants", "bigint")],
+    "a5": [("code_a", "string"), ("code_b", "string"),
+           ("n_participants", "bigint")],
+    "a6": [("dataset", "string"), ("scheme", "string"),
+           ("code", "string"), ("timestamp_us", "bigint"),
+           ("message_id", "string"), ("text", "string"),
+           ("rank", "int")],
+    "a7": [("day_us", "bigint"), ("dataset", "string"),
+           ("n_messages", "bigint")],
+    "a8": [("location_code", "string"), ("n_participants", "bigint")],
+    "a9": [("participant_uuid", "string")],
+    "k2": [("participant_uuid", "string"), ("timestamp_us", "bigint")]
+          + [(d.raw_field, "string") for d in CONFIG.datasets],
+    "k3": _k3_spec(),
+}
+
+_MEMBER_SQL: dict[str, str] = {
+    "imputed": _e2e_imputed_sql(),
+    "participants_view": _E2E_PV_SQL,
+    "messages_view": _E2E_MV_SQL,
+    "a1": _A1_SQL, "a2": _A2_SQL, "a3": _A3_SQL, "a4": _A4_SQL,
+    "a5": _A5_SQL, "a6": _A6_SQL, "a7": _A7_SQL, "a8": _A8_SQL,
+    "a9": _A9_SQL, "k2": _K2_SQL, "k3": _k3_sql(),
+}
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+# ---------------------------------------------------------------------------
+
+def e2e_incremental_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone row set: one (member, n_rows, checksum) per
+    maintained artifact of the composed incremental lifecycle, read
+    back IN FULL after the 3-run history; the oracle recomputes every
+    member from scratch over the mirrored final state, so a green
+    hash certifies maintained == batch across the whole chain."""
+    apply_runtime_conf(spark)
+    base = _e2e_fixture(spark, sf_dir)
+
+    def _read(sub: str) -> DataFrame:
+        return read_merged_table(spark, os.path.join(base, sub))
+
+    mview = _read("mview")
+    members: dict[str, DataFrame] = {
+        "imputed": _imputed_long(_read("imputed")),
+        "participants_view": _read("pview"),
+        "messages_view": mview,
+        "a1": _a1_read(spark, base),
+        "a2": _a2_read(spark, base),
+        "a3": MV.read_mv(spark, os.path.join(base, "mv_a3"), A3_METRICS),
+        "a4": MV.read_mv(spark, os.path.join(base, "mv_a4"), A4_METRICS),
+        "a5": MV.read_mv(spark, os.path.join(base, "mv_a5"), A5_METRICS),
+        # A6's rank window is not retract-maintainable flat
+        # (operators/topk.py); it reads the MAINTAINED G2 view — still
+        # zero recompute upstream
+        "a6": automated.sample_messages(mview, CONFIG, k=100),
+        "a7": MV.read_mv(spark, os.path.join(base, "mv_a7"), A7_METRICS),
+        "a8": MV.read_mv(spark, os.path.join(base, "mv_a8"), A8_METRICS),
+        "a9": (MV.read_mv(spark, os.path.join(base, "mv_a9"), A9_METRICS)
+               .select("participant_uuid")),
+        "k2": _read("k2").select(
+            "participant_uuid", "timestamp_us",
+            *[d.raw_field for d in CONFIG.datasets]),
+        "k3": _read("k3").select(
+            *analysis_matrix_headers(CONFIG, SCHEME_CODES)),
+    }
+    out = None
+    for name, df in members.items():
+        part = member_checksum(df, name, _SPECS[name])
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+E2E_INCREMENTAL_RUN_SQL = "\nUNION ALL\n".join(
+    member_checksum_sql(name, sql, _SPECS[name])
+    for name, sql in _MEMBER_SQL.items())
+
+
+def k2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 production export maintained as a derived table of the
+    (itself maintained) G2 view — full column-level hash vs the batch
+    export over the final state (reference analysis_files.py:13-30
+    rewrites the whole CSV per run)."""
+    apply_runtime_conf(spark)
+    base = _e2e_fixture(spark, sf_dir)
+    return read_merged_table(spark, os.path.join(base, "k2")).select(
+        "participant_uuid", "timestamp_us",
+        *[d.raw_field for d in CONFIG.datasets])
+
+
+K2_INCREMENTAL_SQL = _K2_SQL
+
+
+def k3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 analysis matrix maintained as a derived table of the
+    maintained G1 view (touched participants' matrix rows only per
+    sync) — full column-level hash vs the batch matrix (reference
+    analysis_files.py:51-111)."""
+    apply_runtime_conf(spark)
+    base = _e2e_fixture(spark, sf_dir)
+    return read_merged_table(spark, os.path.join(base, "k3")).select(
+        *analysis_matrix_headers(CONFIG, SCHEME_CODES))
+
+
+K3_INCREMENTAL_SQL = _k3_sql()
+
+
+def run_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The run manifest after the three composed runs: every stage of
+    every run ends `done`, stage rows carry their upstream watermark,
+    the `__run__` bookends none — the §3.1 orchestration record
+    (reference PipelineRunStart/End + src/common/cache.py:11-103)."""
+    apply_runtime_conf(spark)
+    base = _e2e_fixture(spark, sf_dir)
+    return (read_merged_table(spark, os.path.join(base, "runs"))
+            .select("run_id", "stage", "status",
+                    F.col("applied_commit").isNotNull()
+                    .alias("has_watermark")))
+
+
+RUN_MANIFEST_SQL = """
+SELECT run_id, stage, status, has_watermark
+FROM (VALUES
+""" + ",\n".join(
+    f"  ('run{r}', '{s}', 'done', {str(s != '__run__').upper()})"
+    for r in (1, 2, 3)
+    for s in ("__run__", "imputed", "views", "analysis", "exports")
+) + """
+) t(run_id, stage, status, has_watermark)
+"""

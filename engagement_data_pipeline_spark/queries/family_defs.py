@@ -22,7 +22,7 @@ from . import (adapters_extra, analysis, cdc_q, cleaning_q,  # noqa: F401
                temporal_q, tpch, training)
 from . import curation_q, layout_q, profile_q, splits_q  # noqa: F401
 from . import ann_q, bpe_q, classifier_q, collocations_q, hybrid_q, linkage_q  # noqa: F401
-from . import engagement, mv_q, regression, sync_back  # noqa: F401
+from . import e2e_q, engagement, mv_q, regression, sync_back  # noqa: F401
 from .families import family_query, family_sql
 
 # --- events / temporal / stats / tpch-extras ------------------------------
@@ -379,6 +379,22 @@ _EVENTS_MEMBERS = {
          ("s01e01_sentiment_codes", "string"), ("s01e02_raw", "string"),
          ("s01e02_theme_codes", "string"),
          ("s01e02_sentiment_codes", "string"), ("operators", "string")]),
+    "e2e_incremental_run": (
+        e2e_q.e2e_incremental_run, e2e_q.E2E_INCREMENTAL_RUN_SQL,
+        [("member", "string"), ("n_rows", "bigint"),
+         ("checksum", "bigint")]),
+    "k2_incremental": (
+        e2e_q.k2_incremental, e2e_q.K2_INCREMENTAL_SQL,
+        [("participant_uuid", "string"), ("timestamp_us", "bigint")]
+        + [(d.raw_field, "string")
+           for d in engagement.CONFIG.datasets]),
+    "k3_incremental": (
+        e2e_q.k3_incremental, e2e_q.K3_INCREMENTAL_SQL,
+        e2e_q._k3_spec()),
+    "run_manifest": (
+        e2e_q.run_manifest, e2e_q.RUN_MANIFEST_SQL,
+        [("run_id", "string"), ("stage", "string"),
+         ("status", "string"), ("has_watermark", "boolean")]),
     "k6_incremental": (
         sync_back.k6_incremental, sync_back.K6_INCREMENTAL_SQL,
         [("participant_uuid", "string"), ("field_s01e01", "string"),
