@@ -260,3 +260,59 @@ ANN_RECALL_TRAINED_SQL = (
     + " UNION ALL "
     + _eval_block("ivf_trained", _ivf_from_fit_sql(C.KMEANS_ITERS))
 )
+
+
+# --- atomic quantizer retrain through the blue/green pointer ----------------
+
+def _blue_green_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Corpus merge table + a blue/green index root: generation 1
+    built under the RAW SEEDS, then `retrain_ann_index` builds
+    generation 2 under the 2-iteration `kmeans_fit` quantizer and
+    flips the pointer atomically. Both generations stay readable (the
+    in-flight-reader guarantee); the pointer names gen 2."""
+    def _build(path: str) -> None:
+        src = os.path.join(path, "src")
+        emb = clustering_q._spread_emb(spark, sf_dir).select(
+            F.col("vec_id").cast("string").alias("vec_id"), "embedding")
+        merge = ing.foreach_batch_upsert(src, ["vec_id"], n_buckets=8,
+                                         txn_app_id="fixture",
+                                         mode="latest_wins")
+        merge(emb, 1)
+        seed = C._seed_centroids(load(spark, sf_dir, "embeddings"),
+                                 C.KMEANS_SEED_IDS, "vec_id", "embedding")
+        root = os.path.join(path, "root")
+        AI.init_ann_index(spark, src, root, seed)
+        AI.retrain_ann_index(spark, src, root,
+                             clustering_q._fitted(spark, sf_dir))
+
+    return fixture_dir("ann_blue_green", sf_dir, _build)
+
+
+def ann_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain-recall row: recall@k / MRR against brute-force
+    truth for BOTH sides of an atomic quantizer swap — `ivf_seed`
+    served from the superseded generation-1 index (still readable for
+    in-flight queries), `ivf_trained` from the generation the live
+    pointer now names. Shares `ANN_RECALL_TRAINED_SQL`: the oracle
+    re-runs the k-means fit and both IVF answers from scratch, so a
+    hash match proves the swap changed WHICH persisted quantizer
+    serves reads without touching the arithmetic — and that neither
+    generation ever serves the other's postings."""
+    apply_runtime_conf(spark)
+    base = _blue_green_fixture(spark, sf_dir)
+    emb = clustering_q._spread_emb(spark, sf_dir)
+    exact = S.cosine_topk(emb, QUERY_IDS, K)
+    live = AI.live_index_path(spark, os.path.join(base, "root"))
+    assert live.endswith("gen-000002"), live
+    old_gen = os.path.join(base, "root", "gen-000001")
+    q = _queries_df(emb)
+    evals = []
+    for name, idx in (("ivf_seed", old_gen), ("ivf_trained", live)):
+        approx = AI.ann_topk_indexed(spark, idx, q, K,
+                                     n_probe=S.IVF_NPROBE)
+        evals.append(S.retrieval_eval(approx, exact)
+                     .select(F.lit(name).alias("index"), "*"))
+    return evals[0].unionByName(evals[1])
+
+
+ANN_RETRAIN_SWAP_SQL = ANN_RECALL_TRAINED_SQL

@@ -677,6 +677,11 @@ _SIMILARITY_MM_MEMBERS = {
         [("index", "string"), ("query_id", "bigint"),
          ("n_hits", "bigint"), ("recall_at_k", "double"),
          ("rr", "double")]),
+    "ann_retrain_swap": (
+        ann_q.ann_retrain_swap, ann_q.ANN_RETRAIN_SWAP_SQL,
+        [("index", "string"), ("query_id", "bigint"),
+         ("n_hits", "bigint"), ("recall_at_k", "double"),
+         ("rr", "double")]),
 }
 
 

@@ -433,3 +433,141 @@ def refresh_ann_index(spark: SparkSession, table_path: str,
     merge(additions, current)
     _ing.maybe_compact(spark, table)
     return current
+
+
+# --- blue/green generations: atomic quantizer retrain/swap ------------------
+#
+# A quantizer retrain invalidates every stored cell assignment, so the
+# index refuses in-place rebuilds (`build_ann_index`) and quantizer
+# drift (`ann_index_stream_sink`). The operable retrain is therefore
+# BLUE/GREEN: build a complete NEW generation (centroids + cells)
+# beside the live one, then flip a tiny pointer file atomically.
+# Readers resolve the pointer ONCE per query (`live_index_path`) and
+# then touch only that generation's immutable layout — a read racing
+# the flip sees exactly one generation, old or new, never postings of
+# one under the quantizer of the other. Old generations stay readable
+# for in-flight queries until `prune_generations`.
+#
+# Layout at the index ROOT (one level above a single index):
+#   root/_live       <- text file naming the live generation dir
+#   root/gen-000001/ <- a full index (centroids/ + cells/)
+#   root/gen-000002/
+
+_LIVE_PTR = "_live"
+
+
+def _gen_dir(n: int) -> str:
+    return f"gen-{n:06d}"
+
+
+def live_index_path(spark: SparkSession, root: str) -> str:
+    """Resolve the live generation — call ONCE per query and keep the
+    result; re-resolving mid-query could cross a concurrent flip."""
+    try:
+        name = _ing._read_text(spark, f"{root}/{_LIVE_PTR}").strip()
+    except Exception as e:
+        raise ValueError(
+            f"{root} has no live-index pointer — initialize with "
+            "init_ann_index") from e
+    if not name.startswith("gen-"):
+        raise ValueError(
+            f"{root}/{_LIVE_PTR} names {name!r}, not a generation dir")
+    return f"{root}/{name}"
+
+
+def _live_gen_number(spark: SparkSession, root: str) -> int:
+    try:
+        return int(live_index_path(spark, root).rsplit("gen-", 1)[1])
+    except ValueError:
+        return 0
+
+
+def _gen_numbers(spark: SparkSession, root: str) -> list[int]:
+    fs, jvm = _ing._fs(spark, root)
+    try:
+        statuses = fs.listStatus(jvm.org.apache.hadoop.fs.Path(root))
+    except Exception:
+        return []
+    out = []
+    for st in statuses:
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("gen-"):
+            try:
+                out.append(int(name[4:]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def init_ann_index(spark: SparkSession, table_path: str, root: str,
+                   cents: Sequence[tuple[int, list[float], float]],
+                   n_buckets: int | None = None,
+                   id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> str:
+    """Generation 1: build from the corpus table's snapshot and
+    publish the pointer. Returns the live generation's path."""
+    if _live_gen_number(spark, root) != 0:
+        raise ValueError(
+            f"{root} already has a live index — retrain_ann_index "
+            "flips generations; init is once")
+    gen = f"{root}/{_gen_dir(1)}"
+    build_ann_index_from_table(spark, table_path, gen, cents,
+                               n_buckets=n_buckets, id_col=id_col,
+                               emb_col=emb_col)
+    _ing._write_text_atomic(spark, f"{root}/{_LIVE_PTR}", _gen_dir(1))
+    return gen
+
+
+def retrain_ann_index(spark: SparkSession, table_path: str, root: str,
+                      cents: Sequence[tuple[int, list[float], float]],
+                      n_buckets: int | None = None,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> str:
+    """Retrain = build generation N+1 under the NEW quantizer from the
+    corpus table's current snapshot, then flip the pointer atomically
+    (temp-write + rename, the manifest-publish idiom). The swap is the
+    only mutation the pointer ever sees, so a crash before the flip
+    leaves the old generation live and the half-built one invisible;
+    after the flip, maintenance (`refresh_ann_index`) continues on the
+    NEW generation from the source commit its build recorded — no
+    window is skipped or double-folded. Returns the new live path;
+    the previous generation stays on disk for in-flight readers until
+    `prune_generations`."""
+    n = _live_gen_number(spark, root)
+    if n == 0:
+        raise ValueError(f"{root} has no live index — init_ann_index first")
+    # next FREE number, not live+1: a retrain that crashed before its
+    # flip leaves a half-built orphan dir which must be skipped, never
+    # continued (build_ann_index_from_table refuses existing paths)
+    nxt = max([n] + _gen_numbers(spark, root)) + 1
+    gen = f"{root}/{_gen_dir(nxt)}"
+    build_ann_index_from_table(spark, table_path, gen, cents,
+                               n_buckets=n_buckets, id_col=id_col,
+                               emb_col=emb_col)
+    _ing._write_text_atomic(spark, f"{root}/{_LIVE_PTR}", _gen_dir(nxt))
+    return gen
+
+
+def prune_generations(spark: SparkSession, root: str) -> list[str]:
+    """Drop every generation EXCEPT the live one: superseded
+    generations (run after in-flight readers of the old quantizer
+    have drained — the vacuum-retention trade) and orphans of crashed
+    retrains (the pointer never named them, so no reader can hold
+    them). Returns the dirs removed."""
+    live = _live_gen_number(spark, root)
+    if live == 0:
+        raise ValueError(f"{root} has no live index")
+    fs, jvm = _ing._fs(spark, root)
+    removed = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(root)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("gen-")):
+            continue
+        try:
+            gen_n = int(name[4:])
+        except ValueError:
+            continue
+        if gen_n != live:
+            fs.delete(st.getPath(), True)
+            removed.append(name)
+    return sorted(removed)
