@@ -99,6 +99,20 @@ CASES = {
     # anti-join only, zero shuffles
     "participants_view_sync": (0, False),
     "messages_view_sync": (0, False),
+    # round 12: maintained exports and the run manifest are plain
+    # dv-resolved table reads — ZERO shuffles at read time; the whole
+    # maintenance cost lives in the per-commit refreshes
+    "k2_incremental": (0, False),
+    "k3_incremental": (0, False),
+    "run_manifest": (0, False),
+    # the e2e capstone reads 14 maintained artifacts and reduces each
+    # to one checksum row: mostly single-partition aggs + the A-series
+    # read-time rollups (measured 20)
+    "e2e_incremental_run": (24, False),
+    # both generations' indexed top-k + retrieval evals against the
+    # brute-force truth (whose query set enters as a broadcast-literal
+    # cross — the allowed NLJ, never data-data)
+    "ann_retrain_swap": (24, True),
 }
 
 

@@ -111,6 +111,11 @@ HEADLINE = [
     "a1_mv_cascade_labels",     # cascade w/ exists(labels) stop detection
     "ws_move_feed_mv",          # WS-move retract+add + previous_datasets
     "maintenance_fanout",       # one drain, 3 sinks: per-dataset rollups
+    "e2e_incremental_run",      # capstone: 14 maintained artifacts checksummed
+    "k2_incremental",           # maintained K2 export: zero-shuffle read
+    "k3_incremental",           # maintained K3 matrix: zero-shuffle read
+    "run_manifest",             # run-manifest table read
+    "ann_retrain_swap",         # blue/green swap: both generations' recall
 ]
 
 
