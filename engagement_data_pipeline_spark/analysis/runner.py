@@ -58,20 +58,38 @@ _SCHEMA = ("run_id string, stage string, status string, "
 
 def record_stage(spark: SparkSession, manifest_path: str, run_id: str,
                  stage: str, status: str,
-                 applied_commit: int | None = None) -> None:
+                 applied_commit: int | None = None,
+                 max_retries: int = 8) -> None:
     """Upsert one (run_id, stage) transition into the manifest. Each
     call is its own atomic commit, so the commit log IS the run's
-    event sequence."""
-    man = read_table_manifest(spark, manifest_path)
-    version = 1 + int((man or {}).get("txn", {}).get(_MANIFEST_TXN, 0))
-    row = spark.createDataFrame(
-        [(run_id, stage, status,
-          None if applied_commit is None else int(applied_commit))],
-        _SCHEMA)
-    merge = foreach_batch_upsert(manifest_path, ["run_id", "stage"],
-                                 n_buckets=4, txn_app_id=_MANIFEST_TXN,
-                                 mode="latest_wins")
-    merge(row, version)
+    event sequence.
+
+    Concurrency: the merge's replay-skip watermark is a per-write
+    counter read from the manifest, so two runners recording
+    concurrently can claim the SAME next version — the loser's merge
+    would then be silently skipped as a replay. Each write therefore
+    VERIFIES its row landed and retries with a fresh version if not
+    (different (run_id, stage) keys never conflict logically, so the
+    retry always converges; same-key concurrent writers are a caller
+    bug the last writer wins)."""
+    target = (status, None if applied_commit is None
+              else int(applied_commit))
+    for _ in range(max_retries):
+        man = read_table_manifest(spark, manifest_path)
+        version = 1 + int((man or {}).get("txn", {})
+                          .get(_MANIFEST_TXN, 0))
+        row = spark.createDataFrame([(run_id, stage, *target)], _SCHEMA)
+        merge = foreach_batch_upsert(manifest_path, ["run_id", "stage"],
+                                     n_buckets=4,
+                                     txn_app_id=_MANIFEST_TXN,
+                                     mode="latest_wins")
+        merge(row, version)
+        got = read_run(spark, manifest_path, run_id).get(stage)
+        if got == target:
+            return
+    raise RuntimeError(
+        f"manifest write ({run_id}, {stage}) lost the version race "
+        f"{max_retries} times — a runaway concurrent writer?")
 
 
 def read_run(spark: SparkSession, manifest_path: str,

@@ -66,7 +66,7 @@ from ..streaming.transform import (
 )
 from . import engagement
 from ._helpers import apply_runtime_conf, fixture_dir
-from .engagement import CONFIG, _imputed  # noqa: F401 (imp CTE mirror)
+from .engagement import CONFIG
 from .families import member_checksum, member_checksum_sql
 from .sinks_sources import SCHEME_CODES
 

@@ -215,3 +215,32 @@ def test_record_stage_null_watermark(spark, tmp_path):
     record_stage(spark, manifest, "r9", "views", "started")
     record_stage(spark, manifest, "r9", "views", "done", 3)
     assert read_run(spark, manifest, "r9") == {"views": ("done", 3)}
+
+
+def test_record_stage_survives_version_race(spark, tmp_path, monkeypatch):
+    """A concurrent runner claiming the same per-write version makes
+    the loser's merge a silent replay-skip; record_stage must verify
+    and retry with a fresh version."""
+    from engagement_data_pipeline_spark.analysis import runner as R
+
+    manifest = os.path.join(str(tmp_path), "runs")
+    record_stage(spark, manifest, "rA", "s1", "done", 1)
+    record_stage(spark, manifest, "rA", "s2", "done", 2)
+    real = R.read_table_manifest
+    calls = {"n": 0}
+
+    def stale_once(sp, path):
+        man = real(sp, path)
+        calls["n"] += 1
+        if calls["n"] == 1 and man is not None:
+            # simulate having read the manifest BEFORE a concurrent
+            # writer advanced the version counter
+            man = dict(man)
+            man["txn"] = {**man.get("txn", {}),
+                          R._MANIFEST_TXN: 0}
+        return man
+
+    monkeypatch.setattr(R, "read_table_manifest", stale_once)
+    record_stage(spark, manifest, "rB", "s1", "done", 9)
+    assert read_run(spark, manifest, "rB") == {"s1": ("done", 9)}
+    assert calls["n"] >= 2  # first write was skipped, retry landed
