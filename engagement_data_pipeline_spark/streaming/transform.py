@@ -169,7 +169,11 @@ def transform_stream_sink(dst_path: str,
     columns the transform consumes (both sides are projected to them).
     The sink bootstraps its table from its first batch (subscribe from
     startingCommit=0) and owns it from then on; compose several sinks
-    over ONE feed scan with `drain.fan_out`."""
+    over ONE feed scan with `drain.fan_out`. Run with one source
+    commit per micro-batch (`drain_changes`' default): a batch
+    collapsing several commits can carry BOTH an insert and an update
+    of one key, putting duplicate keys in the transformed upsert —
+    per-commit batches make that impossible by construction."""
     cols = sorted(source_cols)
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
@@ -194,6 +198,19 @@ def transform_stream_sink(dst_path: str,
             batch.where(F.col("op").isin("insert", "update"))
             .select(*cols)).localCheckpoint()
         if man is None:
+            # bootstrap = the source's FIRST commit (pure inserts,
+            # one commit per micro-batch — drain_changes' default).
+            # A first batch carrying retractions means the stream was
+            # pointed mid-history (startingCommit > 0) or collapsed
+            # several commits: the derived state would be silently
+            # incomplete — refuse, like the ANN index sink does.
+            if not batch.where(
+                    F.col("op").isin("update", "delete")).isEmpty():
+                raise RuntimeError(
+                    f"{dst_path} has no state but the bootstrap batch "
+                    "carries retractions — replay the stream from "
+                    "startingCommit=0 with one commit per trigger so "
+                    "the bootstrap sees the full history")
             merge = foreach_batch_upsert(dst_path, list(key_cols),
                                          n_buckets=n_buckets,
                                          bucket_cols=bucket_cols,
