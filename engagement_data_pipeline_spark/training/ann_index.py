@@ -460,26 +460,39 @@ def _gen_dir(n: int) -> str:
     return f"gen-{n:06d}"
 
 
+def _read_pointer(spark: SparkSession, root: str) -> int | None:
+    """The live generation NUMBER, or None when no pointer exists.
+    A pointer that exists but is malformed raises — treating
+    corruption as 'no index' would let init_ann_index silently
+    overwrite it."""
+    try:
+        name = _ing._read_text(spark, f"{root}/{_LIVE_PTR}").strip()
+    except Exception:
+        return None
+    try:
+        if not name.startswith("gen-"):
+            raise ValueError(name)
+        return int(name[4:])
+    except ValueError as e:
+        raise ValueError(
+            f"{root}/{_LIVE_PTR} names {name!r}, not a generation "
+            "dir — the pointer is corrupt; repair it by hand (point "
+            "it at an intact gen-NNNNNN dir)") from e
+
+
 def live_index_path(spark: SparkSession, root: str) -> str:
     """Resolve the live generation — call ONCE per query and keep the
     result; re-resolving mid-query could cross a concurrent flip."""
-    try:
-        name = _ing._read_text(spark, f"{root}/{_LIVE_PTR}").strip()
-    except Exception as e:
+    n = _read_pointer(spark, root)
+    if n is None:
         raise ValueError(
             f"{root} has no live-index pointer — initialize with "
-            "init_ann_index") from e
-    if not name.startswith("gen-"):
-        raise ValueError(
-            f"{root}/{_LIVE_PTR} names {name!r}, not a generation dir")
-    return f"{root}/{name}"
+            "init_ann_index")
+    return f"{root}/{_gen_dir(n)}"
 
 
 def _live_gen_number(spark: SparkSession, root: str) -> int:
-    try:
-        return int(live_index_path(spark, root).rsplit("gen-", 1)[1])
-    except ValueError:
-        return 0
+    return _read_pointer(spark, root) or 0
 
 
 def _gen_numbers(spark: SparkSession, root: str) -> list[int]:

@@ -110,6 +110,24 @@ def test_retrain_skips_orphan_of_crashed_retrain(spark, tmp_path):
                                                  "gen-000002"]
 
 
+def test_corrupt_pointer_is_loud(spark, tmp_path):
+    """A malformed _live pointer must raise everywhere — treating it
+    as 'no index' would let init overwrite a live index's pointer."""
+    src = os.path.join(str(tmp_path), "src")
+    root = os.path.join(str(tmp_path), "root")
+    _src(spark, src)
+    cents = _cents(spark, range(0, 16, 4))
+    AI.init_ann_index(spark, src, root, cents)
+    with open(os.path.join(root, "_live"), "w") as f:
+        f.write("garbage")
+    for call in (lambda: AI.live_index_path(spark, root),
+                 lambda: AI.init_ann_index(spark, src, root, cents),
+                 lambda: AI.retrain_ann_index(spark, src, root, cents),
+                 lambda: AI.prune_generations(spark, root)):
+        with pytest.raises(ValueError, match="corrupt"):
+            call()
+
+
 def test_retrain_requires_init(spark, tmp_path):
     src = os.path.join(str(tmp_path), "src")
     _src(spark, src)
