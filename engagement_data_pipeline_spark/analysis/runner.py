@@ -121,7 +121,15 @@ def run_incremental_pipeline(
         raise ValueError(f"duplicate stage names in {names}")
     state = read_run(spark, manifest_path, run_id)
     if state.get(RUN_STAGE, ("", None))[0] == "done":
-        return {n: state[n][1] for n in names if n in state}
+        missing = [n for n in names
+                   if state.get(n, ("", None))[0] != "done"]
+        if missing:
+            raise ValueError(
+                f"run {run_id!r} is already done but stages {missing} "
+                "have no done record — a stage list extended after the "
+                "fact needs a NEW run_id (silently skipping them would "
+                "look like success)")
+        return {n: state[n][1] for n in names}
     record_stage(spark, manifest_path, run_id, RUN_STAGE, "started")
     results: dict[str, int | None] = {}
     for name, refresh in stages:

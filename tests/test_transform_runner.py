@@ -200,6 +200,15 @@ def test_runner_records_and_resumes(spark, tmp_path):
     assert hist.count() == read_table_manifest(spark, manifest)["commit"]
 
 
+def test_done_run_with_new_stage_is_loud(spark, tmp_path):
+    manifest = os.path.join(str(tmp_path), "runs")
+    run_incremental_pipeline(spark, manifest, "r1",
+                             [("a", lambda: 1)])
+    with pytest.raises(ValueError, match="NEW run_id"):
+        run_incremental_pipeline(spark, manifest, "r1",
+                                 [("a", lambda: 1), ("b", lambda: 2)])
+
+
 def test_runner_rejects_reserved_and_duplicate_names(spark, tmp_path):
     manifest = os.path.join(str(tmp_path), "runs")
     with pytest.raises(ValueError, match="reserved"):
