@@ -44,13 +44,24 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.ingest import (foreach_batch_upsert, read_merged_table,
-                                read_table_manifest)
+                                read_table_manifest, try_claim)
 
 #: txn app id of the manifest table's own merge stream (the version is
 #: a per-write monotonic counter, not a stage watermark).
 _MANIFEST_TXN = "__run_manifest"
 
 RUN_STAGE = "__run__"
+
+#: Lease horizon for a run claim whose holder died mid-run: a resume
+#: before this elapses raises ConcurrentRunError (there is no way to
+#: distinguish a crashed runner from a slow one without heartbeats);
+#: after it, try_claim's single-winner expiry lets exactly one
+#: resumer through. Tests tune it via the claim_stale_s parameter.
+RUN_CLAIM_STALE_S = 900.0
+
+
+class ConcurrentRunError(RuntimeError):
+    """Another runner currently owns this run_id."""
 
 _SCHEMA = ("run_id string, stage string, status string, "
            "applied_commit bigint")
@@ -68,10 +79,11 @@ def record_stage(spark: SparkSession, manifest_path: str, run_id: str,
     counter read from the manifest, so two runners recording
     concurrently can claim the SAME next version — the loser's merge
     would then be silently skipped as a replay. Each write therefore
-    VERIFIES its row landed and retries with a fresh version if not
-    (different (run_id, stage) keys never conflict logically, so the
-    retry always converges; same-key concurrent writers are a caller
-    bug the last writer wins)."""
+    VERIFIES its row landed and retries with a fresh version if not.
+    Different (run_id, stage) keys never conflict logically, so the
+    retry always converges; same-key concurrent writers cannot occur
+    through `run_incremental_pipeline`, which takes an exclusive OCC
+    run claim per run_id before its first transition."""
     target = (status, None if applied_commit is None
               else int(applied_commit))
     for _ in range(max_retries):
@@ -106,6 +118,7 @@ def read_run(spark: SparkSession, manifest_path: str,
 def run_incremental_pipeline(
         spark: SparkSession, manifest_path: str, run_id: str,
         stages: Sequence[tuple[str, Callable[[], int | None]]],
+        claim_stale_s: float | None = None,
 ) -> dict[str, int | None]:
     """Execute `stages` (ordered (name, refresh) pairs; each refresh
     returns the upstream commit it reached, or None for already-
@@ -113,32 +126,59 @@ def run_incremental_pipeline(
     for this run_id are SKIPPED (crash-resume; their recorded
     watermark is returned); upstream commits landing after a skipped
     stage ran stay pending for the NEXT run, exactly as if the
-    original invocation had finished uninterrupted."""
+    original invocation had finished uninterrupted.
+
+    Exclusivity: an OCC run claim (`_run_claims/<run_id>.claim`, the
+    same put-if-absent arbiter as commit claims) is taken before the
+    first manifest transition, so two overlapping runners on the SAME
+    run_id — the daily-cron double-start — cannot interleave stage
+    transitions or execute a stage twice concurrently: the second
+    raises ConcurrentRunError. The claim is released on completion
+    AND on in-process failure (an immediate retry may proceed); only
+    a hard-killed runner leaves it for lease expiry (`claim_stale_s`,
+    default RUN_CLAIM_STALE_S)."""
     names = [n for n, _fn in stages]
     if RUN_STAGE in names:
         raise ValueError(f"{RUN_STAGE!r} is the reserved bookend stage")
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names in {names}")
-    state = read_run(spark, manifest_path, run_id)
-    if state.get(RUN_STAGE, ("", None))[0] == "done":
-        missing = [n for n in names
-                   if state.get(n, ("", None))[0] != "done"]
-        if missing:
-            raise ValueError(
-                f"run {run_id!r} is already done but stages {missing} "
-                "have no done record — a stage list extended after the "
-                "fact needs a NEW run_id (silently skipping them would "
-                "look like success)")
-        return {n: state[n][1] for n in names}
-    record_stage(spark, manifest_path, run_id, RUN_STAGE, "started")
-    results: dict[str, int | None] = {}
-    for name, refresh in stages:
-        if state.get(name, ("", None))[0] == "done":
-            results[name] = state[name][1]
-            continue
-        record_stage(spark, manifest_path, run_id, name, "started")
-        commit = refresh()
-        record_stage(spark, manifest_path, run_id, name, "done", commit)
-        results[name] = commit
-    record_stage(spark, manifest_path, run_id, RUN_STAGE, "done")
-    return results
+    stale = RUN_CLAIM_STALE_S if claim_stale_s is None else claim_stale_s
+    claim_path = f"{manifest_path}/_run_claims/{run_id}.claim"
+    claim = try_claim(spark, claim_path, stale_after_s=stale)
+    if claim is None:
+        raise ConcurrentRunError(
+            f"run {run_id!r} is already being executed by another "
+            f"runner (claim {claim_path}). If that runner crashed, "
+            f"resume after the lease expires ({stale:.0f}s) or remove "
+            "the claim file by hand.")
+    try:
+        state = read_run(spark, manifest_path, run_id)
+        if state.get(RUN_STAGE, ("", None))[0] == "done":
+            missing = [n for n in names
+                       if state.get(n, ("", None))[0] != "done"]
+            if missing:
+                raise ValueError(
+                    f"run {run_id!r} is already done but stages "
+                    f"{missing} have no done record — a stage list "
+                    "extended after the fact needs a NEW run_id "
+                    "(silently skipping them would look like success)")
+            return {n: state[n][1] for n in names}
+        record_stage(spark, manifest_path, run_id, RUN_STAGE, "started")
+        results: dict[str, int | None] = {}
+        for name, refresh in stages:
+            if state.get(name, ("", None))[0] == "done":
+                results[name] = state[name][1]
+                continue
+            # a lease-expired claim means a usurper may be mid-run:
+            # abort BEFORE recording a transition that would interleave
+            claim.verify()
+            record_stage(spark, manifest_path, run_id, name, "started")
+            commit = refresh()
+            record_stage(spark, manifest_path, run_id, name, "done",
+                         commit)
+            results[name] = commit
+        claim.verify()
+        record_stage(spark, manifest_path, run_id, RUN_STAGE, "done")
+        return results
+    finally:
+        claim.release()

@@ -118,6 +118,16 @@ _MOVE_LABELS = (
 #: replacements are all-checked single labels per scheme (M1 keeps,
 #: M2 XOR false, M4/M5 not configured for s01e01), so they land as
 #: plain code substitutions; the move only relocates `dataset`.
+#:
+#: LIMITATION (deliberate): this mirror re-states the history from
+#: the same _RECODE/_STOPPED/... predicate strings that drive the
+#: fixture's mutations, so a bug in the mutation predicates
+#: themselves is invisible to the checksum (both sides would agree
+#: on the wrong history). What the comparison DOES catch — its whole
+#: point — is incremental-vs-batch divergence: the artifact recompute
+#: reuses the independent batch view SQL, so any maintained state
+#: drifting from what a from-scratch run over the final raw rows
+#: would produce fails the hash.
 _E2E_CTE = f""",
 fin AS (
   SELECT * REPLACE (

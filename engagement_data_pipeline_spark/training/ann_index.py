@@ -460,15 +460,40 @@ def _gen_dir(n: int) -> str:
     return f"gen-{n:06d}"
 
 
+def _is_checksum_error(e: Exception) -> bool:
+    """True iff the py4j error wraps a Hadoop ChecksumException
+    anywhere in its Java cause chain."""
+    java = getattr(e, "java_exception", None)
+    while java is not None:
+        if java.getClass().getName().endswith("ChecksumException"):
+            return True
+        java = java.getCause()
+    return False
+
+
 def _read_pointer(spark: SparkSession, root: str) -> int | None:
     """The live generation NUMBER, or None when no pointer exists.
-    A pointer that exists but is malformed raises — treating
-    corruption as 'no index' would let init_ann_index silently
-    overwrite it."""
-    try:
-        name = _ing._read_text(spark, f"{root}/{_LIVE_PTR}").strip()
-    except Exception:
+    ONLY a genuinely absent pointer reads as None: a pointer that
+    exists but is malformed raises (treating corruption as 'no index'
+    would let init_ann_index silently overwrite it), and a transient
+    read failure — IO error, permissions — propagates rather than
+    masquerading as 'not initialized'."""
+    ptr = f"{root}/{_LIVE_PTR}"
+    fs, jvm = _ing._fs(spark, ptr)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(ptr)):
         return None
+    try:
+        name = _ing._read_text(spark, ptr).strip()
+    except Exception as e:
+        # a failed integrity check on the pointer's BYTES is the same
+        # corruption class as malformed content; anything else (IO,
+        # permissions) keeps propagating
+        if _is_checksum_error(e):
+            raise ValueError(
+                f"{root}/{_LIVE_PTR} fails its checksum — the pointer "
+                "is corrupt; repair it by hand (point it at an intact "
+                "gen-NNNNNN dir)") from e
+        raise
     try:
         if not name.startswith("gen-"):
             raise ValueError(name)

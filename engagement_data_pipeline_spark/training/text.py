@@ -40,13 +40,15 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
 
     Width is estimated from the scan's file list (`inputFiles`), never
     the RDD API (`df.rdd` forces plan analysis through the RDD
-    conversion path): locally-stat-able files are sized against
-    `spark.sql.files.maxPartitionBytes` (a single huge file splits
-    into many scan partitions, so it is NOT narrow), remote files
-    count as one split each — conservative for a remote single-file
-    giant, exact everywhere else. Frames with no file lineage (post-
-    shuffle) are already `spark.sql.shuffle.partitions` wide and pass
-    through."""
+    conversion path), mirroring Spark's own bin-packing: splits =
+    ceil(Σ(size + openCostInBytes) / maxPartitionBytes) over the file
+    list (FilePartition packs many small files into one task, so 32
+    tiny files are ONE narrow task, not 32 wide ones; a single huge
+    file splits into many scan partitions, so it is NOT narrow).
+    Remote files that can't be stat-ed locally count maxPartitionBytes
+    each — conservative for remote tiny files, exact everywhere else.
+    Frames with no file lineage (post-shuffle) are already
+    `spark.sql.shuffle.partitions` wide and pass through."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
@@ -55,7 +57,10 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
     max_bytes = _size_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes",
                        str(128 * 1024 * 1024)))
-    splits = 0
+    open_cost = _size_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes",
+                       str(4 * 1024 * 1024)))
+    total = 0
     for f in files:
         if f.startswith("file:"):
             import os
@@ -64,11 +69,14 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
                 size = os.path.getsize(urlparse(f).path)
             except OSError:
                 size = 0
-            splits += max(1, -(-size // max_bytes))
+            total += size + open_cost
         else:
-            splits += 1
-        if splits >= target:
+            total += max_bytes  # un-stat-able: assume a full split
+        if total >= target * max_bytes:
             return df
+    splits = max(1, -(-total // max_bytes))
+    if splits >= target:
+        return df
     return df.repartition(target)
 
 # A small english-ish stopword list for quality scoring (the reference

@@ -1,0 +1,137 @@
+"""Round-13 hardening: spread_narrow_scan's bin-packing width
+estimate, and the runner's exclusive OCC run claim."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from engagement_data_pipeline_spark.analysis.runner import (
+    ConcurrentRunError,
+    read_run,
+    run_incremental_pipeline,
+)
+from engagement_data_pipeline_spark.streaming.ingest import put_if_absent
+from engagement_data_pipeline_spark.training.text import spread_narrow_scan
+
+
+def _write_files(spark, path: str, n: int) -> None:
+    (spark.range(400).withColumn("k", (F.col("id") % n).cast("int"))
+     .repartition(n, "k").write.mode("overwrite").parquet(path))
+
+
+# ---------------------------------------------------------------------------
+# spread_narrow_scan: splits mirror Spark's small-file bin-packing
+# ---------------------------------------------------------------------------
+
+def test_spread_fires_on_many_tiny_files(spark, tmp_path):
+    # 8 tiny files exceed defaultParallelism by COUNT, but Spark
+    # bin-packs them into ~one scan task — the spread must fire
+    p = str(tmp_path / "tiny")
+    _write_files(spark, p, 8)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) >= spark.sparkContext.defaultParallelism
+    out = spread_narrow_scan(df)
+    assert out is not df
+    assert (out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
+
+
+def test_spread_passes_through_wide_input(spark, tmp_path):
+    p = str(tmp_path / "wide")
+    _write_files(spark, p, 8)
+    df = spark.read.parquet(p)
+    old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes",
+                              "4194304")
+    try:
+        # shrink the split size so the same files are genuinely wide
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1k")
+        assert spread_narrow_scan(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+
+def test_spread_passes_through_single_huge_file(spark, tmp_path):
+    # one file many times the split size is NOT narrow (it splits)
+    p = str(tmp_path / "huge")
+    _write_files(spark, p, 1)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) == 1
+    old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        assert spread_narrow_scan(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+
+
+# ---------------------------------------------------------------------------
+# runner: exclusive run claim per run_id
+# ---------------------------------------------------------------------------
+
+def test_concurrent_same_run_id_refused(spark, tmp_path):
+    manifest = str(tmp_path / "runs")
+    started = threading.Event()
+    release = threading.Event()
+    errs: list[Exception] = []
+
+    def slow_stage() -> int:
+        started.set()
+        assert release.wait(60)
+        return 1
+
+    def runner_a() -> None:
+        try:
+            run_incremental_pipeline(spark, manifest, "r1",
+                                     [("s", slow_stage)])
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    t = threading.Thread(target=runner_a)
+    t.start()
+    try:
+        assert started.wait(60)
+        # the overlapping daily run: refused loudly, no interleaving
+        with pytest.raises(ConcurrentRunError, match="r1"):
+            run_incremental_pipeline(spark, manifest, "r1",
+                                     [("s", lambda: 2)])
+    finally:
+        release.set()
+        t.join(120)
+    assert not errs
+    assert read_run(spark, manifest, "r1")["s"] == ("done", 1)
+    # claim released on completion: re-invoke is the done-run no-op
+    assert run_incremental_pipeline(
+        spark, manifest, "r1", [("s", lambda: 3)]) == {"s": 1}
+
+
+def test_crashed_claim_blocks_until_lease_expiry(spark, tmp_path):
+    manifest = str(tmp_path / "runs")
+    # a hard-killed runner leaves its claim file behind
+    assert put_if_absent(spark, f"{manifest}/_run_claims/r9.claim",
+                         "deadbeef")
+    with pytest.raises(ConcurrentRunError, match="lease"):
+        run_incremental_pipeline(spark, manifest, "r9",
+                                 [("s", lambda: 1)], claim_stale_s=3600)
+    # after lease expiry exactly one resumer gets through
+    assert run_incremental_pipeline(
+        spark, manifest, "r9", [("s", lambda: 1)],
+        claim_stale_s=0.0) == {"s": 1}
+
+
+def test_failed_run_releases_claim(spark, tmp_path):
+    manifest = str(tmp_path / "runs")
+
+    def boom() -> int:
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        run_incremental_pipeline(spark, manifest, "rf", [("s", boom)])
+    # in-process failure released the claim: immediate retry proceeds
+    assert run_incremental_pipeline(
+        spark, manifest, "rf", [("s", lambda: 7)]) == {"s": 7}

@@ -5,9 +5,11 @@ swings are host noise — the mechanical drift separation VERDICT r11
 asked for.
 
 Usage: python tools/bench_compare.py BENCH_LOCAL.json BENCH_r11.json [ratio]
-Prints every query whose MIN regressed beyond `ratio` (default 1.2)
-vs the old artifact's best-run value (older artifacts carry only the
-best run's per-query time, which is that round's observed minimum).
+Prints every query whose MIN regressed beyond `ratio` (default 1.2).
+Both sides prefer `queries_spread` minima (true per-query minima
+across all runs, artifacts ≥ r12); an artifact without spreads falls
+back to its best-RUN per-query times, which minimize the TOTAL, not
+each query — a weaker baseline, so the tool notes when it's in play.
 """
 
 from __future__ import annotations
@@ -24,12 +26,23 @@ def main() -> None:
     # driver artifacts (BENCH_r{N}.json) wrap the bench line in "parsed"
     new = new.get("parsed", new)
     old = old.get("parsed", old)
-    new_min = {k: lo for k, (lo, _hi) in
-               new.get("queries_spread", {}).items()}
-    if not new_min:  # fall back to best-run values
-        new_min = {k: v for k, v in new["queries"].items()
-                   if v is not None}
-    old_min = {k: v for k, v in old["queries"].items() if v is not None}
+    def minima(art: dict) -> tuple[dict, bool]:
+        spread = {k: lo for k, (lo, _hi) in
+                  art.get("queries_spread", {}).items()}
+        if spread:
+            return spread, True
+        return {k: v for k, v in art["queries"].items()
+                if v is not None}, False
+
+    new_min, new_spread = minima(new)
+    old_min, old_spread = minima(old)
+    if not old_spread:
+        print("note: old artifact has no queries_spread — comparing "
+              "against its best-RUN times (per-query upper bound of "
+              "that round's minima)")
+    if not new_spread:
+        print("note: new artifact has no queries_spread — comparing "
+              "its best-RUN times")
     shared = sorted(set(new_min) & set(old_min))
     regressed = [(k, old_min[k], new_min[k],
                   round(new_min[k] / old_min[k], 2))
