@@ -7,9 +7,11 @@ column views → exports → automated analysis over the WHOLE corpus
 module proves the engine can run that exact composition
 INCREMENTALLY, end to end, from one change-feed chain:
 
-    raw messages table        (3-commit history: inserts, a theme
-      │ change feed            recode, a WS move, a late consent
-      ▼                        STOP, a dv delete)
+    raw messages table        (4-commit history: inserts, a theme
+      │ change feed            recode, WS moves incl. a double-hop
+      ▼                        and an M11 cycle, a late consent STOP,
+                               a dv delete, an out-of-order commit
+                               with M3 text-emptying updates)
     imputed messages table    row-local F5/F6 filter + M1-M5
       │ change feed            imputation (streaming/transform.py)
       ▼
@@ -19,8 +21,19 @@ INCREMENTALLY, end to end, from one change-feed chain:
     A-series MV states        one drain per view feed, fan_out over
     K2/K3 export tables        mv_stream_sink + transform tables
 
-Each of the three source commits triggers ONE composed pipeline run
-(analysis/runner.py) recorded in a RUN MANIFEST; after run 3 every
+The history covers the reference's full mutation alphabet: base
+inserts, late inserts, a checked recode, an authored dataset
+relocation, a late consent STOP, a dv delete — and (commits 2+4,
+computed by the REAL labels/ws_correction.py operator, never by
+hand) a WS single hop, a WS double-hop s01e02→s01e01→age, and an
+M11 cycle s01e02→s01e01→(back) whose reset empties the move history
+and clears labels (reference lib.py:257-339). Commit 4 is
+OUT-OF-ORDER: its M3 text-emptying updates carry last_updated values
+OLDER than the rows they replace, proving maintenance is
+commit-ordered, not event-time-ordered.
+
+Each of the four source commits triggers ONE composed pipeline run
+(analysis/runner.py) recorded in a RUN MANIFEST; after run 4 every
 maintained artifact is read back IN FULL and checksum-compared
 against a from-scratch batch recompute over the final raw state —
 the DuckDB oracle recomputes the same artifacts from the mirrored
@@ -44,13 +57,19 @@ from pyspark.sql import functions as F
 from ..analysis import automated
 from ..analysis.runner import run_incremental_pipeline
 from ..analysis.spine import filter_messages
-from ..labels.config import CONTROL_CODES, DEMOGRAPHIC, RESEARCH_QUESTION_ANSWER
+from ..labels.config import (
+    CONTROL_CODES,
+    DEMOGRAPHIC,
+    RESEARCH_QUESTION_ANSWER,
+    WS,
+)
 from ..labels.imputation import impute_message_grain, latest_label_code
 from ..labels.views import (
     build_messages_view,
     build_participants_view,
     refresh_views,
 )
+from ..labels.ws_correction import WS_SCHEME_ID, apply_ws_correction
 from ..sinks.exports import analysis_matrix, analysis_matrix_headers
 from ..streaming import mv as MV
 from ..streaming.drain import drain_changes, fan_out
@@ -88,6 +107,26 @@ _STOPPED = (f"dataset = 's01e01' AND {_EID} % 31 = 17 "
 _MOVE = f"dataset = 's01e02' AND {_EID} % 29 = 13 AND NOT ({_LATE})"
 #: commit 3: dv-deleted
 _DEAD = f"{_EID} % 19 = 11"
+#: commit 4 (out-of-order): text emptied (M3 -> NC), last_updated
+#: OLDER than the replaced row's — commit order must win anyway
+_EMPTIED = (f"dataset = 's01e01' AND {_EID} % 41 = 5 AND NOT ({_LATE}) "
+            f"AND {_EID} % 23 <> 9 AND {_EID} % 31 <> 17 "
+            f"AND {_EID} % 19 <> 11")
+#: WS-corrected s01e02->s01e01 at commit 2, corrected BACK at commit 4
+#: -> M11 cycle reset: first previous dataset restored, history
+#: emptied, labels cleared (-> NR codes under the original dataset)
+_CYCLE = (f"dataset = 's01e02' AND {_EID} % 43 = 21 AND NOT ({_LATE}) "
+          f"AND {_EID} % 29 <> 13 AND {_EID} % 19 <> 11")
+#: WS double-hop: s01e02->s01e01 at commit 2, s01e01->age at commit 4
+#: (a second plain M10 move — 'age' is not in the move history). The
+#: RQA-window condition keeps the class inside rows the F5 filter
+#: passes under EITHER dataset (an out-of-window s01e02 row would be
+#: invisible to the imp-level mirror but visible once demographic).
+_HOP2 = (f"dataset = 's01e02' AND {_EID} % 47 = 29 AND NOT ({_LATE}) "
+         f"AND {_EID} % 29 <> 13 AND {_EID} % 43 <> 21 "
+         f"AND {_EID} % 19 <> 11 "
+         f"AND timestamp >= TIMESTAMP '{CONFIG.rqa_start}' "
+         f"AND timestamp <= TIMESTAMP '{CONFIG.rqa_end}'")
 
 _LABEL_FIELDS = ("'date_time_utc', last_updated, 'checked', true, "
                  "'origin_id', 'e2e:relabel'")
@@ -114,6 +153,47 @@ _MOVE_LABELS = (
     "'code_id', l.code_id, 'date_time_utc', l.date_time_utc, "
     "'checked', l.checked, 'origin_id', l.origin_id))")
 
+#: WS-scheme code id -> target dataset (the reference resolves this
+#: from the WS scheme's code config, lib.py:222-253)
+_WS_CODE_TO_DS = {"ws_to_s01e01": "s01e01", "ws_to_s01e02": "s01e02",
+                  "ws_to_age": "age"}
+
+
+def _ws_labels(theme_scheme: str, ws_code: str) -> str:
+    """A checked WS control code in the current dataset's theme scheme
+    plus a checked target code in the WS scheme — exactly the label
+    state that triggers an M10/M11 correction."""
+    return (f"array(named_struct('scheme_id', '{theme_scheme}', "
+            f"'code_id', '{WS}', {_LABEL_FIELDS}), "
+            f"named_struct('scheme_id', '{WS_SCHEME_ID}', "
+            f"'code_id', '{ws_code}', {_LABEL_FIELDS}))")
+
+
+def _ws_moved(res: DataFrame, pred: str, cur_dataset: str,
+              prev_datasets: list[str], ws_code: str) -> DataFrame:
+    """The coda-sync analog: stage the rows matching `pred` in their
+    pre-correction state (current dataset + move history + the
+    WS-label pair), run the REAL M10/M11 operator
+    (labels/ws_correction.py, reference lib.py:202-456), and project
+    the corrected rows as the raw-feed update the sync would write
+    back to the engagement DB. previous_datasets lives upstream (the
+    sync's own state), never in the raw table — exactly the
+    reference's split."""
+    staged = (res.where(pred)
+              .withColumn("dataset", F.lit(cur_dataset))
+              .withColumn("previous_datasets",
+                          F.array(*[F.lit(p) for p in prev_datasets])
+                          .cast("array<string>"))
+              .withColumn("labels",
+                          F.expr(_ws_labels(f"{cur_dataset}_theme_scheme",
+                                            ws_code))))
+    moved = apply_ws_correction(
+        staged,
+        normal_schemes=[f"{cur_dataset}_theme_scheme",
+                        f"{cur_dataset}_sentiment_scheme"],
+        code_to_dataset=_WS_CODE_TO_DS)
+    return moved.select(*_RAW_COLS)
+
 #: final-state mirror at the flattened `imp` level: the recode/STOP
 #: replacements are all-checked single labels per scheme (M1 keeps,
 #: M2 XOR false, M4/M5 not configured for s01e01), so they land as
@@ -131,13 +211,21 @@ _MOVE_LABELS = (
 _E2E_CTE = f""",
 fin AS (
   SELECT * REPLACE (
-    CASE WHEN {_MOVE} THEN 's01e01' ELSE dataset END AS dataset,
+    CASE WHEN {_MOVE} THEN 's01e01'
+         WHEN {_HOP2} THEN 'age' ELSE dataset END AS dataset,
+    CASE WHEN {_EMPTIED} THEN '' ELSE text END AS text,
     CASE WHEN {_RECODE} THEN 'theme_recoded'
          WHEN {_STOPPED} THEN 'STOP'
+         WHEN {_EMPTIED} THEN 'NC'
+         WHEN ({_CYCLE}) OR ({_HOP2}) THEN 'NR'
          ELSE primary_code END AS primary_code,
     CASE WHEN {_RECODE} THEN 'scode_recoded'
          WHEN {_STOPPED} THEN 'STOP'
-         ELSE sent_code END AS sent_code)
+         WHEN {_EMPTIED} THEN 'NC'
+         WHEN {_CYCLE} THEN 'NR'
+         WHEN {_HOP2} THEN NULL
+         ELSE sent_code END AS sent_code,
+    CASE WHEN {_HOP2} THEN 'NR' ELSE age_cat_code END AS age_cat_code)
   FROM imp WHERE NOT ({_DEAD})
 )"""
 
@@ -336,7 +424,7 @@ def _run_pipeline_once(spark: SparkSession, base: str, commit: int) -> None:
 
 
 def _e2e_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Raw table + 3-commit history, with ONE composed incremental
+    """Raw table + 4-commit history, with ONE composed incremental
     pipeline run after each source commit."""
     def _build(path: str) -> None:
         raw = os.path.join(path, "raw")
@@ -356,14 +444,36 @@ def _e2e_fixture(spark: SparkSession, sf_dir: str) -> str:
                 .withColumn("dataset", F.lit("s01e01"))
                 .withColumn("labels", F.expr(_MOVE_LABELS)))
         late = res.where(_LATE)
+        # first hop for both WS classes: s01e02 -> s01e01, computed by
+        # the real M10 operator over the staged pre-correction state
+        hop1 = _ws_moved(res, f"({_CYCLE}) OR ({_HOP2})", "s01e02",
+                         [], "ws_to_s01e01")
         merge(recode.unionByName(stop).unionByName(move)
-              .unionByName(late), 2)
+              .unionByName(late).unionByName(hop1), 2)
         _run_pipeline_once(spark, path, 2)
         delete_origins(spark, raw,
                        res.where(_DEAD)
                        .select("message_id", "participant_uuid"),
                        strategy="dv")
         _run_pipeline_once(spark, path, 3)
+        # commit 4 — out of order (last_updated regresses) and the
+        # nasty half of the move alphabet:
+        #  * M3: text emptied on live rows, event-time OLDER than what
+        #    it replaces (commit order must win)
+        #  * M11 cycle: s01e01 -> s01e02 where s01e02 is already in
+        #    the move history -> reset to FIRST previous, labels
+        #    cleared (via the real operator)
+        #  * second hop of the double-hop: s01e01 -> age (plain M10;
+        #    an RQA row becomes a demographic answer)
+        emptied = (res.where(_EMPTIED)
+                   .withColumn("text", F.lit(""))
+                   .withColumn("last_updated",
+                               F.expr("last_updated - INTERVAL 10 DAYS")))
+        cycle_back = _ws_moved(res, _CYCLE, "s01e01", ["s01e02"],
+                               "ws_to_s01e02")
+        hop2 = _ws_moved(res, _HOP2, "s01e01", ["s01e02"], "ws_to_age")
+        merge(emptied.unionByName(cycle_back).unionByName(hop2), 4)
+        _run_pipeline_once(spark, path, 4)
 
     return fixture_dir("e2e_run", sf_dir, _build)
 
@@ -620,7 +730,7 @@ _MEMBER_SQL: dict[str, str] = {
 def e2e_incremental_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE capstone row set: one (member, n_rows, checksum) per
     maintained artifact of the composed incremental lifecycle, read
-    back IN FULL after the 3-run history; the oracle recomputes every
+    back IN FULL after the 4-run history; the oracle recomputes every
     member from scratch over the mirrored final state, so a green
     hash certifies maintained == batch across the whole chain."""
     apply_runtime_conf(spark)
@@ -695,7 +805,7 @@ K3_INCREMENTAL_SQL = _k3_sql()
 
 
 def run_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The run manifest after the three composed runs: every stage of
+    """The run manifest after the four composed runs: every stage of
     every run ends `done`, stage rows carry their upstream watermark,
     the `__run__` bookends none — the §3.1 orchestration record
     (reference PipelineRunStart/End + src/common/cache.py:11-103)."""
@@ -712,7 +822,7 @@ SELECT run_id, stage, status, has_watermark
 FROM (VALUES
 """ + ",\n".join(
     f"  ('run{r}', '{s}', 'done', {str(s != '__run__').upper()})"
-    for r in (1, 2, 3)
+    for r in (1, 2, 3, 4)
     for s in ("__run__", "imputed", "views", "analysis", "exports")
 ) + """
 ) t(run_id, stage, status, has_watermark)

@@ -42,7 +42,7 @@ def test_capstone_oracle_has_all_members(con):
 
 def test_run_manifest_oracle_shape(con):
     rows = con.execute(e2e_q.RUN_MANIFEST_SQL).fetchall()
-    assert len(rows) == 15  # 3 runs x (4 stages + __run__ bookend)
+    assert len(rows) == 20  # 4 runs x (4 stages + __run__ bookend)
     assert all(r[2] == "done" for r in rows)
     assert all((r[1] == "__run__") == (not r[3]) for r in rows)
 
@@ -55,21 +55,37 @@ def test_history_predicates_are_disjoint_where_required(con):
                    AS message_id,
                  CASE event_type WHEN 'purchase' THEN 's01e01'
                       WHEN 'error' THEN 's01e02' ELSE 'other' END
-                   AS dataset
+                   AS dataset,
+                 ts AS timestamp
                  FROM events)
     SELECT SUM(CASE WHEN ({e2e_q._RECODE}) AND ({e2e_q._STOPPED})
                THEN 1 ELSE 0 END),
            SUM(CASE WHEN (({e2e_q._RECODE}) OR ({e2e_q._STOPPED})
-                     OR ({e2e_q._MOVE})) AND ({e2e_q._LATE})
+                     OR ({e2e_q._MOVE}) OR ({e2e_q._EMPTIED})
+                     OR ({e2e_q._CYCLE}) OR ({e2e_q._HOP2}))
+                     AND ({e2e_q._LATE})
+               THEN 1 ELSE 0 END),
+           SUM(CASE WHEN (({e2e_q._EMPTIED}) OR ({e2e_q._CYCLE})
+                     OR ({e2e_q._HOP2})) AND (({e2e_q._DEAD})
+                     OR ({e2e_q._RECODE}) OR ({e2e_q._STOPPED})
+                     OR ({e2e_q._MOVE}))
+               THEN 1 ELSE 0 END),
+           SUM(CASE WHEN ({e2e_q._CYCLE}) AND ({e2e_q._HOP2})
                THEN 1 ELSE 0 END),
            SUM(CASE WHEN {e2e_q._RECODE} THEN 1 ELSE 0 END),
            SUM(CASE WHEN {e2e_q._STOPPED} THEN 1 ELSE 0 END),
            SUM(CASE WHEN {e2e_q._MOVE} THEN 1 ELSE 0 END),
-           SUM(CASE WHEN {e2e_q._DEAD} THEN 1 ELSE 0 END)
+           SUM(CASE WHEN {e2e_q._DEAD} THEN 1 ELSE 0 END),
+           SUM(CASE WHEN {e2e_q._EMPTIED} THEN 1 ELSE 0 END),
+           SUM(CASE WHEN {e2e_q._CYCLE} THEN 1 ELSE 0 END),
+           SUM(CASE WHEN {e2e_q._HOP2} THEN 1 ELSE 0 END)
     FROM ids
     """
-    overlap, late_overlap, n_rec, n_stop, n_move, n_dead = \
-        con.execute(q).fetchone()
+    (overlap, late_overlap, c4_overlap, ws_overlap, n_rec, n_stop,
+     n_move, n_dead, n_emp, n_cyc, n_hop) = con.execute(q).fetchone()
     assert overlap == 0 and late_overlap == 0
+    # commit-4 classes never collide with commit-2/3 mutations or each
+    # other (one upsert per key per batch; dv-deleted keys stay dead)
+    assert c4_overlap == 0 and ws_overlap == 0
     # the history actually exercises every mutation class at this SF
-    assert min(n_rec, n_stop, n_move, n_dead) > 0
+    assert min(n_rec, n_stop, n_move, n_dead, n_emp, n_cyc, n_hop) > 0
