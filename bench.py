@@ -20,6 +20,14 @@ which 208s was fixture builds; net 120s vs best 104s, i.e. ~93% of
 the spread is fixture construction by design (the cost a production
 deployment pays once at ingest, kept OUT of the measured query reads)
 and the residual ~15% is JVM/JIT warmup. Best-of-N excludes both.
+
+Fixtures additionally persist ACROSS processes in a content-keyed
+cache (tools/fixture_cache.py): unless $SPARK_GRAFT_FIXTURE_DIR pins
+a root, fixtures land under /tmp/spark-graft-fixture-cache/<hash of
+the package source>, so a warm box (same code, re-run bench) has
+run 1 ≈ runs 2-3 and fixture_build_per_run ≈ [0, 0, 0]. Any source
+change flips the key and rebuilds from scratch — reuse can never
+serve a stale fixture.
 """
 
 from __future__ import annotations
@@ -76,6 +84,9 @@ def _run_once(spark, sf_dir: str):
 
 
 def main():
+    from tools.fixture_cache import default_fixture_env
+
+    default_fixture_env()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))

@@ -50,6 +50,7 @@ is exactly the work the incremental chain avoids.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -363,9 +364,15 @@ def _k3_tf(pv: DataFrame) -> DataFrame:
     return analysis_matrix(pv, CONFIG, SCHEME_CODES)
 
 
-def _run_pipeline_once(spark: SparkSession, base: str, commit: int) -> None:
-    """One composed incremental run over everything pending in `raw`,
-    under run-manifest bookkeeping."""
+def _pipeline_stages(spark: SparkSession, base: str,
+                     n_buckets_data: int = 8, n_buckets_view: int = 4,
+                     drain_timeout_s: float = 180,
+                     ) -> list[tuple[str, Callable[[], int | None]]]:
+    """The composed lifecycle's stage list (imputed -> views ->
+    analysis -> exports), reusable outside the fixture so tools can
+    time stages individually (tools/e2e_pipeline_stress.py) or crash
+    between them. Bucket counts are parameters because the scale
+    story sizes buckets with the corpus (constant bucket bytes)."""
     raw = os.path.join(base, "raw")
     imputed = os.path.join(base, "imputed")
     pview = os.path.join(base, "pview")
@@ -374,7 +381,8 @@ def _run_pipeline_once(spark: SparkSession, base: str, commit: int) -> None:
     def _stage_imputed() -> int | None:
         if read_table_manifest(spark, imputed) is None:
             build_transform_table(spark, raw, imputed, _impute_tf,
-                                  ["message_id"], n_buckets=8,
+                                  ["message_id"],
+                                  n_buckets=n_buckets_data,
                                   bucket_cols=["participant_uuid"])
             return int(read_table_manifest(spark, raw)["commit"])
         return refresh_transform_table(spark, raw, imputed, _impute_tf)
@@ -382,9 +390,9 @@ def _run_pipeline_once(spark: SparkSession, base: str, commit: int) -> None:
     def _stage_views() -> int | None:
         if read_table_manifest(spark, pview) is None:
             build_participants_view(spark, imputed, pview, CONFIG,
-                                    n_buckets=4)
+                                    n_buckets=n_buckets_view)
             build_messages_view(spark, imputed, mview, CONFIG,
-                                n_buckets=4)
+                                n_buckets=n_buckets_view)
             return int(read_table_manifest(spark, imputed)["commit"])
         return refresh_views(spark, imputed, pview, mview,
                              CONFIG)["messages"]
@@ -397,30 +405,40 @@ def _run_pipeline_once(spark: SparkSession, base: str, commit: int) -> None:
             MV.mv_stream_sink(os.path.join(base, sub), gcols, metrics,
                               prepare=prep, source_cols=cols)
             for sub, gcols, metrics, prep, cols in _MV_SINKS]),
-            checkpoint=os.path.join(base, "ckpt_mview"), timeout_s=180)
+            checkpoint=os.path.join(base, "ckpt_mview"),
+            timeout_s=drain_timeout_s)
         return drain_changes(spark, pview, fan_out(*[
             MV.mv_stream_sink(os.path.join(base, sub), gcols, metrics,
                               prepare=prep, source_cols=cols)
             for sub, gcols, metrics, prep, cols in _PV_SINKS]),
-            checkpoint=os.path.join(base, "ckpt_pview"), timeout_s=180)
+            checkpoint=os.path.join(base, "ckpt_pview"),
+            timeout_s=drain_timeout_s)
 
     def _stage_exports() -> int | None:
         k2 = os.path.join(base, "k2")
         k3 = os.path.join(base, "k3")
         if read_table_manifest(spark, k2) is None:
             build_transform_table(spark, mview, k2, _k2_tf,
-                                  ["message_id"], n_buckets=4,
+                                  ["message_id"],
+                                  n_buckets=n_buckets_view,
                                   bucket_cols=["participant_uuid"])
             build_transform_table(spark, pview, k3, _k3_tf,
-                                  ["participant_uuid"], n_buckets=4)
+                                  ["participant_uuid"],
+                                  n_buckets=n_buckets_view)
             return int(read_table_manifest(spark, mview)["commit"])
         refresh_transform_table(spark, pview, k3, _k3_tf)
         return refresh_transform_table(spark, mview, k2, _k2_tf)
 
+    return [("imputed", _stage_imputed), ("views", _stage_views),
+            ("analysis", _stage_analysis), ("exports", _stage_exports)]
+
+
+def _run_pipeline_once(spark: SparkSession, base: str, commit: int) -> None:
+    """One composed incremental run over everything pending in `raw`,
+    under run-manifest bookkeeping."""
     run_incremental_pipeline(
         spark, os.path.join(base, "runs"), f"run{commit}",
-        [("imputed", _stage_imputed), ("views", _stage_views),
-         ("analysis", _stage_analysis), ("exports", _stage_exports)])
+        _pipeline_stages(spark, base))
 
 
 def _e2e_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -727,20 +745,16 @@ _MEMBER_SQL: dict[str, str] = {
 # Registry queries
 # ---------------------------------------------------------------------------
 
-def e2e_incremental_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE capstone row set: one (member, n_rows, checksum) per
-    maintained artifact of the composed incremental lifecycle, read
-    back IN FULL after the 4-run history; the oracle recomputes every
-    member from scratch over the mirrored final state, so a green
-    hash certifies maintained == batch across the whole chain."""
-    apply_runtime_conf(spark)
-    base = _e2e_fixture(spark, sf_dir)
-
+def _artifact_members(spark: SparkSession, base: str,
+                      ) -> dict[str, DataFrame]:
+    """Every maintained artifact of a composed-lifecycle base dir,
+    read back in its certified projection (shared by the capstone
+    query and tools/e2e_restart_stress.py)."""
     def _read(sub: str) -> DataFrame:
         return read_merged_table(spark, os.path.join(base, sub))
 
     mview = _read("mview")
-    members: dict[str, DataFrame] = {
+    return {
         "imputed": _imputed_long(_read("imputed")),
         "participants_view": _read("pview"),
         "messages_view": mview,
@@ -763,8 +777,18 @@ def e2e_incremental_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k3": _read("k3").select(
             *analysis_matrix_headers(CONFIG, SCHEME_CODES)),
     }
+
+
+def e2e_incremental_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone row set: one (member, n_rows, checksum) per
+    maintained artifact of the composed incremental lifecycle, read
+    back IN FULL after the 4-run history; the oracle recomputes every
+    member from scratch over the mirrored final state, so a green
+    hash certifies maintained == batch across the whole chain."""
+    apply_runtime_conf(spark)
+    base = _e2e_fixture(spark, sf_dir)
     out = None
-    for name, df in members.items():
+    for name, df in _artifact_members(spark, base).items():
         part = member_checksum(df, name, _SPECS[name])
         out = part if out is None else out.unionAll(part)
     return out

@@ -55,6 +55,10 @@ def value_hash(cols, rows):
 def main():
     from pyspark.sql import SparkSession
 
+    from tools.fixture_cache import default_fixture_env
+
+    default_fixture_env()  # reuse content-keyed fixtures across runs
+
     from __spark_entry__ import oracle_sql, queries
 
     spark = (SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
