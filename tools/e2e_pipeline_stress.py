@@ -180,15 +180,22 @@ def main() -> None:
         f.write("\nReading: bootstrap (run 1, which builds every "
                 "maintained artifact from the full corpus — exactly "
                 "the batch recompute the reference pays per day) "
-                "grows with the corpus; the day run over a "
-                "CONSTANT-size delta stays flat across a 100x larger "
-                "corpus because every stage is O(changed buckets + "
-                "changed rows): the raw feed diff reads only touched "
-                "buckets, the imputed/export transforms rewrite only "
-                "touched buckets, the view refresh re-folds only "
-                "touched participants, and each MV folds only the "
-                "day's view deltas. This is the end-to-end analog of "
-                "the per-stage growth rows above.\n")
+                "grows with the corpus and is clearly linear once the "
+                "data outgrows the composition's fixed overhead; the "
+                "day run over a CONSTANT-size delta stays flat across "
+                "a 1000x larger corpus because every stage is "
+                "O(changed buckets + changed rows): the raw feed diff "
+                "reads only touched buckets, the imputed/export "
+                "transforms rewrite only touched buckets, the view "
+                "refresh re-folds only touched participants, and each "
+                "MV folds only the day's view deltas. The day run's "
+                "~50-60s is FIXED composition overhead (4 manifest "
+                "bookend/stage commits + 2 streaming drains with "
+                "checkpoints dominate `day_analysis`), not data cost "
+                "— the crossover vs the batch recompute lands around "
+                "x100 at fixture scale and is astronomical at 100 TB. "
+                "This is the end-to-end analog of the per-stage "
+                "growth rows above.\n")
     spark.stop()
 
 
