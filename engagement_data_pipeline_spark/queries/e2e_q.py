@@ -27,7 +27,10 @@ relocation, a late consent STOP, a dv delete — and (commits 2+4,
 computed by the REAL labels/ws_correction.py operator, never by
 hand) a WS single hop, a WS double-hop s01e02→s01e01→age, and an
 M11 cycle s01e02→s01e01→(back) whose reset empties the move history
-and clears labels (reference lib.py:257-339). Commit 4 is
+and clears labels (reference lib.py:257-339) — plus delete-then-
+resync: a third of the dv-deleted rows are re-upserted with base
+content, so the feed carries delete -> insert for the same key and
+every maintained artifact retracts then re-adds. Commit 4 is
 OUT-OF-ORDER: its M3 text-emptying updates carry last_updated values
 OLDER than the rows they replace, proving maintenance is
 commit-ordered, not event-time-ordered.
@@ -108,6 +111,11 @@ _STOPPED = (f"dataset = 's01e01' AND {_EID} % 31 = 17 "
 _MOVE = f"dataset = 's01e02' AND {_EID} % 29 = 13 AND NOT ({_LATE})"
 #: commit 3: dv-deleted
 _DEAD = f"{_EID} % 19 = 11"
+#: commit 4: a third of the dv-deleted rows are RE-SYNCED with their
+#: base content (the reference's delete-then-resync: the upsert of a
+#: dv-deleted key revives it; the feed shows delete -> insert and
+#: every maintained artifact must retract then re-add)
+_REVIVED = f"({_DEAD}) AND {_EID} % 3 = 0"
 #: commit 4 (out-of-order): text emptied (M3 -> NC), last_updated
 #: OLDER than the replaced row's — commit order must win anyway
 _EMPTIED = (f"dataset = 's01e01' AND {_EID} % 41 = 5 AND NOT ({_LATE}) "
@@ -212,22 +220,25 @@ def _ws_moved(res: DataFrame, pred: str, cur_dataset: str,
 _E2E_CTE = f""",
 fin AS (
   SELECT * REPLACE (
-    CASE WHEN {_MOVE} THEN 's01e01'
+    CASE WHEN {_REVIVED} THEN dataset
+         WHEN {_MOVE} THEN 's01e01'
          WHEN {_HOP2} THEN 'age' ELSE dataset END AS dataset,
     CASE WHEN {_EMPTIED} THEN '' ELSE text END AS text,
-    CASE WHEN {_RECODE} THEN 'theme_recoded'
+    CASE WHEN {_REVIVED} THEN primary_code
+         WHEN {_RECODE} THEN 'theme_recoded'
          WHEN {_STOPPED} THEN 'STOP'
          WHEN {_EMPTIED} THEN 'NC'
          WHEN ({_CYCLE}) OR ({_HOP2}) THEN 'NR'
          ELSE primary_code END AS primary_code,
-    CASE WHEN {_RECODE} THEN 'scode_recoded'
+    CASE WHEN {_REVIVED} THEN sent_code
+         WHEN {_RECODE} THEN 'scode_recoded'
          WHEN {_STOPPED} THEN 'STOP'
          WHEN {_EMPTIED} THEN 'NC'
          WHEN {_CYCLE} THEN 'NR'
          WHEN {_HOP2} THEN NULL
          ELSE sent_code END AS sent_code,
     CASE WHEN {_HOP2} THEN 'NR' ELSE age_cat_code END AS age_cat_code)
-  FROM imp WHERE NOT ({_DEAD})
+  FROM imp WHERE NOT ({_DEAD}) OR ({_REVIVED})
 )"""
 
 _RAW_COLS = ["message_id", "participant_uuid", "dataset", "timestamp",
@@ -483,6 +494,8 @@ def _e2e_fixture(spark: SparkSession, sf_dir: str) -> str:
         #    cleared (via the real operator)
         #  * second hop of the double-hop: s01e01 -> age (plain M10;
         #    an RQA row becomes a demographic answer)
+        #  * delete-then-resync: a third of the dv-deleted rows come
+        #    back with their base content (upsert revives a dv key)
         emptied = (res.where(_EMPTIED)
                    .withColumn("text", F.lit(""))
                    .withColumn("last_updated",
@@ -490,7 +503,9 @@ def _e2e_fixture(spark: SparkSession, sf_dir: str) -> str:
         cycle_back = _ws_moved(res, _CYCLE, "s01e01", ["s01e02"],
                                "ws_to_s01e02")
         hop2 = _ws_moved(res, _HOP2, "s01e01", ["s01e02"], "ws_to_age")
-        merge(emptied.unionByName(cycle_back).unionByName(hop2), 4)
+        revive = res.where(_REVIVED)
+        merge(emptied.unionByName(cycle_back).unionByName(hop2)
+              .unionByName(revive), 4)
         _run_pipeline_once(spark, path, 4)
 
     return fixture_dir("e2e_run", sf_dir, _build)

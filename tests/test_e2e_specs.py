@@ -78,14 +78,21 @@ def test_history_predicates_are_disjoint_where_required(con):
            SUM(CASE WHEN {e2e_q._DEAD} THEN 1 ELSE 0 END),
            SUM(CASE WHEN {e2e_q._EMPTIED} THEN 1 ELSE 0 END),
            SUM(CASE WHEN {e2e_q._CYCLE} THEN 1 ELSE 0 END),
-           SUM(CASE WHEN {e2e_q._HOP2} THEN 1 ELSE 0 END)
+           SUM(CASE WHEN {e2e_q._HOP2} THEN 1 ELSE 0 END),
+           SUM(CASE WHEN {e2e_q._REVIVED} THEN 1 ELSE 0 END),
+           SUM(CASE WHEN ({e2e_q._REVIVED})
+                     AND NOT ({e2e_q._DEAD}) THEN 1 ELSE 0 END)
     FROM ids
     """
     (overlap, late_overlap, c4_overlap, ws_overlap, n_rec, n_stop,
-     n_move, n_dead, n_emp, n_cyc, n_hop) = con.execute(q).fetchone()
+     n_move, n_dead, n_emp, n_cyc, n_hop, n_rev,
+     rev_not_dead) = con.execute(q).fetchone()
     assert overlap == 0 and late_overlap == 0
     # commit-4 classes never collide with commit-2/3 mutations or each
-    # other (one upsert per key per batch; dv-deleted keys stay dead)
+    # other (one upsert per key per batch; revival is the only class
+    # that deliberately overlaps _DEAD — it must be a strict subset)
     assert c4_overlap == 0 and ws_overlap == 0
+    assert rev_not_dead == 0 and n_rev < n_dead
     # the history actually exercises every mutation class at this SF
-    assert min(n_rec, n_stop, n_move, n_dead, n_emp, n_cyc, n_hop) > 0
+    assert min(n_rec, n_stop, n_move, n_dead, n_emp, n_cyc, n_hop,
+               n_rev) > 0

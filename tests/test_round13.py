@@ -135,3 +135,34 @@ def test_failed_run_releases_claim(spark, tmp_path):
     # in-process failure released the claim: immediate retry proceeds
     assert run_incremental_pipeline(
         spark, manifest, "rf", [("s", lambda: 7)]) == {"s": 7}
+
+
+# ---------------------------------------------------------------------------
+# fixture cache: content-keyed, self-invalidating
+# ---------------------------------------------------------------------------
+
+def test_fixture_cache_key_flips_on_source_change(tmp_path, monkeypatch):
+    import tools.fixture_cache as fc
+
+    monkeypatch.setenv("SPARK_GRAFT_FIXTURE_CACHE", str(tmp_path))
+    root1 = fc.content_keyed_fixture_root()
+    assert root1.startswith(str(tmp_path))
+    # same source -> same key, dir kept
+    assert fc.content_keyed_fixture_root() == root1
+
+    # a source change flips the key and prunes the stale dir
+    real_key = fc._source_key
+    monkeypatch.setattr(fc, "_source_key",
+                        lambda root: "0" * 16)
+    root2 = fc.content_keyed_fixture_root()
+    assert root2 != root1
+    import os
+    assert not os.path.exists(root1)  # stale key pruned
+    monkeypatch.setattr(fc, "_source_key", real_key)
+
+
+def test_fixture_cache_respects_explicit_dir(tmp_path, monkeypatch):
+    import tools.fixture_cache as fc
+
+    monkeypatch.setenv("SPARK_GRAFT_FIXTURE_DIR", str(tmp_path / "pin"))
+    assert fc.default_fixture_env() == str(tmp_path / "pin")
