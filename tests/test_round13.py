@@ -166,3 +166,37 @@ def test_fixture_cache_respects_explicit_dir(tmp_path, monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_FIXTURE_DIR", str(tmp_path / "pin"))
     assert fc.default_fixture_env() == str(tmp_path / "pin")
+
+
+def test_usurped_claim_aborts_before_next_transition(spark, tmp_path):
+    """A runner whose lease was expired by a usurper must abort at the
+    next stage boundary (ConcurrentCommitError from claim.verify())
+    instead of interleaving manifest transitions with the usurper."""
+    import os
+
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        ConcurrentCommitError)
+
+    manifest = str(tmp_path / "runs")
+    claim_path = f"{manifest}/_run_claims/ru.claim"
+
+    def usurp() -> int:
+        # simulate a lease expiry + takeover while stage 1 runs
+        with open(claim_path, "w") as f:
+            f.write("usurper")
+        return 1
+
+    done2 = []
+    with pytest.raises(ConcurrentCommitError, match="usurped"):
+        run_incremental_pipeline(spark, manifest, "ru", [
+            ("s1", usurp),
+            ("s2", lambda: done2.append(1) or 2)])
+    # the victim recorded s1 but never started s2
+    assert not done2
+    state = read_run(spark, manifest, "ru")
+    assert state["s1"] == ("done", 1)
+    assert "s2" not in state
+    # the usurper's claim was NOT deleted by the victim's release
+    with open(claim_path) as f:
+        assert f.read() == "usurper"
+    os.remove(claim_path)
