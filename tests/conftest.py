@@ -1,9 +1,23 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
+import sys
 
 import pytest
 from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.fixture_cache import default_fixture_env  # noqa: E402
+
+# Tests that touch fixture_dir fixtures (the e2e lifecycle table, MV
+# states, indexes) share the same content-keyed cross-process cache as
+# bench.py and check_correctness.py — builds are pure functions of
+# (package source, sf parquet), so reuse cannot change results and the
+# gate's pytest stops rebuilding what the correctness gate already
+# built under the same source key.
+default_fixture_env()
 
 
 @pytest.fixture(scope="session")
