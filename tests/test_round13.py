@@ -200,3 +200,44 @@ def test_usurped_claim_aborts_before_next_transition(spark, tmp_path):
     with open(claim_path) as f:
         assert f.read() == "usurper"
     os.remove(claim_path)
+
+
+def test_bench_compare_prefers_spread_minima(tmp_path, capsys):
+    """bench_compare must compare per-query MINIMA (queries_spread)
+    when both artifacts carry them, and say so when one side falls
+    back to best-run values."""
+    import json
+    import sys
+
+    import tools.bench_compare as bc
+
+    new = {"queries": {"a": 5.0, "b": 1.0},
+           "queries_spread": {"a": [2.0, 5.0], "b": [1.0, 9.0]}}
+    old = {"parsed": {"queries": {"a": 1.0, "b": 1.0},
+                      "queries_spread": {"a": [1.0, 4.0],
+                                         "b": [1.0, 2.0]}}}
+    pn, po = tmp_path / "new.json", tmp_path / "old.json"
+    pn.write_text(json.dumps(new))
+    po.write_text(json.dumps(old))
+
+    argv = sys.argv
+    try:
+        sys.argv = ["bench_compare.py", str(pn), str(po), "1.2"]
+        bc.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    # a regressed 1.0 -> 2.0 via SPREAD minima (best-run would say 5x)
+    assert "a: 1.00s -> 2.00s (2.0x)" in out
+    assert "b:" not in out  # min flat even though max blew up
+    assert "no queries_spread" not in out
+
+    # old artifact without spreads -> fallback note printed
+    po.write_text(json.dumps({"queries": {"a": 1.0}}))
+    try:
+        sys.argv = ["bench_compare.py", str(pn), str(po), "1.2"]
+        bc.main()
+    finally:
+        sys.argv = argv
+    assert "old artifact has no queries_spread" in \
+        capsys.readouterr().out
