@@ -81,9 +81,13 @@ def record_stage(spark: SparkSession, manifest_path: str, run_id: str,
     would then be silently skipped as a replay. Each write therefore
     VERIFIES its row landed and retries with a fresh version if not.
     Different (run_id, stage) keys never conflict logically, so the
-    retry always converges; same-key concurrent writers cannot occur
-    through `run_incremental_pipeline`, which takes an exclusive OCC
-    run claim per run_id before its first transition."""
+    retry always converges. Same-key concurrent writers are excluded
+    through `run_incremental_pipeline` in the common case (it takes an
+    exclusive OCC run claim per run_id and re-verifies it around every
+    transition), but a lease that expires DURING a claim.verify()/
+    record_stage window leaves a short race where a usurped runner's
+    write can still land — the verify-before-done narrows that window
+    to the single manifest commit, it does not close it."""
     target = (status, None if applied_commit is None
               else int(applied_commit))
     for _ in range(max_retries):
@@ -174,6 +178,11 @@ def run_incremental_pipeline(
             claim.verify()
             record_stage(spark, manifest_path, run_id, name, "started")
             commit = refresh()
+            # re-verify AFTER the refresh too: a runner usurped while
+            # refresh() ran (lease expired mid-stage) must not write a
+            # 'done' record whose stale watermark overwrites the
+            # usurper's manifest row
+            claim.verify()
             record_stage(spark, manifest_path, run_id, name, "done",
                          commit)
             results[name] = commit

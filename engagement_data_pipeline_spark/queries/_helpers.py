@@ -68,18 +68,50 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load(spark, sf_dir, name)
 
 
+def inputs_fingerprint(sf_dir: str) -> str:
+    """Cheap fingerprint of the sf parquet inputs: sorted
+    (relpath, size, mtime_ns) of every *.parquet file under sf_dir.
+    Stamped into _FIXTURE_OK so a cached fixture is only reused while
+    its inputs are byte-for-byte the same files — regenerating
+    /root/testdata under the same paths flips the stamp and forces a
+    rebuild even though the persistent cache key (source hash) is
+    unchanged."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    entries = []
+    for dirpath, dirnames, filenames in os.walk(sf_dir):
+        dirnames.sort()
+        for fn in filenames:
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, fn)
+            try:
+                st = os.stat(p)
+                entries.append((os.path.relpath(p, sf_dir),
+                                st.st_size, st.st_mtime_ns))
+            except OSError:
+                entries.append((os.path.relpath(p, sf_dir), -1, -1))
+    for rel, size, mtime in sorted(entries):
+        h.update(f"{rel}|{size}|{mtime}\n".encode())
+    return h.hexdigest()[:16]
+
+
 def fixture_dir(name: str, sf_dir: str, build) -> str:
-    """Process-lifetime cache of a DETERMINISTIC on-disk fixture
-    (an index, a multi-commit merge table) shared by every query run
-    in this process — bench runs the suite best-of-N in one process
-    with a fresh SparkSession per run, and rebuilding an identical
-    fixture each run would charge fixture construction to the query
-    being measured. `build(path)` must populate `path` purely from
+    """Cache of a DETERMINISTIC on-disk fixture (an index, a
+    multi-commit merge table) shared by every query run in this
+    process — bench runs the suite best-of-N in one process with a
+    fresh SparkSession per run, and rebuilding an identical fixture
+    each run would charge fixture construction to the query being
+    measured. `build(path)` must populate `path` purely from
     `sf_dir`'s read-only parquet (same inputs -> same fixture, so
     reuse cannot change results). Publication is an atomic directory
-    rename gated on a `_FIXTURE_OK` marker: concurrent builders race
-    safely (the loser discards its staged copy), and a crashed build
-    is invisible. Override the cache root with
+    rename gated on a `_FIXTURE_OK` marker carrying the input
+    fingerprint: concurrent builders race safely (the loser discards
+    its staged copy), a crashed build is invisible, and a fixture
+    whose sf parquet was regenerated in place is rebuilt rather than
+    served stale. Override the cache root with
     $SPARK_GRAFT_FIXTURE_DIR (e.g. to share across processes)."""
     import os
     import shutil
@@ -94,8 +126,15 @@ def fixture_dir(name: str, sf_dir: str, build) -> str:
         root = _FIXTURE_ROOT
     tag = sf_dir.rstrip("/").replace(os.sep, "_").strip("_")
     final = os.path.join(root, tag, name)
-    if os.path.exists(os.path.join(final, "_FIXTURE_OK")):
-        return final
+    fp = inputs_fingerprint(sf_dir)
+    ok_path = os.path.join(final, "_FIXTURE_OK")
+    try:
+        with open(ok_path) as f:
+            if f.read().strip() == fp:
+                return final
+        shutil.rmtree(final, ignore_errors=True)  # inputs changed
+    except OSError:
+        pass  # no fixture yet (or racing builder) — build below
     stage = f"{final}.build-{uuid.uuid4().hex}"
     import time as _time
 
@@ -103,7 +142,7 @@ def fixture_dir(name: str, sf_dir: str, build) -> str:
     build(stage)
     _FIXTURE_BUILD_S[0] += _time.perf_counter() - t0
     with open(os.path.join(stage, "_FIXTURE_OK"), "w") as f:
-        f.write("ok")
+        f.write(fp)
     os.makedirs(os.path.dirname(final), exist_ok=True)
     try:
         os.rename(stage, final)

@@ -462,12 +462,24 @@ def _gen_dir(n: int) -> str:
 
 def _is_checksum_error(e: Exception) -> bool:
     """True iff the py4j error wraps a Hadoop ChecksumException
-    anywhere in its Java cause chain."""
+    anywhere in its Java cause chain. Mirrors the seen-set +
+    guarded-call pattern of ingest._is_already_exists: a cyclic cause
+    chain terminates, and a py4j failure while INSPECTING the error
+    must not mask the original read error."""
     java = getattr(e, "java_exception", None)
-    while java is not None:
-        if java.getClass().getName().endswith("ChecksumException"):
+    seen = set()
+    while java is not None and id(java) not in seen:
+        seen.add(id(java))
+        try:
+            cls = java.getClass().getName()
+        except Exception:
+            break
+        if cls.endswith("ChecksumException"):
             return True
-        java = java.getCause()
+        try:
+            java = java.getCause()
+        except Exception:
+            break
     return False
 
 
@@ -479,12 +491,15 @@ def _read_pointer(spark: SparkSession, root: str) -> int | None:
     read failure — IO error, permissions — propagates rather than
     masquerading as 'not initialized'."""
     ptr = f"{root}/{_LIVE_PTR}"
-    fs, jvm = _ing._fs(spark, ptr)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(ptr)):
-        return None
     try:
         name = _ing._read_text(spark, ptr).strip()
     except Exception as e:
+        # Read first, classify after — no exists() pre-check. That
+        # avoids both the TOCTOU (a pointer deleted between exists and
+        # read must read as 'not initialized', not FileNotFound) and a
+        # per-read fs.exists RPC on the serving path.
+        if _ing._is_not_found(e):
+            return None
         # a failed integrity check on the pointer's BYTES is the same
         # corruption class as malformed content; anything else (IO,
         # permissions) keeps propagating

@@ -150,14 +150,23 @@ def test_fixture_cache_key_flips_on_source_change(tmp_path, monkeypatch):
     # same source -> same key, dir kept
     assert fc.content_keyed_fixture_root() == root1
 
-    # a source change flips the key and prunes the stale dir
+    # a source change flips the key; the old key is NOT pruned
+    # immediately (it may belong to a live concurrent process) …
     real_key = fc._source_key
     monkeypatch.setattr(fc, "_source_key",
                         lambda root: "0" * 16)
     root2 = fc.content_keyed_fixture_root()
     assert root2 != root1
     import os
-    assert not os.path.exists(root1)  # stale key pruned
+    assert os.path.exists(root1)  # within grace: survives
+    # … but once idle past the grace period it is pruned
+    old = 1.0  # epoch 1970 — idle far beyond any grace
+    stamp = os.path.join(root1, fc._STAMP)
+    os.utime(stamp, (old, old))
+    os.utime(root1, (old, old))
+    root2b = fc.content_keyed_fixture_root()
+    assert root2b == root2
+    assert not os.path.exists(root1)  # idle key pruned
     monkeypatch.setattr(fc, "_source_key", real_key)
 
 
@@ -191,10 +200,12 @@ def test_usurped_claim_aborts_before_next_transition(spark, tmp_path):
         run_incremental_pipeline(spark, manifest, "ru", [
             ("s1", usurp),
             ("s2", lambda: done2.append(1) or 2)])
-    # the victim recorded s1 but never started s2
+    # the victim is stopped by the post-refresh verify: s1 stays
+    # 'started' (its stale watermark never overwrites the usurper's
+    # manifest row) and s2 never runs
     assert not done2
     state = read_run(spark, manifest, "ru")
-    assert state["s1"] == ("done", 1)
+    assert state["s1"] == ("started", None)
     assert "s2" not in state
     # the usurper's claim was NOT deleted by the victim's release
     with open(claim_path) as f:

@@ -1,0 +1,177 @@
+"""Round-14 advisor fixes: fixture-cache prune safety + input
+fingerprinting, ann_index error-inspection hardening, and the
+post-refresh claim verify in the run manifest."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# fixture cache: idle-grace pruning + input fingerprint
+# ---------------------------------------------------------------------------
+
+def test_prune_never_touches_current_key_even_if_idle(tmp_path):
+    import tools.fixture_cache as fc
+
+    base = str(tmp_path)
+    cur = os.path.join(base, "current")
+    os.makedirs(cur)
+    os.utime(cur, (1.0, 1.0))  # ancient — but it's the current key
+    pruned = fc.prune_stale_keys(base, "current", grace_hours=0.001)
+    assert pruned == []
+    assert os.path.exists(cur)
+
+
+def test_prune_spares_keys_within_grace(tmp_path):
+    import tools.fixture_cache as fc
+
+    base = str(tmp_path)
+    fresh = os.path.join(base, "fresh")
+    stale = os.path.join(base, "stale")
+    os.makedirs(fresh)
+    os.makedirs(stale)
+    os.utime(stale, (1.0, 1.0))
+    pruned = fc.prune_stale_keys(base, "other", grace_hours=1.0)
+    assert pruned == ["stale"]
+    assert os.path.exists(fresh) and not os.path.exists(stale)
+
+
+def test_prune_disabled_by_nonpositive_grace(tmp_path):
+    import tools.fixture_cache as fc
+
+    base = str(tmp_path)
+    stale = os.path.join(base, "stale")
+    os.makedirs(stale)
+    os.utime(stale, (1.0, 1.0))
+    assert fc.prune_stale_keys(base, "other", grace_hours=0) == []
+    assert os.path.exists(stale)
+
+
+def test_fixture_dir_rebuilds_when_inputs_regenerated(tmp_path,
+                                                      monkeypatch):
+    """Same cache root + same fixture name, but the sf parquet was
+    regenerated in place -> the _FIXTURE_OK fingerprint mismatches
+    and the fixture is rebuilt instead of served stale (the failure
+    mode the persistent cross-process cache introduced)."""
+    from engagement_data_pipeline_spark.queries import _helpers as H
+
+    monkeypatch.setenv("SPARK_GRAFT_FIXTURE_DIR",
+                       str(tmp_path / "cache"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "t.parquet").write_bytes(b"v1")
+    builds = []
+
+    def build(path):
+        os.makedirs(path)
+        builds.append(1)
+
+    d1 = H.fixture_dir("fx", str(sf), build)
+    d2 = H.fixture_dir("fx", str(sf), build)
+    assert d1 == d2
+    assert len(builds) == 1  # warm hit while inputs unchanged
+    (sf / "t.parquet").write_bytes(b"v2-regenerated")
+    d3 = H.fixture_dir("fx", str(sf), build)
+    assert d3 == d1
+    assert len(builds) == 2  # fingerprint flip forced a rebuild
+
+
+def test_inputs_fingerprint_ignores_non_parquet(tmp_path):
+    from engagement_data_pipeline_spark.queries import _helpers as H
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "t.parquet").write_bytes(b"data")
+    fp1 = H.inputs_fingerprint(str(sf))
+    (sf / "notes.txt").write_text("scratch")
+    assert H.inputs_fingerprint(str(sf)) == fp1
+
+
+# ---------------------------------------------------------------------------
+# ann_index: guarded cause-chain walk + pointer-read TOCTOU
+# ---------------------------------------------------------------------------
+
+class _Cls:
+    def __init__(self, name):
+        self._n = name
+
+    def getName(self):
+        return self._n
+
+
+class _JavaExc:
+    def __init__(self, name):
+        self._cls = _Cls(name)
+        self.cause = None
+
+    def getClass(self):
+        return self._cls
+
+    def getCause(self):
+        return self.cause
+
+
+class _PyErr(Exception):
+    def __init__(self, java):
+        super().__init__("boom")
+        self.java_exception = java
+
+
+def test_is_checksum_error_terminates_on_cyclic_cause_chain():
+    from engagement_data_pipeline_spark.training import ann_index as AI
+
+    a = _JavaExc("java.io.IOException")
+    b = _JavaExc("java.lang.RuntimeException")
+    a.cause = b
+    b.cause = a  # cycle
+    assert AI._is_checksum_error(_PyErr(a)) is False
+
+
+def test_is_checksum_error_detects_nested_checksum():
+    from engagement_data_pipeline_spark.training import ann_index as AI
+
+    outer = _JavaExc("java.io.IOException")
+    outer.cause = _JavaExc("org.apache.hadoop.fs.ChecksumException")
+    assert AI._is_checksum_error(_PyErr(outer)) is True
+
+
+def test_is_checksum_error_survives_py4j_failure_during_inspection():
+    from engagement_data_pipeline_spark.training import ann_index as AI
+
+    class _Bomb:
+        def getClass(self):
+            raise RuntimeError("py4j connection dead")
+
+        def getCause(self):
+            return None
+
+    # inspecting the chain must not raise and mask the original error
+    assert AI._is_checksum_error(_PyErr(_Bomb())) is False
+
+
+def test_read_pointer_absent_reads_as_none_without_exists(spark,
+                                                          tmp_path):
+    """No exists() pre-check on the serving path: a missing pointer
+    (including one deleted between 'exists' and 'read' in the old
+    TOCTOU window) reads as 'not initialized', not FileNotFound."""
+    from engagement_data_pipeline_spark.training import ann_index as AI
+
+    root = str(tmp_path / "annroot")
+    os.makedirs(root)
+    assert AI._read_pointer(spark, root) is None
+    # and a root dir that itself does not exist is equally 'absent'
+    assert AI._read_pointer(spark, str(tmp_path / "ghost")) is None
+
+
+def test_read_pointer_malformed_still_raises(spark, tmp_path):
+    from engagement_data_pipeline_spark.training import ann_index as AI
+
+    root = str(tmp_path / "annroot")
+    os.makedirs(root)
+    with open(os.path.join(root, "_live"), "w") as f:
+        f.write("not-a-generation")
+    with pytest.raises(ValueError, match="corrupt"):
+        AI._read_pointer(spark, root)

@@ -7,9 +7,17 @@ hash safe to reuse across processes and rounds — a warm box makes
 bench run 1 ≈ runs 2-3 instead of absorbing hundreds of seconds of
 fixture construction (VERDICT r12 task 2), and repeated
 check_correctness invocations stop rebuilding the e2e/MV/index
-fixtures from scratch. Any source change flips the key and rebuilds;
-stale keys are pruned so the cache never holds more than one code
-version.
+fixtures from scratch. Any source change flips the key and rebuilds.
+
+Pruning is IDLE-BASED, never immediate: a sibling key is only removed
+once its last-used stamp is older than a grace period (default 6h,
+override $SPARK_GRAFT_FIXTURE_PRUNE_HOURS; <=0 disables). A concurrent
+process on a different source version (another checkout, or a bench
+still running while this tree is edited) keeps refreshing its own
+stamp, so its live fixture root is never deleted mid-run. Input
+staleness (regenerated sf parquet under the same path) is handled one
+level down: fixture_dir stamps an input fingerprint next to
+_FIXTURE_OK and rebuilds on mismatch (queries/_helpers.py).
 """
 
 from __future__ import annotations
@@ -17,8 +25,12 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import time
 
 _DEFAULT_BASE = "/tmp/spark-graft-fixture-cache"
+#: siblings idle longer than this are pruned (hours)
+_DEFAULT_PRUNE_HOURS = 6.0
+_STAMP = "_LAST_USED"
 
 
 def _source_key(repo_root: str) -> str:
@@ -39,18 +51,67 @@ def _source_key(repo_root: str) -> str:
     return h.hexdigest()[:16]
 
 
+def _touch_stamp(root: str) -> None:
+    try:
+        with open(os.path.join(root, _STAMP), "w") as f:
+            f.write(str(time.time()))
+    except OSError:
+        pass
+
+
+def _last_used(path: str) -> float:
+    """Best-effort last-use time of a cache key dir."""
+    for probe in (os.path.join(path, _STAMP), path):
+        try:
+            return os.stat(probe).st_mtime
+        except OSError:
+            continue
+    return 0.0
+
+
+def prune_stale_keys(base: str, current_key: str,
+                     grace_hours: float | None = None) -> list[str]:
+    """Remove sibling cache keys idle for longer than the grace
+    period. Never touches `current_key`. Returns pruned key names
+    (for the caller's log line)."""
+    if grace_hours is None:
+        grace_hours = float(os.environ.get(
+            "SPARK_GRAFT_FIXTURE_PRUNE_HOURS", _DEFAULT_PRUNE_HOURS))
+    if grace_hours <= 0:
+        return []
+    cutoff = time.time() - grace_hours * 3600.0
+    pruned = []
+    try:
+        siblings = os.listdir(base)
+    except OSError:
+        return []
+    for d in siblings:
+        if d == current_key:
+            continue
+        path = os.path.join(base, d)
+        if not os.path.isdir(path):
+            continue
+        if _last_used(path) < cutoff:
+            shutil.rmtree(path, ignore_errors=True)
+            pruned.append(d)
+    return pruned
+
+
 def content_keyed_fixture_root() -> str:
-    """The cache dir for the CURRENT source tree, creating it and
-    pruning other (stale-code) keys. Honors $SPARK_GRAFT_FIXTURE_CACHE
-    as the base directory."""
+    """The cache dir for the CURRENT source tree, creating it,
+    refreshing its last-used stamp, and pruning sibling keys that
+    have been idle past the grace period. Honors
+    $SPARK_GRAFT_FIXTURE_CACHE as the base directory."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.environ.get("SPARK_GRAFT_FIXTURE_CACHE", _DEFAULT_BASE)
     key = _source_key(repo_root)
     root = os.path.join(base, key)
     os.makedirs(root, exist_ok=True)
-    for d in os.listdir(base):
-        if d != key:
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    _touch_stamp(root)
+    pruned = prune_stale_keys(base, key)
+    if pruned:
+        print(f"[fixture-cache] pruned {len(pruned)} stale key(s): "
+              + ", ".join(sorted(pruned)), flush=True)
     return root
 
 
