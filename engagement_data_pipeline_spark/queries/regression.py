@@ -53,7 +53,9 @@ R1_MODEL_MATRIX_SQL = _r1_sql()
 def r2_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: coefficients of theme code_0 in s01e01 on the
     demog categoricals (report-shaped output, like the reference's
-    text report)."""
+    text report). Certified by `r2_suff_stats` (hash-matched oracle
+    over the grouped sufficient statistics this fit consumes) —
+    linkage pinned in registry.ROWS_ONLY_CERTIFIED_BY."""
     mm = r1_model_matrix(spark, sf_dir)
     return logistic_regression_report(
         mm, "s01e01_theme_code_0",
@@ -66,7 +68,10 @@ def r3_mice_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     each, coefficients pooled by mean (Rubin point estimate). The
     iterative fits are not SQL-expressible; the driver records a
     rows-only check (reference: multiple_imputation_regression_analysis.py
-    m=20 via R mice — same shape, deterministic draws instead of RNG)."""
+    m=20 via R mice — same shape, deterministic draws instead of RNG).
+    Certified by `r3_missing_profile` (hash-matched oracle over the
+    missingness profile + category pools the deterministic draws use)
+    — linkage pinned in registry.ROWS_ONLY_CERTIFIED_BY."""
     mm = r1_model_matrix(spark, sf_dir)
     return multiple_imputation_report(
         mm, "s01e01_theme_code_0",

@@ -91,6 +91,20 @@ def test_inputs_fingerprint_ignores_non_parquet(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# rows-only queries carry an oracle-backed certifying twin
+# ---------------------------------------------------------------------------
+
+def test_rows_only_queries_have_certifying_twins():
+    from engagement_data_pipeline_spark.queries import registry
+
+    rows_only = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+    assert sorted(registry.ROWS_ONLY_CERTIFIED_BY) == rows_only
+    for q, twin in registry.ROWS_ONLY_CERTIFIED_BY.items():
+        assert twin in registry.ORACLES, (q, twin)
+        assert twin in registry.QUERIES, (q, twin)
+
+
+# ---------------------------------------------------------------------------
 # ann_index: guarded cause-chain walk + pointer-read TOCTOU
 # ---------------------------------------------------------------------------
 

@@ -31,10 +31,23 @@ def derived_counts() -> dict:
     members = (len(family_defs._EVENTS_MEMBERS)
                + len(family_defs._TRAINING_MEMBERS)
                + len(family_defs._SIMILARITY_MM_MEMBERS))
+    rows_only = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+    # every rows-only query must name an oracle-backed certifying twin
+    cert = registry.ROWS_ONLY_CERTIFIED_BY
+    if sorted(cert) != rows_only:
+        raise SystemExit(
+            f"ROWS_ONLY_CERTIFIED_BY keys {sorted(cert)} != rows-only "
+            f"set {rows_only} — every rows-only query needs a "
+            "hash-certified twin (registry.ROWS_ONLY_CERTIFIED_BY)")
+    missing = [f"{q} -> {t}" for q, t in cert.items()
+               if t not in registry.ORACLES]
+    if missing:
+        raise SystemExit(
+            f"certifying twins not oracle-backed: {missing}")
     return {
         "queries": len(registry.QUERIES),
         "oracle_backed": len(registry.ORACLES),
-        "rows_only": sorted(set(registry.QUERIES) - set(registry.ORACLES)),
+        "rows_only": rows_only,
         "family_members": members,
     }
 
