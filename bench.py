@@ -65,6 +65,12 @@ def _run_once(spark, sf_dir: str):
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Drift-adjudication subset: $SPARK_GRAFT_BENCH_ONLY="a,b" times
+    # only the named queries (e.g. 6 samples of one suspect query at
+    # sf0.1 to pin its noise band) — never used for the headline run.
+    only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+            .split(",") if s.strip()}
+
     timings = {}
     t_all = time.perf_counter()
     for name, fn in queries().items():
@@ -72,6 +78,8 @@ def _run_once(spark, sf_dir: str):
         # driver's correctness cap, families.py) — timing them would
         # double-count all 31 members.
         if name.startswith("family_"):
+            continue
+        if only and name not in only:
             continue
         t0 = time.perf_counter()
         try:
