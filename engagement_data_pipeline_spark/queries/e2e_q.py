@@ -76,7 +76,7 @@ from ..labels.views import (
 from ..labels.ws_correction import WS_SCHEME_ID, apply_ws_correction
 from ..sinks.exports import analysis_matrix, analysis_matrix_headers
 from ..streaming import mv as MV
-from ..streaming.drain import drain_changes, fan_out
+from ..streaming.drain import drain_changes_direct, fan_out
 from ..streaming.ingest import (
     delete_origins,
     foreach_batch_upsert,
@@ -377,7 +377,6 @@ def _k3_tf(pv: DataFrame) -> DataFrame:
 
 def _pipeline_stages(spark: SparkSession, base: str,
                      n_buckets_data: int = 8, n_buckets_view: int = 4,
-                     drain_timeout_s: float = 180,
                      ) -> list[tuple[str, Callable[[], int | None]]]:
     """The composed lifecycle's stage list (imputed -> views ->
     analysis -> exports), reusable outside the fixture so tools can
@@ -410,20 +409,24 @@ def _pipeline_stages(spark: SparkSession, base: str,
 
     def _stage_analysis() -> int:
         # ONE scan of each view feed maintains all seven A-series
-        # states (fan_out), under stable checkpoints so each run
-        # drains only the commits its views refresh just produced
-        drain_changes(spark, mview, fan_out(*[
+        # states (fan_out). DIRECT drains (batch change-feed reader,
+        # commit-id batch ids) instead of checkpointed streaming
+        # queries: the day run's delta is a handful of commits, and
+        # the streaming path's fixed cost (WAL + offset log + batch
+        # planning per drain per run) made incrementality lose to
+        # full recompute below ~x100 corpus (r13 verdict task 1).
+        # Exactly-once is unchanged — sink txn watermarks + the
+        # drain's atomic per-commit state file.
+        drain_changes_direct(spark, mview, fan_out(*[
             MV.mv_stream_sink(os.path.join(base, sub), gcols, metrics,
                               prepare=prep, source_cols=cols)
             for sub, gcols, metrics, prep, cols in _MV_SINKS]),
-            checkpoint=os.path.join(base, "ckpt_mview"),
-            timeout_s=drain_timeout_s)
-        return drain_changes(spark, pview, fan_out(*[
+            state_path=os.path.join(base, "drain_mview"))
+        return drain_changes_direct(spark, pview, fan_out(*[
             MV.mv_stream_sink(os.path.join(base, sub), gcols, metrics,
                               prepare=prep, source_cols=cols)
             for sub, gcols, metrics, prep, cols in _PV_SINKS]),
-            checkpoint=os.path.join(base, "ckpt_pview"),
-            timeout_s=drain_timeout_s)
+            state_path=os.path.join(base, "drain_pview"))
 
     def _stage_exports() -> int | None:
         k2 = os.path.join(base, "k2")

@@ -956,3 +956,24 @@ class MergeTableChangesDataSource(DataSource):
             int(mpt) if mpt is not None else None,
             self.options.get("retentionName"),
             int(end) if end is not None else None)
+
+    def reader(self, schema) -> _ChangesBatchReader:
+        """BATCH read of one change window: `spark.read.format(
+        "merge_table_changes")` with `fromCommit` (exclusive base,
+        default 0 = table creation) and `toCommit` (inclusive,
+        default head). Same schema/options as the stream
+        (`includeOld`, `select`); no offsets, no checkpoint."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        path = self._table_path()
+        cols = [n for n, _t in self._columns_and_types()
+                if n not in (_OP, _CHANGED)]
+        to = self.options.get("toCommit")
+        if to is None:
+            latest = _latest_commit(path)
+            if latest is None:
+                raise ValueError(f"{path} has no commits")
+            to = latest
+        return _ChangesBatchReader(
+            path, int(self.options.get("fromCommit", 0)), int(to),
+            cols, to_arrow_schema(schema))

@@ -115,6 +115,102 @@ def fan_out(*sinks: Callable) -> Callable:
     return _apply
 
 
+_DIRECT_STATE = "_DIRECT_DRAIN"
+
+
+def _read_direct_state(spark: SparkSession, state_path: str) -> int:
+    from . import ingest as _ing
+
+    try:
+        return int(_ing._read_text(
+            spark, f"{state_path}/{_DIRECT_STATE}").strip())
+    except Exception as e:
+        if _ing._is_not_found(e):
+            return 0
+        raise
+
+
+def drain_changes_direct(spark: SparkSession, table_path: str,
+                         sink: Callable, *, state_path: str,
+                         include_old: bool = True,
+                         select: str | None = None) -> int:
+    """Bounded catch-up drain WITHOUT Structured Streaming: read each
+    pending source commit's retract batch via the change feed's BATCH
+    reader and run it through the same foreachBatch-shaped `sink`,
+    using the SOURCE COMMIT id as the batch id. For a daily composed
+    pipeline whose delta is a handful of commits, this replaces a
+    checkpointed streaming query's fixed cost (WAL + offset log +
+    per-batch planning, ~tens of seconds per drain) with two tiny
+    manifest reads per commit — the r13 verdict's "incrementality
+    loses to batch recompute below ~x100 corpus" fix.
+
+    Exactly-once, same argument as the stream path: `state_path/
+    _DIRECT_DRAIN` records the last commit whose sink call RETURNED
+    (atomic write-then-rename, advanced after every commit); a crash
+    between the sink and the state write replays that commit, whose
+    batch is byte-identical (immutable version dirs), and the sink's
+    own txn watermark (batch id = commit id, monotone) no-ops the
+    replay. Commits whose manifest diff shows zero changed buckets
+    are skipped driver-side (state still advances past them).
+
+    Do NOT mix with `drain_changes` on the same sink state: the
+    stream path's batch ids are checkpoint-local micro-batch numbers,
+    the direct path's are source commit ids — switching mid-history
+    can double-apply or skip windows. `state_path` is stamped with a
+    mode marker and a drain refuses a state dir carrying a Spark
+    streaming checkpoint.
+
+    Per-commit delivery only (the stream path's
+    maxCommitsPerTrigger=1): updates and deletes always arrive as
+    true retract+add pairs, so every sink the stream drain supports
+    is supported here unchanged. Returns the head commit drained to
+    (0 for an empty table)."""
+    import os
+
+    from . import ingest as _ing
+
+    head = _latest_commit(table_path)
+    if head is None:
+        return 0
+    if os.path.isdir(os.path.join(state_path, "offsets")):
+        raise ValueError(
+            f"{state_path} looks like a Structured-Streaming "
+            "checkpoint — a direct drain cannot continue a stream "
+            "drain's position (different batch-id spaces); use a "
+            "fresh state_path")
+    last = _read_direct_state(spark, state_path)
+    if last >= head:
+        return last
+    from .cdf_source import (MergeTableChangesDataSource, _manifest,
+                             _changed_buckets)
+
+    spark.dataSource.register(MergeTableChangesDataSource)
+    man_prev = _manifest(table_path, last) if last > 0 else None
+    if last > 0 and man_prev is None:
+        raise ValueError(
+            f"manifest {last} of {table_path} is gone — log pruned "
+            "past this drain's state; rebuild the consumer from a "
+            "fresh history replay")
+    for c in range(last + 1, head + 1):
+        man_c = _manifest(table_path, c)
+        if man_c is None:
+            raise ValueError(f"manifest {c} of {table_path} is unreadable")
+        if _changed_buckets(man_prev, man_c):
+            reader = (spark.read.format("merge_table_changes")
+                      .option("path", table_path)
+                      .option("fromCommit", str(c - 1))
+                      .option("toCommit", str(c))
+                      .option("includeOld",
+                              "true" if include_old else "false"))
+            if select is not None:
+                reader = reader.option("select", select)
+            sink(reader.load(), c)
+        _ing._write_text_atomic(spark, f"{state_path}/{_DIRECT_STATE}",
+                                str(c))
+        man_prev = man_c
+    return head
+
+
 def drain_changes(spark: SparkSession, table_path: str,
                   sink: Callable, *, include_old: bool = True,
                   max_commits_per_trigger: int | None = 1,

@@ -117,8 +117,40 @@ def main() -> None:
                                               n_buckets_data=4,
                                               n_buckets_view=4))
 
+    # --rungs x1,x10 runs a subset (e.g. the x10000 rung alone after
+    # the cheap rungs are already recorded)
+    want = None
+    for i, a in enumerate(sys.argv):
+        if a == "--rungs" and i + 1 < len(sys.argv):
+            want = set(sys.argv[i + 1].split(","))
+    ladder = [r for r in LADDER if want is None or r[0] in want]
+
+    def _manifests(base):
+        """latest manifest per maintained artifact, keyed by the
+        stage that maintains it — the touched-bucket evidence."""
+        from engagement_data_pipeline_spark.streaming.ingest import (
+            read_table_manifest)
+        arts = {"imputed": ["imputed"], "views": ["pview", "mview"],
+                "analysis": ["mv_a1", "mv_a3", "mv_a7", "mv_a9",
+                             "mv_a4", "mv_a5", "mv_a8"],
+                "exports": ["k2", "k3"]}
+        out = {}
+        for stage, names in arts.items():
+            out[stage] = {n: read_table_manifest(
+                spark, os.path.join(base, n)) for n in names}
+        return out
+
+    def _touched(before, after):
+        """changed buckets per stage between two manifest snapshots
+        (dv-aware diff, same rule as the change feed)."""
+        from engagement_data_pipeline_spark.streaming.cdf_source import (
+            _changed_buckets)
+        return {stage: sum(
+            len(_changed_buckets(before[stage][n], after[stage][n]))
+            for n in after[stage]) for stage in after}
+
     rows_out = []
-    for label, sf_dir, mult, nb_data, nb_view in LADDER:
+    for label, sf_dir, mult, nb_data, nb_view in ladder:
         base = tempfile.mkdtemp(prefix=f"edp-e2e-{label}-")
         raw = os.path.join(base, "raw")
         res = corpus(sf_dir, mult)
@@ -133,8 +165,7 @@ def main() -> None:
         def run(commit, walls):
             stages = _pipeline_stages(spark, base,
                                       n_buckets_data=nb_data,
-                                      n_buckets_view=nb_view,
-                                      drain_timeout_s=3600)
+                                      n_buckets_view=nb_view)
             t0 = time.perf_counter()
             run_incremental_pipeline(spark, os.path.join(base, "runs"),
                                      f"run{commit}",
@@ -152,18 +183,25 @@ def main() -> None:
         delta_rows = delta.count()
         merge(delta, 2)
 
+        pre = _manifests(base)
         day_walls: dict[str, float] = {}
         day_s = run(2, day_walls)
+        touched = _touched(pre, _manifests(base))
+        touched_s = "/".join(str(touched[k]) for k in
+                             ("imputed", "views", "analysis",
+                              "exports"))
 
         rows_out.append((label, corpus_rows, nb_data, delta_rows,
                          bootstrap_s, day_s,
                          day_walls.get("imputed"),
                          day_walls.get("views"),
                          day_walls.get("analysis"),
-                         day_walls.get("exports")))
+                         day_walls.get("exports"),
+                         touched_s))
         print(f"{label}: corpus={corpus_rows} buckets={nb_data} "
               f"delta={delta_rows} bootstrap={bootstrap_s}s "
-              f"day={day_s}s stages={day_walls}", flush=True)
+              f"day={day_s}s stages={day_walls} "
+              f"touched_buckets={touched}", flush=True)
 
     with open(out_md, "a") as f:
         f.write("\n## Composed lifecycle: daily-run cost vs corpus "
@@ -172,11 +210,12 @@ def main() -> None:
                 "via queries/e2e_q._pipeline_stages)\n\n")
         f.write("| factor | corpus_rows | buckets | delta_rows | "
                 "bootstrap_seconds | day_seconds | day_imputed | "
-                "day_views | day_analysis | day_exports |\n"
-                "|---|---|---|---|---|---|---|---|---|---|\n")
+                "day_views | day_analysis | day_exports | "
+                "day_touched_buckets (imp/view/mv/exp) |\n"
+                "|---|---|---|---|---|---|---|---|---|---|---|\n")
         for r in rows_out:
-            f.write("| {} | {} | {} | {} | {} | {} | {} | {} | {} | {} |\n"
-                    .format(*r))
+            f.write("| {} | {} | {} | {} | {} | {} | {} | {} | {} | {} "
+                    "| {} |\n".format(*r))
         f.write("\nReading: bootstrap (run 1, which builds every "
                 "maintained artifact from the full corpus — exactly "
                 "the batch recompute the reference pays per day) "

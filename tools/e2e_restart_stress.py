@@ -59,7 +59,7 @@ def main() -> None:
         member_checksum)
     from engagement_data_pipeline_spark.streaming import mv as MV
     from engagement_data_pipeline_spark.streaming.drain import (
-        drain_changes, fan_out)
+        drain_changes_direct, fan_out)
     from engagement_data_pipeline_spark.streaming.ingest import (
         foreach_batch_upsert)
 
@@ -109,17 +109,16 @@ def main() -> None:
                                        prepare=p, source_cols=c)
                      for sub, g, m, p, c in _MV_SINKS]
             sinks[1] = bomb(sinks[1])  # a1 applied, a3 applied-then-die
-            drain_changes(spark, os.path.join(base, "mview"),
-                          fan_out(*sinks),
-                          checkpoint=os.path.join(base, "ckpt_mview"),
-                          timeout_s=180)
-            return drain_changes(spark, os.path.join(base, "pview"),
-                                 fan_out(*[
-                MV.mv_stream_sink(os.path.join(base, sub), g, m,
-                                  prepare=p, source_cols=c)
-                for sub, g, m, p, c in _PV_SINKS]),
-                checkpoint=os.path.join(base, "ckpt_pview"),
-                timeout_s=180)
+            drain_changes_direct(spark, os.path.join(base, "mview"),
+                                 fan_out(*sinks),
+                                 state_path=os.path.join(base,
+                                                         "drain_mview"))
+            return drain_changes_direct(
+                spark, os.path.join(base, "pview"), fan_out(*[
+                    MV.mv_stream_sink(os.path.join(base, sub), g, m,
+                                      prepare=p, source_cols=c)
+                    for sub, g, m, p, c in _PV_SINKS]),
+                state_path=os.path.join(base, "drain_pview"))
 
         stages["analysis"] = crashing_analysis
         return list(stages.items())
