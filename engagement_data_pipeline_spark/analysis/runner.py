@@ -67,6 +67,17 @@ _SCHEMA = ("run_id string, stage string, status string, "
            "applied_commit bigint")
 
 
+def _pa_schema():
+    import pyarrow as pa
+
+    return pa.schema([("run_id", pa.string()), ("stage", pa.string()),
+                      ("status", pa.string()),
+                      ("applied_commit", pa.int64())])
+
+
+_PA_SCHEMA = _pa_schema()
+
+
 def record_stage(spark: SparkSession, manifest_path: str, run_id: str,
                  stage: str, status: str,
                  applied_commit: int | None = None,
@@ -88,18 +99,27 @@ def record_stage(spark: SparkSession, manifest_path: str, run_id: str,
     record_stage window leaves a short race where a usurped runner's
     write can still land — the verify-before-done narrows that window
     to the single manifest commit, it does not close it."""
+    from ..streaming.local_merge import upsert_rows_local
+
     target = (status, None if applied_commit is None
               else int(applied_commit))
     for _ in range(max_retries):
         man = read_table_manifest(spark, manifest_path)
         version = 1 + int((man or {}).get("txn", {})
                           .get(_MANIFEST_TXN, 0))
-        row = spark.createDataFrame([(run_id, stage, *target)], _SCHEMA)
-        merge = foreach_batch_upsert(manifest_path, ["run_id", "stage"],
-                                     n_buckets=4,
-                                     txn_app_id=_MANIFEST_TXN,
-                                     mode="latest_wins")
-        merge(row, version)
+        # DRIVER-SIDE commit (local_merge): a 1-row bookkeeping write
+        # must not launch distributed jobs — through the engine merge
+        # each transition cost ~1.5-2 s of job latency, ~15 s per
+        # composed run, the single largest piece of the day run's
+        # fixed overhead. Same claims/manifest/layout, so every
+        # reader (read_run, table_history, time travel) is unchanged.
+        upsert_rows_local(
+            spark, manifest_path,
+            [{"run_id": run_id, "stage": stage, "status": target[0],
+              "applied_commit": target[1]}],
+            _PA_SCHEMA, ["run_id", "stage"], n_buckets=4,
+            txn_app_id=_MANIFEST_TXN, batch_id=version,
+            mode="latest_wins")
         got = read_run(spark, manifest_path, run_id).get(stage)
         if got == target:
             return

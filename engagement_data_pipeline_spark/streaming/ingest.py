@@ -929,6 +929,18 @@ def foreach_batch_upsert(table_path: str, origin_cols: Sequence[str],
         if transform is not None:
             batch = transform(batch)
         spark = batch.sparkSession
+        # Bounded-batch driver-side fast path (local_merge): a daily
+        # refresh merge of a few hundred rows pays one cheap probe
+        # job instead of 3-4 distributed ones; big batches, schema
+        # evolution, temporal types, and intra-batch duplicate keys
+        # all fall through to the engine path below unchanged.
+        from .local_merge import try_local_upsert
+
+        if try_local_upsert(spark, table_path, batch, batch_id,
+                            list(origin_cols), n_buckets=n_buckets,
+                            bucket_cols=bucket_cols,
+                            txn_app_id=txn_app_id, mode=mode):
+            return
         # Optimistic concurrency: claim the next commit number, merge
         # against the manifest that number succeeds, publish. A lost
         # race (another stream, or a maintenance job like compact)

@@ -255,6 +255,68 @@ def refresh_mv(spark: SparkSession, table_path: str, mv_path: str,
     return current
 
 
+#: grouped-delta row bound for the driver-side fold: above this the
+#: fold stays distributed (the limit-collect probe is bounded either
+#: way, so big batches pay one cheap extra job, never a big collect)
+_LOCAL_FOLD_MAX = 512
+
+
+def _apply_delta_local(spark: SparkSession, mv_path: str, man: dict,
+                       gcols: list[str], internal: list[str],
+                       delta: DataFrame, txn_version: int,
+                       txn_app: str) -> bool:
+    """Bounded-delta fast path of `_apply_delta`: when the grouped
+    delta is small (a daily composed run folds a handful of groups),
+    collect it, fold against the hit buckets' state read DRIVER-SIDE
+    with pyarrow, and publish ONE atomic local commit (upsert + dead-
+    group delete together) — one Spark job instead of three-plus per
+    fold, the second half of the day-run fixed-overhead fix (VERDICT
+    r13 task 1). Returns False to fall back to the distributed path
+    (large delta, or group-key types the local bucket hash does not
+    cover); semantics are identical either way — same txn watermark,
+    same bucket routing (property-tested xxhash64), and the merged
+    state is pinned equal to the distributed path's by test."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .ingest import _bucket_on
+    from .local_merge import (local_bucket, read_live_rows_local,
+                              upsert_rows_local)
+
+    if man is None:
+        return False
+    drows = delta.limit(_LOCAL_FOLD_MAX + 1).collect()
+    if len(drows) > _LOCAL_FOLD_MAX:
+        return False
+    if not drows:
+        return True  # nothing to fold; watermark advances on next delta
+    nb = int(man["n_buckets"])
+    bk = _bucket_on(man)
+    names = gcols + internal
+    try:
+        hit = sorted({local_bucket([r[c] for c in bk], nb)
+                      for r in drows})
+    except TypeError:
+        return False  # group-key type outside the local hash's domain
+    state = {tuple(r.get(c) for c in gcols): r
+             for r in read_live_rows_local(mv_path, man, hit, names)}
+    keep, gone = [], []
+    for r in drows:
+        key = tuple(r[c] for c in gcols)
+        st = state.get(key, {})
+        folded = {c: r[c] for c in gcols}
+        for c in internal:
+            folded[c] = (st.get(c) or 0) + (r[c] or 0)
+        if folded[_N_COL] == 0:
+            gone.append(key)
+        else:
+            keep.append(folded)
+    upsert_rows_local(spark, mv_path, keep,
+                      to_arrow_schema(delta.schema), gcols,
+                      txn_app_id=txn_app, batch_id=txn_version,
+                      mode="latest_wins", delete_keys=gone)
+    return True
+
+
 def _apply_delta(spark: SparkSession, mv_path: str, gcols: list[str],
                  metrics: dict[str, tuple[str, str]], delta: DataFrame,
                  txn_version: int, txn_app: str = _MV_TXN) -> None:
@@ -279,6 +341,9 @@ def _apply_delta(spark: SparkSession, mv_path: str, gcols: list[str],
                            for c in ([name, _nn(name)] if kind == "sum"
                                      else [name])]
     man = read_table_manifest(spark, mv_path)
+    if _apply_delta_local(spark, mv_path, man, gcols, internal, delta,
+                          txn_version, txn_app):
+        return
     nb = int(man["n_buckets"])
     # hash in the MANIFEST's bucket-column order — a caller passing
     # the same group columns in a different order joins fine (joins

@@ -174,6 +174,7 @@ def main() -> None:
 
         boot_walls: dict[str, float] = {}
         bootstrap_s = run(1, boot_walls)
+        print(f"{label}: bootstrap stages={boot_walls}", flush=True)
 
         # the constant day delta: inserts + checked recodes
         inserts = res.where(_DELTA_INSERTS)
