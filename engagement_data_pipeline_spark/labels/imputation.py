@@ -31,9 +31,13 @@ M5 (:342-524) — location hierarchy: a Normal code in the location
   broadcast hierarchy mapping (ward→constituency→county shape);
   control codes were already propagated by M1-M3.
 
-Divergence note: imputed labels here carry checked=True and a
+Divergence notes: imputed labels here carry checked=True and a
 deterministic date_time_utc (the message's last_updated) rather than
-wall-clock now(), keeping re-runs byte-identical.
+wall-clock now(), keeping re-runs byte-identical; an out-of-bucket
+Normal age code imputes no category (the reference asserts/crashes,
+:316-322). M4/M5 only derive when M1-M3 passed labels through —
+model-differential-tested against the reference's sequential
+application in tests/test_imputation_model.py.
 """
 
 from __future__ import annotations
@@ -127,7 +131,8 @@ def _impute_for_dataset_sql(ds: DatasetConfig) -> str:
     ws_in_normal = f"({all_checked} AND ({ws_any}))"
     ws_lab = _latest_sql(WS_CORRECT_DATASET_SCHEME)
     in_ws_scheme = f"({ws_lab} IS NOT NULL AND ({ws_lab}).checked)"
-    m2 = (f"CASE WHEN {ws_in_normal} != {in_ws_scheme} "
+    ws_ce = f"({ws_in_normal} != {in_ws_scheme})"
+    m2 = (f"CASE WHEN {ws_ce} "
           f"THEN {_control_array_sql(schemes, CODING_ERROR, 'm2_ws_ce')} "
           f"ELSE {m1} END")
 
@@ -137,6 +142,16 @@ def _impute_for_dataset_sql(ds: DatasetConfig) -> str:
           f"THEN {_control_array_sql(schemes, NOT_CODED, 'm3_nc')} "
           f"ELSE {m2} END")
 
+    # M4/M5 gate: the reference reads the POST-M3 latest source label
+    # (it applies the rules sequentially, :545-552), so a Normal code
+    # is only derivable when M1 passed labels through AND M2's WS
+    # coding-error did not fire AND the text is non-empty — in every
+    # other branch the post-M3 latest is a control code, already
+    # propagated to the derived schemes by the control arrays above.
+    # (Caught by tests/test_imputation_model.py's differential: gating
+    # on all_checked alone wrongly derived on top of M2's CE array.)
+    derivable = f"({all_checked} AND NOT {ws_ce} AND NOT {text_empty})"
+
     # M4: age-category from the age scheme's Normal code
     out = m3
     for cc in ds.coding_configs:
@@ -144,11 +159,12 @@ def _impute_for_dataset_sql(ds: DatasetConfig) -> str:
             continue
         src = f"({_latest_sql(cc.age_category_source)}).code_id"
         age_n = f"regexp_extract({src}, '^age_([0-9]+)$', 1)"
-        normal_checked = (f"({all_checked} AND NOT {text_empty} "
-                          f"AND {age_n} != '')")
-        cat = _label_sql(cc.scheme_id,
-                         _age_bucket_sql(f"try_cast({age_n} AS INT)"),
-                         "m4_age_category")
+        bucket = _age_bucket_sql(f"try_cast({age_n} AS INT)")
+        # out-of-bucket Normal ages impute nothing (the reference
+        # asserts/crashes there, :316-322 — skipping is the
+        # non-crashing analog; divergence note in the module docstring)
+        normal_checked = f"({derivable} AND ({bucket}) IS NOT NULL)"
+        cat = _label_sql(cc.scheme_id, bucket, "m4_age_category")
         out = (f"CASE WHEN {normal_checked} "
                f"THEN concat(array({cat}), {out}) ELSE {out} END")
 
@@ -161,8 +177,7 @@ def _impute_for_dataset_sql(ds: DatasetConfig) -> str:
         level = ("CASE " + " ".join(
             f"WHEN {src} = '{s}' THEN '{d}'"
             for s, d in cc.location_map) + " ELSE CAST(NULL AS STRING) END")
-        normal_checked = (f"({all_checked} AND NOT {text_empty} "
-                          f"AND ({level}) IS NOT NULL)")
+        normal_checked = f"({derivable} AND ({level}) IS NOT NULL)"
         lvl = _label_sql(cc.scheme_id, level, "m5_location")
         out = (f"CASE WHEN {normal_checked} "
                f"THEN concat(array({lvl}), {out}) ELSE {out} END")
