@@ -149,6 +149,13 @@ def local_bucket(values: Sequence, n_buckets: int) -> int:
 MAX_LOCAL_ROWS = 1024
 
 
+class LocalSchemaMismatch(ValueError):
+    """A hit bucket's files carry columns outside the batch schema —
+    the local rewrite would drop their values, so the merge must go
+    through the engine path's union-align instead. Raised BEFORE any
+    file is written; `try_local_upsert` turns it into a fallback."""
+
+
 def upsert_rows_local(spark: SparkSession, table_path: str,
                       rows: Sequence[Mapping], schema,
                       origin_cols: Sequence[str], *,
@@ -294,6 +301,11 @@ def try_local_upsert(spark: SparkSession, table_path: str, batch,
                           mode=mode)
     except TypeError:
         return False  # bucket-key type outside the local hash domain
+    except LocalSchemaMismatch:
+        # a hit bucket is WIDER than the batch (schema evolved after
+        # the sampled probe file was written): the engine path's
+        # union-align is the only safe rewrite. Nothing was written.
+        return False
     return True
 
 
@@ -414,6 +426,15 @@ def _apply_local(spark, table_path, rows, schema, origin_cols, man,
             slot = by_bucket[b]
             dead = dv_dead.get(b, set())
             for er in existing:
+                wider = set(er) - set(names)
+                if wider:
+                    # the bucket holds columns the batch lacks (schema
+                    # evolved elsewhere in the table): rewriting it to
+                    # the batch schema would DROP those values — only
+                    # the engine's union-align merge may touch it
+                    raise LocalSchemaMismatch(
+                        f"bucket {b} of {table_path} carries column(s) "
+                        f"{sorted(wider)} outside the batch schema")
                 for c in names:
                     er.setdefault(c, None)
                 key = tuple(er.get(c) for c in origin_cols)

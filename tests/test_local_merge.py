@@ -243,3 +243,30 @@ def test_mv_local_fold_equals_distributed_fold(spark, tmp_path,
     dist = build(str(tmp_path / "mv_dist"), str(tmp_path / "s2"), 0)
     assert local == dist
     assert local == [("g1", 1, 3), ("g3", 1, 5)]
+
+
+def test_local_path_refuses_bucket_wider_than_batch(spark, tmp_path):
+    """Schema-evolution data-loss regression: after a wide batch
+    evolves the table, a NARROW batch whose keys collide into the
+    wide row's bucket must NOT be merged by the local rewrite (it
+    would drop the wide column's values) — it falls back to the
+    engine's union-align, and the wide value survives."""
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+    from engagement_data_pipeline_spark.streaming.local_merge import (
+        local_bucket)
+
+    table = str(tmp_path / "t")
+    merge = ing.foreach_batch_upsert(table, ["k"], n_buckets=2)
+    merge(spark.createDataFrame([("a", 1), ("b", 2)],
+                                "k string, v int"), 0)
+    merge(spark.createDataFrame([("c", 3, "x")],
+                                "k string, v int, extra string"), 1)
+    # a key that lands in c's bucket: the local fast path would
+    # rewrite that bucket with the (k, v) batch schema
+    twin = next(f"d{i}" for i in range(100)
+                if local_bucket([f"d{i}"], 2) == local_bucket(["c"], 2))
+    merge(spark.createDataFrame([(twin, 4)], "k string, v int"), 2)
+    rows = {r["k"]: (r["v"], r["extra"])
+            for r in ing.read_merged_table(spark, table).collect()}
+    assert rows["c"] == (3, "x")
+    assert rows[twin] == (4, None)
