@@ -52,6 +52,7 @@ is exactly the work the incremental chain avoids.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -87,6 +88,8 @@ from ..streaming.transform import (
     build_transform_table,
     refresh_transform_table,
 )
+from ..training import ann_index as AI
+from ..training import ranking as RK
 from . import engagement
 from ._helpers import apply_runtime_conf, fixture_dir
 from .engagement import CONFIG
@@ -364,6 +367,80 @@ _PV_SINKS = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Index maintenance from the SAME view feed (search serving kept fresh
+# by the daily run, not a separate rebuild job): the LSM text index
+# and one ANN index generation track the G2 view's change feed exactly
+# like the MV states do — one projected drain, fan_out over both index
+# sinks. The reference has no serving indexes (its corpus fits a CSV);
+# at 100 TB a training-data pipeline keeps BM25/ANN serving state
+# fresh from the same feed, so the composed lifecycle maintains them
+# too and the capstone checksums their state against a from-scratch
+# recompute (the DuckDB oracle re-derives postings/cells from the
+# mirrored final view state).
+# ---------------------------------------------------------------------------
+
+_RQA_DS = [d for d in CONFIG.datasets
+           if d.dataset_type == RESEARCH_QUESTION_ANSWER]
+
+#: pinned IVF quantizer for the e2e ANN generation. Centroids are
+#: CONFIG, not training: the maintained-index proof needs a frozen
+#: quantizer (retrain => rebuild, training/ann_index.py contract), and
+#: pinning makes cell assignment oracle-expressible. Integer-valued
+#: coords keep every dot product exact in double.
+E2E_CENTS = [(cid, vec, math.sqrt(sum(x * x for x in vec)))
+             for cid, vec in ((0, [1.0, 0.0, 0.0, 0.0]),
+                              (1, [0.0, 1.0, 1.0, 0.0]),
+                              (2, [4.0, 1.0, 1.0, 1.0]),
+                              (3, [12.0, 3.0, 4.0, 1.0]))]
+
+
+def _doc_text_col(old: bool):
+    """A view row's OWN message text: the raw column of its dataset
+    (the G2 view's other RQA columns are M6 placeholders, and demog
+    columns are participant folds). `old=True` reads the change
+    feed's `__old` pre-image twins instead."""
+    suf = "__old" if old else ""
+    out = None
+    for d in _RQA_DS:
+        cond = F.col("dataset" + suf) == d.name
+        val = F.coalesce(F.col(d.raw_field + suf), F.lit(""))
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out.otherwise(F.lit(""))
+
+
+def _embed_col(text):
+    """Deterministic text embedding (4 shape features + a bias dim so
+    no vector is zero-norm). A real deployment plugs a model here;
+    the integer-valued double features make the quantizer's cosine
+    argmin bit-identical to the DuckDB mirror."""
+    return F.array(
+        F.length(text).cast("double"),
+        F.size(F.split(text, " ")).cast("double"),
+        (F.length(text) - F.length(F.regexp_replace(text, "[aeiou]", "")))
+        .cast("double"),
+        F.lit(1.0))
+
+
+def _index_feed(batch: DataFrame) -> DataFrame:
+    """Map the G2 view's retract batch to the doc shape BOTH index
+    sinks consume: (op, changed_cols, doc_id, doc_text/__old,
+    embedding/__old). Text is derived, so changed_cols is re-derived
+    too: an update whose derived text is unchanged is dropped by both
+    sinks (their `touched` filter)."""
+    new_t = _doc_text_col(False)
+    old_t = _doc_text_col(True)
+    changed = F.when(
+        (F.col("op") == "update") & ~new_t.eqNullSafe(old_t),
+        F.lit("doc_text,embedding")).otherwise(F.lit(""))
+    return batch.select(
+        "op", changed.alias("changed_cols"),
+        F.col("message_id").alias("doc_id"),
+        new_t.alias("doc_text"), old_t.alias("doc_text__old"),
+        _embed_col(new_t).alias("embedding"),
+        _embed_col(old_t).alias("embedding__old"))
+
+
 def _k2_tf(mv: DataFrame) -> DataFrame:
     """K2 production columns, keyed by message_id for maintenance (the
     export drops the key column at read time)."""
@@ -377,12 +454,16 @@ def _k3_tf(pv: DataFrame) -> DataFrame:
 
 def _pipeline_stages(spark: SparkSession, base: str,
                      n_buckets_data: int = 8, n_buckets_view: int = 4,
+                     with_indexes: bool = True,
                      ) -> list[tuple[str, Callable[[], int | None]]]:
     """The composed lifecycle's stage list (imputed -> views ->
     analysis -> exports), reusable outside the fixture so tools can
     time stages individually (tools/e2e_pipeline_stress.py) or crash
     between them. Bucket counts are parameters because the scale
-    story sizes buckets with the corpus (constant bucket bytes)."""
+    story sizes buckets with the corpus (constant bucket bytes);
+    `with_indexes=False` drops the two serving-index sinks from the
+    analysis fan_out (the r13-shaped pipeline, for A/B
+    measurement)."""
     raw = os.path.join(base, "raw")
     imputed = os.path.join(base, "imputed")
     pview = os.path.join(base, "pview")
@@ -409,19 +490,35 @@ def _pipeline_stages(spark: SparkSession, base: str,
 
     def _stage_analysis() -> int:
         # ONE scan of each view feed maintains all seven A-series
-        # states (fan_out). DIRECT drains (batch change-feed reader,
-        # commit-id batch ids) instead of checkpointed streaming
-        # queries: the day run's delta is a handful of commits, and
-        # the streaming path's fixed cost (WAL + offset log + batch
-        # planning per drain per run) made incrementality lose to
-        # full recompute below ~x100 corpus (r13 verdict task 1).
-        # Exactly-once is unchanged — sink txn watermarks + the
-        # drain's atomic per-commit state file.
-        drain_changes_direct(spark, mview, fan_out(*[
+        # states (fan_out) — and, with_indexes, BOTH serving indexes
+        # from the same mview scan: the text/ANN sinks ride the
+        # persisted batch behind a projection (`_index_feed`), so
+        # keeping search state fresh costs zero extra feed reads.
+        # DIRECT drains (batch change-feed reader, commit-id batch
+        # ids) instead of checkpointed streaming queries: the day
+        # run's delta is a handful of commits, and the streaming
+        # path's fixed cost (WAL + offset log + batch planning per
+        # drain per run) made incrementality lose to full recompute
+        # below ~x100 corpus (r13 verdict task 1). Exactly-once is
+        # unchanged — sink txn watermarks + the drain's atomic
+        # per-commit state file; their first batch bootstraps each
+        # index from the view-build commit's insert replay, so build
+        # and maintenance are one code path.
+        mv_sinks = [
             MV.mv_stream_sink(os.path.join(base, sub), gcols, metrics,
                               prepare=prep, source_cols=cols)
-            for sub, gcols, metrics, prep, cols in _MV_SINKS]),
-            state_path=os.path.join(base, "drain_mview"))
+            for sub, gcols, metrics, prep, cols in _MV_SINKS]
+        if with_indexes:
+            text = RK.text_index_stream_sink(
+                os.path.join(base, "text_idx"), "doc_text", "doc_id")
+            ann = AI.ann_index_stream_sink(
+                os.path.join(base, "ann_idx"), E2E_CENTS,
+                id_col="doc_id", emb_col="embedding")
+            mv_sinks.append(lambda b, i: text(_index_feed(b), i))
+            mv_sinks.append(lambda b, i: ann(_index_feed(b), i))
+        drain_changes_direct(spark, mview, fan_out(*mv_sinks),
+                             state_path=os.path.join(base,
+                                                     "drain_mview"))
         return drain_changes_direct(spark, pview, fan_out(*[
             MV.mv_stream_sink(os.path.join(base, sub), gcols, metrics,
                               prepare=prep, source_cols=cols)
@@ -747,7 +844,68 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "k2": [("participant_uuid", "string"), ("timestamp_us", "bigint")]
           + [(d.raw_field, "string") for d in CONFIG.datasets],
     "k3": _k3_spec(),
+    "text_index": [("term", "string"), ("doc_id", "string"),
+                   ("tf", "bigint"), ("dl", "bigint")],
+    "ann_cells": [("cell", "string"), ("vec_id", "string")],
 }
+
+def _doc_text_sql() -> str:
+    return ("CASE dataset " + " ".join(
+        f"WHEN '{d.name}' THEN COALESCE({d.raw_field}, '')"
+        for d in _RQA_DS) + " ELSE '' END")
+
+
+def _text_index_sql() -> str:
+    # same tokenizer as training/dedup.normalize_text + term_stats:
+    # lower/trim/collapse-whitespace, split on ' ' ('' tokenizes to
+    # one empty term with dl=1 in both engines)
+    return f"""
+WITH mv AS ({_E2E_MV_SQL}),
+docs AS (
+  SELECT message_id AS doc_id,
+         regexp_replace(lower(trim({_doc_text_sql()})), '\\s+', ' ', 'g')
+           AS ntext
+  FROM mv
+),
+toks AS (
+  SELECT doc_id, len(string_split(ntext, ' ')) AS dl,
+         unnest(string_split(ntext, ' ')) AS term
+  FROM docs
+)
+SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(MIN(dl) AS BIGINT) AS dl
+FROM toks GROUP BY term, doc_id
+UNION ALL
+SELECT '__stats__' AS term, '' AS doc_id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM docs) AS tf,
+       (SELECT CAST(COALESCE(SUM(len(string_split(ntext, ' '))), 0)
+               AS BIGINT) FROM docs) AS dl
+"""
+
+
+def _ann_cells_sql() -> str:
+    from .similarity import _cosine_sql
+    emb = ("[CAST(length(t) AS DOUBLE), "
+           "CAST(len(string_split(t, ' ')) AS DOUBLE), "
+           "CAST(length(t) - length(regexp_replace(t, '[aeiou]', '', 'g'))"
+           " AS DOUBLE), 1.0]")
+    rows = ", ".join(
+        f"({cid}, [{', '.join(str(x) for x in vec)}])"
+        for cid, vec, _ in E2E_CENTS)
+    return f"""
+WITH mv AS ({_E2E_MV_SQL}),
+docs AS (SELECT message_id AS doc_id, {_doc_text_sql()} AS t FROM mv),
+emb AS (SELECT doc_id, {emb} AS e FROM docs),
+cents AS (SELECT * FROM (VALUES {rows}) c(cid, ce))
+SELECT CAST(cid AS VARCHAR) AS cell, doc_id AS vec_id FROM (
+  SELECT x.doc_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY x.doc_id
+                            ORDER BY {_cosine_sql('x.e', 'c.ce')} DESC,
+                                     c.cid) AS crn
+  FROM emb x CROSS JOIN cents c
+) WHERE crn = 1
+"""
+
 
 _MEMBER_SQL: dict[str, str] = {
     "imputed": _e2e_imputed_sql(),
@@ -756,12 +914,38 @@ _MEMBER_SQL: dict[str, str] = {
     "a1": _A1_SQL, "a2": _A2_SQL, "a3": _A3_SQL, "a4": _A4_SQL,
     "a5": _A5_SQL, "a6": _A6_SQL, "a7": _A7_SQL, "a8": _A8_SQL,
     "a9": _A9_SQL, "k2": _K2_SQL, "k3": _k3_sql(),
+    "text_index": _text_index_sql(), "ann_cells": _ann_cells_sql(),
 }
 
 
 # ---------------------------------------------------------------------------
 # Registry queries
 # ---------------------------------------------------------------------------
+
+def _text_index_read(spark: SparkSession, base: str) -> DataFrame:
+    """The maintained LSM text index's certified projection: resolved
+    postings (tombstones applied across base + deltas) plus the
+    chained corpus-stats row as a '__stats__' sentinel — so the hash
+    certifies n_docs/sum_dl maintenance too, not just postings."""
+    idx = os.path.join(base, "text_idx")
+    posts = (RK._resolved_postings(spark, idx)
+             .select("term", "doc_id",
+                     F.col("tf").cast("long").alias("tf"),
+                     F.col("dl").cast("long").alias("dl")))
+    st = RK._index_stats(spark, idx).select(
+        F.lit("__stats__").alias("term"), F.lit("").alias("doc_id"),
+        F.col("n_docs").cast("long").alias("tf"),
+        F.col("sum_dl").cast("long").alias("dl"))
+    return posts.unionByName(st)
+
+
+def _ann_cells_read(spark: SparkSession, base: str) -> DataFrame:
+    """The maintained ANN generation's certified projection: the live
+    (cell, vec_id) postings of the cell-bucketed merge table."""
+    return (read_merged_table(
+        spark, os.path.join(base, "ann_idx", AI.CELLS_DIR))
+        .select(F.col("cell").cast("string").alias("cell"), "vec_id"))
+
 
 def _artifact_members(spark: SparkSession, base: str,
                       ) -> dict[str, DataFrame]:
@@ -794,6 +978,8 @@ def _artifact_members(spark: SparkSession, base: str,
             *[d.raw_field for d in CONFIG.datasets]),
         "k3": _read("k3").select(
             *analysis_matrix_headers(CONFIG, SCHEME_CODES)),
+        "text_index": _text_index_read(spark, base),
+        "ann_cells": _ann_cells_read(spark, base),
     }
 
 

@@ -105,10 +105,13 @@ CASES = {
     "k2_incremental": (0, False),
     "k3_incremental": (0, False),
     "run_manifest": (0, False),
-    # the e2e capstone reads 14 maintained artifacts and reduces each
+    # the e2e capstone reads 16 maintained artifacts (incl. the text
+    # index's resolved postings and the ANN cells) and reduces each
     # to one checksum row: mostly single-partition aggs + the A-series
-    # read-time rollups (measured 20)
-    "e2e_incremental_run": (24, False),
+    # read-time rollups (measured 27 — the two index members add
+    # their checksum aggs; their reads are scan + broadcast anti-join,
+    # zero data shuffles)
+    "e2e_incremental_run": (27, False),
     # both generations' indexed top-k + retrieval evals against the
     # brute-force truth (whose query set enters as a broadcast-literal
     # cross — the allowed NLJ, never data-data)

@@ -131,8 +131,14 @@ def main() -> None:
         from engagement_data_pipeline_spark.streaming.ingest import (
             read_table_manifest)
         arts = {"imputed": ["imputed"], "views": ["pview", "mview"],
+                # analysis = 7 MV states + the ANN cells table (the
+                # serving indexes ride the same mview fan_out; the
+                # text index is LSM — delta segments, no bucket
+                # manifest — so the cells table carries the indexes'
+                # touched-bucket evidence)
                 "analysis": ["mv_a1", "mv_a3", "mv_a7", "mv_a9",
-                             "mv_a4", "mv_a5", "mv_a8"],
+                             "mv_a4", "mv_a5", "mv_a8",
+                             "ann_idx/cells"],
                 "exports": ["k2", "k3"]}
         out = {}
         for stage, names in arts.items():
@@ -207,12 +213,13 @@ def main() -> None:
     with open(out_md, "a") as f:
         f.write("\n## Composed lifecycle: daily-run cost vs corpus "
                 "size (measured; constant delta, buckets scaled with "
-                "corpus; stages = raw->imputed->views->7 MVs->K2/K3 "
-                "via queries/e2e_q._pipeline_stages)\n\n")
+                "corpus; stages = raw->imputed->views->[7 MVs + "
+                "text/ANN indexes]->K2/K3 via "
+                "queries/e2e_q._pipeline_stages)\n\n")
         f.write("| factor | corpus_rows | buckets | delta_rows | "
                 "bootstrap_seconds | day_seconds | day_imputed | "
                 "day_views | day_analysis | day_exports | "
-                "day_touched_buckets (imp/view/mv/exp) |\n"
+                "day_touched_buckets (imp/view/mv+idx/exp) |\n"
                 "|---|---|---|---|---|---|---|---|---|---|---|\n")
         for r in rows_out:
             f.write("| {} | {} | {} | {} | {} | {} | {} | {} | {} | {} "

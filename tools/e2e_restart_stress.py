@@ -54,7 +54,9 @@ def main() -> None:
     from engagement_data_pipeline_spark.queries import engagement
     from engagement_data_pipeline_spark.queries.e2e_q import (
         _MV_SINKS, _PV_SINKS, _RAW_COLS, _SPECS, _artifact_members,
-        _pipeline_stages)
+        _index_feed, _pipeline_stages, E2E_CENTS)
+    from engagement_data_pipeline_spark.training import ann_index as AI
+    from engagement_data_pipeline_spark.training import ranking as RK
     from engagement_data_pipeline_spark.queries.families import (
         member_checksum)
     from engagement_data_pipeline_spark.streaming import mv as MV
@@ -158,6 +160,69 @@ def main() -> None:
     print(f"OK: crashed mid-fan_out (2/4 MV sinks applied), resumed in "
           f"{resume_s:.1f}s; all {len(want)} artifacts equal the "
           f"uninterrupted run's", flush=True)
+
+    # --- second scenario: crash between the MV sinks and the ANN
+    # index sink inside the SAME analysis fan_out — all 4 MV states
+    # and the text index applied the batch, the ANN index did not, so
+    # at death the two serving indexes disagree and the drain state
+    # was not advanced. Resume replays the commit: the MV and
+    # text-index txn watermarks no-op, the ANN sink applies.
+    crash2 = build_base("crash2")
+    armed["on"] = True
+
+    def crash2_stages(spark, base):
+        stages = dict(_pipeline_stages(spark, base))
+
+        def crashing_analysis() -> int:
+            text = RK.text_index_stream_sink(
+                os.path.join(base, "text_idx"), "doc_text", "doc_id")
+            ann = AI.ann_index_stream_sink(
+                os.path.join(base, "ann_idx"), E2E_CENTS,
+                id_col="doc_id", emb_col="embedding")
+            sinks = [MV.mv_stream_sink(os.path.join(base, sub), g, m,
+                                       prepare=p, source_cols=c)
+                     for sub, g, m, p, c in _MV_SINKS]
+            sinks.append(bomb(lambda b, i: text(_index_feed(b), i)))
+            sinks.append(lambda b, i: ann(_index_feed(b), i))
+            drain_changes_direct(spark, os.path.join(base, "mview"),
+                                 fan_out(*sinks),
+                                 state_path=os.path.join(
+                                     base, "drain_mview"))
+            return drain_changes_direct(
+                spark, os.path.join(base, "pview"), fan_out(*[
+                    MV.mv_stream_sink(os.path.join(base, sub), g, m,
+                                      prepare=p, source_cols=c)
+                    for sub, g, m, p, c in _PV_SINKS]),
+                state_path=os.path.join(base, "drain_pview"))
+
+        stages["analysis"] = crashing_analysis
+        return list(stages.items())
+
+    died = False
+    try:
+        run_incremental_pipeline(spark, os.path.join(crash2, "runs"),
+                                 "run2", crash2_stages(spark, crash2))
+    except Exception as e:
+        assert "killed between fan_out sinks" in str(e), e
+        died = True
+    assert died, "the index-sink bomb did not fire"
+    state = read_run(spark, os.path.join(crash2, "runs"), "run2")
+    assert state["views"][0] == "done"
+    assert state["analysis"][0] == "started", state
+
+    t0 = time.perf_counter()
+    run_incremental_pipeline(spark, os.path.join(crash2, "runs"),
+                             "run2", _pipeline_stages(spark, crash2))
+    resume_s = time.perf_counter() - t0
+    state = read_run(spark, os.path.join(crash2, "runs"), "run2")
+    assert all(v[0] == "done" for v in state.values()), state
+
+    got = checksums(crash2)
+    diverged = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not diverged, diverged
+    print(f"OK: crashed mid-index-fan_out (text applied, ANN not), "
+          f"resumed in {resume_s:.1f}s; all {len(want)} artifacts "
+          f"equal the uninterrupted run's", flush=True)
     spark.stop()
 
 
