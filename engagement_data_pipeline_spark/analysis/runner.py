@@ -130,13 +130,31 @@ def record_stage(spark: SparkSession, manifest_path: str, run_id: str,
 
 def read_run(spark: SparkSession, manifest_path: str,
              run_id: str) -> dict[str, tuple[str, int | None]]:
-    """{stage: (status, applied_commit)} for one run — O(stages)."""
+    """{stage: (status, applied_commit)} for one run — O(stages).
+
+    Reads driver-side (local_merge's pyarrow resolved read): the
+    manifest is a tiny control table and `record_stage` re-reads it
+    after every transition to verify its write landed, so a
+    distributed read here put one Spark job (~0.2-0.3 s) inside EVERY
+    bookkeeping record — ~2.5 s of a composed day run. Falls back to
+    the engine read if the local reader cannot serve the path."""
     man = read_table_manifest(spark, manifest_path)
     if man is None:
         return {}
-    rows = (read_merged_table(spark, manifest_path)
-            .where(F.col("run_id") == run_id).collect())
-    return {r.stage: (r.status, r.applied_commit) for r in rows}
+    try:
+        from ..streaming.local_merge import read_live_rows_local
+
+        rows = read_live_rows_local(
+            manifest_path, man, sorted(man["buckets"]),
+            ["run_id", "stage", "status", "applied_commit"])
+        return {r["stage"]: (r["status"],
+                             None if r["applied_commit"] is None
+                             else int(r["applied_commit"]))
+                for r in rows if r["run_id"] == run_id}
+    except Exception:
+        rows = (read_merged_table(spark, manifest_path)
+                .where(F.col("run_id") == run_id).collect())
+        return {r.stage: (r.status, r.applied_commit) for r in rows}
 
 
 def run_incremental_pipeline(

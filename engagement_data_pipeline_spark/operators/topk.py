@@ -97,8 +97,8 @@ def touched_group_slice(spark, table_path: str, from_commit: int,
     commits past `from_commit`."""
     from pyspark.sql import functions as F
 
-    from ..streaming.ingest import (read_changed_at, read_table_manifest,
-                                    table_changes)
+    from ..streaming.cdf_source import MergeTableChangesDataSource
+    from ..streaming.ingest import read_table_manifest
 
     gcols = list(group_cols)
     man = read_table_manifest(spark, table_path)
@@ -107,21 +107,24 @@ def touched_group_slice(spark, table_path: str, from_commit: int,
     current = int(man["commit"])
     if current <= from_commit:
         return None
-    origin = list(man["origin"])
-    ch = table_changes(spark, table_path, from_commit, current)
-    # insert/update rows carry the new payload (deletes carry only
-    # origin keys — their group comes from the old side's snapshot).
-    # The feed keys and the touched set are O(changes) — broadcast
-    # them so the snapshot/state sides never sort-merge (an
-    # incremental window is small by contract; a full backfill uses
-    # the batch recompute instead).
+    # ONE netting change-feed read with `includeOld`: new groups from
+    # the new payloads, old groups (updates that MOVED a row across
+    # groups, deletes) from the `<col>__old` pre-images — no
+    # pre-change snapshot read, no semi-join. Origin columns have no
+    # __old twin (keys are immutable), so a group column that is also
+    # a key reads as itself on the old side.
+    spark.dataSource.register(MergeTableChangesDataSource)
+    ch = (spark.read.format("merge_table_changes")
+          .option("path", table_path)
+          .option("fromCommit", str(from_commit))
+          .option("toCommit", str(current))
+          .option("includeOld", "true").load())
     new_side = (ch.where(F.col("op").isin("insert", "update"))
                 .select(*gcols))
-    old_side = (read_changed_at(spark, table_path, from_commit, current)
-                .join(F.broadcast(
-                    ch.where(F.col("op").isin("update", "delete"))
-                    .select(*origin)), origin, "left_semi")
-                .select(*gcols))
+    old_side = (ch.where(F.col("op").isin("update", "delete"))
+                .select(*[
+                    (F.col(f"{g}__old") if f"{g}__old" in ch.columns
+                     else F.col(g)).alias(g) for g in gcols]))
     # Materialize the touched set once (it is O(changes) small):
     # every consumer re-uses it at least twice (bucket-id collect +
     # semi-join, and maintainers add a gone anti-join), and without
