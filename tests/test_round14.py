@@ -189,3 +189,120 @@ def test_read_pointer_malformed_still_raises(spark, tmp_path):
         f.write("not-a-generation")
     with pytest.raises(ValueError, match="corrupt"):
         AI._read_pointer(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# round-14 perf paths: driver-side window read + bounded local refresh
+# ---------------------------------------------------------------------------
+
+def _evolving_table(spark, path):
+    """Source history with inserts, updates, a dv delete, a
+    filter-crossing update and a late re-insert — every op class the
+    refresh fold must handle."""
+    from pyspark.sql import functions as F
+
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        delete_origins, foreach_batch_upsert)
+
+    m = foreach_batch_upsert(path, ["k"], n_buckets=4,
+                             txn_app_id="src", mode="latest_wins")
+    df = spark.range(120).select(
+        F.col("id").cast("string").alias("k"), F.col("id").alias("v"),
+        F.expr("array(named_struct('s', cast(id as string), "
+               "'c', id % 3 = 0))").alias("labs"),
+        F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id)")
+        .alias("ts"))
+    m(df, 1)
+    m(df.where("id < 30").withColumn("v", F.col("v") + 1000), 2)
+    delete_origins(spark, path, df.where("id >= 110").select("k"),
+                   strategy="dv")
+    m(df.where("id = 50").withColumn("v", F.lit(3)), 4)  # now filtered
+    return m, df
+
+
+def test_read_changes_local_matches_distributed_reader(spark, tmp_path):
+    from engagement_data_pipeline_spark.streaming.cdf_source import (
+        MergeTableChangesDataSource, read_changes_local)
+
+    src = str(tmp_path / "src")
+    _evolving_table(spark, src)
+    lc = read_changes_local(src, 1, 4, max_rows=4096)
+    assert lc is not None
+    spark.dataSource.register(MergeTableChangesDataSource)
+    dist = (spark.read.format("merge_table_changes")
+            .option("path", src).option("fromCommit", "1")
+            .option("toCommit", "4")
+            .option("includeOld", "true").load())
+    cols = sorted(dist.columns)
+
+    def canon(v):
+        if isinstance(v, list):
+            return tuple(canon(x) for x in v)
+        if hasattr(v, "asDict"):
+            return tuple(sorted(v.asDict().items()))
+        if isinstance(v, dict):
+            return tuple(sorted((k, canon(x)) for k, x in v.items()))
+        return v
+
+    got = sorted((tuple(canon(r[c]) for c in cols) for r in lc.rows))
+    want = sorted((tuple(canon(r[c]) for c in cols)
+                   for r in (x.asDict(recursive=True)
+                             for x in dist.collect())))
+    assert got == want and len(got) > 0
+    # the bound is a hard cap, not advisory
+    assert read_changes_local(src, 1, 4, max_rows=1) is None
+
+
+def test_local_refresh_equals_distributed_refresh(spark, tmp_path,
+                                                  monkeypatch):
+    """The bounded driver-side refresh fast path must produce the
+    byte-identical derived table the distributed fold produces —
+    including gone keys from deletes AND from rows the transform now
+    filters out."""
+    from pyspark.sql import functions as F
+
+    import engagement_data_pipeline_spark.streaming.local_merge as lm
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        read_merged_table)
+    from engagement_data_pipeline_spark.streaming.transform import (
+        build_transform_table, refresh_transform_table)
+
+    def tf(d):
+        return d.where("v % 7 != 3").select(
+            "k", "v", F.expr("labs[0].s").alias("s0"), "ts")
+
+    def build_then_refresh(label, small_rows):
+        from engagement_data_pipeline_spark.streaming.ingest import (
+            foreach_batch_upsert)
+
+        src = str(tmp_path / f"s_{label}")
+        dst = str(tmp_path / f"d_{label}")
+        monkeypatch.setattr(lm, "SMALL_BATCH_ROWS", small_rows)
+        from pyspark.sql import functions as F2
+        m_, df = _evolving_table(spark, src)
+        # rebuild from commit-1 state: set the watermark by building
+        # from a table at commit 1 is awkward; instead build at head,
+        # add one more window, then refresh
+        build_transform_table(spark, src, dst, tf, ["k"], n_buckets=4)
+        m_(df.where("id < 10").withColumn("v", F2.col("v") + 7), 5)
+        m_(df.where("id = 60").withColumn(
+            "v", F2.lit(10)), 6)  # 10 % 7 != 3 -> stays
+        from engagement_data_pipeline_spark.streaming.ingest import (
+            delete_origins)
+        delete_origins(spark, src, df.where("id = 61").select("k"),
+                       strategy="dv")
+        got = refresh_transform_table(spark, src, dst, tf)
+        assert got == 7
+        rows = sorted(
+            (r.k, r.v, r.s0, r.ts)
+            for r in read_merged_table(spark, dst).collect())
+        return rows
+
+    local = build_then_refresh("local", 512)
+    dist = build_then_refresh("dist", 0)
+    assert local == dist and len(local) > 0
+    # and both equal the batch recompute over the final state
+    src = str(tmp_path / "s_local")
+    want = sorted((r.k, r.v, r.s0, r.ts) for r in
+                  tf(read_merged_table(spark, src)).collect())
+    assert local == want
