@@ -45,6 +45,16 @@ LADDER = (
     ("x1000", "/root/testdata/sf0.1", 10, 8000, 4000),
 )
 
+#: opt-in rung (`--rungs x10000`), excluded from the default run: one
+#: order past the ladder, with SUB-linear bucket scaling (bucket
+#: bytes ~4x the constant-bytes rule) so the local harness is not
+#: dominated by 80k file creations per commit — the residual
+#: day-slope evidence at this rung is the touched-bucket column, not
+#: constant bucket bytes.
+EXTRA_RUNGS = (
+    ("x10000", "/root/testdata/sf0.1", 100, 20000, 10000),
+)
+
 #: the constant day delta, identical ABSOLUTE size at every scale:
 #: event ids are dense from 0 at every sf, so these bands select the
 #: same number of messages whether the corpus holds 1k or 100k events
@@ -124,6 +134,8 @@ def main() -> None:
         if a == "--rungs" and i + 1 < len(sys.argv):
             want = set(sys.argv[i + 1].split(","))
     ladder = [r for r in LADDER if want is None or r[0] in want]
+    if want:
+        ladder += [r for r in EXTRA_RUNGS if r[0] in want]
 
     def _manifests(base):
         """latest manifest per maintained artifact, keyed by the
