@@ -58,10 +58,15 @@ def test_mv_stream_sink_replayed_batch_cannot_delete_groups(
     assert got() == want
 
 
-def test_mv_refresh_rewrites_only_touched_buckets(spark, tmp_path):
+def test_mv_refresh_rewrites_only_touched_buckets(spark, tmp_path,
+                                                  monkeypatch):
     """The delta fold joins state in from the delta side, so a
     refresh touching one group must version-bump ONLY that group's
-    MV bucket — the manifest is the witness."""
+    MV bucket — the manifest is the witness. Forces the DISTRIBUTED
+    fold (bounded deltas take the driver-side local fold since r14,
+    whose state read is pyarrow-side — its equality twin lives in
+    test_local_merge); this test pins the engine path's shape."""
+    monkeypatch.setattr(MV, "_LOCAL_FOLD_MAX", 0)
     path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
     merge = ing.foreach_batch_upsert(path, ["origin"], n_buckets=2,
                                      txn_app_id="src",

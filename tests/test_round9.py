@@ -569,7 +569,11 @@ def test_mv_stream_fold_plan_single_bucket_broadcast(spark, tmp_path,
     BroadcastHashJoin LeftOuter build-right against the state slice,
     and a state READ of only the touched group's bucket. Pin all
     three so a regression to a shuffled fold or a full-state rescan
-    lands red, not silently."""
+    lands red, not silently. Forces the DISTRIBUTED fold — bounded
+    deltas take the driver-side local fold since r14 (equality twin
+    in test_local_merge); the plan pinned here is the at-scale
+    path."""
+    monkeypatch.setattr(MV, "_LOCAL_FOLD_MAX", 0)
     mvp = str(tmp_path / "mv")
     group = ["grp"]
     metrics = {"n_vals": ("val", "count"), "total": ("val", "sum")}
@@ -606,7 +610,9 @@ def test_mv_refresh_fold_plan_shape(spark, tmp_path, monkeypatch):
     `table_changes` diff of the changed source buckets (two keyed
     full-outer diffs — plus and minus sides), so the exchange budget
     is 5; the fold itself must still broadcast the delta against a
-    single-bucket state slice."""
+    single-bucket state slice. Forces the DISTRIBUTED fold (see
+    test_mv_stream_fold_plan_single_bucket_broadcast)."""
+    monkeypatch.setattr(MV, "_LOCAL_FOLD_MAX", 0)
     path, mvp = str(tmp_path / "t"), str(tmp_path / "mv")
     group = ["grp"]
     metrics = {"n_vals": ("val", "count"), "total": ("val", "sum")}
