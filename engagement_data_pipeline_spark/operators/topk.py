@@ -107,6 +107,36 @@ def touched_group_slice(spark, table_path: str, from_commit: int,
     current = int(man["commit"])
     if current <= from_commit:
         return None
+    # Bounded-window fast path: the touched-key derivation needs only
+    # the feed's group columns, so a window under the local-read cap
+    # is diffed DRIVER-SIDE (cdf_source.read_changes_local — same
+    # manifests, same Arrow kernel, zero scan jobs) and the key set
+    # computed as a Python set — no Python-datasource scan job
+    # (~0.5 s worker spin-up), no distinct shuffle, no checkpoint
+    # job. Semantics identical to the distributed read below (A/B
+    # pinned in tests); windows past the cap fall through.
+    from ..streaming.cdf_source import read_changes_local
+    from ..streaming.local_merge import SMALL_BATCH_ROWS
+
+    lc = read_changes_local(table_path, from_commit, current,
+                            max_rows=SMALL_BATCH_ROWS)
+    if lc is not None:
+        keyset = set()
+        for r in lc.rows:
+            if r["op"] in ("insert", "update"):
+                keyset.add(tuple(r[g] for g in gcols))
+            if r["op"] in ("update", "delete"):
+                # origin/key columns carry no __old twin (immutable)
+                keyset.add(tuple(
+                    r[g + "__old"] if g + "__old" in r else r[g]
+                    for g in gcols))
+        data = [dict(zip(gcols, k))
+                for k in sorted(keyset, key=repr)]
+        touched = (spark.createDataFrame(data, lc.ddl_for(gcols))
+                   if data else
+                   spark.createDataFrame([], lc.ddl_for(gcols)))
+        return group_rows_slice(spark, table_path, touched,
+                                gcols), touched
     # ONE netting change-feed read with `includeOld`: new groups from
     # the new payloads, old groups (updates that MOVED a row across
     # groups, deletes) from the `<col>__old` pre-images — no

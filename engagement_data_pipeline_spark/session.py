@@ -35,9 +35,23 @@ _RUNTIME_CONF = {
 }
 
 
+#: Sessions (by applicationId) already carrying _RUNTIME_CONF: the
+#: default apply is idempotent, and each spark.conf.set is a py4j
+#: round-trip (~30 ms for the full dict), paid once per query without
+#: this memo — ~6 s across a 188-query bench run. No query mutates
+#: session conf outside this function, so the memo cannot go stale;
+#: an explicit `shuffle_partitions` call bypasses it.
+_CONF_APPLIED: set[str] = set()
+
+
 def apply_runtime_conf(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime-settable conf to an existing session (e.g. the
     driver harness's). Never raises if a conf is not settable."""
+    if shuffle_partitions is None:
+        app = spark.sparkContext.applicationId
+        if app in _CONF_APPLIED:
+            return spark
+        _CONF_APPLIED.add(app)
     conf = dict(_RUNTIME_CONF)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -305,6 +305,7 @@ def _read_bucket_arrow(table_path: str, man: dict | None, bucket: int,
                 try:
                     arr = arr.cast(want)
                 except (pa.lib.ArrowInvalid,
+                        pa.lib.ArrowTypeError,
                         pa.lib.ArrowNotImplementedError):
                     # no direct cast kernel: per-column object-path
                     # conversion (correct, just not zero-copy)
@@ -762,13 +763,18 @@ class LocalChanges:
     plain dicts plus the Spark DDL needed to rebuild payload-shaped
     DataFrames from them."""
 
-    __slots__ = ("rows", "origin", "payload", "ddl")
+    __slots__ = ("rows", "origin", "payload", "ddl", "col_ddl")
 
-    def __init__(self, rows, origin, payload, ddl):
+    def __init__(self, rows, origin, payload, ddl, col_ddl=None):
         self.rows = rows          # list[dict] incl op/changed_cols/__old
         self.origin = origin      # origin column names
         self.payload = payload    # payload column names (feed order)
         self.ddl = ddl            # "col type, ..." for origin+payload
+        self.col_ddl = col_ddl or {}  # per-column type ddl
+
+    def ddl_for(self, cols) -> str:
+        """Schema DDL for a column subset (e.g. a group-key frame)."""
+        return ", ".join(f"{c} {self.col_ddl[c]}" for c in cols)
 
 
 def read_changes_local(table_path: str, from_commit: int,
@@ -828,9 +834,9 @@ def read_changes_local(table_path: str, from_commit: int,
             if len(rows) > max_rows:
                 return None
     rows = [{k: _plain_py(v) for k, v in r.items()} for r in rows]
-    ddl = ", ".join(f"{c} {_ddl_of(fields[c])}"
-                    for c in origin + payload)
-    return LocalChanges(rows, origin, payload, ddl)
+    col_ddl = {c: _ddl_of(fields[c]) for c in origin + payload}
+    ddl = ", ".join(f"{c} {col_ddl[c]}" for c in origin + payload)
+    return LocalChanges(rows, origin, payload, ddl, col_ddl)
 
 
 def _plain_py(v):
@@ -848,10 +854,34 @@ def _plain_py(v):
     return v
 
 
+def _all_nullable(t):
+    """`t` with every nested field marked nullable. Data files of one
+    table can disagree on struct-field nullability (the driver-side
+    local writer infers non-null from all-present batches; Spark
+    writes everything nullable), and pyarrow refuses a nullable ->
+    non-nullable cast — so the feed's expected types must be the
+    nullable envelope of whichever file seeded them."""
+    import pyarrow as pa
+
+    if pa.types.is_struct(t):
+        return pa.struct([f.with_type(_all_nullable(f.type))
+                          .with_nullable(True) for f in t])
+    if pa.types.is_list(t):
+        return pa.list_(_all_nullable(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_all_nullable(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(_all_nullable(t.key_type),
+                       _all_nullable(t.item_type))
+    return t
+
+
 def _data_file_fields(table_path: str, man: dict) -> list[tuple]:
     """(name, arrow type) of the table's data columns, read from the
     first available data file — the pyarrow twin of
-    `MergeTableChangesDataSource._columns_and_types`'s discovery."""
+    `MergeTableChangesDataSource._columns_and_types`'s discovery.
+    Types are nullability-normalized (`_all_nullable`) so buckets
+    written by a stricter writer still cast cleanly."""
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
@@ -867,7 +897,7 @@ def _data_file_fields(table_path: str, man: dict) -> list[tuple]:
                        if i.path.endswith(".parquet"))
         if files:
             with fs.open_input_file(files[0]) as f:
-                return [(f2.name, f2.type)
+                return [(f2.name, _all_nullable(f2.type))
                         for f2 in pq.read_schema(f)]
     raise ValueError(f"{table_path} has no data files")
 

@@ -536,6 +536,18 @@ def _live_gen_number(spark: SparkSession, root: str) -> int:
 
 
 def _gen_numbers(spark: SparkSession, root: str) -> list[int]:
+    lp = _ing._local_path(root)
+    if lp is not None:
+        # local read path: scandir instead of py4j listStatus (same
+        # dispatch as the manifest I/O fast path in streaming/ingest)
+        import os
+
+        try:
+            return sorted(int(e.name[4:]) for e in os.scandir(lp)
+                          if e.name.startswith("gen-")
+                          and e.name[4:].isdigit() and e.is_dir())
+        except OSError:
+            return []
     fs, jvm = _ing._fs(spark, root)
     try:
         statuses = fs.listStatus(jvm.org.apache.hadoop.fs.Path(root))

@@ -101,8 +101,16 @@ def bpe_fit(docs: DataFrame, n_merges: int,
         l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
         merges.append({"rank": rank, "left": l, "right": r,
                        "merged": l + r, "pair_count": int(cnt)})
-        cur = cur.select("word", "wc",
-                         _apply_merge(F.col("syms"), l, r).alias("syms"))
+        # Truncate lineage each round (lazy localCheckpoint: the next
+        # round's best-pair job materializes it — no extra job).
+        # Chaining the folds instead makes round k re-apply merges
+        # 1..k-1 over the cached vocab — O(n_merges²) fold work and a
+        # k-deep nested-lambda expression whose codegen grows per
+        # round. The vocab frame is vocabulary-sized, so per-round
+        # materialization is cheap at any corpus scale.
+        cur = (cur.select("word", "wc",
+                          _apply_merge(F.col("syms"), l, r).alias("syms"))
+               .localCheckpoint(eager=False))
     return merges, cur
 
 

@@ -277,6 +277,22 @@ def _delta_seqs(spark, index_path: str) -> list[int]:
     never visible here; `.claim-d####` lock files are skipped too."""
     from py4j.protocol import Py4JJavaError
 
+    from ..streaming.ingest import _local_path
+
+    lp = _local_path(index_path)
+    if lp is not None:
+        # local read path: one scandir instead of a py4j Hadoop
+        # listStatus round-trip per query (same dispatch as the
+        # manifest I/O fast path in streaming/ingest.py)
+        import os
+
+        try:
+            return sorted(int(e.name[1:]) for e
+                          in os.scandir(os.path.join(lp, "deltas"))
+                          if e.name.startswith("d")
+                          and e.name[1:].isdigit() and e.is_dir())
+        except OSError:
+            return []
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/deltas")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -603,10 +619,18 @@ def text_index_stream_sink(index_path: str, text_col: str = "text",
             # list per batch; skipping is replay-safe (re-running a
             # batch that produced nothing produces nothing)
             return
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/stats")
-        exists = p.getFileSystem(
-            spark._jsc.hadoopConfiguration()).exists(p)
+        from ..streaming.ingest import _local_path
+
+        lp = _local_path(index_path)
+        if lp is not None:
+            import os
+
+            exists = os.path.exists(os.path.join(lp, "stats"))
+        else:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/stats")
+            exists = p.getFileSystem(
+                spark._jsc.hadoopConfiguration()).exists(p)
         if not exists:
             if not removed.isEmpty():
                 # Bootstrapping from a batch that carries deletes/old-

@@ -306,3 +306,53 @@ def test_local_refresh_equals_distributed_refresh(spark, tmp_path,
     want = sorted((r.k, r.v, r.s0, r.ts) for r in
                   tf(read_merged_table(spark, src)).collect())
     assert local == want
+
+
+def test_touched_group_slice_local_equals_distributed(spark, tmp_path,
+                                                      monkeypatch):
+    """The bounded driver-side touched-set fast path (keys diffed
+    in-process from read_changes_local, no Python-datasource scan)
+    must yield exactly the touched set and live slice the distributed
+    feed read yields — including old-side keys of group-moving
+    updates and deletes."""
+    from pyspark.sql import functions as F
+
+    import engagement_data_pipeline_spark.streaming.local_merge as lm
+    from engagement_data_pipeline_spark.operators.topk import (
+        touched_group_slice)
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        delete_origins, foreach_batch_upsert)
+
+    def build(label):
+        path = str(tmp_path / label)
+        # bucket on a PAYLOAD column so the old-side (__old) pre-image
+        # path is exercised by a group-moving update
+        m = foreach_batch_upsert(path, ["k"], n_buckets=4,
+                                 bucket_cols=["grp"],
+                                 txn_app_id="src", mode="latest_wins")
+        df = spark.range(60).select(
+            F.col("id").cast("string").alias("k"),
+            F.concat(F.lit("g"), (F.col("id") % 7).cast("string"))
+            .alias("grp"),
+            F.col("id").alias("v"))
+        m(df, 1)
+        # update moving rows ACROSS groups + plain update + delete
+        m(df.where("id < 5").withColumn("grp", F.lit("gX")), 2)
+        m(df.where("id = 20").withColumn("v", F.lit(999)), 3)
+        delete_origins(spark, path, df.where("id = 41")
+                       .select("k", "grp"), strategy="dv")
+        return path
+
+    def slices(path, small_rows):
+        monkeypatch.setattr(lm, "SMALL_BATCH_ROWS", small_rows)
+        live, touched = touched_group_slice(spark, path, 1, ["grp"])
+        return (sorted(tuple(r) for r in touched.collect()),
+                sorted(tuple(r) for r in live.select(
+                    "k", "grp", "v").collect()))
+
+    lt, ll = slices(build("local"), 4096)
+    dt, dl = slices(build("dist"), 0)
+    assert lt == dt and len(lt) > 0
+    # old groups of the moved rows (g0..g4 via ids 0-4) ARE touched
+    assert ("g0",) in dict.fromkeys(lt) or ("g0",) in lt
+    assert ll == dl and len(ll) > 0
