@@ -38,7 +38,9 @@ WATERMARK_SCHEMA = "stage_key string, watermark timestamp"
 def load_watermarks(spark: SparkSession, path: str) -> dict[str, object]:
     """Read the watermark state table (empty dict if absent)."""
     try:
-        rows = spark.read.parquet(path).collect()
+        from ..streaming.ingest import read_parquet_fast
+
+        rows = read_parquet_fast(spark, path).collect()
     except Exception:
         return {}
     return {r["stage_key"]: r["watermark"] for r in rows}

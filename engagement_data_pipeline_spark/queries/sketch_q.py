@@ -116,16 +116,34 @@ def bloom_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import bloom_merge, bloom_sketch
     from ..training.dedup import _shingled
 
+    from ..operators.stats import BLOOM_BITS, BLOOM_HASHES, _bloom_cells
+
     apply_runtime_conf(spark)
     sh = _shingled(load(spark, sf_dir, "documents"), "text", "doc_id")
     posting = sh.select(F.col("id"), F.explode("h").alias("hash"))
     train = (posting.where(~(F.col("id") % 100 == 7))
              .select(F.col("id"),
                      F.col("hash").cast("string").alias("key")))
-    shards = [train.where(F.col("id") % 3 == i).select("key").distinct()
+    # Bloom bit_or is idempotent, so the per-shard `.distinct()`
+    # passes the previous shape paid (four full shuffles of the
+    # exploded postings) cannot change a single bit — dropped. The
+    # three shard sketches come from ONE pass over the postings
+    # (grouped by (word, shard), cached because three slices consume
+    # it); bloom_merge then OR-combines the REAL per-shard sketch
+    # frames, and `full` stays an independent direct bloom_sketch of
+    # the whole split, so merged == full remains a two-sided
+    # mergeability witness.
+    cells3 = (train.select(
+        (F.col("id") % 3).alias("shard"),
+        F.explode(_bloom_cells(F.col("key"), BLOOM_HASHES,
+                               BLOOM_BITS)).alias("cell"))
+        .groupBy(F.col("cell.word").alias("word"), "shard")
+        .agg(F.bit_or(F.col("cell.mask")).cast("long").alias("bits"))
+        .cache())
+    shards = [cells3.where(F.col("shard") == i).select("word", "bits")
               for i in range(3)]
-    merged = bloom_merge([bloom_sketch(s, "key") for s in shards])
-    full = bloom_sketch(train.select("key").distinct(), "key")
+    merged = bloom_merge(shards)
+    full = bloom_sketch(train.select("key"), "key")
     return (merged.withColumnRenamed("bits", "bits_merged")
             .join(full.withColumnRenamed("bits", "bits_full"), "word")
             .select("word", "bits_merged", "bits_full"))

@@ -89,7 +89,8 @@ def write_centroids(spark: SparkSession, index_path: str,
 
 def load_centroids(spark: SparkSession, index_path: str
                    ) -> list[tuple[int, list[float], float]]:
-    rows = spark.read.parquet(f"{index_path}/{CENTROIDS_DIR}").collect()
+    rows = _ing.read_parquet_fast(
+        spark, f"{index_path}/{CENTROIDS_DIR}").collect()
     return [(int(r["cid"]), [float(x) for x in r["cvec"]], float(r["cnorm"]))
             for r in sorted(rows, key=lambda r: r["cid"])]
 

@@ -128,6 +128,30 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).cache()
 
 
+def _bucket_pairs(blocked: DataFrame, key_col: str,
+                  id_col: str = "id") -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs from a blocked posting
+    list — the i<j combinations of each bucket's id set, generated by
+    ONE grouped aggregation instead of a posting self-join. The
+    self-join form duplicated the whole posting/rare subtree on both
+    sides (explode and stop-key aggregation each ran twice, Catalyst
+    does not merge them); here the bucket's sorted id list is
+    collected once and expanded with array combinators. Memory-safe
+    by construction: callers filter buckets to df <= max_doc_freq
+    BEFORE this step, so a collected list never exceeds the stop-key
+    cap (the unbounded hot keys died in the `rare` filter, which
+    still uses a streaming count aggregation)."""
+    grouped = blocked.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids"))
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")))))
+    return (grouped.select(F.explode(pairs).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
+
+
 def _verify_pairs(sh: DataFrame, candidates: DataFrame,
                   threshold: float) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (id_a, id_b)
@@ -241,15 +265,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     rare = posting.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_doc_freq)
     blocked = posting.join(rare.select("shingle"), "shingle")
-
-    x = blocked.alias("x")
-    y = blocked.alias("y")
-    candidates = (
-        x.join(y, (F.col("x.shingle") == F.col("y.shingle"))
-               & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    candidates = _bucket_pairs(blocked, "shingle")
 
     return _verify_pairs(shh, candidates, threshold)
 
@@ -295,13 +311,7 @@ def fingerprint_containment_pairs(docs: DataFrame, text_col: str = "text",
     rare = (posting.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= max_doc_freq))
     blocked = posting.join(rare.select("h"), "h")
-    x, y = blocked.alias("x"), blocked.alias("y")
-    candidates = (
-        x.join(y, (F.col("x.h") == F.col("y.h"))
-               & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    candidates = _bucket_pairs(blocked, "h")
     a, b = fp.alias("a"), fp.alias("b")
     inter = F.size(F.array_intersect(F.col("a.fp"), F.col("b.fp")))
     containment = (inter.cast("double")

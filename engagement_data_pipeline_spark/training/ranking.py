@@ -310,7 +310,9 @@ def _index_stats(spark, index_path: str):
     seqs = _delta_seqs(spark, index_path)
     src = (f"{index_path}/deltas/d{seqs[-1]:04d}/stats" if seqs
            else f"{index_path}/stats")
-    return spark.read.parquet(src)
+    from ..streaming.ingest import read_parquet_fast
+
+    return read_parquet_fast(spark, src)
 
 
 def _txn_of(stats_row) -> int:
@@ -481,8 +483,10 @@ def _resolved_postings(spark, index_path: str,
     segs = [(0, f"{index_path}/postings")] + [
         (s, f"{index_path}/deltas/d{s:04d}/postings") for s in seqs]
     parts = []
+    from ..streaming.ingest import read_parquet_fast
+
     for seq, path in segs:
-        df = spark.read.parquet(path)
+        df = read_parquet_fast(spark, path)
         if qterms is not None:
             df = df.join(F.broadcast(qterms), "term")
         parts.append(df.withColumn("__seq", F.lit(seq).cast("int")))
@@ -494,7 +498,7 @@ def _resolved_postings(spark, index_path: str,
     # one row per removed doc with the LATEST removal sequence
     tombs = None
     for s in seqs:
-        t = (spark.read.parquet(f"{index_path}/deltas/d{s:04d}/removed")
+        t = (read_parquet_fast(spark, f"{index_path}/deltas/d{s:04d}/removed")
              .withColumn("__rseq", F.lit(s).cast("int")))
         tombs = t if tombs is None else tombs.unionByName(t)
     tombs = tombs.groupBy("doc_id").agg(F.max("__rseq").alias("__rseq"))

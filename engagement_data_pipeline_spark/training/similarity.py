@@ -338,9 +338,18 @@ def retrieval_eval(approx: DataFrame, exact: DataFrame) -> DataFrame:
     when missed). Shape: two semi-join-sized hash joins keyed on
     (query_id, vec_id) + one per-query aggregation — the metric cost
     is O(|results|), independent of corpus size."""
-    a = approx.select("query_id", "vec_id", "rank")
-    t = exact.select("query_id", "vec_id")
-    top1 = (exact.where(F.col("rank") == 1)
+    # Both inputs are top-k-sized (O(|queries|*k) rows) but expensive
+    # to produce (a brute-force or index scan over the corpus), and
+    # each is consumed 2-3 times below — without a cache the metric
+    # plan re-runs the whole ranker per consumer (measured: the
+    # brute-force truth subtree appeared 6x in ann_recall_eval's
+    # plan). CacheManager dedups by logical plan, so a truth frame
+    # shared by several retrieval_eval calls materializes once per
+    # session.
+    a = approx.select("query_id", "vec_id", "rank").cache()
+    e = exact.select("query_id", "vec_id", "rank").cache()
+    t = e.select("query_id", "vec_id")
+    top1 = (e.where(F.col("rank") == 1)
             .select("query_id", F.col("vec_id").alias("best_vec")))
     hits = a.join(t, ["query_id", "vec_id"], "left_semi")
     n_hits = hits.groupBy("query_id").agg(
