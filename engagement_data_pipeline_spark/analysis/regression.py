@@ -69,12 +69,22 @@ def logistic_regression_report(model_matrix: DataFrame, theme_col: str,
     an iterative spark.ml LBFGS whose every iteration re-walked the
     full lineage; at 100 TB the aggregation is the only distributed
     work and it map-side combines."""
-    import numpy as np
-
     grouped = (model_matrix
                .groupBy(*demog_cols, theme_col)
                .agg(F.count(F.lit(1)).alias("n"))
                .collect())
+    return _fit_grouped_cells(model_matrix.sparkSession, grouped,
+                              theme_col, demog_cols)
+
+
+def _fit_grouped_cells(spark, grouped, theme_col: str,
+                       demog_cols: list[str]) -> DataFrame:
+    """The driver-side ridge-IRLS fit over collected sufficient-
+    statistic cells — split out so `multiple_imputation_report` can
+    collect all m imputations' cells in ONE aggregation and fit each
+    subset without a per-imputation Spark job."""
+    import numpy as np
+
     # Fix the cell order before any float accumulates: collect() order
     # follows shuffle partitioning, and the IRLS mat-vecs sum over
     # rows, so an environment with different partition counts would
@@ -124,7 +134,7 @@ def logistic_regression_report(model_matrix: DataFrame, theme_col: str,
     rows = [("(intercept)", float(w[0]))] + [
         (name, float(wi)) for name, wi in zip(feature_names, w[1:])
     ]
-    return model_matrix.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         rows, "feature string, coefficient double")
 
 
@@ -135,29 +145,45 @@ def multiple_imputation_report(model_matrix: DataFrame, theme_col: str,
     against the observed category list — then one regression per
     imputed set, coefficients pooled by mean (Rubin's rules' point
     estimate). Deterministic: no RNG, hash-based draws."""
-    # The matrix feeds one observed-categories aggregation plus m
-    # grouped fits; without a cache each job re-derives its full
-    # lineage (participants_view upward). Everything downstream
+    # The matrix feeds one observed-categories aggregation plus the
+    # fused cells aggregation; without a cache each job re-derives its
+    # full lineage (participants_view upward). Everything downstream
     # collects eagerly inside this function, so the cache's lifetime
     # is exactly this call.
+    spark = model_matrix.sparkSession
     model_matrix = model_matrix.cache()
     # All category sets in ONE job instead of one distinct per column.
     sets = model_matrix.agg(
         *[F.collect_set(c).alias(c) for c in demog_cols]).collect()[0]
     observed = {c: [v for v in sets[c] if v != "missing"] or ["missing"]
                 for c in demog_cols}
+    # ONE fused sufficient-statistics pass for all m imputations: each
+    # row explodes into its m imputed variants (the per-draw fill only
+    # depends on hash(participant, i, column), identical whether i is
+    # a literal or the exploded column), grouped by (draw, demogs,
+    # label) — was m separate aggregation jobs, each re-scanning the
+    # cached matrix. The per-draw IRLS fits stay driver-side and
+    # consume each draw's sorted cell subset exactly as before.
+    df = model_matrix.withColumn(
+        "__i", F.explode(F.array(*[F.lit(i) for i in range(m)])))
+    for c in demog_cols:
+        cats = sorted(observed[c])
+        bucket = F.abs(F.hash(F.col("participant_uuid"), F.col("__i"),
+                              F.lit(c))) % len(cats)
+        fill = F.lit(cats[0])
+        for j, cat in enumerate(cats):
+            fill = F.when(bucket == j, F.lit(cat)).otherwise(fill)
+        df = df.withColumn(c, F.when(F.col(c) == "missing", fill)
+                           .otherwise(F.col(c)))
+    cells = (df.groupBy("__i", *demog_cols, theme_col)
+             .agg(F.count(F.lit(1)).alias("n"))
+             .collect())
+    model_matrix.unpersist()
     reports = []
     for i in range(m):
-        df = model_matrix
-        for c in demog_cols:
-            cats = sorted(observed[c])
-            bucket = F.abs(F.hash(F.col("participant_uuid"), F.lit(i), F.lit(c))) % len(cats)
-            fill = F.lit(cats[0])
-            for j, cat in enumerate(cats):
-                fill = F.when(bucket == j, F.lit(cat)).otherwise(fill)
-            df = df.withColumn(c, F.when(F.col(c) == "missing", fill).otherwise(F.col(c)))
-        reports.append(logistic_regression_report(df, theme_col, demog_cols))
-    model_matrix.unpersist()
+        reports.append(_fit_grouped_cells(
+            spark, [r for r in cells if r["__i"] == i],
+            theme_col, demog_cols))
     un = reports[0]
     for r in reports[1:]:
         un = un.unionByName(r)

@@ -54,9 +54,12 @@ def fuzzy_pairs_ed1(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     neighborhood guarantees every qualifying pair becomes a candidate,
     and the levenshtein verify removes everything else."""
     keyed = df.select(F.col(key_col).alias("k"), F.col(text_col).alias("s"))
+    # Cached: the self-join references the exploded neighborhood on
+    # both sides and Catalyst duplicates the subtree — the deletion
+    # explode + md5 pass would run twice.
     exploded = keyed.select(
         "k", "s", F.explode(deletion_keys(F.col("s"))).alias("v")
-    ).select("k", "s", md5_long(F.col("v")).alias("vh"))
+    ).select("k", "s", md5_long(F.col("v")).alias("vh")).cache()
     left = exploded
     right = (exploded.select(F.col("k").alias("rk"), F.col("s").alias("rs"),
                              F.col("vh").alias("rvh")))

@@ -124,26 +124,30 @@ def bloom_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = (posting.where(~(F.col("id") % 100 == 7))
              .select(F.col("id"),
                      F.col("hash").cast("string").alias("key")))
-    # Bloom bit_or is idempotent, so the per-shard `.distinct()`
-    # passes the previous shape paid (four full shuffles of the
-    # exploded postings) cannot change a single bit — dropped. The
-    # three shard sketches come from ONE pass over the postings
-    # (grouped by (word, shard), cached because three slices consume
-    # it); bloom_merge then OR-combines the REAL per-shard sketch
-    # frames, and `full` stays an independent direct bloom_sketch of
-    # the whole split, so merged == full remains a two-sided
-    # mergeability witness.
-    cells3 = (train.select(
-        (F.col("id") % 3).alias("shard"),
-        F.explode(_bloom_cells(F.col("key"), BLOOM_HASHES,
-                               BLOOM_BITS)).alias("cell"))
-        .groupBy(F.col("cell.word").alias("word"), "shard")
-        .agg(F.bit_or(F.col("cell.mask")).cast("long").alias("bits"))
-        .cache())
+    # The three shard sketches come from ONE pass over the deduped
+    # (shard, key) postings — grouped by (word, shard), cached
+    # because three slices consume it — instead of three separate
+    # distinct+sketch pipelines; bloom_merge then OR-combines the
+    # REAL per-shard sketch frames, and `full` stays an independent
+    # direct bloom_sketch of the whole split, so merged == full
+    # remains a two-sided mergeability witness. The key dedup is kept
+    # (shingle hashes repeat heavily across docs, so it shrinks the
+    # BLOOM_HASHES-way cell explode severalfold — measured: dropping
+    # it REGRESSED the query 2.8 -> 3.4 s); bit_or idempotence makes
+    # it semantics-free either way. Net: 2 distinct passes + 2
+    # explode/agg passes, was 4 + 4.
+    cells3 = (train.select((F.col("id") % 3).alias("shard"), "key")
+              .distinct()
+              .select("shard",
+                      F.explode(_bloom_cells(F.col("key"), BLOOM_HASHES,
+                                             BLOOM_BITS)).alias("cell"))
+              .groupBy(F.col("cell.word").alias("word"), "shard")
+              .agg(F.bit_or(F.col("cell.mask")).cast("long").alias("bits"))
+              .cache())
     shards = [cells3.where(F.col("shard") == i).select("word", "bits")
               for i in range(3)]
     merged = bloom_merge(shards)
-    full = bloom_sketch(train.select("key"), "key")
+    full = bloom_sketch(train.select("key").distinct(), "key")
     return (merged.withColumnRenamed("bits", "bits_merged")
             .join(full.withColumnRenamed("bits", "bits_full"), "word")
             .select("word", "bits_merged", "bits_full"))

@@ -651,17 +651,95 @@ class _ChangesReader(DataSourceStreamReader):
         return _read_changes_partition(partition)
 
 
+#: target bytes of on-disk input (old + new versions) per batch-read
+#: partition — packs small changed buckets into one Python-worker
+#: task; override via SPARK_GRAFT_FEED_PARTITION_BYTES for clusters
+#: (larger values = fewer, bigger tasks, guide §2.2/§6). The diff's
+#: compute-per-byte is high (decompress + keyed merge ≈ 5-10x the
+#: compressed bytes), so the target is deliberately small: 1 MiB
+#: keeps an sf0.1-scale window (~0.7 MB/bucket) on its full
+#: per-bucket parallelism while a KB-scale day-run window still
+#: collapses to ONE task — measured: 32 MiB serialized the sf0.1
+#: diff into 1-2 tasks and REGRESSED the incremental views ~25%.
+_FEED_PARTITION_BYTES = 1 << 20
+
+
+def _pack_changed_buckets(table_path: str, man_from: dict | None,
+                          man_to: dict, buckets: list[int]) -> list:
+    """Group changed buckets into read partitions of roughly
+    `_FEED_PARTITION_BYTES` of LOCAL on-disk input each (both
+    versions' files). A bounded incremental window otherwise pays one
+    Python worker task per bucket — measured ~0.1-0.3 s of worker
+    startup + per-task overhead each for buckets holding a few
+    hundred KB. Non-local tables (sizes unknown driver-side without
+    RPCs) keep one bucket per partition, today's behavior; a single
+    bucket larger than the target still gets its own partition, so
+    big-bucket parallelism at scale is unchanged."""
+    import os
+
+    from .ingest import _local_path
+
+    if _local_path(table_path) is None:
+        return list(buckets)
+    target = int(os.environ.get("SPARK_GRAFT_FEED_PARTITION_BYTES",
+                                _FEED_PARTITION_BYTES))
+
+    def _bucket_bytes(b: int) -> int:
+        n = 0
+        for man in (man_from, man_to):
+            if man is None or b not in man["buckets"]:
+                continue
+            d = _bucket_dir(table_path, man, b)
+            if d is None:
+                continue
+            lp = _local_path(str(d))
+            if lp is None:
+                continue
+            try:
+                with os.scandir(lp) as it:
+                    n += sum(e.stat().st_size for e in it if e.is_file())
+            except OSError:
+                pass
+        return n
+
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for b in buckets:
+        sz = _bucket_bytes(b)
+        if cur and cur_bytes + sz > target:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(b)
+        cur_bytes += sz
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def _read_changes_partition(partition: _ChangesPartition) -> Iterator:
-    """Executor-side diff of ONE bucket between two manifests — the
-    shared kernel of the streaming reader and the batch reader
-    (`_ChangesBatchReader`): keyed Arrow outer-merge, vectorized
-    payload compare, retract-shape output."""
+    """Executor-side diff of a partition's bucket(s) between two
+    manifests — the shared kernel of the streaming reader and the
+    batch reader (`_ChangesBatchReader`). `partition.bucket` is one
+    bucket id (streaming / local reads) or a packed LIST of bucket
+    ids (the batch reader groups small buckets so a bounded window
+    does not pay one Python worker per bucket)."""
+    b = partition.bucket
+    buckets = list(b) if isinstance(b, (list, tuple)) else [b]
+    for one in buckets:
+        yield from _read_one_bucket_changes(partition, int(one))
+
+
+def _read_one_bucket_changes(partition: _ChangesPartition,
+                             bucket: int) -> Iterator:
+    """Keyed Arrow outer-merge of one bucket's two versions,
+    vectorized payload compare, retract-shape output."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
 
-    if partition.bucket < 0:  # empty batch placeholder
-        return iter(())
+    if bucket < 0:  # empty batch placeholder
+        return
     cols = partition.columns
     man_to = partition.man_to
     origin = list(man_to["origin"])
@@ -669,10 +747,10 @@ def _read_changes_partition(partition: _ChangesPartition) -> Iterator:
     schema = partition.pa_schema
     types = {f.name: f.type for f in schema}
     new_t = _read_bucket_arrow(partition.table_path, man_to,
-                               partition.bucket, cols, types)
+                               bucket, cols, types)
     old_t = _read_bucket_arrow(partition.table_path,
                                partition.man_from,
-                               partition.bucket, cols, types)
+                               bucket, cols, types)
     # keyed outer merge on the ORIGIN columns only (scalar keys —
     # pandas hash join); payload columns never leave Arrow
     def _keys(t, iname):
@@ -686,7 +764,7 @@ def _read_changes_partition(partition: _ChangesPartition) -> Iterator:
     j = _keys(old_t, "__oi").merge(_keys(new_t, "__ni"), on=origin,
                                    how="outer", indicator="__cdf_m")
     if len(j) == 0:
-        return iter(())
+        return
     m = j["__cdf_m"].to_numpy(dtype=object)
     is_ins = m == "right_only"
     is_del = m == "left_only"
@@ -726,7 +804,7 @@ def _read_changes_partition(partition: _ChangesPartition) -> Iterator:
     is_upd = is_both & any_chg
     keep = is_ins | is_del | is_upd
     if not keep.any():
-        return iter(())
+        return
     idx = np.flatnonzero(keep)
     idx_pa = pa.array(idx, type=pa.int64())
     ins_k, del_k, upd_k = is_ins[idx], is_del[idx], is_upd[idx]
@@ -754,7 +832,7 @@ def _read_changes_partition(partition: _ChangesPartition) -> Iterator:
     # chunked batches: a full bucket diff can run to hundreds of
     # MB at the target layout — bounded batches keep the arrow
     # pipe and downstream per-batch memory flat
-    return iter(pa.Table.from_arrays(arrays, schema=schema)
+    yield from (pa.Table.from_arrays(arrays, schema=schema)
                 .to_batches(max_chunksize=65536))
 
 
@@ -935,10 +1013,12 @@ class _ChangesBatchReader(DataSourceReader):
         if man_to is None:
             raise ValueError(
                 f"manifest {hi} of {self.table_path} is unreadable")
+        changed = _changed_buckets(man_from, man_to)
         return [
-            _ChangesPartition(self.table_path, man_from, man_to, b,
+            _ChangesPartition(self.table_path, man_from, man_to, g,
                               self.columns, self.pa_schema)
-            for b in _changed_buckets(man_from, man_to)
+            for g in _pack_changed_buckets(self.table_path, man_from,
+                                           man_to, changed)
         ] or empty
 
     def read(self, partition: _ChangesPartition) -> Iterator:

@@ -168,9 +168,11 @@ def semantic_neardup_pairs(embeddings: DataFrame,
 
     embeddings = spread_narrow_scan(embeddings)  # parallel assign+probe
     best = F.get(_ranked_cells(F.col(emb_col), cents), 0)
+    # Cached: the self-join duplicates the subtree on both sides and
+    # the cluster assignment (k cosine folds per row) would run twice.
     assigned = embeddings.select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
-        (-best["n"]).cast("long").alias("cluster"))
+        (-best["n"]).cast("long").alias("cluster")).cache()
     a, b = assigned.alias("a"), assigned.alias("b")
     return (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
                    & (F.col("a.id") < F.col("b.id")))

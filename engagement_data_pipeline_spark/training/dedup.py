@@ -182,7 +182,12 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     product.
     """
     sh = _shingled(docs, text_col, id_col)
-    bands = _band_keys(_signatures(sh))
+    # The band self-join references this frame on both sides and
+    # Catalyst duplicates the subtree — without the cache the MinHash
+    # signature pass (the corpus-scale hashing work) runs twice. The
+    # banded keys are (id, band, key) rows, n_bands per doc — the
+    # materialized signature table a production pipeline would keep.
+    bands = _band_keys(_signatures(sh)).cache()
 
     left = bands.alias("x")
     right = bands.alias("y")
@@ -620,12 +625,18 @@ def hamming_pairs(hashed: DataFrame, id_col: str, hash_col: str,
     mask = (1 << band_bits) - 1
     bands = F.array(*[
         F.struct(F.lit(i).alias("band"),
-                 F.shiftrightunsigned(F.col(hash_col), i * band_bits)
+                 F.shiftrightunsigned(F.col("h"), i * band_bits)
                  .bitwiseAND(F.lit(mask)).alias("key"))
         for i in range(n_bands)])
-    keyed = (hashed.select(F.col(id_col).alias("id"),
-                           F.col(hash_col).alias("h"),
-                           F.explode(bands).alias("b"))
+    # The band self-join references `hashed` on both sides, and
+    # Catalyst duplicates the upstream subtree — for perceptual
+    # hashes that upstream is the Arrow image-decode kernel, which
+    # would run TWICE. Cache the narrow (id, hash) projection (two
+    # fixed-width columns per row — fingerprint-sized at any corpus
+    # scale) so the expensive hashing pass materializes once.
+    hashed = hashed.select(F.col(id_col).alias("id"),
+                           F.col(hash_col).alias("h")).cache()
+    keyed = (hashed.select("id", "h", F.explode(bands).alias("b"))
              .select("id", "h", F.col("b.band").alias("band"),
                      F.col("b.key").alias("key")))
     left = keyed

@@ -312,9 +312,13 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     the bucket self-join shuffles each side once on the bucket key and
     bucket sizes are tuned via nbits ≈ log2(n / target_bucket)."""
     par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # Cached: the self-join references this frame on both sides and
+    # Catalyst duplicates the subtree — the hyperplane projection
+    # (nbits dot products per row) would run twice. Same
+    # materialized-signatures idiom as _shingled/minhash.
     bucketed = embeddings.repartition(par).select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
-        lsh_bucket(F.col(emb_col), nbits, dim=dim).alias("bucket"))
+        lsh_bucket(F.col(emb_col), nbits, dim=dim).alias("bucket")).cache()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (
