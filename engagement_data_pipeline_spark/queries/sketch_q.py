@@ -116,37 +116,23 @@ def bloom_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import bloom_merge, bloom_sketch
     from ..training.dedup import _shingled
 
-    from ..operators.stats import BLOOM_BITS, BLOOM_HASHES, _bloom_cells
-
     apply_runtime_conf(spark)
     sh = _shingled(load(spark, sf_dir, "documents"), "text", "doc_id")
     posting = sh.select(F.col("id"), F.explode("h").alias("hash"))
     train = (posting.where(~(F.col("id") % 100 == 7))
              .select(F.col("id"),
                      F.col("hash").cast("string").alias("key")))
-    # The three shard sketches come from ONE pass over the deduped
-    # (shard, key) postings — grouped by (word, shard), cached
-    # because three slices consume it — instead of three separate
-    # distinct+sketch pipelines; bloom_merge then OR-combines the
-    # REAL per-shard sketch frames, and `full` stays an independent
-    # direct bloom_sketch of the whole split, so merged == full
-    # remains a two-sided mergeability witness. The key dedup is kept
-    # (shingle hashes repeat heavily across docs, so it shrinks the
-    # BLOOM_HASHES-way cell explode severalfold — measured: dropping
-    # it REGRESSED the query 2.8 -> 3.4 s); bit_or idempotence makes
-    # it semantics-free either way. Net: 2 distinct passes + 2
-    # explode/agg passes, was 4 + 4.
-    cells3 = (train.select((F.col("id") % 3).alias("shard"), "key")
-              .distinct()
-              .select("shard",
-                      F.explode(_bloom_cells(F.col("key"), BLOOM_HASHES,
-                                             BLOOM_BITS)).alias("cell"))
-              .groupBy(F.col("cell.word").alias("word"), "shard")
-              .agg(F.bit_or(F.col("cell.mask")).cast("long").alias("bits"))
-              .cache())
-    shards = [cells3.where(F.col("shard") == i).select("word", "bits")
+    # Round-14 note: two restructurings were tried here (dropping the
+    # per-shard distincts on bit_or-idempotence grounds; fusing the
+    # three shard sketches into one cached (word, shard) aggregation)
+    # and BOTH measured slower on the first-call cost the bench pays
+    # (the distinct's dedup shrinks the BLOOM_HASHES-way explode
+    # severalfold, and the fused pass's cache materialization costs
+    # more than the per-shard pipelines it saves at this shard
+    # count). Kept as-is deliberately — see OPTIMIZATION_r14.md.
+    shards = [train.where(F.col("id") % 3 == i).select("key").distinct()
               for i in range(3)]
-    merged = bloom_merge(shards)
+    merged = bloom_merge([bloom_sketch(s, "key") for s in shards])
     full = bloom_sketch(train.select("key").distinct(), "key")
     return (merged.withColumnRenamed("bits", "bits_merged")
             .join(full.withColumnRenamed("bits", "bits_full"), "word")
