@@ -356,3 +356,95 @@ def test_touched_group_slice_local_equals_distributed(spark, tmp_path,
     # old groups of the moved rows (g0..g4 via ids 0-4) ARE touched
     assert ("g0",) in dict.fromkeys(lt) or ("g0",) in lt
     assert ll == dl and len(ll) > 0
+
+
+def test_bucket_pairs_equals_posting_self_join(spark):
+    """_bucket_pairs (grouped i<j pair generation) must yield exactly
+    the candidate set of the posting self-join it replaced, including
+    cross-bucket dedup and empty/singleton buckets."""
+    from pyspark.sql import functions as F
+
+    from engagement_data_pipeline_spark.training.dedup import (
+        _bucket_pairs)
+
+    rows = [  # (id, key): shared keys, singleton key, duplicate pair
+        (1, "a"), (2, "a"), (3, "a"),
+        (2, "b"), (3, "b"),
+        (7, "c"),
+        (1, "d"), (3, "d"),
+    ]
+    blocked = spark.createDataFrame(rows, "id long, shingle string")
+    got = sorted(tuple(r) for r in
+                 _bucket_pairs(blocked, "shingle").collect())
+    x, y = blocked.alias("x"), blocked.alias("y")
+    want = sorted(tuple(r) for r in (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()).collect())
+    assert got == want and (1, 3) in got and (7,) not in {p[:1] for p in got}
+
+
+def test_feed_bucket_packing_groups_small_local_buckets(spark, tmp_path,
+                                                        monkeypatch):
+    """The batch feed reader packs small LOCAL buckets into one read
+    partition (fewer Python-worker tasks) without changing the rows;
+    a huge per-partition target must collapse the window to one group
+    and still read the identical changeset."""
+    from pyspark.sql import functions as F
+
+    import engagement_data_pipeline_spark.streaming.cdf_source as cdf
+    from engagement_data_pipeline_spark.streaming.ingest import (
+        foreach_batch_upsert)
+
+    path = str(tmp_path / "t")
+    m = foreach_batch_upsert(path, ["k"], n_buckets=4, txn_app_id="s",
+                             mode="latest_wins")
+    df = spark.range(40).select(F.col("id").cast("string").alias("k"),
+                                F.col("id").alias("v"))
+    m(df, 1)
+    m(df.withColumn("v", F.col("v") + 100).where("id % 3 = 0"), 2)
+
+    def read(tag):
+        spark.dataSource.register(cdf.MergeTableChangesDataSource)
+        ch = (spark.read.format("merge_table_changes")
+              .option("path", path).option("fromCommit", "1")
+              .option("toCommit", "2").load())
+        return sorted((r.k, r.op, r.v) for r in
+                      ch.select("k", "op", "v").collect())
+
+    monkeypatch.setenv("SPARK_GRAFT_FEED_PARTITION_BYTES", "1")
+    per_bucket = read("tiny")
+    monkeypatch.setenv("SPARK_GRAFT_FEED_PARTITION_BYTES",
+                       str(1 << 30))
+    man1 = cdf._manifest(path, 1)
+    man2 = cdf._manifest(path, 2)
+    changed = cdf._changed_buckets(man1, man2)
+    groups = cdf._pack_changed_buckets(path, man1, man2, changed)
+    assert len(groups) == 1 and sorted(groups[0]) == sorted(changed)
+    packed = read("huge")
+    assert packed == per_bucket and len(packed) > 0
+
+
+def test_local_union_schema_matches_merge_schema_read(spark, tmp_path):
+    """_read_buckets' driver-side union schema must agree with
+    Spark's mergeSchema read on an evolved table (same columns, same
+    order, same Spark types) — including a timestamp column written
+    by Spark (INT96)."""
+    import engagement_data_pipeline_spark.streaming.ingest as ing
+
+    d1 = str(tmp_path / "v1")
+    d2 = str(tmp_path / "v2")
+    spark.sql("SELECT 1 AS a, CAST('2024-01-01' AS TIMESTAMP) AS ts"
+              ).write.parquet(d1)
+    spark.sql("SELECT 2 AS a, CAST('2024-01-02' AS TIMESTAMP) AS ts,"
+              " 'x' AS extra").write.parquet(d2)
+    st = ing._local_union_schema([d1, d2])
+    assert st is not None
+    merged = spark.read.option("mergeSchema", "true").parquet(d1, d2)
+    assert [f.name for f in st.fields] == merged.columns
+    assert {f.name: f.dataType.simpleString() for f in st.fields} == {
+        f.name: f.dataType.simpleString()
+        for f in merged.schema.fields}
+    # non-local path -> None (caller falls back to the distributed merge)
+    assert ing._local_union_schema(["s3://bucket/x"]) is None
