@@ -57,9 +57,11 @@ def fuzzy_pairs_ed1(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     # Cached: the self-join references the exploded neighborhood on
     # both sides and Catalyst duplicates the subtree — the deletion
     # explode + md5 pass would run twice.
-    exploded = keyed.select(
+    from ..session import scoped_cache
+
+    exploded = scoped_cache(keyed.select(
         "k", "s", F.explode(deletion_keys(F.col("s"))).alias("v")
-    ).select("k", "s", md5_long(F.col("v")).alias("vh")).cache()
+    ).select("k", "s", md5_long(F.col("v")).alias("vh")))
     left = exploded
     right = (exploded.select(F.col("k").alias("rk"), F.col("s").alias("rs"),
                              F.col("vh").alias("rvh")))

@@ -81,6 +81,65 @@ def group_rows_slice(spark, table_path: str, keys: DataFrame,
     return rows.join(F.broadcast(keys), gcols, "left_semi")
 
 
+#: Caps of the DRIVER-SIDE touched-key fast path below. The rows cap
+#: bounds the narrow (op + group cols) dicts materialized in the
+#: driver (~100 B each → a few MB at the default); the bytes cap
+#: bounds the window's on-disk input (both versions of every changed
+#: bucket) the single-threaded driver may read and diff — past it the
+#: distributed Python-datasource read takes over. Tune for clusters
+#: via the env vars; the defaults keep a bench/day-run-sized window
+#: zero-job while any corpus-scale backlog goes distributed.
+def _env_int(name: str, default: int) -> int:
+    import os
+
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+_TOUCHED_LOCAL_ROWS = _env_int("SPARK_GRAFT_TOUCHED_LOCAL_ROWS", 100_000)
+_TOUCHED_LOCAL_BYTES = _env_int("SPARK_GRAFT_TOUCHED_LOCAL_BYTES",
+                                64 << 20)
+
+
+def _window_bytes(table_path: str, from_commit: int,
+                  to_commit: int) -> int | None:
+    """Total LOCAL on-disk bytes the window's diff must read (both
+    versions of every changed bucket); None when the table is not
+    local (sizes unknown without RPCs) or a manifest is missing —
+    the caller then keeps the old conservative row cap."""
+    import os
+
+    from ..streaming.cdf_source import (_bucket_dir, _changed_buckets,
+                                        _manifest)
+    from ..streaming.ingest import _local_path
+
+    if _local_path(table_path) is None:
+        return None
+    man_to = _manifest(table_path, to_commit)
+    if man_to is None:
+        return None
+    man_from = (_manifest(table_path, from_commit)
+                if from_commit > 0 else None)
+    total = 0
+    for b in _changed_buckets(man_from, man_to):
+        for man in (man_from, man_to):
+            if man is None or b not in man["buckets"]:
+                continue
+            d = _bucket_dir(table_path, man, b)
+            lp = _local_path(str(d)) if d is not None else None
+            if lp is None:
+                continue
+            try:
+                with os.scandir(lp) as it:
+                    total += sum(e.stat().st_size
+                                 for e in it if e.is_file())
+            except OSError:
+                pass
+    return total
+
+
 def touched_group_slice(spark, table_path: str, from_commit: int,
                         group_cols: Sequence[str]
                         ) -> tuple[DataFrame, DataFrame] | None:
@@ -108,18 +167,35 @@ def touched_group_slice(spark, table_path: str, from_commit: int,
     if current <= from_commit:
         return None
     # Bounded-window fast path: the touched-key derivation needs only
-    # the feed's group columns, so a window under the local-read cap
-    # is diffed DRIVER-SIDE (cdf_source.read_changes_local — same
-    # manifests, same Arrow kernel, zero scan jobs) and the key set
-    # computed as a Python set — no Python-datasource scan job
-    # (~0.5 s worker spin-up), no distinct shuffle, no checkpoint
-    # job. Semantics identical to the distributed read below (A/B
-    # pinned in tests); windows past the cap fall through.
+    # the feed's group columns, so a bounded window is diffed
+    # DRIVER-SIDE (cdf_source.read_changes_local — same manifests,
+    # same Arrow kernel, zero scan jobs) and the key set computed as
+    # a Python set — no Python-datasource scan job (~0.5 s worker
+    # spin-up), no distinct shuffle, no checkpoint job. The read
+    # ships ONLY op + group columns (+ their __old twins) out of the
+    # Arrow diff (guide §4: the compare spans every payload column,
+    # the consumer reads three), so the caps can sit far above the
+    # 512-row local-merge cap: row cap ~1e5 narrow dicts (a few MB)
+    # and an input-bytes cap bounding what the single-threaded driver
+    # may read/diff (both env-tunable for clusters). Semantics
+    # identical to the distributed read below (A/B pinned in tests);
+    # windows past either cap fall through.
     from ..streaming.cdf_source import read_changes_local
+
     from ..streaming.local_merge import SMALL_BATCH_ROWS
 
+    wb = _window_bytes(table_path, from_commit, current)
+    cap = (_TOUCHED_LOCAL_ROWS
+           if wb is not None and wb <= _TOUCHED_LOCAL_BYTES
+           else SMALL_BATCH_ROWS)
     lc = read_changes_local(table_path, from_commit, current,
-                            max_rows=SMALL_BATCH_ROWS)
+                            max_rows=cap, ship=gcols)
+    if lc is not None and any("<" in lc.col_ddl.get(g, "<")
+                              for g in gcols):
+        # A non-scalar group column (array/map/struct DDL) would be
+        # unhashable in the Python key set below; the distributed
+        # reader handles those — fall through.
+        lc = None
     if lc is not None:
         keyset = set()
         for r in lc.rows:
@@ -144,10 +220,16 @@ def touched_group_slice(spark, table_path: str, from_commit: int,
     # __old twin (keys are immutable), so a group column that is also
     # a key reads as itself on the old side.
     spark.dataSource.register(MergeTableChangesDataSource)
+    # `ship` narrows the Python→JVM boundary to op + group columns
+    # (+ their __old twins): the diff still compares every payload
+    # column (emission semantics unchanged — a row changing only in
+    # a non-group column still marks its group touched), but a wide
+    # table's payloads never cross per changed row (guide §4).
     ch = (spark.read.format("merge_table_changes")
           .option("path", table_path)
           .option("fromCommit", str(from_commit))
           .option("toCommit", str(current))
+          .option("ship", ",".join(gcols))
           .option("includeOld", "true").load())
     new_side = (ch.where(F.col("op").isin("insert", "update"))
                 .select(*gcols))

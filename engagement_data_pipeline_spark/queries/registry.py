@@ -501,8 +501,34 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
         ORACLES[name] = oracle
 
 
+def _released(name: str,
+              fn: Callable[[SparkSession, str], DataFrame]
+              ) -> Callable[[SparkSession, str], DataFrame]:
+    """Wrap a registry query so QUERY-SCOPED caches from the previous
+    query are unpersisted when this one starts (session.scoped_cache /
+    release_scoped_caches): the bench runs 188 queries in ONE session,
+    and self-join-upstream caches with no owning action otherwise
+    accumulate in executor storage for the whole session, perturbing
+    later queries (r14: five untouched query paths regressed 15-36%
+    under that pressure). Release happens at query START — after the
+    previous query's timed action consumed its caches — so intra-query
+    reuse (the whole point of those caches) is untouched. Family
+    checksum queries call member functions directly (unwrapped), so a
+    family run releases once, not per member."""
+    import functools
+
+    from ..session import release_scoped_caches
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_scoped_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {name: _released(name, fn) for name, fn in QUERIES.items()}
 
 
 def get_oracles() -> dict[str, str]:

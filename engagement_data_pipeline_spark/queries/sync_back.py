@@ -45,9 +45,11 @@ def k7_advert_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of three identical union+window subtrees (VERDICT r2 "What's
     # wrong" #3). CacheManager dedups by canonicalized plan, so
     # repeated calls reuse one entry.
-    advert = (
+    from ..session import scoped_cache
+
+    advert = scoped_cache(
         resolved.where(F.col("dataset").isin(CONFIG.rqa_datasets))
-        .select("participant_uuid").distinct().cache()
+        .select("participant_uuid").distinct()
     )
     synced = advert.where(num % 3 == 0)
     uuid_table = advert.select(

@@ -512,13 +512,19 @@ def _neq(a, b):
 class _ChangesPartition(InputPartition):
     def __init__(self, table_path: str, man_from: dict | None,
                  man_to: dict, bucket: int, columns: list[str],
-                 pa_schema):
+                 pa_schema, pa_types: dict | None = None):
         self.table_path = table_path
         self.man_from = man_from
         self.man_to = man_to
         self.bucket = bucket
         self.columns = columns
         self.pa_schema = pa_schema  # exact Arrow schema Spark expects
+        # Arrow type per COMPARE column (origin + every payload
+        # column). None (the streaming reader, no output projection)
+        # means the output schema covers the compare set — derive the
+        # map from it. The `ship` batch option narrows pa_schema below
+        # the compare set, so the reader must carry the full map.
+        self.pa_types = pa_types
 
 
 class _ChangesReader(DataSourceStreamReader):
@@ -745,7 +751,8 @@ def _read_one_bucket_changes(partition: _ChangesPartition,
     origin = list(man_to["origin"])
     payload = [c for c in cols if c not in origin]
     schema = partition.pa_schema
-    types = {f.name: f.type for f in schema}
+    types = (dict(partition.pa_types) if partition.pa_types is not None
+             else {f.name: f.type for f in schema})
     new_t = _read_bucket_arrow(partition.table_path, man_to,
                                bucket, cols, types)
     old_t = _read_bucket_arrow(partition.table_path,
@@ -857,7 +864,8 @@ class LocalChanges:
 
 def read_changes_local(table_path: str, from_commit: int,
                        to_commit: int, *, max_rows: int,
-                       select: str | None = None
+                       select: str | None = None,
+                       ship: list[str] | None = None
                        ) -> LocalChanges | None:
     """DRIVER-SIDE batch read of one bounded change window — the same
     manifests, the same per-bucket Arrow diff kernel as the
@@ -892,11 +900,22 @@ def read_changes_local(table_path: str, from_commit: int,
     # arrow types come from the table's own data files (the kernel
     # only needs internally-consistent types to build its arrays)
     fields = dict(_data_file_fields(table_path, man_to))
+    # `ship` = OUTPUT projection (same contract as the batch reader's
+    # option): the diff still compares every payload column, but only
+    # the listed ones materialize as Python dicts — the touched-key
+    # derivation ships 2-3 narrow columns per changed row instead of
+    # the table's full width, which is what makes a six-figure row cap
+    # affordable driver-side.
+    out_payload = ([c for c in payload if c in set(ship)]
+                   if ship is not None else payload)
     out = ([pa.field(c, fields[c]) for c in origin]
            + [pa.field(_OP, pa.string()), pa.field(_CHANGED, pa.string())]
-           + [pa.field(c, fields[c]) for c in payload]
-           + [pa.field(c + _OLD, fields[c]) for c in payload])
+           + [pa.field(c, fields[c]) for c in out_payload]
+           + [pa.field(c + _OLD, fields[c]) for c in out_payload])
     pa_schema = pa.schema(out)
+    pa_types = {c: fields[c] for c in origin + payload}
+    pa_types[_OP] = pa.string()
+    pa_types[_CHANGED] = pa.string()
     man_from = (_manifest(table_path, from_commit)
                 if from_commit > 0 else None)
     if from_commit > 0 and man_from is None:
@@ -906,15 +925,15 @@ def read_changes_local(table_path: str, from_commit: int,
     rows: list[dict] = []
     for b in _changed_buckets(man_from, man_to):
         part = _ChangesPartition(table_path, man_from, man_to, b,
-                                 origin + payload, pa_schema)
+                                 origin + payload, pa_schema, pa_types)
         for rb in _read_changes_partition(part):
             rows.extend(rb.to_pylist())
             if len(rows) > max_rows:
                 return None
     rows = [{k: _plain_py(v) for k, v in r.items()} for r in rows]
     col_ddl = {c: _ddl_of(fields[c]) for c in origin + payload}
-    ddl = ", ".join(f"{c} {col_ddl[c]}" for c in origin + payload)
-    return LocalChanges(rows, origin, payload, ddl, col_ddl)
+    ddl = ", ".join(f"{c} {col_ddl[c]}" for c in origin + out_payload)
+    return LocalChanges(rows, origin, out_payload, ddl, col_ddl)
 
 
 def _plain_py(v):
@@ -991,17 +1010,20 @@ class _ChangesBatchReader(DataSourceReader):
     checkpointed Structured-Streaming queries."""
 
     def __init__(self, table_path: str, from_commit: int,
-                 to_commit: int, columns: list[str], pa_schema):
+                 to_commit: int, columns: list[str], pa_schema,
+                 pa_types: dict | None = None):
         self.table_path = table_path
         self.from_commit = from_commit
         self.to_commit = to_commit
         self.columns = columns
         self.pa_schema = pa_schema
+        self.pa_types = pa_types  # full compare-type map (ship reads)
 
     def partitions(self) -> Sequence[InputPartition]:
         lo, hi = self.from_commit, self.to_commit
         empty = [_ChangesPartition(self.table_path, None, None, -1,
-                                   self.columns, self.pa_schema)]
+                                   self.columns, self.pa_schema,
+                                   self.pa_types)]
         if hi <= lo:
             return empty
         man_from = _manifest(self.table_path, lo) if lo > 0 else None
@@ -1016,7 +1038,8 @@ class _ChangesBatchReader(DataSourceReader):
         changed = _changed_buckets(man_from, man_to)
         return [
             _ChangesPartition(self.table_path, man_from, man_to, g,
-                              self.columns, self.pa_schema)
+                              self.columns, self.pa_schema,
+                              self.pa_types)
             for g in _pack_changed_buckets(self.table_path, man_from,
                                            man_to, changed)
         ] or empty
@@ -1142,8 +1165,37 @@ class MergeTableChangesDataSource(DataSource):
     def _include_old(self) -> bool:
         return str(self.options.get("includeOld", "false")).lower() == "true"
 
+    def _ship(self) -> list[str] | None:
+        """The `ship` OUTPUT projection (batch reads only): unlike
+        `select` — which projects the feed itself, so a row changing
+        only outside the selection does not emit — `ship` keeps the
+        diff over EVERY payload column (emission and changed_cols are
+        those of the full-width feed) and narrows only what crosses
+        the Python→JVM boundary. The touched-group consumers need
+        exactly this: which groups changed is decided by all columns,
+        but only the group keys (+ ops) are ever read downstream, so
+        shipping a wide table's payloads per changed row is pure
+        boundary cost (guide §4: pass only the columns the consumer
+        needs)."""
+        ship = self.options.get("ship")
+        if ship is None:
+            return None
+        return [c.strip() for c in ship.split(",") if c.strip()]
+
     def schema(self) -> str:
         cols = self._columns_and_types()
+        ship = self._ship()
+        if ship is not None:
+            by_name = {n for n, _t in cols}
+            unknown = [c for c in ship if c not in by_name]
+            if unknown:
+                raise ValueError(
+                    f"ship: unknown column(s) {unknown}; feed has "
+                    f"{sorted(by_name)}")
+            keep = set(ship) | {_OP, _CHANGED}
+            origin_idx = [n for n, _t in cols].index(_OP)
+            keep |= {n for n, _t in cols[:origin_idx]}  # origin always
+            cols = [(n, t) for n, t in cols if n in keep]
         ddl = ", ".join(f"{n} {t}" for n, t in cols)
         if self._include_old():
             # payload columns = everything after op/changed_cols
@@ -1170,6 +1222,11 @@ class MergeTableChangesDataSource(DataSource):
     def streamReader(self, schema) -> _ChangesReader:
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        if self._ship() is not None:
+            raise ValueError(
+                "ship is a batch-read option (spark.read); streams "
+                "project with `select` (the change feed OF the "
+                "projection) instead")
         cols = [n for n, _t in self._columns_and_types()
                 if n not in (_OP, _CHANGED)]
         mpt = self.options.get("maxCommitsPerTrigger")
@@ -1199,6 +1256,24 @@ class MergeTableChangesDataSource(DataSource):
             if latest is None:
                 raise ValueError(f"{path} has no commits")
             to = latest
+        pa_schema = to_arrow_schema(schema)
+        pa_types = None
+        if self._ship() is not None:
+            # `ship` narrows the OUTPUT below the compare set, so the
+            # kernel needs types for the unshipped compare columns too:
+            # seed from the data files (nullability-normalized, the
+            # read_changes_local idiom) and override every output
+            # column with the Spark-expected Arrow type.
+            man_to = _manifest(path, int(to))
+            if man_to is None:
+                raise ValueError(
+                    f"manifest {to} of {path} is unreadable")
+            pa_types = dict(_data_file_fields(path, man_to))
+            for f in pa_schema:
+                base = f.name[:-len(_OLD)] if f.name.endswith(_OLD) else None
+                if base is not None and base in pa_types:
+                    continue  # retract twin rides its payload's type
+                pa_types[f.name] = f.type
         return _ChangesBatchReader(
             path, int(self.options.get("fromCommit", 0)), int(to),
-            cols, to_arrow_schema(schema))
+            cols, pa_schema, pa_types)

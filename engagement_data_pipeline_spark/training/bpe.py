@@ -37,6 +37,12 @@ from .dedup import normalize_text
 
 END_OF_WORD = "</w>"
 
+#: BPE fit rounds between lineage-truncating localCheckpoints: bounds
+#: the nested-lambda fold depth (codegen cost grows with it) at this
+#: many rounds while amortizing the vocab-frame materialization the
+#: checkpoint costs across as many merges.
+CHECKPOINT_EVERY = 4
+
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, wc): distinct normalized words with occurrence counts —
@@ -84,7 +90,9 @@ def bpe_fit(docs: DataFrame, n_merges: int,
     """Learn `n_merges` merges. Returns (merge list [{rank, left,
     right, merged, pair_count}], the final symbolized vocab frame).
     Fewer merges come back if the vocabulary runs out of pairs."""
-    vocab = word_vocab(docs, text_col).cache()
+    from ..session import scoped_cache
+
+    vocab = scoped_cache(word_vocab(docs, text_col))
     cur = vocab.select("word", "wc", _initial_symbols().alias("syms"))
     merges: list[dict] = []
     for rank in range(n_merges):
@@ -101,16 +109,26 @@ def bpe_fit(docs: DataFrame, n_merges: int,
         l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
         merges.append({"rank": rank, "left": l, "right": r,
                        "merged": l + r, "pair_count": int(cnt)})
-        # Truncate lineage each round (lazy localCheckpoint: the next
-        # round's best-pair job materializes it — no extra job).
-        # Chaining the folds instead makes round k re-apply merges
-        # 1..k-1 over the cached vocab — O(n_merges²) fold work and a
-        # k-deep nested-lambda expression whose codegen grows per
-        # round. The vocab frame is vocabulary-sized, so per-round
-        # materialization is cheap at any corpus scale.
-        cur = (cur.select("word", "wc",
-                          _apply_merge(F.col("syms"), l, r).alias("syms"))
-               .localCheckpoint(eager=False))
+        # Truncate lineage every CHECKPOINT_EVERY rounds (lazy
+        # localCheckpoint: the next round's best-pair job materializes
+        # it — no extra job). Chaining ALL folds makes round k re-apply
+        # merges 1..k-1 over the cached vocab — O(n_merges²) fold work
+        # and a k-deep nested-lambda expression whose codegen grows per
+        # round; checkpointing EVERY round (the r14 shape) swings the
+        # other way — the per-round materialization of the vocab frame
+        # cost more than the ≤1-deep folds it saved at bench vocab
+        # sizes (doc_bpe_tokens regressed 0.90x, r14 VERDICT). Every
+        # K rounds bounds the fold depth at K while paying 1/K of the
+        # materializations.
+        if (rank + 1) % CHECKPOINT_EVERY == 0:
+            cur = (cur.select("word", "wc",
+                              _apply_merge(F.col("syms"), l, r)
+                              .alias("syms"))
+                   .localCheckpoint(eager=False))
+        else:
+            cur = cur.select("word", "wc",
+                             _apply_merge(F.col("syms"), l, r)
+                             .alias("syms"))
     return merges, cur
 
 

@@ -170,9 +170,11 @@ def semantic_neardup_pairs(embeddings: DataFrame,
     best = F.get(_ranked_cells(F.col(emb_col), cents), 0)
     # Cached: the self-join duplicates the subtree on both sides and
     # the cluster assignment (k cosine folds per row) would run twice.
-    assigned = embeddings.select(
+    from ..session import scoped_cache
+
+    assigned = scoped_cache(embeddings.select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
-        (-best["n"]).cast("long").alias("cluster")).cache()
+        (-best["n"]).cast("long").alias("cluster")))
     a, b = assigned.alias("a"), assigned.alias("b")
     return (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
                    & (F.col("a.id") < F.col("b.id")))

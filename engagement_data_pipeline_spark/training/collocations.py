@@ -66,8 +66,10 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     # derivations below consume it (cache != result reuse across
     # calls: each call builds a fresh lineage, materialized inside the
     # caller's own action)
-    counts = grams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("n")).cache()
+    from ..session import scoped_cache
+
+    counts = scoped_cache(grams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")))
 
     uni = counts.where(F.col("w2").isNull()).select(
         F.col("w1").alias("w"), F.col("n").alias("n_w"))

@@ -142,7 +142,7 @@ def _bucket_pairs(blocked: DataFrame, key_col: str,
     cap (the unbounded hot keys died in the `rare` filter, which
     still uses a streaming count aggregation)."""
     grouped = blocked.groupBy(key_col).agg(
-        F.array_sort(F.collect_list(id_col)).alias("ids"))
+        F.array_sort(F.array_distinct(F.collect_list(id_col))).alias("ids"))
     pairs = F.flatten(F.transform(
         F.col("ids"),
         lambda a, i: F.transform(
@@ -187,7 +187,9 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     # signature pass (the corpus-scale hashing work) runs twice. The
     # banded keys are (id, band, key) rows, n_bands per doc — the
     # materialized signature table a production pipeline would keep.
-    bands = _band_keys(_signatures(sh)).cache()
+    from ..session import scoped_cache
+
+    bands = scoped_cache(_band_keys(_signatures(sh)))
 
     left = bands.alias("x")
     right = bands.alias("y")
@@ -404,6 +406,11 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
             "rounds; a component's diameter exceeds the iteration "
             "budget — raise max_iterations")
 
+    # Every consumer of the edges cache ran inside the loop (the final
+    # labels are a materialized localCheckpoint, not a lineage over
+    # edges), so the cache can be released here instead of occupying
+    # executor storage for the rest of the session.
+    edges.unpersist(blocking=False)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -634,8 +641,10 @@ def hamming_pairs(hashed: DataFrame, id_col: str, hash_col: str,
     # would run TWICE. Cache the narrow (id, hash) projection (two
     # fixed-width columns per row — fingerprint-sized at any corpus
     # scale) so the expensive hashing pass materializes once.
-    hashed = hashed.select(F.col(id_col).alias("id"),
-                           F.col(hash_col).alias("h")).cache()
+    from ..session import scoped_cache
+
+    hashed = scoped_cache(hashed.select(F.col(id_col).alias("id"),
+                                        F.col(hash_col).alias("h")))
     keyed = (hashed.select("id", "h", F.explode(bands).alias("b"))
              .select("id", "h", F.col("b.band").alias("band"),
                      F.col("b.key").alias("key")))

@@ -316,9 +316,11 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     # Catalyst duplicates the subtree — the hyperplane projection
     # (nbits dot products per row) would run twice. Same
     # materialized-signatures idiom as _shingled/minhash.
-    bucketed = embeddings.repartition(par).select(
+    from ..session import scoped_cache
+
+    bucketed = scoped_cache(embeddings.repartition(par).select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
-        lsh_bucket(F.col(emb_col), nbits, dim=dim).alias("bucket")).cache()
+        lsh_bucket(F.col(emb_col), nbits, dim=dim).alias("bucket")))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (
@@ -350,8 +352,10 @@ def retrieval_eval(approx: DataFrame, exact: DataFrame) -> DataFrame:
     # plan). CacheManager dedups by logical plan, so a truth frame
     # shared by several retrieval_eval calls materializes once per
     # session.
-    a = approx.select("query_id", "vec_id", "rank").cache()
-    e = exact.select("query_id", "vec_id", "rank").cache()
+    from ..session import scoped_cache
+
+    a = scoped_cache(approx.select("query_id", "vec_id", "rank"))
+    e = scoped_cache(exact.select("query_id", "vec_id", "rank"))
     t = e.select("query_id", "vec_id")
     top1 = (e.where(F.col("rank") == 1)
             .select("query_id", F.col("vec_id").alias("best_vec")))

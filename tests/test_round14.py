@@ -343,8 +343,13 @@ def test_touched_group_slice_local_equals_distributed(spark, tmp_path,
                        .select("k", "grp"), strategy="dv")
         return path
 
+    import engagement_data_pipeline_spark.operators.topk as topk_mod
+
     def slices(path, small_rows):
+        # both caps must drop to force the distributed path: the
+        # narrow-ship local read has its own (much larger) row cap
         monkeypatch.setattr(lm, "SMALL_BATCH_ROWS", small_rows)
+        monkeypatch.setattr(topk_mod, "_TOUCHED_LOCAL_ROWS", small_rows)
         live, touched = touched_group_slice(spark, path, 1, ["grp"])
         return (sorted(tuple(r) for r in touched.collect()),
                 sorted(tuple(r) for r in live.select(
