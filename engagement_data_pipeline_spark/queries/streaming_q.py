@@ -678,36 +678,46 @@ def _nested_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
 
 def table_changes_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NESTED payloads through `format("merge_table_changes")` with
-    includeOld: the labels array<struct> streams with full fidelity —
+    includeOld: the labels array<struct> flows with full fidelity —
     schema inferred recursively from the parquet files, the keyed diff
     comparing nested values through normalization (a row re-merged
     with an identical array must NOT emit), changed_cols flagging
     `labels` only when the array truly changed, and `labels__old`
     carrying the pre-change array on updates and deletes. Labels are
     emitted as `scheme:code` comma-joins so the DuckDB oracle can
-    state the same diff in SQL."""
-    from ..streaming.drain import drain_changes
+    state the same diff in SQL.
+
+    Consumed through the format's BATCH reader over the whole window
+    (commit 1 → head) — the same netting diff the previous streaming
+    drain produced (every origin changes at most once after commit 1,
+    and the oracle states the same commit-1-vs-final diff), without a
+    checkpointed streaming query's fixed cost (WAL + offset log +
+    per-batch planning) or a driver collect: the string projection
+    runs JVM-side on the reader's output. Micro-batch delivery of this
+    same format is certified by `table_changes_stream`."""
+    from ..streaming.cdf_source import (MergeTableChangesDataSource,
+                                        _latest_commit)
 
     apply_runtime_conf(spark)
     table = _nested_cdf_fixture(spark, sf_dir)
+    head = _latest_commit(table)
+    spark.dataSource.register(MergeTableChangesDataSource)
+    ch = (spark.read.format("merge_table_changes")
+          .option("path", table)
+          .option("fromCommit", "1")
+          .option("toCommit", str(head))
+          .option("includeOld", "true").load())
 
-    def _s(labels) -> str | None:
-        if labels is None:
-            return None
-        return ",".join(f"{l.scheme}:{l.code}" for l in labels)
+    def _s(col):
+        # null array -> null string, matching the old driver-side
+        # row._s(None) -> None
+        return F.array_join(
+            F.transform(col, lambda l: F.concat(
+                l["scheme"], F.lit(":"), l["code"])), ",")
 
-    rows: list[tuple] = []
-
-    def _sink(df: DataFrame, _bid: int) -> None:
-        rows.extend((r.origin_id, r.op, r.changed_cols, r.n,
-                     _s(r.labels), _s(r.labels__old))
-                    for r in df.collect())
-
-    drain_changes(spark, table, _sink, max_commits_per_trigger=None,
-                  options={"startingCommit": "1"}, timeout_s=120)
-    return spark.createDataFrame(
-        rows, "origin_id string, op string, changed_cols string, "
-              "n long, labels string, labels_old string")
+    return ch.select("origin_id", "op", "changed_cols", "n",
+                     _s(F.col("labels")).alias("labels"),
+                     _s(F.col("labels__old")).alias("labels_old"))
 
 
 TABLE_CHANGES_NESTED_SQL = """
