@@ -52,27 +52,35 @@ def fuzzy_pairs_ed1(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     """All pairs (left_key < right_key) whose `text_col` values are
     within edit distance 1, with the distance. Exact: the deletion
     neighborhood guarantees every qualifying pair becomes a candidate,
-    and the levenshtein verify removes everything else."""
+    and the levenshtein verify removes everything else. `key_col`
+    must identify rows uniquely (it is the pair key of the result)."""
     keyed = df.select(F.col(key_col).alias("k"), F.col(text_col).alias("s"))
-    # Cached: the self-join references the exploded neighborhood on
-    # both sides and Catalyst duplicates the subtree — the deletion
-    # explode + md5 pass would run twice.
+    # Cached NARROW: the self-join references the exploded neighborhood
+    # on both sides and Catalyst duplicates the subtree — the deletion
+    # explode + md5 pass would run twice without the cache. Only
+    # (key, key-hash) is cached: the exploded frame holds |s|+1 rows
+    # per entity, so carrying the text would duplicate the whole
+    # corpus ~avg_len times in executor storage (guide §8 "decide with
+    # small rows"); the candidate decision needs only hashes, and the
+    # texts re-attach from the un-exploded input for the
+    # candidate-sized verify.
     from ..session import scoped_cache
 
     exploded = scoped_cache(keyed.select(
-        "k", "s", F.explode(deletion_keys(F.col("s"))).alias("v")
-    ).select("k", "s", md5_long(F.col("v")).alias("vh")))
-    left = exploded
-    right = (exploded.select(F.col("k").alias("rk"), F.col("s").alias("rs"),
-                             F.col("vh").alias("rvh")))
-    cand = (left.join(right, (left["vh"] == right["rvh"])
-                      & (left["k"] < right["rk"]))
+        "k", F.explode(deletion_keys(F.col("s"))).alias("v")
+    ).select("k", md5_long(F.col("v")).alias("vh")))
+    right = exploded.select(F.col("k").alias("rk"),
+                            F.col("vh").alias("rvh"))
+    cand = (exploded.join(right, (exploded["vh"] == right["rvh"])
+                          & (exploded["k"] < right["rk"]))
             .select(F.col("k").alias("left_key"),
-                    F.col("s").alias("left_s"),
-                    F.col("rk").alias("right_key"),
-                    F.col("rs").alias("right_s"))
+                    F.col("rk").alias("right_key"))
             .distinct())
-    return (cand
+    lt = keyed.select(F.col("k").alias("left_key"),
+                      F.col("s").alias("left_s"))
+    rt = keyed.select(F.col("k").alias("right_key"),
+                      F.col("s").alias("right_s"))
+    return (cand.join(lt, "left_key").join(rt, "right_key")
             .withColumn("dist", F.levenshtein("left_s", "right_s").cast("int"))
             .where(F.col("dist") <= 1)
             .select("left_key", "right_key", "dist"))

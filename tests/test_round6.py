@@ -60,18 +60,43 @@ def test_gram_stats_exact_past_int64(spark):
         PCA_MICRO, gram_stats)
 
     # |x| ~ 1e7 -> q ~ 1e13 -> q*q ~ 1e26 >> 2^63: a long multiply
-    # would silently wrap; the decimal path must be exact
+    # would silently wrap. The default (fast) path must REFUSE such a
+    # corpus loudly (the _Q_BOUND assert — never a silent wrap), and
+    # the DECIMAL tile path (block < dim) must be exact.
+    import math
+
+    import pytest
+
     xs = [1.25e7, -3.5e7]
     df = spark.createDataFrame([(list(xs),)], "embedding array<double>")
-    rows = {(r.i, r.j): int(r.s) for r in gram_stats(df, 2).collect()}
-    import math
     q = [math.floor(x * PCA_MICRO) for x in xs]
+    assert abs(q[0] * q[0]) >= 2 ** 63  # the case long math can't do
+
+    with pytest.raises(Exception, match="quantized component"):
+        gram_stats(df, 2).collect()
+
+    rows = {(r.i, r.j): int(r.s)
+            for r in gram_stats(df, 2, block=1).collect()}
     assert rows[(-1, -1)] == 1
     assert rows[(0, -1)] == q[0] and rows[(1, -1)] == q[1]
     assert rows[(0, 0)] == q[0] * q[0]
     assert rows[(0, 1)] == q[0] * q[1]
     assert rows[(1, 1)] == q[1] * q[1]
-    assert abs(q[0] * q[0]) >= 2 ** 63  # the case long math can't do
+
+
+def test_gram_stats_fast_path_matches_tile_path_in_range(spark):
+    # The long-product fast path and the DECIMAL tile path must agree
+    # cell-for-cell on in-range data (same contract the sf0.1 A/B
+    # pinned: 0 mismatched cells over the real embeddings).
+    from engagement_data_pipeline_spark.training.pca import gram_stats
+
+    rows = [([float(i) / 7 - 0.4, 1.25 * i, -3.0 + i, 0.0],)
+            for i in range(9)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    fast = {(r.i, r.j): r.s for r in gram_stats(df, 4).collect()}
+    tile = {(r.i, r.j): r.s
+            for r in gram_stats(df, 4, block=2).collect()}
+    assert fast == tile and len(fast) == 4 * 5 // 2 + 4 + 1
 
 
 # --- text index sizing ----------------------------------------------------
