@@ -624,11 +624,16 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applicationId, not id(spark) — see queries/engagement.py.
+    # localCheckpoint, not .cache(): the pair set is tiny but its
+    # lineage is the whole shingle/posting/verify DAG, which every
+    # consumer (doc_dedup_clusters' iterative joins reference it once
+    # PER ROUND) would otherwise re-analyze.
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
-        df = D.ngram_jaccard_pairs(_docs(spark, sf_dir),
-                                   max_doc_freq=_JACCARD_MAX_DF).cache()
+        df = D.ngram_jaccard_pairs(
+            _docs(spark, sf_dir),
+            max_doc_freq=_JACCARD_MAX_DF).localCheckpoint(eager=False)
         _PAIRS_CACHE[key] = df
     return df
 
