@@ -60,9 +60,15 @@ def _plan(spark: SparkSession, sf_dir: str, stage: str,
 
 
 def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned messages table. In production this is a STORED
+    table; the synthetic derivation models reading it, so the memo
+    materializes it once per session (localCheckpoint — same measured
+    rationale as `_imputed`: ~15 consumers otherwise re-analyze and
+    re-execute the nested label-struct projection per query)."""
     apply_runtime_conf(spark)
     return _plan(spark, sf_dir, "messages",
-                 lambda: synthetic_messages(spark, sf_dir))
+                 lambda: synthetic_messages(spark, sf_dir)
+                 .localCheckpoint(eager=False))
 
 
 def _resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
